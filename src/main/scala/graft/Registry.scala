@@ -1,0 +1,13 @@
+package graft
+
+/** Single place where every implemented operator registers itself.
+  * SparkEntry derives the driver contract maps from this list.
+  */
+object Registry {
+  def all: Seq[QueryDef] =
+    operators.Relational.queries
+
+  def byName(name: String): QueryDef =
+    all.find(_.name == name)
+      .getOrElse(throw new NoSuchElementException(s"graft: unknown query: $name"))
+}

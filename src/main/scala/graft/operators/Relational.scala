@@ -1,0 +1,201 @@
+package graft.operators
+
+import graft.{QueryDef, Qdsl, Tables}
+import Qdsl._
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface (SURVEY.md §2.5): the capabilities the
+  * reference reaches through its backing RDBMS via `ArchiveRows`
+  * (chiv.go:45–52, join evidence chiv_integration_test.go:375–384),
+  * supplied natively here as Catalyst plans.
+  *
+  * Scale notes (100 TB mindset, per query):
+  *   - dimension tables (region/nation/part/supplier) are always
+  *     `broadcast()` — no shuffle for the dim side at any scale
+  *   - fact-fact joins (lineitem ⋈ orders) shuffle on the join key once;
+  *     aggregations reuse that clustering where possible
+  *   - filters are plain parquet-pushable predicates (verified via
+  *     .explain PushedFilters in the perf suite)
+  */
+object Relational {
+
+  def queries: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08)
+
+  /** Hash aggregate with partial/final split (TPC-H Q1 shape).
+    * groupBy keys are low-cardinality → map-side combine collapses the
+    * shuffle to |keys|×partitions rows regardless of input size.
+    */
+  val q01 = QueryDef(
+    "q01_agg",
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(sum(l_quantity) AS DECIMAL(18,2)) AS sum_qty,
+      CAST(sum(l_extendedprice) AS DECIMAL(18,2)) AS sum_base_price,
+      CAST(sum(l_extendedprice*(1-l_discount)) AS DECIMAL(18,2)) AS sum_disc_price,
+      CAST(sum(l_extendedprice*(1-l_discount)*(1+l_tax)) AS DECIMAL(18,2)) AS sum_charge,
+      CAST(avg(l_quantity) AS DECIMAL(18,4)) AS avg_qty,
+      CAST(avg(l_extendedprice) AS DECIMAL(18,4)) AS avg_price,
+      CAST(avg(l_discount) AS DECIMAL(18,4)) AS avg_disc,
+      count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-12-01").cast("timestamp_ntz"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dec2(sum("l_quantity")).as("sum_qty"),
+        dec2(sum("l_extendedprice")).as("sum_base_price"),
+        dec2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        dec2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+        dec4(avg("l_quantity")).as("avg_qty"),
+        dec4(avg("l_extendedprice")).as("avg_price"),
+        dec4(avg("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Row-level filter + projection with a computed column (P3/P4).
+    * Predicates and the 4-column read schema push to the parquet scan.
+    * Per-row double arithmetic is IEEE-identical across engines, so the
+    * raw double is emitted without a decimal cast.
+    */
+  val q02 = QueryDef(
+    "q02_filter_project",
+    Some("""SELECT l_orderkey, l_linenumber,
+      l_extendedprice*(1-l_discount) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+        AND l_quantity < 10
+      ORDER BY l_orderkey, l_linenumber""")) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz")
+        && col("l_shipdate") < lit("1997-04-01").cast("timestamp_ntz")
+        && col("l_quantity") < 10)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Star join: fact (orders) ⋈ customer ⋈ broadcast dims (nation,
+    * region). nation/region are O(10) rows forever — broadcast keeps the
+    * whole dim side shuffle-free at any scale; orders⋈customer shuffles
+    * once on custkey.
+    */
+  val q03 = QueryDef(
+    "q03_join_broadcast",
+    Some("""SELECT r_name, n_name,
+      count(*) AS n_orders,
+      CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS total_price
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name""")) { (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dec2(sum("o_totalprice")).as("total_price"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Fact-fact equi join (lineitem ⋈ orders): Catalyst picks SMJ or
+    * shuffled-hash; with AQE it can re-plan at runtime. One shuffle per
+    * side on orderkey, then the distinct-count reuses the grouping.
+    */
+  val q04 = QueryDef(
+    "q04_join_large",
+    Some("""SELECT o_orderpriority,
+      CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+      CAST(sum(l_extendedprice*(1-l_discount)) AS DECIMAL(18,2)) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")) { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        big(countDistinct(col("o_orderkey"))).as("n_orders"),
+        dec2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Left-semi join (SQL EXISTS). Only the key column of the right side
+    * moves; output carries no right-side columns.
+    */
+  val q05 = QueryDef(
+    "q05_semi_join",
+    Some("""SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderstatus = 'F'
+                      AND o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey""")) { (s, d) =>
+    Tables.customer(s, d)
+      .join(
+        Tables.orders(s, d)
+          .filter(col("o_orderstatus") === "F" && col("o_orderpriority") === "1-URGENT")
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join (SQL NOT EXISTS). */
+  val q06 = QueryDef(
+    "q06_anti_join",
+    Some("""SELECT c_custkey, c_mktsegment FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderstatus = 'F')
+      ORDER BY c_custkey""")) { (s, d) =>
+    Tables.customer(s, d)
+      .join(
+        Tables.orders(s, d).filter(col("o_orderstatus") === "F").select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Equi + non-equi (theta) join condition: same-nation pairs where the
+    * customer out-balances the supplier. Planned as a join on the equi
+    * part with the range predicate as a post-condition — not a cartesian.
+    */
+  val q07 = QueryDef(
+    "q07_join_nonequi",
+    Some("""SELECT n_name, s_suppkey, count(*) AS n_richer_customers
+      FROM supplier
+      JOIN customer ON s_nationkey = c_nationkey AND c_acctbal > s_acctbal
+      JOIN nation   ON s_nationkey = n_nationkey
+      GROUP BY n_name, s_suppkey
+      ORDER BY n_name, s_suppkey""")) { (s, d) =>
+    Tables.supplier(s, d)
+      .join(Tables.customer(s, d),
+        col("s_nationkey") === col("c_nationkey") && col("c_acctbal") > col("s_acctbal"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "s_suppkey")
+      .agg(count(lit(1)).as("n_richer_customers"))
+      .orderBy("n_name", "s_suppkey")
+  }
+
+  /** DISTINCT — a shuffle on all projected columns with partial dedup
+    * map-side.
+    */
+  val q08 = QueryDef(
+    "q08_distinct",
+    Some("""SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+      ORDER BY o_orderstatus, o_orderpriority""")) { (s, d) =>
+    Tables.orders(s, d)
+      .select("o_orderstatus", "o_orderpriority")
+      .distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+}
