@@ -5,7 +5,10 @@ package graft
   */
 object Registry {
   def all: Seq[QueryDef] =
-    operators.Relational.queries
+    operators.Relational.queries ++
+      operators.Aggregates.queries ++
+      operators.Windows.queries ++
+      operators.Scalars.queries
 
   def byName(name: String): QueryDef =
     all.find(_.name == name)

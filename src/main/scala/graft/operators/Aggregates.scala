@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.{QueryDef, Qdsl, Tables}
+import Qdsl._
+import org.apache.spark.sql.functions._
+
+/** Aggregation variants beyond the plain hash agg (SURVEY.md §2.5):
+  * exact & approximate distinct counts, rollup, cube, grouping sets.
+  */
+object Aggregates {
+
+  def queries: Seq[QueryDef] = Seq(q09, q10, q11, q12, q21)
+
+  /** Exact distinct aggregation — Catalyst expands to a two-phase plan
+    * (distinct-ify then count) with partial aggregation on both phases.
+    */
+  val q09 = QueryDef(
+    "q09_count_distinct",
+    Some("""SELECT l_returnflag,
+      CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+      CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+      count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        big(countDistinct(col("l_partkey"))).as("n_parts"),
+        big(countDistinct(col("l_suppkey"))).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Approximate distinct via HyperLogLog++ — the 100 TB answer to
+    * count-distinct (no per-key shuffle of raw values, fixed-size
+    * sketches merge associatively). Sketch estimates are
+    * engine-specific → no SQL oracle; the driver rows-only checks it.
+    * Exactness is covered by q09 on the same grouping.
+    */
+  val q10 = QueryDef("q10_approx_distinct", None) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        big(approx_count_distinct(col("l_partkey"), 0.02)).as("approx_parts"),
+        big(approx_count_distinct(col("l_suppkey"), 0.02)).as("approx_supps"))
+      .orderBy("l_returnflag")
+  }
+
+  /** ROLLUP — hierarchical subtotals; Spark plans one Expand + single
+    * aggregate rather than one pass per level.
+    */
+  val q11 = QueryDef(
+    "q11_rollup",
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(sum(l_quantity) AS DECIMAL(18,2)) AS sum_qty,
+      count(*) AS n
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")) { (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(dec2(sum("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** CUBE — all grouping combinations in one Expand+aggregate. */
+  val q12 = QueryDef(
+    "q12_cube",
+    Some("""SELECT o_orderstatus, o_orderpriority,
+      count(*) AS n,
+      CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS total
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")) { (s, d) =>
+    Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dec2(sum("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** Explicit GROUPING SETS (each-dimension marginals + grand total). */
+  val q21 = QueryDef(
+    "q21_grouping_sets",
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(sum(l_extendedprice) AS DECIMAL(18,2)) AS sum_price,
+      count(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(dec2(sum("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.{QueryDef, Qdsl, Tables}
+import Qdsl._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions (SURVEY.md §2.5): ranking, frames, lag/lead.
+  * One shuffle on the partition key per distinct (partitionBy, orderBy)
+  * pair; windows sharing a spec are evaluated in a single WindowExec.
+  */
+object Windows {
+
+  def queries: Seq[QueryDef] = Seq(q13, q14, q15, q16)
+
+  /** row_number / rank / dense_rank / ntile. row_number's window orders
+    * by a unique tiebreak (suppkey) — without it the result is
+    * nondeterministic and can never hash-match an oracle.
+    */
+  val q13 = QueryDef(
+    "q13_window_rank",
+    Some("""SELECT s_suppkey, s_nationkey,
+      CAST(row_number() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT) AS rn,
+      CAST(rank()       OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT) AS rk,
+      CAST(dense_rank() OVER (ORDER BY s_nationkey) AS BIGINT) AS nation_seq,
+      CAST(ntile(4)     OVER (ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT) AS quartile
+      FROM supplier ORDER BY s_suppkey""")) { (s, d) =>
+    val byBal = Window.partitionBy("s_nationkey").orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    val byNation = Window.orderBy("s_nationkey")
+    val global = Window.orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    Tables.supplier(s, d)
+      .select(
+        col("s_suppkey"), col("s_nationkey"),
+        big(row_number().over(byBal)).as("rn"),
+        big(rank().over(byBal)).as("rk"),
+        big(dense_rank().over(byNation)).as("nation_seq"),
+        big(ntile(4).over(global)).as("quartile"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Frame-based running aggregates: cumulative sum (unbounded
+    * preceding), 3-row moving average, partition count.
+    */
+  val q14 = QueryDef(
+    "q14_window_frames",
+    Some("""SELECT o_orderkey, o_custkey,
+      CAST(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total,
+      CAST(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS moving_avg3,
+      count(*) OVER (PARTITION BY o_custkey) AS n_cust_orders
+      FROM orders ORDER BY o_orderkey""")) { (s, d) =>
+    val seq = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        dec2(sum("o_totalprice").over(seq.rowsBetween(Window.unboundedPreceding, Window.currentRow))).as("running_total"),
+        dec4(avg("o_totalprice").over(seq.rowsBetween(-2, Window.currentRow))).as("moving_avg3"),
+        count(lit(1)).over(Window.partitionBy("o_custkey")).as("n_cust_orders"))
+      .orderBy("o_orderkey")
+  }
+
+  /** lag / lead over the events stream (per-user session ordering).
+    * Inter-event gap in exact integer microseconds.
+    */
+  val q15 = QueryDef(
+    "q15_lag_lead",
+    Some("""SELECT event_id, user_id, value,
+      lag(value)  OVER w AS prev_value,
+      lead(value) OVER w AS next_value,
+      epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      ORDER BY event_id""")) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, d)
+      .select(
+        col("event_id"), col("user_id"), col("value"),
+        lag("value", 1).over(w).as("prev_value"),
+        lead("value", 1).over(w).as("next_value"),
+        (col("ts_us") - lag("ts_us", 1).over(w)).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  /** Top-k: global ORDER BY + LIMIT fuses into TakeOrderedAndProject —
+    * each partition keeps a k-row heap, only k×partitions rows reach
+    * the driver side; no global sort at any scale.
+    */
+  val q16 = QueryDef(
+    "q16_topk",
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")) { (s, d) =>
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+}
