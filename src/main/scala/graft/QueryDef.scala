@@ -36,3 +36,38 @@ object Qdsl {
   def dec6(c: Column): Column = c.cast(DecimalType(9, 6))
   def big(c: Column): Column = c.cast("long")
 }
+
+/** Vector helpers shared by the dedup / similarity operators.
+  *
+  * Both the Spark side and the DuckDB oracles compute dot products and
+  * norms as a strict left fold over doubles in element order, so the
+  * resulting doubles are bit-identical across engines (same float→
+  * double widening, same multiply, same sequential adds).
+  */
+object Vec {
+  /** Spark SQL: left-fold dot product of two double arrays, via the
+    * native codegen'd [[graft.functions.VecDot]] (bit-identical to the
+    * `aggregate(zip_with(...))` HOF formulation, ~100× faster).
+    */
+  def dot(a: String, b: String): String = s"vec_dot($a, $b)"
+
+  /** embeddings → (vec_id, label, v: array<double>, nrm: double). */
+  def withNorm(embeddings: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    embeddings.select(
+      col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr(s"sqrt(${dot("v", "v")})"))
+  }
+
+  /** DuckDB: same fold over a 64-element list (1-based indexing). */
+  def duckDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+
+  /** DuckDB CTE producing (vec_id, label, v, nrm) from embeddings. */
+  val duckNormCte: String =
+    """WITH n AS (SELECT vec_id, label,
+      |  list_transform(embedding, x -> x::DOUBLE) AS v,
+      |  sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), (acc, x) -> acc + x)) AS nrm
+      |  FROM embeddings)""".stripMargin
+}

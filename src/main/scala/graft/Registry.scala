@@ -8,7 +8,12 @@ object Registry {
     operators.Relational.queries ++
       operators.Aggregates.queries ++
       operators.Windows.queries ++
-      operators.Scalars.queries
+      operators.Scalars.queries ++
+      operators.Dedup.queries ++
+      operators.Similarity.queries ++
+      operators.TextAnalysis.queries ++
+      operators.EventWindows.queries ++
+      operators.MultimodalOps.queries
 
   def byName(name: String): QueryDef =
     all.find(_.name == name)

@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the hot per-row kernels.
+  *
+  * The same computations are expressible with higher-order functions
+  * (`aggregate`/`zip_with`/`transform`), but HOF lambdas are
+  * interpreted per element and allocate per call — simhash via HOFs
+  * measured ~60 s for 500 docs where this expression takes
+  * milliseconds. These stay inside whole-stage codegen via a static
+  * JVM kernel call (`doGenCode` emits `SimHash64.compute(arr)`), so
+  * the surrounding operator pipeline never breaks out of Tungsten.
+  */
+
+/** 64-bit SimHash over a token array: per-token xxhash64 (seed 42,
+  * identical to Spark's `xxhash64`), ±1 bit votes, sign fingerprint.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  def compute(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+}
+
+/** Dot product of two double arrays as a strict left fold — the exact
+  * same add order as `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, +)`
+  * and as the DuckDB `list_reduce` oracles, so results stay
+  * bit-identical while running ~100× faster than the interpreted HOF.
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecDot.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecDot.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecDot {
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+}
+
+/** Registration: both through [[GraftExtensions]] (the library way,
+  * `spark.sql.extensions=graft.functions.GraftExtensions`) and
+  * [[GraftFunctions.register]] for sessions built without extensions.
+  */
+object GraftFunctions {
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "simhash64" -> (es => SimHash64(es.head)),
+    "vec_dot" -> (es => VecDot(es(0), es(1))))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    fns.foreach { case (name, builder) =>
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+}
+
+/** `SparkSessionExtensions` hook: injects the graft native functions
+  * at session build time.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (FunctionIdentifier("simhash64"),
+        new ExpressionInfo("graft.functions.SimHash64", "simhash64"),
+        (es: Seq[Expression]) => SimHash64(es.head)))
+    ext.injectFunction(
+      (FunctionIdentifier("vec_dot"),
+        new ExpressionInfo("graft.functions.VecDot", "vec_dot"),
+        (es: Seq[Expression]) => VecDot(es(0), es(1))))
+  }
+}

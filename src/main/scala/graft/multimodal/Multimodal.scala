@@ -1,0 +1,122 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: opaque `binary` payloads + typed
+  * metadata, with decode / feature-extract / frame-sample stages as
+  * partition-local transforms.
+  *
+  * The reference has no binary/media handling at all (its cells are
+  * untyped byte strings rendered to CSV/JSON/YAML, SURVEY.md §1.1);
+  * this is part of the training-data-pipeline extension surface.
+  *
+  * Design for 100 TB:
+  *   - assets travel as `binary` columns inside the DataFrame — never
+  *     collected, never driver-side; all stages are mapPartitions-
+  *     shaped and pipeline inside a single stage (no shuffle).
+  *   - the actual media decode is STUBBED (this container ships no
+  *     image/audio codecs): [[ByteFeatures.decodeStub]] is a
+  *     deterministic stand-in with the same signature/batch shape a
+  *     real decoder (JNI ffmpeg/libjpeg or a Python `mapInPandas`
+  *     worker) would have. The Spark-side plumbing — schema, encoder,
+  *     partition iteration, feature schema — is real and tested.
+  */
+final case class Asset(
+    asset_id: Long,
+    modality: String, // "image" | "audio" | "video" | "text"
+    data: Array[Byte],
+    width: Int,
+    height: Int)
+
+final case class AssetFeatures(
+    asset_id: Long,
+    modality: String,
+    byte_len: Int,
+    checksum: Long,
+    histogram: Array[Long], // 16-bucket byte histogram (decode stub)
+    n_frames: Int)
+
+object ByteFeatures {
+
+  /** STUB for the real media decoder. Deterministic byte-level
+    * "features" stand in for pixel/sample decoding so the pipeline is
+    * runnable and testable offline; swap this single function for a
+    * real codec without touching the Spark plumbing.
+    */
+  def decodeStub(data: Array[Byte]): Array[Long] = {
+    val hist = new Array[Long](16)
+    var i = 0
+    while (i < data.length) { hist((data(i) & 0xff) >> 4) += 1; i += 1 }
+    hist
+  }
+
+  /** Rolling checksum (same shape as the x04 text fingerprint). */
+  def checksum(data: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < data.length) { h = (h * 31 + (data(i) & 0xff)) % 1000000007L; i += 1 }
+    h
+  }
+
+  /** Frame sampling for "video" payloads: n evenly spaced fixed-size
+    * slices (a real implementation would seek keyframes; the slicing,
+    * batching and schema are what Spark cares about).
+    */
+  def frameSample(data: Array[Byte], n: Int, frameSize: Int): Seq[Array[Byte]] = {
+    if (data.isEmpty || n <= 0) Seq.empty
+    else (0 until n).map { k =>
+      val off = ((data.length.toLong * k) / n).toInt
+      data.slice(off, math.min(off + frameSize, data.length))
+    }
+  }
+}
+
+object MultimodalPipeline {
+
+  /** Wrap the documents table as binary assets (deterministic UTF-8
+    * payloads — the container has no real media testdata).
+    */
+  def assetsFromDocuments(spark: SparkSession, dir: String): Dataset[Asset] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(
+        col("doc_id").as("asset_id"),
+        // deterministic modality assignment, 3 classes
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+        encode(col("text"), "UTF-8").as("data"),
+        (col("n_chars") % 64 + 1).cast("int").as("width"),
+        (col("n_chars") % 48 + 1).cast("int").as("height"))
+      .as[Asset]
+  }
+
+  /** Partition-local decode + feature extraction. One iterator pass
+    * per partition, constant memory, no shuffle — the plan stays a
+    * single map stage whatever the corpus size.
+    */
+  def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val frames =
+          if (a.modality == "video") ByteFeatures.frameSample(a.data, 4, 256).size
+          else if (a.data.isEmpty) 0
+          else 1
+        AssetFeatures(
+          a.asset_id, a.modality, a.data.length,
+          ByteFeatures.checksum(a.data),
+          ByteFeatures.decodeStub(a.data), frames)
+      }
+    }
+  }
+
+  /** Full stub pipeline as a DataFrame (queries-map entry point). */
+  def features(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(assetsFromDocuments(spark, dir)).toDF()
+      .select(col("asset_id"), col("modality"), col("byte_len"),
+        col("checksum"), col("n_frames"),
+        element_at(col("histogram"), 1).as("hist_bucket0"),
+        aggregate(col("histogram"), lit(0L), (acc, x) => acc + x).as("hist_total"))
+      .orderBy("asset_id")
+}

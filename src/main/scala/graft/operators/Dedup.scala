@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.{QueryDef, Qdsl, Tables, Vec}
+import Qdsl._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite over the `documents` table — the operations a
+  * 100 TB training-data pipeline needs that the reference (an ETL
+  * archiver, SURVEY.md §0) delegates entirely to its backing store.
+  *
+  * Scale design:
+  *   - d01 exact: one hash shuffle on the full text (at real scale,
+  *     group on a digest of the text instead — same plan shape).
+  *   - d02 MinHash+LSH: the scalable near-dup path. Cost is linear in
+  *     corpus size: signatures are fixed 32×8 bytes/doc regardless of
+  *     document length, and the only join is bucket-local (band hash
+  *     equality), never all-pairs.
+  *   - d03 exact n-gram Jaccard: the correctness oracle for d02 —
+  *     quadratic in the worst case (shingle-match self-join), kept
+  *     exact deliberately; at 100 TB you run d02 and sample-verify
+  *     with d03 on candidate pairs only.
+  *   - d04 SimHash: 64-bit fingerprints with pigeonhole banding — a
+  *     hamming-ball ≤ 3·16 bits pair must agree on ≥1 of 4 16-bit
+  *     bands, so the join is again bucket-local.
+  *   - d05 embedding near-dup: exact threshold variant; the
+  *     LSH-bucketed ANN variant is s02 in [[Similarity]].
+  */
+object Dedup {
+
+  def queries: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05)
+
+  /** (doc_id, gram) pairs: distinct 3-token shingles per document.
+    * element_at is 1-based on both engines' oracle formulation.
+    */
+  private def gramSets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, size(toks) - 2),
+          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))"""
+          .stripMargin)).as("g"))
+
+  private val gramCte =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |grams AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+      |          FROM toks, unnest(range(1, len(ts) - 1)) AS r(i) WHERE len(ts) >= 3)""".stripMargin
+
+  /** Exact dedup: group identical texts, keep the smallest doc_id.
+    * At scale, substitute sha2(text) for text as the shuffle key.
+    */
+  val d01 = QueryDef(
+    "d01_exact_dedup",
+    Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents GROUP BY text ORDER BY keep_id""")) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+  }
+
+  /** MinHash + LSH near-dup candidates. 32 permutations simulated by
+    * seed-prefixed xxhash64 of each shingle; 16 bands × 2 rows; pairs
+    * sharing any band bucket are candidates; estimated Jaccard =
+    * matching-minhash fraction, kept at ≥ 0.5. Signature values depend
+    * on Spark's xxhash64 → rows-only driver check (exact counterpart:
+    * d03).
+    */
+  val d02 = QueryDef("d02_minhash_lsh", None) { (s, d) =>
+    val g = gramSets(s, d)
+    val sigs = g.groupBy("doc_id").agg(
+      array((0 until 32).map(i => min(xxhash64(lit(i), col("g")))): _*).as("sig"))
+    val bands = sigs.select(
+      col("doc_id"), col("sig"),
+      explode(expr("transform(sequence(0, 15), b -> struct(b AS band, hash(sig[2*b], sig[2*b+1]) AS bh))")).as("bd"))
+      .select(col("doc_id"), col("sig"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        col("x.sig").as("sa"), col("y.sig").as("sb"))
+      .distinct()
+      .withColumn("est_jaccard",
+        expr("CAST(aggregate(zip_with(sa, sb, (a, b) -> IF(a = b, 1, 0)), 0, (acc, v) -> acc + v) AS DOUBLE) / 32"))
+      .where(col("est_jaccard") >= 0.5)
+      .select("da", "db", "est_jaccard")
+      .orderBy("da", "db")
+  }
+
+  /** Exact 3-gram Jaccard similarity join: pairs with J ≥ 0.1.
+    * Intersection via shingle-equality self-join with map-side partial
+    * counts; |A∪B| = |A|+|B|−|A∩B| from per-doc shingle counts.
+    */
+  val d03 = QueryDef(
+    "d03_ngram_jaccard",
+    Some(s"""$gramCte,
+      cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+      inter AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS i
+                FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+                GROUP BY 1, 2)
+      SELECT da, db, jaccard FROM (
+        SELECT da, db, i::DOUBLE / (ca.n + cb.n - i) AS jaccard
+        FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db)
+      WHERE jaccard >= 0.1 ORDER BY da, db""")) { (s, d) =>
+    val g = gramSets(s, d)
+    val n = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = g.as("x").join(g.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    inter.join(n.as("na"), col("da") === col("na.doc_id"))
+      .join(n.as("nb"), col("db") === col("nb.doc_id"))
+      .select(col("da"), col("db"),
+        (col("i").cast("double") / (col("na.n") + col("nb.n") - col("i"))).as("jaccard"))
+      .where(col("jaccard") >= 0.1)
+      .orderBy("da", "db")
+  }
+
+  /** SimHash near-dup: 64-bit fingerprint (per-token xxhash64 bit
+    * votes), 4×16-bit band blocking (pigeonhole-complete for hamming
+    * ≤ 3, approximate above), hamming ≤ 8 verified with
+    * bit_count(xor). Fingerprints depend on Spark's xxhash64 →
+    * rows-only check.
+    */
+  val d04 = QueryDef("d04_simhash", None) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val fp = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("fp", expr("simhash64(toks)"))
+      .select("doc_id", "fp")
+    val bands = fp.select(col("doc_id"), col("fp"),
+      explode(expr("transform(sequence(0, 3), k -> struct(k AS band, shiftright(fp, k * 16) & 65535 AS bh))")).as("bd"))
+      .select(col("doc_id"), col("fp"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        col("x.fp").as("fa"), col("y.fp").as("fb"))
+      .distinct()
+      .withColumn("hamming", big(bit_count(col("fa").bitwiseXOR(col("fb")))))
+      .where(col("hamming") <= 8)
+      .select("da", "db", "hamming")
+      .orderBy("da", "db")
+  }
+
+  /** Embedding near-dup: all pairs with cosine ≥ 0.4, exact. Dot and
+    * norms are strict left folds in double on both engines → the
+    * doubles are bit-identical; DECIMAL(9,6) guards the comparison.
+    * The LSH-bucketed (sub-quadratic) variant is s02.
+    */
+  val d05 = QueryDef(
+    "d05_embedding_neardup",
+    Some(s"""${Vec.duckNormCte}
+      SELECT va, vb, CAST(c AS DECIMAL(9,6)) AS cos_sim FROM (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+          ${Vec.duckDot("a.v", "b.v")} / (a.nrm * b.nrm) AS c
+        FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      WHERE c >= 0.4 ORDER BY va, vb""")) { (s, d) =>
+    val e = Vec.withNorm(Tables.embeddings(s, d))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        (expr(Vec.dot("a.v", "b.v")) / (col("a.nrm") * col("b.nrm"))).as("c"))
+      .where(col("c") >= 0.4)
+      .select(col("va"), col("vb"), dec6(col("c")).as("cos_sim"))
+      .orderBy("va", "vb")
+  }
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.{QueryDef, Qdsl, Tables}
+import Qdsl._
+import org.apache.spark.sql.functions._
+
+/** Time-window operators over the `events` stream table, run in batch
+  * mode with semantics identical to Structured Streaming's (the same
+  * `window`/`session_window` expressions drive `readStream` pipelines
+  * — see [[graft.streaming.StreamingOps]]).
+  *
+  * The reference has no streaming operators at all (SURVEY.md §2.6 —
+  * its "streaming" is an io.Pipe, chiv.go:127–143), so this surface
+  * is part of the engine's extension mandate.
+  *
+  * Timestamps: events.parquet carries TIMESTAMP(NANOS); Tables.events
+  * normalizes to exact integer microseconds (ts_us) so both engines
+  * agree bit-for-bit. All window arithmetic below is integral.
+  */
+object EventWindows {
+
+  def queries: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05)
+
+  /** Tumbling 10-minute windows per event type. Spark's `window()`
+    * aligns to the epoch, i.e. start = ts − ts mod 10min.
+    */
+  val e01 = QueryDef(
+    "e01_tumbling_window",
+    Some("""SELECT (epoch_us(ts) - epoch_us(ts) % 600000000) AS win_start_us,
+      event_type, count(*) AS n_events,
+      CAST(sum(value) AS DECIMAL(18,2)) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dec2(sum("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("win_start_us", "event_type")
+  }
+
+  /** Sliding windows: 10-minute length, 5-minute slide — every event
+    * lands in exactly two windows (Expand, not a self-join).
+    */
+  val e02 = QueryDef(
+    "e02_sliding_window",
+    Some("""SELECT win_start_us, count(*) AS n_events,
+      CAST(sum(value) AS DECIMAL(18,2)) AS sum_value FROM (
+        SELECT unnest([epoch_us(ts) - epoch_us(ts) % 300000000 - 300000000,
+                       epoch_us(ts) - epoch_us(ts) % 300000000]) AS win_start_us,
+               value
+        FROM events)
+      GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n_events"), dec2(sum("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("win_start_us")
+  }
+
+  /** Session windows: per-user sessions closed by a ≥5-minute gap.
+    * The oracle is the classic gaps-and-islands rewrite; Spark's
+    * `session_window` ends a window at last_ts + gap (exclusive), so
+    * "new session when diff ≥ gap" matches exactly.
+    */
+  val e03 = QueryDef(
+    "e03_session_window",
+    Some("""WITH o AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      m AS (SELECT user_id, us,
+              CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 300000000
+                   THEN 1 ELSE 0 END AS brk FROM o),
+      g AS (SELECT user_id, us,
+              sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
+      SELECT user_id, min(us) AS session_start_us,
+        max(us) - min(us) AS duration_us, count(*) AS n_events
+      FROM g GROUP BY user_id, sid
+      ORDER BY user_id, session_start_us""")) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(min("ts_us").as("session_start_us"),
+        (max("ts_us") - min("ts_us")).as("duration_us"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "session_start_us", "duration_us", "n_events")
+      .orderBy("user_id", "session_start_us")
+  }
+
+  /** Pivot (wide aggregation): per-user event-type counts as columns.
+    * Explicit value list → single pass, no distinct-values pre-query.
+    */
+  val e04 = QueryDef(
+    "e04_pivot",
+    Some("""SELECT user_id,
+      count(*) FILTER (event_type = 'click')    AS click,
+      count(*) FILTER (event_type = 'error')    AS error,
+      count(*) FILTER (event_type = 'purchase') AS purchase,
+      count(*) FILTER (event_type = 'signup')   AS signup,
+      count(*) FILTER (event_type = 'view')     AS view
+      FROM events GROUP BY user_id ORDER BY user_id""")) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("user_id")
+  }
+
+  /** Semi-structured extraction: JSON field pull-out + aggregation —
+    * the `props` column is stringified JSON exactly like the
+    * reference's pg JSON column (SURVEY.md §1.3: kept as an opaque
+    * string there; parsed natively here).
+    */
+  val e05 = QueryDef(
+    "e05_json_extract",
+    Some("""SELECT event_type,
+      CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+      count(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type""")) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(big(sum("k")).as("sum_k"), big(max("k")).as("max_k"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+}

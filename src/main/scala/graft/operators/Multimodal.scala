@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.{QueryDef, Qdsl, Tables}
+import Qdsl._
+import org.apache.spark.sql.functions._
+
+/** Multimodal/binary column operators (queries-map surface; the
+  * reusable pipeline lives in [[graft.multimodal.MultimodalPipeline]]).
+  */
+object MultimodalOps {
+
+  def queries: Seq[QueryDef] = Seq(m01, m02)
+
+  /** Binary payload features computed relationally: byte length, head
+    * bytes as hex, and an additive codepoint checksum — all
+    * oracle-checkable (the corpus is ASCII, so codepoints = bytes).
+    */
+  val m01 = QueryDef(
+    "m01_binary_features",
+    Some("""SELECT doc_id,
+      CAST(strlen(text) AS BIGINT) AS byte_len,
+      hex(encode(substr(text, 1, 8))) AS head_hex,
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, length(text) + 1), i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))),
+        (acc, c) -> (acc + c) % 997) AS checksum
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        big(octet_length(col("text"))).as("byte_len"),
+        hex(encode(substring(col("text"), 1, 8), "UTF-8")).as("head_hex"),
+        expr("aggregate(sequence(1, length(text)), 0L, (acc, i) -> (acc + ascii(substring(text, i, 1))) % 997)").as("checksum"))
+      .orderBy("doc_id")
+  }
+
+  /** Stubbed decode pipeline end-to-end (mapPartitions over binary
+    * payloads → typed features). Feature values come from the Scala
+    * decode stub → rows-only driver check; the Scala-side unit spec
+    * asserts the exact values.
+    */
+  val m02 = QueryDef("m02_decode_pipeline", None) { (s, d) =>
+    graft.multimodal.MultimodalPipeline.features(s, d)
+  }
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.{QueryDef, Qdsl, Tables, Vec}
+import Qdsl._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors): brute-force top-k as the exactness baseline, a
+  * sign-LSH-bucketed variant as the 100 TB scale path, and a
+  * centroid assignment (the k-means E-step / IVF coarse quantizer).
+  *
+  * Scale design:
+  *   - s01: query-vs-corpus is embarrassingly parallel; the single
+  *     query row is broadcast, TakeOrderedAndProject keeps only k rows
+  *     per partition.
+  *   - s02: bucket-local joins only — 8 sign bits split the corpus
+  *     into ≤256 cells, and at real scale the bit count grows with
+  *     log(corpus) to keep cells bounded; no all-pairs product.
+  *   - s03: per-label centroids are a tiny broadcastable table; the
+  *     element sums use fixed-point BIGINT so they are exact and
+  *     order-independent (reproducible across engines and runs —
+  *     a double sum would depend on partial-aggregation order).
+  */
+object Similarity {
+
+  def queries: Seq[QueryDef] = Seq(s01, s02, s03)
+
+  /** Brute-force cosine top-k (k=20) against the vec_id=0 query
+    * vector. The query side is one broadcast row; cosine folds are
+    * bit-identical to the oracle's (see [[graft.Vec]]).
+    */
+  val s01 = QueryDef(
+    "s01_cosine_topk",
+    Some(s"""${Vec.duckNormCte}
+      SELECT a.vec_id, a.label,
+        CAST(${Vec.duckDot("a.v", "q.v")} / (a.nrm * q.nrm) AS DECIMAL(9,6)) AS cos_sim
+      FROM n a CROSS JOIN (SELECT v, nrm FROM n WHERE vec_id = 0) q
+      ORDER BY ${Vec.duckDot("a.v", "q.v")} / (a.nrm * q.nrm) DESC, a.vec_id
+      LIMIT 20""")) { (s, d) =>
+    val e = Vec.withNorm(Tables.embeddings(s, d))
+    val q = e.where(col("vec_id") === 0).select(col("v").as("qv"), col("nrm").as("qn"))
+    e.crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        (expr(Vec.dot("v", "qv")) / (col("nrm") * col("qn"))).as("c"))
+      .orderBy(col("c").desc, col("vec_id"))
+      .limit(20)
+      .select(col("vec_id"), col("label"), dec6(col("c")).as("cos_sim"))
+  }
+
+  /** Approximate nearest neighbor via sign-LSH: bucket = 8 sign bits
+    * of the first 8 dimensions; each vector's NN is searched only
+    * within its bucket (vectors alone in their bucket yield no row).
+    */
+  val s02 = QueryDef(
+    "s02_ann_lsh",
+    Some(s"""${Vec.duckNormCte},
+      b AS (SELECT vec_id, v, nrm,
+        list_sum(list_transform(range(1, 9), i -> CASE WHEN v[i] >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END))::BIGINT AS bucket
+        FROM n)
+      SELECT va, bucket, nn, CAST(c AS DECIMAL(9,6)) AS cos_sim FROM (
+        SELECT a.vec_id AS va, a.bucket AS bucket, x.vec_id AS nn,
+          ${Vec.duckDot("a.v", "x.v")} / (a.nrm * x.nrm) AS c,
+          row_number() OVER (PARTITION BY a.vec_id
+            ORDER BY ${Vec.duckDot("a.v", "x.v")} / (a.nrm * x.nrm) DESC, x.vec_id) AS rn
+        FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id <> x.vec_id)
+      WHERE rn = 1 ORDER BY va""")) { (s, d) =>
+    val e = Vec.withNorm(Tables.embeddings(s, d))
+      .withColumn("bucket", expr(
+        "aggregate(sequence(1, 8), 0L, (acc, i) -> acc + IF(element_at(v, i) >= 0D, shiftleft(1L, i - 1), 0L))"))
+    val pairs = e.as("a").join(e.as("x"),
+        col("a.bucket") === col("x.bucket") && col("a.vec_id") =!= col("x.vec_id"))
+      .select(col("a.vec_id").as("va"), col("a.bucket").as("bucket"),
+        col("x.vec_id").as("nn"),
+        (expr(Vec.dot("a.v", "x.v")) / (col("a.nrm") * col("x.nrm"))).as("c"))
+    pairs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("va").orderBy(col("c").desc, col("nn"))))
+      .where(col("rn") === 1)
+      .select(col("va"), col("bucket"), col("nn"), dec6(col("c")).as("cos_sim"))
+      .orderBy("va")
+  }
+
+  /** Per-label centroid assignment: elementwise fixed-point sums
+    * (round(x·10⁶) as BIGINT — exact, order-independent) build the
+    * centroid; each vector's cosine to its own label centroid follows.
+    * Cosine is scale-invariant, so the un-normalized sum centroid
+    * equals the mean centroid.
+    */
+  val s03 = QueryDef(
+    "s03_label_centroid",
+    Some(s"""${Vec.duckNormCte},
+      q AS (SELECT vec_id, label, pos,
+              CAST(round(v[pos + 1] * 1000000) AS BIGINT) AS xi
+            FROM n, unnest(range(0, 64)) AS r(pos)),
+      cent AS (SELECT label, list(ci ORDER BY pos) AS c FROM (
+                 SELECT label, pos, sum(xi) AS ci FROM q GROUP BY label, pos)
+               GROUP BY label),
+      cn AS (SELECT label, c,
+               sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(c, x -> x::DOUBLE * x::DOUBLE)), (acc, x) -> acc + x)) AS cnrm
+             FROM cent)
+      SELECT vec_id, label, CAST(
+          list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> n.v[i] * cn.c[i]::DOUBLE)), (acc, x) -> acc + x)
+            / (n.nrm * cn.cnrm) AS DECIMAL(9,6)) AS cos_to_centroid
+      FROM n JOIN cn USING (label) ORDER BY vec_id""")) { (s, d) =>
+    val e = Vec.withNorm(Tables.embeddings(s, d))
+    val q = e.select(col("vec_id"), col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .withColumn("xi", expr("CAST(round(x * 1000000) AS BIGINT)"))
+    val cent = q.groupBy("label", "pos").agg(sum("xi").as("ci"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, ci))), s -> CAST(s.ci AS DOUBLE))").as("c"))
+      .withColumn("cnrm", expr(s"sqrt(${graft.Vec.dot("c", "c")})"))
+    e.join(broadcast(cent), "label")
+      .select(col("vec_id"), col("label"),
+        dec6(expr(graft.Vec.dot("v", "c")) / (col("nrm") * col("cnrm"))).as("cos_to_centroid"))
+      .orderBy("vec_id")
+  }
+}

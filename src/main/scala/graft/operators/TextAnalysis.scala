@@ -1,0 +1,147 @@
+package graft.operators
+
+import graft.{QueryDef, Qdsl, Tables}
+import Qdsl._
+import org.apache.spark.sql.functions._
+
+/** Text analysis over `documents`: token statistics, heuristic
+  * language ID, quality scoring, and content fingerprinting — the
+  * per-document feature extraction stage of a training-data pipeline.
+  *
+  * All four are narrow per-row map operations: no shuffle at all
+  * except the final presentation ORDER BY (dropped in production), so
+  * they scale linearly and stay entirely inside whole-stage codegen /
+  * vectorized evaluation at any corpus size.
+  */
+object TextAnalysis {
+
+  def queries: Seq[QueryDef] = Seq(x01, x02, x03, x04)
+
+  /** Token statistics: counts, distinct counts, longest token, mean
+    * token length (exact: (chars − separators) / tokens), and a
+    * BPE-ish piece count ([a-z]+ | [0-9]+ | other-non-space runs).
+    */
+  val x01 = QueryDef(
+    "x01_token_stats",
+    Some("""SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+      CAST(length(text) AS BIGINT) AS n_chars,
+      CAST(list_max(list_transform(string_split(text, ' '), t -> len(t))) AS BIGINT) AS max_tok_len,
+      (length(text) - len(string_split(text, ' ')) + 1)::DOUBLE / len(string_split(text, ' ')) AS avg_tok_len,
+      CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS BIGINT) AS n_pieces
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        big(size(col("toks"))).as("n_tokens"),
+        big(size(array_distinct(col("toks")))).as("n_distinct"),
+        big(length(col("text"))).as("n_chars"),
+        big(expr("array_max(transform(toks, t -> length(t)))")).as("max_tok_len"),
+        ((length(col("text")) - size(col("toks")) + 1).cast("double") /
+          size(col("toks"))).as("avg_tok_len"),
+        big(regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]+"))).as("n_pieces"))
+      .orderBy("doc_id")
+  }
+
+  /** Heuristic language ID: stopword-hit ratio per language profile +
+    * a non-ASCII character ratio for CJK; argmax with a deterministic
+    * preference order. (The synthetic corpus is English-vocab, so the
+    * interesting part is the deterministic scoring, not the labels.)
+    */
+  val x02 = QueryDef(
+    "x02_langid",
+    Some("""SELECT doc_id, lang, s_en, s_de, s_es, s_fr, ratio_nonascii,
+      CASE WHEN ratio_nonascii > 0.3 THEN 'zh'
+           WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+           WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+           WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+           WHEN s_fr > 0 THEN 'fr'
+           ELSE 'unknown' END AS pred_lang
+      FROM (SELECT doc_id, lang,
+        len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to')))::DOUBLE / len(string_split(text, ' ')) AS s_en,
+        len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die', 'und', 'das', 'ist')))::DOUBLE / len(string_split(text, ' ')) AS s_de,
+        len(list_filter(string_split(text, ' '), t -> t IN ('el', 'la', 'de', 'que', 'y')))::DOUBLE / len(string_split(text, ' ')) AS s_es,
+        len(list_filter(string_split(text, ' '), t -> t IN ('le', 'les', 'et', 'un', 'une')))::DOUBLE / len(string_split(text, ' ')) AS s_fr,
+        len(regexp_extract_all(text, '[^ -~]'))::DOUBLE / length(text) AS ratio_nonascii
+        FROM documents)
+      ORDER BY doc_id""")) { (s, d) =>
+    def score(name: String, words: String) =
+      expr(s"CAST(size(filter(toks, t -> t IN ($words))) AS DOUBLE) / size(toks)").as(name)
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"),
+        score("s_en", "'the', 'a', 'of', 'and', 'to'"),
+        score("s_de", "'der', 'die', 'und', 'das', 'ist'"),
+        score("s_es", "'el', 'la', 'de', 'que', 'y'"),
+        score("s_fr", "'le', 'les', 'et', 'un', 'une'"),
+        (regexp_count(col("text"), lit("[^ -~]")).cast("double") /
+          length(col("text"))).as("ratio_nonascii"))
+      .withColumn("pred_lang",
+        when(col("ratio_nonascii") > 0.3, "zh")
+          .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+            col("s_en") >= col("s_fr") && col("s_en") > 0, "en")
+          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") &&
+            col("s_de") > 0, "de")
+          .when(col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
+          .when(col("s_fr") > 0, "fr")
+          .otherwise("unknown"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length / lexical-diversity / stopword-ratio
+    * features plus a bucketed quality class, the usual pre-training
+    * corpus filter shape.
+    */
+  val x03 = QueryDef(
+    "x03_quality",
+    Some("""SELECT doc_id, n_chars, n_tokens, diversity, stop_ratio,
+      CASE WHEN n_chars BETWEEN 100 AND 450 AND diversity >= 0.3 AND stop_ratio BETWEEN 0.02 AND 0.4 THEN 'high'
+           WHEN n_chars >= 60 AND diversity >= 0.15 THEN 'medium'
+           ELSE 'low' END AS quality
+      FROM (SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        len(list_distinct(string_split(text, ' ')))::DOUBLE / len(string_split(text, ' ')) AS diversity,
+        len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to')))::DOUBLE / len(string_split(text, ' ')) AS stop_ratio
+        FROM documents)
+      ORDER BY doc_id""")) { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        big(length(col("text"))).as("n_chars"),
+        big(size(col("toks"))).as("n_tokens"),
+        (size(array_distinct(col("toks"))).cast("double") / size(col("toks"))).as("diversity"),
+        expr("CAST(size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) / size(toks)").as("stop_ratio"))
+      .withColumn("quality",
+        when(col("n_chars").between(100, 450) && col("diversity") >= 0.3 &&
+          col("stop_ratio").between(0.02, 0.4), "high")
+          .when(col("n_chars") >= 60 && col("diversity") >= 0.15, "medium")
+          .otherwise("low"))
+      .orderBy("doc_id")
+  }
+
+  /** Content fingerprint: polynomial rolling hash over the character
+    * stream, h ← (31·h + codepoint) mod 1 000 000 007 — identical
+    * arithmetic on both engines (all-positive BIGINT ops), plus a
+    * 64-way shard key derived from it (the scale-out dedup/bucketing
+    * handle).
+    */
+  val x04 = QueryDef(
+    "x04_fingerprint",
+    Some("""SELECT doc_id, fingerprint, fingerprint % 64 AS shard FROM (
+      SELECT doc_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, length(text) + 1), i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))),
+          (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint
+      FROM documents) ORDER BY doc_id""")) { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("fingerprint", expr(
+        "aggregate(sequence(1, length(text)), 0L, (h, i) -> (h * 31 + ascii(substring(text, i, 1))) % 1000000007)"))
+      .select(col("doc_id"), col("fingerprint"),
+        (col("fingerprint") % 64).as("shard"))
+      .orderBy("doc_id")
+  }
+}
