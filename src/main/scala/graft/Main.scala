@@ -1,0 +1,59 @@
+package graft
+
+import graft.engine.{ArchiveConfig, Engine, Format}
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point mirroring the reference's `chiv` command
+  * (cmd/chiv/main.go:22–161): same flags, Spark execution.
+  *
+  * {{{
+  * spark-submit --class graft.Main graft.jar \
+  *   -d /root/testdata/sf0.001 -t lineitem -b /tmp/archive \
+  *   [-f csv|json|yaml] [-c col1,col2] [-k key] [-e ext] [-n null] [--sharded]
+  * }}}
+  *
+  * `-d` is the data directory (the reference's DATABASE_URL becomes a
+  * table source: parquet dir here; a JDBC URL would go through
+  * `spark.read.jdbc` identically), `-b` the destination "bucket"
+  * (any Hadoop FS URI), `-t` the table.
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val opts = parse(args.toList, Map.empty)
+    def req(k: String): String = opts.getOrElse(k,
+      sys.error(s"graft: missing required flag -$k"))
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-archive")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .getOrCreate()
+    try {
+      val cfg = ArchiveConfig(
+        format = opts.get("f").map {
+          case "csv" => Format.Csv
+          case "json" => Format.JsonArray
+          case "yaml" => Format.Yaml
+          case other => sys.error(s"graft: unknown format: $other")
+        }.getOrElse(Format.Csv),
+        key = opts.get("k"),
+        extension = opts.get("e"),
+        nullValue = opts.get("n"),
+        columns = opts.get("c").map(_.split(",").toSeq).getOrElse(Nil),
+        sharded = opts.contains("sharded"))
+      val dest = new Engine(spark, cfg).archive(req("d"), req("t"), req("b"))
+      println(s"archived ${req("t")} -> $dest")
+    } finally spark.stop()
+  }
+
+  @annotation.tailrec
+  private def parse(args: List[String], acc: Map[String, String]): Map[String, String] =
+    args match {
+      case Nil => acc
+      case "--sharded" :: rest => parse(rest, acc + ("sharded" -> "true"))
+      case flag :: value :: rest if flag.startsWith("-") =>
+        parse(rest, acc + (flag.stripPrefix("--").stripPrefix("-") -> value))
+      case other :: _ => sys.error(s"graft: unexpected argument: $other")
+    }
+}

@@ -1,0 +1,116 @@
+package graft.engine
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.io.{BufferedWriter, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+
+/** The archiver: read → project → null-overlay → format → sink, the
+  * reference's whole pipeline (chiv.go:87–198) re-expressed on Spark.
+  *
+  * API parity (SURVEY.md §2.7): `archive` ≈ `Archive(db, s3, table,
+  * bucket, opts)`; `archiveDF` ≈ `ArchiveRows` (bring-your-own-query,
+  * chiv.go:45–52); constructor config + per-call overrides replicate
+  * the option-overlay semantics (chiv.go:67–79, 87–91).
+  *
+  * Sink semantics: the reference streams one S3 object per archive
+  * through an io.Pipe (bounded memory, chiv.go:127–143). Here:
+  *   - parity mode: one exact-named object, streamed driver-side from
+  *     `toLocalIterator` (one partition in flight, bounded memory) —
+  *     correct for archive-sized outputs, single-stream by definition.
+  *   - sharded mode (`sharded = true`): the 100 TB path — executors
+  *     write part objects under `<key>/` in parallel via the
+  *     committer; CSV gets a header per part, JSON degrades to
+  *     JSON-lines (array framing has no parallel equivalent).
+  * Any `hadoop fs` scheme works as destination (file://, hdfs://,
+  * s3a://); writes go through the Hadoop FileSystem API.
+  */
+final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
+
+  /** Archive a named parquet table from `sourceDir` (the Spark-world
+    * `Archive`: the JDBC scan S1 becomes a parquet/JDBC read).
+    */
+  def archive(sourceDir: String, table: String, destDir: String,
+      config: ArchiveConfig => ArchiveConfig = identity): String = {
+    val df = stage("query") {
+      spark.read.parquet(s"$sourceDir/$table.parquet")
+    }
+    archiveDF(df, destDir, table, config)
+  }
+
+  /** Archive any DataFrame (≈ ArchiveRows: the caller brings the
+    * query; key defaults to literal "table", chiv.go:224–226).
+    */
+  def archiveDF(df: DataFrame, destDir: String, table: String = "table",
+      config: ArchiveConfig => ArchiveConfig = identity): String = {
+    val cfg = config(base) // option overlay: per-call copy shadows base
+    val projected = stage("columns") {
+      if (cfg.columns.nonEmpty) df.select(cfg.columns.map(df.col): _*) else df
+    }
+    val key = cfg.resolvedKey(table)
+    val dest = s"${destDir.stripSuffix("/")}/$key"
+    if (cfg.sharded) writeSharded(projected, cfg, dest)
+    else writeSingleObject(projected, cfg, dest)
+    dest
+  }
+
+  private def writeSingleObject(df: DataFrame, cfg: ArchiveConfig, dest: String): Unit = {
+    val fmt = RowFormatter.of(cfg.format)
+    val schema = df.schema
+    val nullValue = cfg.nullValue
+    // Format on executors (the expensive part, fully parallel)…
+    val lines = stage("download") {
+      df.mapPartitions(_.map(r => fmt.row(schema, r, nullValue)))(
+        org.apache.spark.sql.Encoders.STRING)
+    }
+    // …stream to one exact-named object (parity with the reference's
+    // single-upload contract; one partition buffered at a time).
+    stage("upload") {
+      val path = new Path(dest)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = new BufferedWriter(new OutputStreamWriter(
+        fs.create(path, true), StandardCharsets.UTF_8), 1 << 20)
+      try {
+        out.write(fmt.open(schema))
+        var first = true
+        lines.toLocalIterator.forEachRemaining { line =>
+          if (!first && fmt.separator.nonEmpty) out.write(fmt.separator)
+          out.write(line)
+          first = false
+        }
+        out.write(fmt.close)
+      } finally out.close()
+    }
+  }
+
+  private def writeSharded(df: DataFrame, cfg: ArchiveConfig, dest: String): Unit = {
+    val schema = df.schema
+    val nullValue = cfg.nullValue
+    stage("upload") {
+      cfg.format match {
+        case Format.Csv =>
+          // Spark's codegen'd CSV writer: header per part, Go-style
+          // minimal quoting, placeholder via nullValue option.
+          df.write.mode("overwrite")
+            .option("header", "true")
+            .option("nullValue", cfg.nullValue.getOrElse(""))
+            .option("emptyValue", "")
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+            .csv(dest)
+        case other =>
+          val fmt = RowFormatter.of(other)
+          val body = df.mapPartitions(
+            _.map(r => fmt.row(schema, r, nullValue).stripSuffix("\n")))(
+            org.apache.spark.sql.Encoders.STRING)
+          body.write.mode("overwrite").text(dest)
+      }
+    }
+  }
+
+  private def stage[T](name: String)(body: => T): T =
+    try body catch {
+      case e: ArchiveException => throw e
+      case e: Exception => throw new ArchiveException(name, e)
+    }
+}

@@ -1,0 +1,122 @@
+package graft.engine
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.sql.Timestamp
+import java.time.Instant
+
+/** End-to-end archive tests: DataFrame → format → exact-key object,
+  * mirroring the reference's integration flow (archive → download →
+  * compare golden, chiv_integration_test.go:313–319).
+  */
+class EngineSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.from(Instant.parse(s))
+
+  private lazy val df: DataFrame = {
+    val rows = Seq(
+      ("ea09d13c-f441-4550-9492-115f8b409c96", "some text", Option("some chars"),
+        42, Option(3.14), true, ts("2018-01-04T00:00:00Z"), """{"key":"value","num":42}"""),
+      ("4289a9e3-32d5-4bad-b79b-034c528e8f41", "some other text", Option.empty[String],
+        100, Option(3.141592), true, ts("2018-02-04T00:00:00Z"), """{"other":"value"}"""),
+      ("7530a381-526a-42aa-a9ba-97fb2bca283f", "some more text", Option("some more chars"),
+        101, Option.empty[Double], false, ts("2018-02-05T00:00:00Z"),
+        """[{"item":"in an array"},{"num":999}]"""))
+    import spark.implicits._
+    rows.toDF("id", "text_column", "char_column", "int_column",
+      "float_column", "bool_column", "ts_column", "json_column")
+  }
+
+  private def golden(name: String): String =
+    new String(
+      getClass.getResourceAsStream(s"/golden/$name").readAllBytes(),
+      StandardCharsets.UTF_8)
+
+  private def tmpDir: Path = Files.createTempDirectory("graft-engine-spec")
+
+  private def read(p: String): String =
+    new String(Files.readAllBytes(Paths.get(p)), StandardCharsets.UTF_8)
+
+  test("archiveDF writes one exact-named CSV object matching golden") {
+    val dir = tmpDir
+    val dest = new Engine(spark).archiveDF(df, dir.toString, "postgres_table")
+    assert(dest == s"$dir/postgres_table.csv")
+    assert(read(dest) == golden("postgres.csv"))
+  }
+
+  test("format + key/extension options follow chiv defaulting") {
+    val dir = tmpDir
+    val e = new Engine(spark, ArchiveConfig(format = Format.JsonArray))
+    assert(e.archiveDF(df, dir.toString, "t").endsWith("/t.json"))
+    assert(e.archiveDF(df, dir.toString, "t", _.copy(extension = Some("dat")))
+      .endsWith("/t.dat"))
+    assert(e.archiveDF(df, dir.toString, "t", _.copy(key = Some("exact-key")))
+      .endsWith("/exact-key"))
+    // per-call override shadows constructor config, like chiv.go:87–91
+    val y = e.archiveDF(df, dir.toString, "t", _.copy(format = Format.Yaml))
+    assert(y.endsWith("/t.yaml") && read(y) == golden("postgres.yaml"))
+  }
+
+  test("JSON array framing matches golden (single object, no JSONL)") {
+    val dir = tmpDir
+    val dest = new Engine(spark, ArchiveConfig(format = Format.JsonArray))
+      .archiveDF(df, dir.toString, "postgres_table")
+    assert(read(dest) == golden("postgres.json"))
+  }
+
+  test("null placeholder overlay matches golden") {
+    val dir = tmpDir
+    val dest = new Engine(spark, ArchiveConfig(nullValue = Some("custom_null")))
+      .archiveDF(df, dir.toString, "postgres_table")
+    assert(read(dest) == golden("postgres_with_null.csv"))
+  }
+
+  test("column projection pushes to the plan and matches golden") {
+    val dir = tmpDir
+    val dest = new Engine(spark,
+      ArchiveConfig(columns = Seq("id", "text_column", "int_column")))
+      .archiveDF(df, dir.toString, "postgres_table")
+    assert(read(dest) == golden("postgres_subset.csv"))
+  }
+
+  test("archiveDF of a join result matches join.csv (ArchiveRows parity)") {
+    import spark.implicits._
+    val first = Seq(
+      ("eb3898fc-6727-4264-a3eb-0ec1f96fc511", "first row", 22),
+      ("34182855-aef8-4cfa-a299-d442b30dbfd1", "lorem ipsum", 23),
+      ("ddd09249-9461-4177-8b31-12bd0c21271a", "final row", 24))
+      .toDF("id", "first_text", "first_int")
+    val second = Seq(
+      ("eb3898fc-6727-4264-a3eb-0ec1f96fc511", "some text", 12),
+      ("34182855-aef8-4cfa-a299-d442b30dbfd1", "dolor est", 13))
+      .toDF("id", "second_text", "second_int")
+    val joined = first.join(second, "id")
+      .orderBy("id") // golden row order
+    val dir = tmpDir
+    val dest = new Engine(spark).archiveDF(joined, dir.toString, "first_table_second_table")
+    assert(read(dest) == golden("join.csv"))
+  }
+
+  test("errors carry the stage prefix (chiv error contract)") {
+    val e = intercept[ArchiveException] {
+      new Engine(spark, ArchiveConfig(columns = Seq("nope")))
+        .archiveDF(df, tmpDir.toString, "t")
+    }
+    assert(e.getMessage.startsWith("graft: columns: "))
+  }
+
+  test("sharded mode writes a part directory with headers") {
+    val dir = tmpDir
+    val dest = new Engine(spark, ArchiveConfig(sharded = true))
+      .archiveDF(df.repartition(2), dir.toString, "postgres_table")
+    val parts = Files.list(Paths.get(dest)).toArray.map(_.toString)
+      .filter(_.contains("part-"))
+    assert(parts.nonEmpty)
+    val all = parts.sorted.map(read).mkString
+    assert(all.contains("id,text_column"))
+    assert(all.contains("ea09d13c-f441-4550-9492-115f8b409c96"))
+  }
+}
