@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+/** Structured Streaming surface. The reference has zero streaming
+  * operators (its "streaming" is an io.Pipe for backpressure,
+  * chiv.go:127–143; SURVEY.md §2.6) — this package supplies the
+  * streaming capabilities a continuous ingest pipeline needs, using
+  * the same `window`/`session_window` expressions as the batch
+  * operators in [[graft.operators.EventWindows]], so batch and
+  * streaming results agree by construction.
+  *
+  * All transforms below take a DataFrame/Dataset and work identically
+  * on a batch read or a `readStream` source — the streaming-specific
+  * pieces (watermark, output mode, state timeout) are declared here,
+  * planning stays with Catalyst/IncrementalExecution.
+  */
+object StreamingOps {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+
+  final case class UserState(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Tumbling 10-minute counts with a 15-minute watermark: late rows
+    * beyond the watermark are dropped, windows finalize and emit once
+    * (Append). The aggregation itself is e01's.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "15 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Per-user session windows (5-minute gap), e03's streaming twin. */
+  def sessionize(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "15 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Streaming exact dedup by event_id within the watermark horizon —
+    * the streaming face of d01: state is one key per id, expired by
+    * the watermark (bounded state at any rate).
+    */
+  def dedupe(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "15 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Arbitrary stateful aggregation via mapGroupsWithState: running
+    * per-user totals emitted on every update (Update mode). The state
+    * is O(users), each entry constant-size.
+    */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserState] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserState](GroupStateTimeout.NoTimeout()) {
+        (user, it, state) =>
+          val prev = state.getOption.getOrElse(UserState(user, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          it.foreach { e => n += 1; total += e.value }
+          val next = UserState(user, n, total)
+          state.update(next)
+          next
+      }
+  }
+
+  /** File-source entry: tail a parquet events directory as a stream
+    * (the production pattern for continuous ingest of landed files).
+    */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+}

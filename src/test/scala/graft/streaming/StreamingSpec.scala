@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import java.sql.Timestamp
+import java.time.Instant
+
+/** Streaming semantics through MemoryStream micro-batches. */
+class StreamingSpec extends SparkSpec {
+  import StreamingOps._
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.from(Instant.parse(f"2024-01-01T00:$minute%02d:$sec%02dZ"))
+
+  private def ev(id: Long, minute: Int, user: Long, v: Double = 1.0,
+      sec: Int = 0): Event =
+    Event(id, ts(minute, sec), user, "click", v)
+
+  test("tumblingCounts finalizes windows past the watermark (Append)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(ev(1, 1, 10), ev(2, 5, 11), ev(3, 12, 10))
+      q.processAllAvailable()
+      // watermark still at 0 → nothing finalized yet
+      assert(spark.table("tumbling").count() == 0)
+      // push event time far ahead → first windows close
+      input.addData(ev(4, 59, 12))
+      q.processAllAvailable()
+      input.addData(ev(5, 59, 13))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling").collect()
+        .map(r => (r.getTimestamp(0).toInstant.toString, r.getLong(2)))
+        .toSet
+      assert(rows.contains(("2024-01-01T00:00:00Z", 2L))) // minutes 1 & 5
+      assert(rows.contains(("2024-01-01T00:10:00Z", 1L))) // minute 12
+    } finally q.stop()
+  }
+
+  test("dedupe drops repeated event ids within the watermark") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = dedupe(input.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(ev(1, 1, 10), ev(1, 1, 10), ev(2, 2, 10))
+      q.processAllAvailable()
+      input.addData(ev(1, 3, 10), ev(3, 4, 10))
+      q.processAllAvailable()
+      assert(spark.table("dedup").select("event_id").collect()
+        .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("runningUserTotals keeps per-user state across micro-batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = runningUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(ev(1, 1, 10, v = 2.0), ev(2, 2, 10, v = 3.0))
+      q.processAllAvailable()
+      input.addData(ev(3, 3, 10, v = 5.0), ev(4, 3, 20, v = 7.0))
+      q.processAllAvailable()
+      val last = spark.table("running").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (u, rows) => rows.maxBy(_._2) }
+      assert(last.toSet == Set((10L, 3L, 10.0), (20L, 1L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize works on the batch events table with identical semantics") {
+    // same expression tree as e03; smoke the streaming-shaped API on batch
+    val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val out = StreamingOps.sessionize(batch.drop("ts_us"))
+    assert(out.count() > 0)
+  }
+}
