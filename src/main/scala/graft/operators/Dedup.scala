@@ -70,8 +70,10 @@ object Dedup {
     */
   val d02 = QueryDef("d02_minhash_lsh", None) { (s, d) =>
     val g = gramSets(s, d)
-    val sigs = g.groupBy("doc_id").agg(
-      array((0 until 32).map(i => min(xxhash64(lit(i), col("g")))): _*).as("sig"))
+    // one-pass signature via the typed MinHashAgg Aggregator (UDAF);
+    // values are bit-identical to min(xxhash64(i, g)) per permutation
+    val sigs = g.groupBy("doc_id")
+      .agg(graft.functions.MinHashAgg.minhash(col("g")).as("sig"))
     val bands = sigs.select(
       col("doc_id"), col("sig"),
       explode(expr("transform(sequence(0, 15), b -> struct(b AS band, hash(sig[2*b], sig[2*b+1]) AS bh))")).as("bd"))

@@ -10,7 +10,75 @@ import org.apache.spark.sql.functions._
   */
 object Scalars {
 
-  def queries: Seq[QueryDef] = Seq(q17, q18, q19, q20, p01, p02)
+  def queries: Seq[QueryDef] = Seq(q17, q18, q19, q20, q23, q24, q25, p01, p02)
+
+  /** Array / map / struct surface: construction, indexing, HOF
+    * transform+filter, sort, map from entries. DuckDB lists/maps
+    * mirror each (list_transform/list_filter, map {}).
+    */
+  val q23 = QueryDef(
+    "q23_array_map_funcs",
+    Some("""SELECT p_partkey,
+      array_to_string(string_split(p_type, ' '), ',') AS type_words,
+      CAST(len(string_split(p_type, ' ')) AS BIGINT) AS n_type_words,
+      string_split(p_type, ' ')[1] AS first_word,
+      array_to_string(list_sort(list_distinct(string_split(p_type, ' '))), ',') AS sorted_words,
+      array_to_string(list_transform(string_split(p_type, ' '), w -> upper(w)), ',') AS upper_words,
+      coalesce(array_to_string(list_filter(string_split(p_type, ' '), w -> len(w) > 5), ','), '') AS long_words,
+      CAST(p_size AS BIGINT) AS p_size
+      FROM part ORDER BY p_partkey""")) { (s, d) =>
+    Tables.part(s, d)
+      .withColumn("tw", split(col("p_type"), " "))
+      .select(
+        col("p_partkey"),
+        concat_ws(",", col("tw")).as("type_words"),
+        big(size(col("tw"))).as("n_type_words"),
+        element_at(col("tw"), 1).as("first_word"),
+        concat_ws(",", array_sort(array_distinct(col("tw")))).as("sorted_words"),
+        concat_ws(",", expr("transform(tw, w -> upper(w))")).as("upper_words"),
+        concat_ws(",", expr("filter(tw, w -> length(w) > 5)")).as("long_words"),
+        big(col("p_size")).as("p_size"))
+      .orderBy("p_partkey")
+  }
+
+  /** Generator / UDTF shape: posexplode of the token array — one
+    * output row per (doc, position, token), then re-aggregated so the
+    * result is small and totally ordered.
+    */
+  val q24 = QueryDef(
+    "q24_explode",
+    Some("""SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS n_docs,
+        CAST(min(pos) AS BIGINT) AS min_pos
+      FROM (SELECT doc_id, r.i - 1 AS pos, string_split(text, ' ')[r.i] AS tok
+            FROM documents, unnest(range(1, len(string_split(text, ' ')) + 1)) AS r(i))
+      GROUP BY tok HAVING count(*) >= 100 ORDER BY tok""")) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"),
+        big(min("pos")).as("min_pos"))
+      .where(col("n") >= 100)
+      .orderBy("tok")
+  }
+
+  /** Multiset set ops (ALL variants): bag semantics via intersectAll /
+    * exceptAll / union, keeping duplicate multiplicities.
+    */
+  val q25 = QueryDef(
+    "q25_setops_all",
+    Some("""SELECT o_custkey FROM (
+      (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+       INTERSECT ALL
+       SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      ORDER BY o_custkey""")) { (s, d) =>
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderstatus") === "O").select("o_custkey")
+      .intersectAll(o.filter(col("o_totalprice") > 100000).select("o_custkey"))
+      .exceptAll(o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
 
   /** UNION / INTERSECT / EXCEPT (all distinct-semantics, matching SQL). */
   val q17 = QueryDef(

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   */
 object Windows {
 
-  def queries: Seq[QueryDef] = Seq(q13, q14, q15, q16)
+  def queries: Seq[QueryDef] = Seq(q13, q14, q15, q16, q22)
 
   /** row_number / rank / dense_rank / ntile. row_number's window orders
     * by a unique tiebreak (suppkey) — without it the result is
@@ -86,6 +86,57 @@ object Windows {
     * each partition keeps a k-row heap, only k×partitions rows reach
     * the driver side; no global sort at any scale.
     */
+  /** As-of join: each purchase paired with the user's most recent
+    * click at-or-before it. Implemented as the union+window pattern —
+    * ONE shuffle on user_id total (an equi-join + per-purchase max
+    * would take three) and no range-condition blowup at any scale;
+    * clicks sort before purchases at equal timestamps so the
+    * at-or-before bound is inclusive. Equal-timestamp clicks dedupe
+    * to the highest event_id first, making the result deterministic
+    * (DuckDB's native ASOF JOIN leaves that tie unspecified).
+    */
+  val q22 = QueryDef(
+    "q22_asof_join",
+    Some("""WITH clicks AS (
+        SELECT user_id, epoch_us(ts) AS c_us, value AS c_value,
+               row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+                 ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'),
+      c1 AS (SELECT user_id, c_us, c_value FROM clicks WHERE rn = 1),
+      p AS (SELECT event_id, user_id, epoch_us(ts) AS p_us, value
+            FROM events WHERE event_type = 'purchase')
+      SELECT p.event_id, p.user_id, p.value,
+             c.c_us AS click_us, c.c_value AS click_value
+      FROM p ASOF LEFT JOIN c1 c
+        ON p.user_id = c.user_id AND c.c_us <= p.p_us
+      ORDER BY p.event_id""")) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "ts_us").orderBy(col("event_id").desc)))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("ts_us"),
+        lit(null).cast("long").as("p_event_id"),
+        lit(null).cast("double").as("p_value"),
+        col("ts_us").as("c_us"), col("value").as("c_value"),
+        lit(0).as("kind"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"),
+        lit(null).cast("long").as("c_us"),
+        lit(null).cast("double").as("c_value"),
+        lit(1).as("kind"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("click_us", last("c_us", ignoreNulls = true).over(w))
+      .withColumn("click_value", last("c_value", ignoreNulls = true).over(w))
+      .where(col("kind") === 1)
+      .select(col("p_event_id").as("event_id"), col("user_id"),
+        col("p_value").as("value"), col("click_us"), col("click_value"))
+      .orderBy("event_id")
+  }
+
   val q16 = QueryDef(
     "q16_topk",
     Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
