@@ -9,7 +9,54 @@ import org.apache.spark.sql.functions._
   */
 object Aggregates {
 
-  def queries: Seq[QueryDef] = Seq(q09, q10, q11, q12, q21)
+  def queries: Seq[QueryDef] = Seq(q09, q10, q11, q12, q21, q26, q27)
+
+  /** Exact percentiles (linear interpolation — Spark `percentile` ≡
+    * DuckDB `quantile_cont`). At 100 TB the same query shape swaps in
+    * `approx_percentile` (KLL-style sketch, mergeable, fixed size) —
+    * that variant is q10's rows-only territory; exactness pinned here.
+    */
+  val q26 = QueryDef(
+    "q26_percentiles",
+    Some("""SELECT l_returnflag,
+      CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(18,4)) AS p50_qty,
+      CAST(quantile_cont(l_quantity, 0.9) AS DECIMAL(18,4)) AS p90_qty,
+      CAST(quantile_cont(l_extendedprice, 0.95) AS DECIMAL(18,4)) AS p95_price,
+      CAST(min(l_extendedprice) AS DECIMAL(18,4)) AS min_price,
+      CAST(max(l_extendedprice) AS DECIMAL(18,4)) AS max_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        dec4(expr("percentile(l_quantity, 0.5D)")).as("p50_qty"),
+        dec4(expr("percentile(l_quantity, 0.9D)")).as("p90_qty"),
+        dec4(expr("percentile(l_extendedprice, 0.95D)")).as("p95_price"),
+        dec4(min("l_extendedprice")).as("min_price"),
+        dec4(max("l_extendedprice")).as("max_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Statistical aggregates: stddev/variance/correlation/covariance.
+    * Implementations differ across engines only at ~1e-12 relative;
+    * DECIMAL(18,6) absorbs that.
+    */
+  val q27 = QueryDef(
+    "q27_stats",
+    Some("""SELECT o_orderstatus,
+      CAST(stddev_samp(o_totalprice) AS DECIMAL(18,4)) AS sd_price,
+      CAST(var_samp(o_totalprice) / 1000000 AS DECIMAL(18,2)) AS var_price_m,
+      CAST(corr(o_totalprice, o_custkey) AS DECIMAL(18,6)) AS corr_pc,
+      CAST(covar_samp(o_totalprice, o_custkey) / 1000000 AS DECIMAL(18,2)) AS covar_pc_m
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        dec4(stddev_samp(col("o_totalprice"))).as("sd_price"),
+        dec2(var_samp(col("o_totalprice")) / 1000000).as("var_price_m"),
+        corr(col("o_totalprice"), col("o_custkey")).cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("corr_pc"),
+        dec2(covar_samp(col("o_totalprice"), col("o_custkey")) / 1000000).as("covar_pc_m"))
+      .orderBy("o_orderstatus")
+  }
 
   /** Exact distinct aggregation — Catalyst expands to a two-phase plan
     * (distinct-ify then count) with partial aggregation on both phases.

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.{Registry, SparkSpec}
+
+/** Physical-plan shape assertions — the properties the 100 TB design
+  * depends on, pinned so a refactor can't silently regress them.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Registry.byName(name).fn(spark, dir).queryExecution.executedPlan.toString
+
+  test("q03: all dimension joins broadcast (no shuffle on the dim side)") {
+    val p = plan("q03_join_broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q02: filters and pruning reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    // read schema restricted to referenced columns, not the full table
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_comment"))
+  }
+
+  test("q16: global top-k fuses into TakeOrderedAndProject") {
+    assert(plan("q16_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("s01: single-row query side is broadcast, not shuffled") {
+    assert(plan("s01_cosine_topk").contains("BroadcastNestedLoopJoin") ||
+      plan("s01_cosine_topk").contains("BroadcastExchange"))
+  }
+
+  test("d05: pair filter evaluates inside the join, not post-materialization") {
+    val p = plan("d05_embedding_neardup")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("SortMergeJoin"))
+    assert(p.contains(">= 0.4"))
+  }
+
+  test("q01: aggregation is partial+final (map-side combine)") {
+    val p = plan("q01_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("every registered query has a distinct name and entry() is registered") {
+    val names = Registry.all.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(graft.SparkEntry.queries.keySet == names.toSet)
+  }
+}
