@@ -80,4 +80,19 @@ object StreamingOps {
     spark.readStream
       .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
       .parquet(dir)
+
+  /** Continuous archiving: the reference's whole purpose (archive
+    * query results to object storage) lifted to a stream — every
+    * micro-batch becomes one archived object
+    * `<table>-<batchId>.<ext>` via [[graft.engine.Engine]], giving
+    * chiv-format output with exactly-once-per-batch semantics from
+    * the checkpoint.
+    */
+  def archiveStream(events: DataFrame, engine: graft.engine.Engine,
+      destDir: String, table: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) { engine.archiveDF(batch, destDir, s"$table-$batchId"); () }
+      }
+      .start()
 }

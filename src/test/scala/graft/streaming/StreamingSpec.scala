@@ -79,6 +79,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("archiveStream archives each micro-batch as a chiv-format object") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-archive").toString
+    val input = MemoryStream[Event]
+    val engine = new graft.engine.Engine(spark)
+    val q = StreamingOps.archiveStream(input.toDF(), engine, dir, "events")
+    try {
+      input.addData(ev(1, 1, 10), ev(2, 2, 11))
+      q.processAllAvailable()
+      input.addData(ev(3, 3, 12))
+      q.processAllAvailable()
+      val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        .toArray.map(_.toString).filter(_.endsWith(".csv")).sorted
+      assert(files.length == 2)
+      val first = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(files.head)))
+      assert(first.startsWith("event_id,ts,user_id,event_type,value"))
+      assert(first.linesIterator.size == 3) // header + 2 rows
+    } finally q.stop()
+  }
+
   test("sessionize works on the batch events table with identical semantics") {
     // same expression tree as e03; smoke the streaming-shaped API on batch
     val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
