@@ -1,0 +1,15 @@
+import java.nio.file.{Files, Paths}
+val d = "/root/testdata/sf0.001"
+val names = Seq("q01_agg", "q03_join_broadcast", "q16_topk", "q22_asof_join", "d02_minhash_lsh", "d05_embedding_neardup", "s02_ann_lsh", "e03_session_window")
+val sb = new StringBuilder
+sb.append("# Physical plans (generated at sf0.001, spark-shell local[8])\n\n")
+sb.append("Evidence for the scale design: broadcast placement, pushdown, partial aggregation,\nfused top-k, single-shuffle as-of. Regenerate with tools/gen_plans.sh.\n")
+for (n <- names) {
+  val df = graft.Registry.byName(n).fn(spark, d)
+  sb.append(s"\n## $n\n\n```\n")
+  sb.append(df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode).take(4000))
+  sb.append("\n```\n")
+}
+Files.createDirectories(Paths.get("/root/repo/docs"))
+Files.writeString(Paths.get("/root/repo/docs/PLANS.md"), sb.toString)
+println("WROTE_PLANS")
