@@ -9,7 +9,52 @@ import org.apache.spark.sql.functions._
   */
 object Aggregates {
 
-  def queries: Seq[QueryDef] = Seq(q09, q10, q11, q12, q21, q26, q27)
+  def queries: Seq[QueryDef] = Seq(q09, q10, q11, q12, q21, q26, q27, q28, q29)
+
+  /** Skew-resistant two-phase (salted) aggregation: phase 1 groups on
+    * (key, salt) so a hot key spreads over 8 reducers, phase 2 merges
+    * the partials. The salt derives deterministically from a
+    * high-cardinality column (not rand()) so results are reproducible
+    * — and provably equal to the direct aggregation, which is exactly
+    * what the oracle asserts. The technique for 100 TB heavy-hitter
+    * keys; here shown on l_returnflag (3 keys → 3 reducers unsalted).
+    */
+  val q28 = QueryDef(
+    "q28_salted_agg",
+    Some("""SELECT l_returnflag,
+      CAST(sum(l_quantity) AS DECIMAL(18,2)) AS sum_qty,
+      CAST(sum(l_extendedprice) AS DECIMAL(18,2)) AS sum_price,
+      count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, d) =>
+    Tables.lineitem(s, d)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(8)))
+      .groupBy("l_returnflag", "salt")
+      .agg(sum("l_quantity").as("pq"), sum("l_extendedprice").as("pp"),
+        count(lit(1)).as("pn"))
+      .groupBy("l_returnflag")
+      .agg(dec2(sum("pq")).as("sum_qty"), dec2(sum("pp")).as("sum_price"),
+        sum("pn").as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Approximate percentiles — the sketch path for q26 at 100 TB
+    * (mergeable fixed-size summaries instead of a full sort).
+    * Sketch output is engine-specific → rows-only check; exactness is
+    * pinned by q26 on the same grouping.
+    */
+  val q29 = QueryDef("q29_approx_percentile", None) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 10000)").as("p"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        dec4(element_at(col("p"), 1)).as("ap50"),
+        dec4(element_at(col("p"), 2)).as("ap90"),
+        dec4(element_at(col("p"), 3)).as("ap99"),
+        col("n"))
+      .orderBy("l_returnflag")
+  }
 
   /** Exact percentiles (linear interpolation — Spark `percentile` ≡
     * DuckDB `quantile_cont`). At 100 TB the same query shape swaps in

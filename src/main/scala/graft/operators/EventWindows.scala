@@ -19,7 +19,30 @@ import org.apache.spark.sql.functions._
   */
 object EventWindows {
 
-  def queries: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05)
+  def queries: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, e06)
+
+  /** Schema'd JSON parse (`from_json` → struct, vs e05's path-based
+    * extraction): parse once, then relational ops over the typed
+    * field — the pattern for semi-structured columns at scale (one
+    * parse, columnar after).
+    */
+  val e06 = QueryDef(
+    "e06_from_json_struct",
+    Some("""SELECT k_decade, count(*) AS n,
+      CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+      CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+      FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_decade, props
+            FROM events)
+      GROUP BY k_decade ORDER BY k_decade""")) { (s, d) =>
+    Tables.events(s, d)
+      .select(from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+        .getField("k").as("k"))
+      .withColumn("k_decade", floor(col("k") / 10))
+      .groupBy("k_decade")
+      .agg(count(lit(1)).as("n"), big(min("k")).as("min_k"), big(max("k")).as("max_k"))
+      .orderBy("k_decade")
+  }
 
   /** Tumbling 10-minute windows per event type. Spark's `window()`
     * aligns to the epoch, i.e. start = ts − ts mod 10min.
