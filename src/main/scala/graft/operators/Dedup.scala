@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  def queries: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05)
+  def queries: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06)
 
   /** (doc_id, gram) pairs: distinct 3-token shingles per document.
     * element_at is 1-based on both engines' oracle formulation.
@@ -170,5 +170,59 @@ object Dedup {
       .where(col("c") >= 0.4)
       .select(col("va"), col("vb"), dec6(col("c")).as("cos_sim"))
       .orderBy("va", "vb")
+  }
+  /** Dedup end-game: collapse near-dup PAIRS (d03, J ≥ 0.5) into
+    * CLUSTERS and pick one survivor per cluster — connected components
+    * by iterative min-label propagation. Each iteration is one
+    * distributed join+aggregate; components here are tiny chains so it
+    * converges in ≤ ~6 rounds (the driver loop stops at fixpoint, the
+    * standard Spark pattern for iterative graph algorithms; GraphX/
+    * Pregel would be the long-chain alternative). Oracle: recursive
+    * CTE transitive closure, provably the same min-label result.
+    */
+  val d06 = QueryDef(
+    "d06_dedup_survivors",
+    Some(s"""$gramCte,
+      cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+      inter AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS i
+                FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+                GROUP BY 1, 2),
+      pairs AS (SELECT da, db FROM inter
+                JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+                WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.5),
+      e AS (SELECT da AS a, db AS b FROM pairs
+            UNION SELECT db, da FROM pairs),
+      reach AS (
+        WITH RECURSIVE r(a, b) AS (
+          SELECT a, b FROM e
+          UNION
+          SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
+        SELECT * FROM r)
+      SELECT doc_id, survivor, doc_id = survivor AS is_survivor FROM (
+        SELECT a AS doc_id, least(a, min(b)) AS survivor
+        FROM reach GROUP BY a)
+      ORDER BY doc_id""")) { (s, d) =>
+    val pairs = d03.fn(s, d).where(col("jaccard") >= 0.5).select("da", "db")
+    val edges = pairs.union(pairs.select(col("db"), col("da"))).toDF("a", "b")
+      .cache()
+    val nodes = edges.select(col("a").as("doc_id")).distinct()
+    var labels = nodes.withColumn("lbl", col("doc_id")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val neighborMin = edges.join(labels, edges("b") === labels("doc_id"))
+        .groupBy(edges("a").as("doc_id")).agg(min("lbl").as("nlbl"))
+      val next = labels.join(neighborMin, "doc_id")
+        .select(col("doc_id"), least(col("lbl"), col("nlbl")).as("lbl"))
+        .cache()
+      converged = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+        .where(col("lbl") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+      .select(col("doc_id"), col("lbl").as("survivor"),
+        (col("doc_id") === col("lbl")).as("is_survivor"))
+      .orderBy("doc_id")
   }
 }

@@ -10,7 +10,54 @@ import org.apache.spark.sql.functions._
   */
 object Scalars {
 
-  def queries: Seq[QueryDef] = Seq(q17, q18, q19, q20, q23, q24, q25, p01, p02)
+  def queries: Seq[QueryDef] = Seq(q17, q18, q19, q20, q23, q24, q25, q30, q31, p01, p02)
+
+  /** String aggregation (LISTAGG shape): deterministic via sorted
+    * collect — concat_ws(sort_array(collect_list(…))) ≡ DuckDB
+    * string_agg(… ORDER BY …).
+    */
+  val q30 = QueryDef(
+    "q30_string_agg",
+    Some("""SELECT c_mktsegment,
+      string_agg(c_name, ',' ORDER BY c_name) AS names,
+      count(*) AS n
+      FROM (SELECT * FROM customer WHERE c_custkey <= 100)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")) { (s, d) =>
+    Tables.customer(s, d)
+      .where(col("c_custkey") <= 100)
+      .groupBy("c_mktsegment")
+      .agg(
+        concat_ws(",", sort_array(collect_list(col("c_name")))).as("names"),
+        count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** The SQL surface itself (S2's `spark.sql` face): temp views +
+    * a multi-join analytical query in pure SQL — same Catalyst plans
+    * as the DataFrame formulations.
+    */
+  val q31 = QueryDef(
+    "q31_sql_surface",
+    Some("""SELECT o_orderpriority, n_name,
+      count(*) AS n_orders,
+      CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderstatus = 'O' AND n_regionkey < 2
+      GROUP BY o_orderpriority, n_name
+      ORDER BY o_orderpriority, n_name""")) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    s.sql("""SELECT o_orderpriority, n_name,
+      count(*) AS n_orders,
+      CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderstatus = 'O' AND n_regionkey < 2
+      GROUP BY o_orderpriority, n_name
+      ORDER BY o_orderpriority, n_name""")
+  }
 
   /** Array / map / struct surface: construction, indexing, HOF
     * transform+filter, sort, map from entries. DuckDB lists/maps
