@@ -13,7 +13,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * the long i, then hash the string bytes with that as seed — so the
   * signatures equal the expression-composed formulation while hashing
   * each shingle once per permutation in a single aggregation buffer
-  * (no 32-column min() fan-out, half the wall-clock at sf0.1).
+  * (vs the 32-column min() fan-out; comparable wall-clock at local
+  * scale, one object buffer instead of 32 agg slots per key).
   *
   * Buffers are fixed 32×8 bytes regardless of document size — the
   * property that makes MinHash the 100 TB dedup path: signatures

@@ -217,6 +217,7 @@ object Dedup {
         .cache()
       converged = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
         .where(col("lbl") =!= col("old")).isEmpty
+      labels.unpersist()
       labels = next
       iter += 1
     }
