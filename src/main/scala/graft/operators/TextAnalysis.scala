@@ -15,7 +15,53 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  def queries: Seq[QueryDef] = Seq(x01, x02, x03, x04)
+  def queries: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06)
+
+  /** Deterministic train/valid/test split: the x04 rolling fingerprint
+    * mod 10 buckets 80/10/10. Content-addressed (not row-order or
+    * rand()) so the split is stable across engines, runs, and
+    * repartitioning — the property a reproducible training pipeline
+    * needs. Oracle recomputes the identical assignment.
+    */
+  val x05 = QueryDef(
+    "x05_train_test_split",
+    Some("""SELECT split, lang, count(*) AS n, min(doc_id) AS first_doc FROM (
+      SELECT doc_id, lang,
+        CASE WHEN fp % 10 < 8 THEN 'train'
+             WHEN fp % 10 = 8 THEN 'valid'
+             ELSE 'test' END AS split
+      FROM (SELECT doc_id, lang,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, length(text) + 1), i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))),
+          (h, c) -> (h * 31 + c) % 1000000007) AS fp
+        FROM documents))
+      GROUP BY split, lang ORDER BY split, lang""")) { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("fp", expr(
+        "aggregate(sequence(1, length(text)), 0L, (h, i) -> (h * 31 + ascii(substring(text, i, 1))) % 1000000007)"))
+      .withColumn("split",
+        when(col("fp") % 10 < 8, "train")
+          .when(col("fp") % 10 === 8, "valid")
+          .otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("first_doc"))
+      .orderBy("split", "lang")
+  }
+
+  /** Stratified sampling (`sampleBy`): per-language fractions in one
+    * pass — corpus rebalancing. Sampling is seeded-pseudo-random and
+    * engine-specific → rows-only check; determinism within Spark is
+    * pinned by the seed.
+    */
+  val x06 = QueryDef("x06_stratified_sample", None) { (s, d) =>
+    Tables.documents(s, d)
+      .stat.sampleBy("lang",
+        Map("en" -> 0.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0),
+        seed = 42L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy("lang")
+  }
 
   /** Token statistics: counts, distinct counts, longest token, mean
     * token length (exact: (chars − separators) / tokens), and a

@@ -101,11 +101,32 @@ class EngineSpec extends SparkSpec {
   }
 
   test("errors carry the stage prefix (chiv error contract)") {
+    // columns stage (≈ chiv_test.go's per-stage wrapped-error matrix)
     val e = intercept[ArchiveException] {
       new Engine(spark, ArchiveConfig(columns = Seq("nope")))
         .archiveDF(df, tmpDir.toString, "t")
     }
     assert(e.getMessage.startsWith("graft: columns: "))
+    // query stage: missing source table
+    val q = intercept[ArchiveException] {
+      new Engine(spark).archive("/nonexistent-dir", "ghost", tmpDir.toString)
+    }
+    assert(q.getMessage.startsWith("graft: query: "))
+    // upload stage: unwritable destination
+    val u = intercept[ArchiveException] {
+      new Engine(spark).archiveDF(df, "/proc/graft-cannot-write", "t")
+    }
+    assert(u.getMessage.startsWith("graft: upload: "))
+  }
+
+  test("archive() reads a named parquet table end-to-end") {
+    val dir = tmpDir
+    val dest = new Engine(spark,
+      ArchiveConfig(columns = Seq("r_regionkey", "r_name")))
+      .archive("/root/testdata/sf0.001", "region", dir.toString)
+    val content = read(dest)
+    assert(content.startsWith("r_regionkey,r_name\n"))
+    assert(content.linesIterator.size == 6) // header + 5 regions
   }
 
   test("sharded mode writes a part directory with headers") {
