@@ -81,6 +81,57 @@ object StreamingOps {
       .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
       .parquet(dir)
 
+  final case class Doc(doc_id: Long, text: String)
+  final case class DupMatch(doc_id: Long, dup_of: Long, est_jaccard: Double)
+
+  /** Streaming near-duplicate detection: MinHash-LSH with per-bucket
+    * state. Each arriving document's 32-hash signature fans out to 16
+    * band buckets; `flatMapGroupsWithState` keeps the signatures seen
+    * per bucket and emits a match when a new signature agrees with a
+    * stored one on ≥ `minEstJaccard` of the permutations — the
+    * streaming twin of batch d02, with state sharded by bucket (each
+    * entry is one fixed 32×8-byte signature; a TTL/watermark policy
+    * would bound it in production).
+    */
+  def streamingNearDup(docs: Dataset[Doc],
+      minEstJaccard: Double = 0.5): Dataset[DupMatch] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.MinHashAgg
+    val shingled = docs.flatMap { doc =>
+      val toks = doc.text.split(" ")
+      val grams = (0 until math.max(toks.length - 2, 0))
+        .map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").distinct
+      val sig = grams.foldLeft(new MinHashAgg().zero)(new MinHashAgg().reduce)
+      // fan out to 16 bands of 2 rows; key = (band, both minhashes)
+      (0 until 16).map(b => (s"$b:${sig(2 * b)}:${sig(2 * b + 1)}", doc.doc_id, sig))
+    }
+    shingled
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Array[Long])], DupMatch](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) { (_, rows, state) =>
+        var seen = state.getOption.getOrElse(Nil)
+        val out = scala.collection.mutable.ListBuffer[DupMatch]()
+        rows.toSeq.sortBy(_._2).foreach { case (_, id, sig) =>
+          if (!seen.exists(_._1 == id)) {
+            seen.foreach { case (prevId, prevSig) =>
+              if (prevId != id) {
+                val matches = sig.zip(prevSig).count { case (a, b) => a == b }
+                val est = matches.toDouble / MinHashAgg.P
+                if (est >= minEstJaccard)
+                  out += DupMatch(math.max(id, prevId), math.min(id, prevId), est)
+              }
+            }
+            seen = (id, sig) :: seen
+          }
+        }
+        state.update(seen)
+        out.iterator
+      }
+      // a pair agreeing on several bands reports once per band → dedup
+      .dropDuplicates("doc_id", "dup_of")
+  }
+
   /** Continuous archiving: the reference's whole purpose (archive
     * query results to object storage) lifted to a stream — every
     * micro-batch becomes one archived object

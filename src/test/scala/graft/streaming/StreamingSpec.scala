@@ -79,6 +79,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingNearDup flags near-duplicate docs across micro-batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val nearDup = ((1 to 45).map(i => s"tok$i") ++ Seq("x1", "x2", "x3", "x4", "x5")).mkString(" ")
+    val unrelated = (1 to 50).map(i => s"other$i").mkString(" ")
+    val input = MemoryStream[StreamingOps.Doc]
+    val q = StreamingOps.streamingNearDup(input.toDS())
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(StreamingOps.Doc(1, base), StreamingOps.Doc(2, unrelated))
+      q.processAllAvailable()
+      assert(spark.table("neardup").count() == 0) // nothing similar yet
+      input.addData(StreamingOps.Doc(3, nearDup)) // later batch, matches doc 1
+      q.processAllAvailable()
+      val matches = spark.table("neardup").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(matches == Set((3L, 1L)))
+    } finally q.stop()
+  }
+
   test("archiveStream archives each micro-batch as a chiv-format object") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
