@@ -24,12 +24,13 @@ object MultimodalOps {
           list_transform(range(1, length(text) + 1), i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))),
         (acc, c) -> (acc + c) % 997) AS checksum
       FROM documents ORDER BY doc_id""")) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, d)
       .select(
         col("doc_id"),
         big(octet_length(col("text"))).as("byte_len"),
         hex(encode(substring(col("text"), 1, 8), "UTF-8")).as("head_hex"),
-        expr("aggregate(sequence(1, length(text)), 0L, (acc, i) -> (acc + ascii(substring(text, i, 1))) % 997)").as("checksum"))
+        expr("rolling_hash(text, 1L, 997L)").as("checksum"))
       .orderBy("doc_id")
   }
 

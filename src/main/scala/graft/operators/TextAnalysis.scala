@@ -36,9 +36,9 @@ object TextAnalysis {
           (h, c) -> (h * 31 + c) % 1000000007) AS fp
         FROM documents))
       GROUP BY split, lang ORDER BY split, lang""")) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, d)
-      .withColumn("fp", expr(
-        "aggregate(sequence(1, length(text)), 0L, (h, i) -> (h * 31 + ascii(substring(text, i, 1))) % 1000000007)"))
+      .withColumn("fp", expr("rolling_hash(text, 31L, 1000000007L)"))
       .withColumn("split",
         when(col("fp") % 10 < 8, "train")
           .when(col("fp") % 10 === 8, "valid")
@@ -183,9 +183,9 @@ object TextAnalysis {
             list_transform(range(1, length(text) + 1), i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))),
           (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint
       FROM documents) ORDER BY doc_id""")) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, d)
-      .withColumn("fingerprint", expr(
-        "aggregate(sequence(1, length(text)), 0L, (h, i) -> (h * 31 + ascii(substring(text, i, 1))) % 1000000007)"))
+      .withColumn("fingerprint", expr("rolling_hash(text, 31L, 1000000007L)"))
       .select(col("doc_id"), col("fingerprint"),
         (col("fingerprint") % 64).as("shard"))
       .orderBy("doc_id")
