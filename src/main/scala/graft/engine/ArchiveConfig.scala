@@ -14,6 +14,15 @@ object Format {
 
   /** `- key: value` block sequence — chiv_formatters.go:98–143. */
   case object Yaml extends Format { val extension = "yaml" }
+
+  /** Columnar formats (beyond the reference: the archive formats a
+    * Spark-era pipeline actually wants on an object store — typed,
+    * splittable, compressed). Sharded mode writes them through the
+    * committer; single-object mode writes one part and renames it to
+    * the exact key.
+    */
+  case object Parquet extends Format { val extension = "parquet" }
+  case object Orc extends Format { val extension = "orc" }
 }
 
 /** Archive options, mirroring the reference's functional options

@@ -55,7 +55,14 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
     dest
   }
 
+  /** True for formats written by Spark's columnar writers rather than
+    * the row formatters.
+    */
+  private def columnar(f: Format): Boolean =
+    f == Format.Parquet || f == Format.Orc
+
   private def writeSingleObject(df: DataFrame, cfg: ArchiveConfig, dest: String): Unit = {
+    if (columnar(cfg.format)) return writeColumnarSingle(df, cfg, dest)
     val fmt = RowFormatter.of(cfg.format)
     val schema = df.schema
     val nullValue = cfg.nullValue
@@ -84,11 +91,38 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
     }
   }
 
+  /** Columnar single object: one part file written to a staging dir,
+    * then committed to the exact key with a rename (the classic
+    * exact-name pattern; on S3A the rename is a server-side copy).
+    */
+  private def writeColumnarSingle(df: DataFrame, cfg: ArchiveConfig, dest: String): Unit =
+    stage("upload") {
+      val path = new Path(dest)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val staging = new Path(dest + ".staging")
+      val one = df.coalesce(1).write.mode("overwrite")
+      cfg.format match {
+        case Format.Orc => one.orc(staging.toString)
+        case _ => one.parquet(staging.toString)
+      }
+      val part = fs.listStatus(staging)
+        .map(_.getPath).find(_.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(s"no part file under $staging"))
+      fs.delete(path, false)
+      if (!fs.rename(part, path))
+        throw new IllegalStateException(s"rename $part -> $path failed")
+      fs.delete(staging, true)
+    }
+
   private def writeSharded(df: DataFrame, cfg: ArchiveConfig, dest: String): Unit = {
     val schema = df.schema
     val nullValue = cfg.nullValue
     stage("upload") {
       cfg.format match {
+        case Format.Parquet =>
+          df.write.mode("overwrite").parquet(dest)
+        case Format.Orc =>
+          df.write.mode("overwrite").orc(dest)
         case Format.Csv =>
           // Spark's codegen'd CSV writer: header per part, Go-style
           // minimal quoting, placeholder via nullValue option.

@@ -129,6 +129,22 @@ class EngineSpec extends SparkSpec {
     assert(content.linesIterator.size == 6) // header + 5 regions
   }
 
+  test("columnar formats: exact-key parquet object round-trips") {
+    val dir = tmpDir
+    val dest = new Engine(spark, ArchiveConfig(format = Format.Parquet))
+      .archiveDF(df, dir.toString, "postgres_table")
+    assert(dest.endsWith("/postgres_table.parquet"))
+    assert(Files.isRegularFile(Paths.get(dest))) // one object, not a dir
+    val back = spark.read.parquet(dest)
+    assert(back.count() == 3)
+    assert(back.schema.fieldNames.toSeq == df.schema.fieldNames.toSeq)
+    // sharded ORC writes a directory through the committer
+    val orcDest = new Engine(spark,
+      ArchiveConfig(format = Format.Orc, sharded = true))
+      .archiveDF(df, dir.toString, "t")
+    assert(spark.read.orc(orcDest).count() == 3)
+  }
+
   test("sharded mode writes a part directory with headers") {
     val dir = tmpDir
     val dest = new Engine(spark, ArchiveConfig(sharded = true))

@@ -61,6 +61,17 @@ class ExpressionsSpec extends SparkSpec {
     assert(r.getInt(0) <= 12)
   }
 
+  test("rolling_hash matches the per-character HOF fold") {
+    import spark.implicits._
+    val df = Seq("hello world", "", "a", "key agg row scan", "x" * 500)
+      .toDF("text")
+    val rows = df.select(
+      expr("rolling_hash(text, 31L, 1000000007L)").as("native"),
+      expr("aggregate(sequence(1, length(text)), 0L, (h, i) -> (h * 31 + ascii(substring(text, i, 1))) % 1000000007)").as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("functions are injected via GraftExtensions (no manual register)") {
     // SparkSpec builds the session with spark.sql.extensions; the
     // expressions above resolving at all proves injection, but check
