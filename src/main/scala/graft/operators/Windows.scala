@@ -11,7 +11,32 @@ import org.apache.spark.sql.functions._
   */
 object Windows {
 
-  def queries: Seq[QueryDef] = Seq(q13, q14, q15, q16, q22)
+  def queries: Seq[QueryDef] = Seq(q13, q14, q15, q16, q22, q32)
+
+  /** Per-key top-k via the bounded-heap [[graft.functions.TopKAgg]]
+    * Aggregator: top-3 orders by totalprice per customer. Map-side
+    * partial buffers cap at k entries, so the shuffle carries ≤ k
+    * rows per key per partition — unlike the window formulation
+    * (the oracle), which sorts every group fully.
+    */
+  val q32 = QueryDef(
+    "q32_topk_per_key",
+    Some("""SELECT o_custkey, rn, o_orderkey,
+      CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+              row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders)
+      WHERE rn <= 3 ORDER BY o_custkey, rn""")) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(graft.functions.TopKAgg.topK(3)(
+        col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rn"),
+        col("e._2").as("o_orderkey"), dec2(col("e._1")).as("price"))
+      .orderBy("o_custkey", "rn")
+  }
 
   /** row_number / rank / dense_rank / ntile. row_number's window orders
     * by a unique tiebreak (suppkey) — without it the result is
