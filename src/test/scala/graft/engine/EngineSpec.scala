@@ -145,6 +145,16 @@ class EngineSpec extends SparkSpec {
     assert(spark.read.orc(orcDest).count() == 3)
   }
 
+  test("empty input: CSV is header-only, JSON is [], YAML is empty (chiv parity)") {
+    val dir = tmpDir
+    val none = df.where("1 = 0")
+    val e = new Engine(spark)
+    assert(read(e.archiveDF(none, dir.toString, "t"))
+      == "id,text_column,char_column,int_column,float_column,bool_column,ts_column,json_column\n")
+    assert(read(e.archiveDF(none, dir.toString, "t", _.copy(format = Format.JsonArray))) == "[]")
+    assert(read(e.archiveDF(none, dir.toString, "t", _.copy(format = Format.Yaml))) == "")
+  }
+
   test("sharded mode writes a part directory with headers") {
     val dir = tmpDir
     val dest = new Engine(spark, ArchiveConfig(sharded = true))
