@@ -19,21 +19,26 @@ object Bench {
     }
     // two timed runs per query, report the min: steady-state cost,
     // robust to one-off JIT/GC/IO interference on a shared box
+    // two timed runs per query, min reported; a failed query is
+    // marked -1 so a breakage can never read as a speedup
     def time(name: String,
-        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
+      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        None
       }
-      (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(time(name, fn), time(name, fn))
+      name -> (time(name, fn), time(name, fn)) match {
+        case (n, (Some(a), Some(b))) => n -> math.min(a, b)
+        case (n, _) => n -> -1.0
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -130,7 +130,10 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
             .option("header", "true")
             .option("nullValue", cfg.nullValue.getOrElse(""))
             .option("emptyValue", "")
-            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+            // lossless in sharded mode: always print microseconds
+            // (single-object parity mode omits a zero fraction; the
+            // writer option cannot express that conditionality)
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
             .csv(dest)
         case other =>
           val fmt = RowFormatter.of(other)

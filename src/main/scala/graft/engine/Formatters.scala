@@ -29,7 +29,10 @@ object Render {
   def scalar(v: Any): Option[String] = v match {
     case null => None
     case d: Double => Some(num(d))
-    case f: Float => Some(num(f.toDouble))
+    // floats keep their own shortest form — widening to double would
+    // print binary noise (3.14f.toDouble = 3.140000104904175)
+    case f: Float =>
+      Some(if (f.isWhole && math.abs(f) < 1e15f) f.toLong.toString else f.toString)
     case dec: java.math.BigDecimal => Some(dec.stripTrailingZeros.toPlainString)
     case i: Instant => Some(ts(i))
     case t: java.sql.Timestamp => Some(ts(t.toInstant))
@@ -168,13 +171,24 @@ object YamlFormatter extends RowFormatter {
       "[0-9]{4}-[0-9]{2}-[0-9]{2}([Tt ][0-9:.]+([Zz]|[-+][0-9:]+)?)?)$").r
 
   private def plainSafe(s: String): Boolean =
-    s.nonEmpty && !s.exists(c => "{}[]#&*!|>'\"%@`,".contains(c)) &&
+    s.nonEmpty && !s.exists(c => "{}[]#&*!|>'\"%@`,\n\r\t".contains(c)) &&
       !s.startsWith(" ") && !s.endsWith(" ") && !s.startsWith("- ") &&
       !s.contains(": ") && !s.endsWith(":")
 
   private def scalarStyle(s: String): String =
-    if (typedLike.matches(s.toLowerCase))
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    if (s.exists(c => c == '\n' || c == '\r' || c == '\t' || c < ' ') ||
+      typedLike.matches(s.toLowerCase))
+      // double-quoted style: the only style that represents control
+      // characters faithfully (single-quoted folds raw newlines)
+      "\"" + s.flatMap {
+        case '\\' => "\\\\"
+        case '"' => "\\\""
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\x${c.toInt}%02x"
+        case c => c.toString
+      } + "\""
     else if (!plainSafe(s))
       "'" + s.replace("'", "''") + "'"
     else s

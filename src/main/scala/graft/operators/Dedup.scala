@@ -221,6 +221,12 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"graft: d06 label propagation did not converge in $iter iterations " +
+          "(component diameter exceeds the cap — raise it or switch to the " +
+          "large-star/small-star variant)")
+    edges.unpersist(blocking = false)
     labels
       .select(col("doc_id"), col("lbl").as("survivor"),
         (col("doc_id") === col("lbl")).as("is_survivor"))

@@ -75,11 +75,18 @@ object StreamingOps {
 
   /** File-source entry: tail a parquet events directory as a stream
     * (the production pattern for continuous ingest of landed files).
+    * Normalizes the driver testdata's TIMESTAMP(NANOS) column the
+    * same way as [[graft.Tables.events]] (nanos as long → µs
+    * timestamp), so batch and stream read identical values.
     */
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
-      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
       .parquet(dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+  }
 
   final case class Doc(doc_id: Long, text: String)
   final case class DupMatch(doc_id: Long, dup_of: Long, est_jaccard: Double)
@@ -101,9 +108,12 @@ object StreamingOps {
       val toks = doc.text.split(" ")
       val grams = (0 until math.max(toks.length - 2, 0))
         .map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").distinct
-      val sig = grams.foldLeft(new MinHashAgg().zero)(new MinHashAgg().reduce)
-      // fan out to 16 bands of 2 rows; key = (band, both minhashes)
-      (0 until 16).map(b => (s"$b:${sig(2 * b)}:${sig(2 * b + 1)}", doc.doc_id, sig))
+      if (grams.isEmpty) Seq.empty // <3 tokens: no signature (batch d02 parity)
+      else {
+        val sig = grams.foldLeft(new MinHashAgg().zero)(new MinHashAgg().reduce)
+        // fan out to 16 bands of 2 rows; key = (band, both minhashes)
+        (0 until 16).map(b => (s"$b:${sig(2 * b)}:${sig(2 * b + 1)}", doc.doc_id, sig))
+      }
     }
     shingled
       .groupByKey(_._1)
@@ -143,7 +153,12 @@ object StreamingOps {
       destDir: String, table: String): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty) { engine.archiveDF(batch, destDir, s"$table-$batchId"); () }
+        if (!batch.isEmpty) {
+          // clear any fixed key from the engine's base config — a fixed
+          // key would make every batch overwrite the same object
+          engine.archiveDF(batch, destDir, s"$table-$batchId", _.copy(key = None))
+          ()
+        }
       }
       .start()
 }

@@ -87,6 +87,19 @@ class FormatterSpec extends AnyFunSuite {
       "{\"a\":\"\\u003ca\\u0026b\\u003e\"}")
   }
 
+  test("YAML represents control characters faithfully (double-quoted escapes)") {
+    val s = StructType(Seq(StructField("a", StringType)))
+    def one(v: String) = YamlFormatter.row(s, Row(v), None).stripPrefix("- a: ").stripSuffix("\n")
+    assert(one("line1\nline2") == "\"line1\\nline2\"")
+    assert(one("tab\there") == "\"tab\\there\"")
+  }
+
+  test("float cells render their shortest form, not double-widened noise") {
+    val s = StructType(Seq(StructField("a", FloatType)))
+    assert(CsvFormatter.row(s, Row(3.14f), None) == "3.14\n")
+    assert(JsonArrayFormatter.row(s, Row(1.0f), None) == "{\"a\":1}")
+  }
+
   test("YAML quoting styles: typed-looking → double, flow chars → single, else plain") {
     val s = StructType(Seq(StructField("a", StringType)))
     def one(v: String) = YamlFormatter.row(s, Row(v), None).stripPrefix("- a: ").stripSuffix("\n")

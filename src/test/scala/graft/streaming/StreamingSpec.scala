@@ -94,11 +94,35 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(spark.table("neardup").count() == 0) // nothing similar yet
       input.addData(StreamingOps.Doc(3, nearDup)) // later batch, matches doc 1
+      // two short (<3 tokens) docs must NOT match each other (their
+      // gram set is empty — no signature, not an all-MaxValue one)
+      input.addData(StreamingOps.Doc(4, "hi there"), StreamingOps.Doc(5, "bye now"))
       q.processAllAvailable()
       val matches = spark.table("neardup").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(matches == Set((3L, 1L)))
     } finally q.stop()
+  }
+
+  test("readEventsStream normalizes the TIMESTAMP(NANOS) events source") {
+    // the file stream source needs a directory of landed files
+    val dir = java.nio.file.Files.createTempDirectory("graft-events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val out = StreamingOps.readEventsStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("rawevents").start()
+    try {
+      out.processAllAvailable()
+      val t = spark.table("rawevents")
+      assert(t.count() > 0)
+      assert(t.schema("ts").dataType.typeName == "timestamp")
+      // same values as the batch loader
+      val batchMin = graft.Tables.events(spark, "/root/testdata/sf0.001")
+        .agg(org.apache.spark.sql.functions.min("ts_us")).head().getLong(0)
+      val streamMin = t.agg(org.apache.spark.sql.functions.min("ts_us")).head().getLong(0)
+      assert(batchMin == streamMin)
+    } finally out.stop()
   }
 
   test("archiveStream archives each micro-batch as a chiv-format object") {
