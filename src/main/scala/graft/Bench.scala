@@ -30,12 +30,31 @@ object Bench {
         None
       }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val queryResults = SparkEntry.queries.map { case (name, fn) =>
       name -> (time(name, fn), time(name, fn)) match {
         case (n, (Some(a), Some(b))) => n -> math.min(a, b)
         case (n, _) => n -> -1.0
       }
     }
+    // archive throughput — the reference's own workload (format rows,
+    // write one object / sharded parts); measured on lineitem
+    def timeArchive(name: String)(body: => Unit): (String, Double) = {
+      val t0 = System.nanoTime()
+      try { body; name -> (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        name -> -1.0
+      }
+    }
+    val engine = new graft.engine.Engine(spark)
+    val out = java.nio.file.Files.createTempDirectory("graft-bench-archive").toString
+    val results = queryResults ++ Seq(
+      timeArchive("archive_lineitem_csv_sharded") {
+        engine.archive(sfDir, "lineitem", out, _.copy(sharded = true))
+      },
+      timeArchive("archive_lineitem_csv_single") {
+        engine.archive(sfDir, "lineitem", out, _.copy(key = Some("lineitem_single.csv")))
+      })
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum

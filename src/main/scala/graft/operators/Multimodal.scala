@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalOps {
 
-  def queries: Seq[QueryDef] = Seq(m01, m02)
+  def queries: Seq[QueryDef] = Seq(m01, m02, m03)
 
   /** Binary payload features computed relationally: byte length, head
     * bytes as hex, and an additive codepoint checksum — all
@@ -41,5 +41,27 @@ object MultimodalOps {
     */
   val m02 = QueryDef("m02_decode_pipeline", None) { (s, d) =>
     graft.multimodal.MultimodalPipeline.features(s, d)
+  }
+
+  /** Frame sampling as a generator: "video" assets explode into 4
+    * frame rows each with per-frame byte features — the row-explosion
+    * shape a real video pipeline has (asset → frames → per-frame
+    * model input). Frame values come from the deterministic stub →
+    * rows-only check.
+    */
+  val m03 = QueryDef("m03_frame_sample", None) { (s, d) =>
+    import org.apache.spark.sql.Encoders
+    val assets = graft.multimodal.MultimodalPipeline.assetsFromDocuments(s, d)
+      .filter(_.modality == "video")
+    val frames = assets.mapPartitions { it =>
+      it.flatMap { a =>
+        graft.multimodal.ByteFeatures.frameSample(a.data, 4, 256)
+          .zipWithIndex.map { case (f, i) =>
+            (a.asset_id, i, f.length, graft.multimodal.ByteFeatures.checksum(f))
+          }
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, Encoders.scalaInt, Encoders.scalaLong))
+    frames.toDF("asset_id", "frame_no", "frame_bytes", "frame_checksum")
+      .orderBy("asset_id", "frame_no")
   }
 }
