@@ -1,0 +1,29 @@
+package graft.operators
+
+import graft.{Registry, SparkSpec}
+
+/** Partition-count invariance: the same query must produce identical
+  * results whatever the shuffle fan-out — the property that makes a
+  * plan trustworthy when the cluster size (and thus partitioning)
+  * changes at scale. Exercised on the operators whose algorithms do
+  * nontrivial distributed work (fixed-point centroids, salted
+  * aggregation, iterative components, signature joins).
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def collectWith(partitions: Int, name: String): Seq[String] = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    try Registry.byName(name).fn(spark, dir).collect().map(_.toString).toSeq
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  for (name <- Seq("q28_salted_agg", "s03_label_centroid", "d03_ngram_jaccard",
+      "d06_dedup_survivors", "x05_train_test_split", "q32_topk_per_key")) {
+    test(s"$name is invariant to shuffle partition count (3 vs 17)") {
+      assert(collectWith(3, name) == collectWith(17, name))
+    }
+  }
+}
