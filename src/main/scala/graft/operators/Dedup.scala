@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  def queries: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06)
+  def queries: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07)
 
   /** (doc_id, gram) pairs: distinct 3-token shingles per document.
     * element_at is 1-based on both engines' oracle formulation.
@@ -230,6 +230,26 @@ object Dedup {
     labels
       .select(col("doc_id"), col("lbl").as("survivor"),
         (col("doc_id") === col("lbl")).as("is_survivor"))
+      .orderBy("doc_id")
+  }
+
+  /** GraphX twin of d06: the same survivor selection through Pregel
+    * connectedComponents (min vertex id per component) — converges in
+    * O(log n) supersteps regardless of chain diameter, the variant to
+    * reach for when near-dup clusters can be long chains. Same oracle
+    * as d06: two independent implementations, one recursive-CTE
+    * ground truth.
+    */
+  val d07 = QueryDef("d07_graphx_components", d06.oracle) { (s, d) =>
+    import org.apache.spark.graphx.{Edge, Graph}
+    val pairs = d03.fn(s, d).where(col("jaccard") >= 0.5).select("da", "db")
+    val edgeRdd = pairs.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val cc = Graph.fromEdges(edgeRdd, defaultValue = ())
+      .connectedComponents()
+      .vertices // (doc_id, min doc_id in component)
+    s.createDataFrame(cc).toDF("doc_id", "survivor")
+      .select(col("doc_id"), col("survivor"),
+        (col("doc_id") === col("survivor")).as("is_survivor"))
       .orderBy("doc_id")
   }
 }
