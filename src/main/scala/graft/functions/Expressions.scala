@@ -143,7 +143,14 @@ object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "simhash64" -> (es => SimHash64(es.head)),
     "vec_dot" -> (es => VecDot(es(0), es(1))),
-    "rolling_hash" -> (es => RollingHash(es(0), es(1), es(2))))
+    "rolling_hash" -> (es => RollingHash(es(0), es(1), es(2))),
+    // Spark ships these only in the internal registry (they back the
+    // runtime row-level filter rule); surface them for explicit
+    // bloom-prefilter plans (q33)
+    "bloom_filter_agg" -> (es =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(es(0), es(1), es(2))),
+    "might_contain" -> (es =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

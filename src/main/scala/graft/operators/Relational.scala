@@ -19,7 +19,38 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
-  def queries: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08)
+  def queries: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q33)
+
+  /** Runtime bloom-filter pre-filtering for a selective semi join —
+    * the manual form of Spark's runtime row-level filters: build a
+    * bloom over the small side's keys (one tiny aggregate), broadcast
+    * it, drop non-matching fact rows BEFORE the shuffle, then the
+    * exact semi join handles the bloom's false positives. At 100 TB
+    * this turns "shuffle the whole fact table" into "shuffle the ~1%
+    * that might match". Result is provably the plain semi join → the
+    * oracle is the unfiltered EXISTS.
+    */
+  val q33 = QueryDef(
+    "q33_bloom_prefilter",
+    Some("""SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_totalprice > 400000)
+      ORDER BY c_custkey""")) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    // might_contain requires its bloom as a scalar subquery (same
+    // shape Spark's InjectRuntimeFilter emits); the IN semi join
+    // absorbs bloom false positives → exact result
+    s.sql("""SELECT c_custkey, c_name FROM customer
+      WHERE might_contain(
+              (SELECT bloom_filter_agg(xxhash64(o_custkey), 50000L, 400000L)
+               FROM orders WHERE o_totalprice > 400000),
+              xxhash64(c_custkey))
+        AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+      ORDER BY c_custkey""")
+  }
 
   /** Hash aggregate with partial/final split (TPC-H Q1 shape).
     * groupBy keys are low-cardinality → map-side combine collapses the
