@@ -158,6 +158,9 @@ object GraftFunctions {
       if (!reg.functionExists(FunctionIdentifier(name)))
         reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
   }
 }
 
@@ -178,5 +181,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (FunctionIdentifier("rolling_hash"),
         new ExpressionInfo("graft.functions.RollingHash", "rolling_hash"),
         (es: Seq[Expression]) => RollingHash(es(0), es(1), es(2))))
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -11,7 +11,33 @@ import org.apache.spark.sql.functions._
   */
 object Windows {
 
-  def queries: Seq[QueryDef] = Seq(q13, q14, q15, q16, q22, q32)
+  def queries: Seq[QueryDef] = Seq(q13, q14, q15, q16, q22, q32, q34)
+
+  /** Per-key top-k through the custom whole-operator plan
+    * ([[graft.plans.TopKPerKey]] + TopKStrategy): bounded heaps in a
+    * partial stage (≤ k rows per key per partition reach the
+    * shuffle), heap-merge in the clustered final stage, NO sort
+    * anywhere. Same oracle ground truth as q32's Aggregator variant —
+    * window formulation, Aggregator, and custom operator all agree.
+    */
+  val q34 = QueryDef(
+    "q34_topk_strategy",
+    Some("""SELECT o_custkey, o_orderkey,
+      CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+              row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders)
+      WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""")) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val o = Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice")
+    graft.plans.TopK.perKey(o,
+        Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        dec2(col("o_totalprice")).as("price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
 
   /** Per-key top-k via the bounded-heap [[graft.functions.TopKAgg]]
     * Aggregator: top-3 orders by totalprice per customer. Map-side

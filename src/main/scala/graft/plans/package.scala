@@ -1,8 +1,12 @@
 package graft
 
 /** Custom Catalyst planner components (LogicalPlan / Rule /
-  * SparkStrategy / SparkPlan) would live here — and deliberately,
-  * none do.
+  * SparkStrategy / SparkPlan). Exactly one lives here —
+  * [[graft.plans.TopKPerKey]] with [[graft.plans.TopKStrategy]] — the
+  * one operator whose semantics the built-ins express only with a
+  * full per-group sort (see its scaladoc); callers reach it via
+  * [[graft.plans.TopK.perKey]], and q34 oracle-checks it against the
+  * window formulation. Everything else deliberately stays out:
   *
   * The survey's conclusion (SURVEY.md §4.2) held through the whole
   * round-1 build: every operator the reference computes or delegates
@@ -25,9 +29,9 @@ package graft
   *     connected components) → compositions with the right shuffle
   *     structure (union+window, session_window, iterative join).
   *
-  * The first candidate that WOULD belong here is a per-key top-k
-  * strategy replacing `Window(row_number) + Filter(rn <= k)` plans
-  * wholesale (today callers opt into [[graft.functions.TopKAgg]]
-  * explicitly); it is listed for round 2 in SURVEY.md §7.2.1.
+  * A possible round-2 extension is an optimizer Rule rewriting
+  * existing `Window(row_number) + Filter(rn <= k)` plans into
+  * [[TopKPerKey]] wholesale, so unmodified window queries get the
+  * sort-free plan implicitly.
   */
 package object plans
