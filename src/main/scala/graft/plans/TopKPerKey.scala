@@ -49,11 +49,15 @@ case class TopKPerKeyExec(
     if (finalStep) ClusteredDistribution(keys) :: Nil
     else UnspecifiedDistribution :: Nil
 
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning // row-filtering only: clustering is preserved
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val kLocal = k
     val keyExprs = keys
     val orderExprs = order
+    if (kLocal <= 0) return child.execute().mapPartitions(_ => Iterator.empty)
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // normalize to UnsafeRow so the downstream exchange is safe
@@ -89,14 +93,35 @@ case class TopKPerKeyExec(
     copy(child = c)
 }
 
-/** Plans [[TopKPerKey]] as partial → (exchange) → final. */
+/** Plans [[TopKPerKey]] as partial → (exchange) → final. Keys are
+  * float-normalized here (expressions are resolved by planning time):
+  * this node groups by raw row bytes, so 0.0/-0.0 and NaN bit
+  * patterns must collapse exactly as Spark's own Aggregate/Window
+  * keys do. Map-typed keys are rejected — binary equality is
+  * undefined for maps (Aggregate rejects them at analysis too).
+  */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(k, keys, order, child) =>
-      TopKPerKeyExec(k, keys, order,
-        TopKPerKeyExec(k, keys, order, planLater(child), finalStep = false),
+      keys.find(e => hasMap(e.dataType)).foreach { e =>
+        throw new UnsupportedOperationException(
+          s"graft: topKPerKey key ${e.sql} is map-typed; maps cannot be grouping keys")
+      }
+      val nkeys = keys.map(org.apache.spark.sql.GraftBridge.normalizeFloats)
+      TopKPerKeyExec(k, nkeys, order,
+        TopKPerKeyExec(k, nkeys, order, planLater(child), finalStep = false),
         finalStep = true) :: Nil
     case _ => Nil
+  }
+
+  private def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => true
+      case ArrayType(et, _) => hasMap(et)
+      case StructType(fields) => fields.exists(f => hasMap(f.dataType))
+      case _ => false
+    }
   }
 }
 
@@ -111,6 +136,8 @@ object TopK {
     */
   def perKey(df: DataFrame, keyCols: Seq[Column], orderCols: Seq[Column], k: Int): DataFrame = {
     require(k > 0, "graft: topKPerKey requires k > 0")
+    require(keyCols.nonEmpty,
+      "graft: topKPerKey requires at least one key (global top-k is orderBy().limit())")
     val sortOrders = orderCols.map(c => GraftBridge.expression(c) match {
       case so: SortOrder => so
       case e => SortOrder(e, Ascending)

@@ -38,6 +38,36 @@ class TopKSpec extends SparkSpec {
     assert(!plan.contains("Sort "))
   }
 
+  test("float keys normalize: -0.0 and 0.0 are one group, like row_number") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq((0.0, 1L), (-0.0, 2L), (0.0, 3L), (1.5, 4L)).toDF("key", "id")
+    val top = TopK.perKey(df, Seq(col("key")), Seq(col("id").asc), 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(top == Set(1L, 2L, 4L)) // zero-group keeps ids 1,2; 1.5-group keeps 4
+  }
+
+  test("downstream per-key operators reuse the operator's clustering (no re-shuffle)") {
+    graft.functions.GraftFunctions.register(spark)
+    val agg = TopK.perKey(orders, Seq(col("o_custkey")), Seq(col("o_totalprice").desc), 3)
+      .groupBy("o_custkey").count()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(o_custkey".r.findAllIn(plan).size == 1)
+  }
+
+  test("misuse fails clearly: empty keys, map-typed keys") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    assertThrows[IllegalArgumentException] {
+      TopK.perKey(orders, Seq.empty, Seq(col("o_orderkey")), 3)
+    }
+    val m = Seq((Map("a" -> 1), 1L)).toDF("mk", "id")
+    val e = intercept[Exception] {
+      TopK.perKey(m, Seq(col("mk")), Seq(col("id")), 1).collect()
+    }
+    assert(e.getMessage.contains("map"))
+  }
+
   test("k larger than any group degenerates to the full input") {
     graft.functions.GraftFunctions.register(spark)
     val all = TopK.perKey(orders, Seq(col("o_custkey")),
