@@ -21,19 +21,33 @@ final case class QueryDef(
   *
   * Determinism rules used across all queries (see SURVEY.md §7.3):
   *   - every query ends in a total ORDER BY over a unique key
-  *   - double aggregates are cast to DECIMAL — bit-stable on both engines
-  *     (an order-dependent double sum differs only ~1e-9 relative, far
-  *     below the decimal quantum)
+  *   - NO DECIMAL output columns, ever. The driver renders the oracle
+  *     side through float64 (shortest repr, '147196.0') but a Spark
+  *     parquet DECIMAL keeps its scale ('147196.00'), so any value
+  *     with a trailing zero in its last place hash-mismatches — this
+  *     was the entire round-1 red set (17 queries, CORRECTNESS_r01).
+  *     Aggregates therefore SUM IN THE DECIMAL DOMAIN (exact,
+  *     order-independent) and emit the result CAST AS DOUBLE: the
+  *     decimal→double conversion is correctly rounded in both engines
+  *     (verified bit-exact incl. unscaled > 2^53 at scale 0), so both
+  *     sides produce the identical float64.
+  *   - per-row doubles (prices, cosines from strict-fold dots) are
+  *     emitted raw — bit-identical across engines by construction
   *   - integer-ish outputs are BIGINT on both sides (DuckDB sum(int) is
   *     HUGEINT, Spark length() is INT — both need explicit casts)
   */
 object Qdsl {
-  /** money-scale aggregate: stable to a cent */
-  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
-  /** ratio/average-scale aggregate */
-  def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
-  /** similarity-scale value in [-1, 1] */
-  def dec6(c: Column): Column = c.cast(DecimalType(9, 6))
+  /** per-row money value, exact at 2 decimals (tight precision so
+    * decimal products never exceed precision 38 → no rounding) */
+  val m2: DecimalType = DecimalType(12, 2)
+  /** per-row rate in [0,1), exact at 2 decimals */
+  val r2: DecimalType = DecimalType(4, 2)
+  /** exact decimal-domain sum emitted as double — order-independent,
+    * ≡ DuckDB `CAST(sum(CAST(x AS DECIMAL(12,2))) AS DOUBLE)` */
+  def xsum2(c: Column): Column = sum(c.cast(m2)).cast("double")
+  /** exact decimal-domain average emitted as double: decimal sum →
+    * double, then one IEEE division by the group count */
+  def xavg2(c: Column): Column = xsum2(c) / count(c)
   def big(c: Column): Column = c.cast("long")
 }
 

@@ -22,17 +22,19 @@ object Aggregates {
   val q28 = QueryDef(
     "q28_salted_agg",
     Some("""SELECT l_returnflag,
-      CAST(sum(l_quantity) AS DECIMAL(18,2)) AS sum_qty,
-      CAST(sum(l_extendedprice) AS DECIMAL(18,2)) AS sum_price,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
       count(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, d) =>
     Tables.lineitem(s, d)
       .withColumn("salt", pmod(col("l_orderkey"), lit(8)))
       .groupBy("l_returnflag", "salt")
-      .agg(sum("l_quantity").as("pq"), sum("l_extendedprice").as("pp"),
+      .agg(sum(col("l_quantity").cast(m2)).as("pq"),
+        sum(col("l_extendedprice").cast(m2)).as("pp"),
         count(lit(1)).as("pn"))
       .groupBy("l_returnflag")
-      .agg(dec2(sum("pq")).as("sum_qty"), dec2(sum("pp")).as("sum_price"),
+      .agg(sum("pq").cast("double").as("sum_qty"),
+        sum("pp").cast("double").as("sum_price"),
         sum("pn").as("n"))
       .orderBy("l_returnflag")
   }
@@ -49,9 +51,9 @@ object Aggregates {
         expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 10000)").as("p"),
         count(lit(1)).as("n"))
       .select(col("l_returnflag"),
-        dec4(element_at(col("p"), 1)).as("ap50"),
-        dec4(element_at(col("p"), 2)).as("ap90"),
-        dec4(element_at(col("p"), 3)).as("ap99"),
+        element_at(col("p"), 1).as("ap50"),
+        element_at(col("p"), 2).as("ap90"),
+        element_at(col("p"), 3).as("ap99"),
         col("n"))
       .orderBy("l_returnflag")
   }
@@ -64,43 +66,57 @@ object Aggregates {
   val q26 = QueryDef(
     "q26_percentiles",
     Some("""SELECT l_returnflag,
-      CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(18,4)) AS p50_qty,
-      CAST(quantile_cont(l_quantity, 0.9) AS DECIMAL(18,4)) AS p90_qty,
-      CAST(quantile_cont(l_extendedprice, 0.95) AS DECIMAL(18,4)) AS p95_price,
-      CAST(min(l_extendedprice) AS DECIMAL(18,4)) AS min_price,
-      CAST(max(l_extendedprice) AS DECIMAL(18,4)) AS max_price
+      quantile_cont(l_quantity, 0.5) AS p50_qty,
+      quantile_cont(l_quantity, 0.9) AS p90_qty,
+      quantile_cont(l_extendedprice, 0.95) AS p95_price,
+      min(l_extendedprice) AS min_price,
+      max(l_extendedprice) AS max_price
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, d) =>
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        dec4(expr("percentile(l_quantity, 0.5D)")).as("p50_qty"),
-        dec4(expr("percentile(l_quantity, 0.9D)")).as("p90_qty"),
-        dec4(expr("percentile(l_extendedprice, 0.95D)")).as("p95_price"),
-        dec4(min("l_extendedprice")).as("min_price"),
-        dec4(max("l_extendedprice")).as("max_price"))
+        expr("percentile(l_quantity, 0.5D)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9D)").as("p90_qty"),
+        expr("percentile(l_extendedprice, 0.95D)").as("p95_price"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"))
       .orderBy("l_returnflag")
   }
 
   /** Statistical aggregates: stddev/variance/correlation/covariance.
-    * Implementations differ across engines only at ~1e-12 relative;
-    * DECIMAL(18,6) absorbs that.
+    * Native stddev/corr implementations differ across engines in the
+    * low bits (different merge orders), so the stats are derived from
+    * EXACT integer-cent moment sums (DECIMAL(38,0) — order-independent,
+    * correctly rounded to double in both engines) via ONE SQL text that
+    * runs verbatim on Spark AND DuckDB: identical parse tree → identical
+    * IEEE arithmetic → bit-identical doubles. Moments shuffle exactly
+    * like any hash aggregate (partial/final), so the 100 TB story is
+    * unchanged from a plain sum.
     */
-  val q27 = QueryDef(
-    "q27_stats",
-    Some("""SELECT o_orderstatus,
-      CAST(stddev_samp(o_totalprice) AS DECIMAL(18,4)) AS sd_price,
-      CAST(var_samp(o_totalprice) / 1000000 AS DECIMAL(18,2)) AS var_price_m,
-      CAST(corr(o_totalprice, o_custkey) AS DECIMAL(18,6)) AS corr_pc,
-      CAST(covar_samp(o_totalprice, o_custkey) / 1000000 AS DECIMAL(18,2)) AS covar_pc_m
-      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")) { (s, d) =>
-    Tables.orders(s, d)
-      .groupBy("o_orderstatus")
-      .agg(
-        dec4(stddev_samp(col("o_totalprice"))).as("sd_price"),
-        dec2(var_samp(col("o_totalprice")) / 1000000).as("var_price_m"),
-        corr(col("o_totalprice"), col("o_custkey")).cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("corr_pc"),
-        dec2(covar_samp(col("o_totalprice"), col("o_custkey")) / 1000000).as("covar_pc_m"))
-      .orderBy("o_orderstatus")
+  private val q27Sql = """SELECT o_orderstatus, sd_price, var_price_m, corr_pc, covar_pc_m FROM (
+      SELECT o_orderstatus,
+        sqrt((sxx - sx*sx/nd)/(nd-1))/100 AS sd_price,
+        ((sxx - sx*sx/nd)/(nd-1))/10000000000 AS var_price_m,
+        (sxy - sx*sy/nd)/(sqrt(sxx - sx*sx/nd)*sqrt(syy - sy*sy/nd)) AS corr_pc,
+        ((sxy - sx*sy/nd)/(nd-1))/100000000 AS covar_pc_m
+      FROM (
+        SELECT o_orderstatus,
+          CAST(count(*) AS DOUBLE) AS nd,
+          CAST(sum(CAST(xc*xc AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+          CAST(sum(CAST(xc AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(xc*y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+          CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+          CAST(sum(CAST(y*y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+        FROM (SELECT o_orderstatus,
+                CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS xc,
+                o_custkey AS y
+              FROM orders)
+        GROUP BY o_orderstatus))
+      ORDER BY o_orderstatus"""
+
+  val q27 = QueryDef("q27_stats", Some(q27Sql)) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(q27Sql)
   }
 
   /** Exact distinct aggregation — Catalyst expands to a two-phase plan
@@ -143,13 +159,13 @@ object Aggregates {
   val q11 = QueryDef(
     "q11_rollup",
     Some("""SELECT l_returnflag, l_linestatus,
-      CAST(sum(l_quantity) AS DECIMAL(18,2)) AS sum_qty,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
       count(*) AS n
       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")) { (s, d) =>
     Tables.lineitem(s, d)
       .rollup("l_returnflag", "l_linestatus")
-      .agg(dec2(sum("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(xsum2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
@@ -158,12 +174,12 @@ object Aggregates {
     "q12_cube",
     Some("""SELECT o_orderstatus, o_orderpriority,
       count(*) AS n,
-      CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS total
+      CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")) { (s, d) =>
     Tables.orders(s, d)
       .cube("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("n"), dec2(sum("o_totalprice")).as("total"))
+      .agg(count(lit(1)).as("n"), xsum2(col("o_totalprice")).as("total"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
   }
 
@@ -171,7 +187,7 @@ object Aggregates {
   val q21 = QueryDef(
     "q21_grouping_sets",
     Some("""SELECT l_returnflag, l_linestatus,
-      CAST(sum(l_extendedprice) AS DECIMAL(18,2)) AS sum_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
       count(*) AS n
       FROM lineitem
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -180,7 +196,7 @@ object Aggregates {
       .groupingSets(
         Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
         col("l_returnflag"), col("l_linestatus"))
-      .agg(dec2(sum("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
+      .agg(xsum2(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 }

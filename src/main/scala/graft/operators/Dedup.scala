@@ -158,7 +158,7 @@ object Dedup {
   val d05 = QueryDef(
     "d05_embedding_neardup",
     Some(s"""${Vec.duckNormCte}
-      SELECT va, vb, CAST(c AS DECIMAL(9,6)) AS cos_sim FROM (
+      SELECT va, vb, c AS cos_sim FROM (
         SELECT a.vec_id AS va, b.vec_id AS vb,
           ${Vec.duckDot("a.v", "b.v")} / (a.nrm * b.nrm) AS c
         FROM n a JOIN n b ON a.vec_id < b.vec_id)
@@ -168,7 +168,7 @@ object Dedup {
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
         (expr(Vec.dot("a.v", "b.v")) / (col("a.nrm") * col("b.nrm"))).as("c"))
       .where(col("c") >= 0.4)
-      .select(col("va"), col("vb"), dec6(col("c")).as("cos_sim"))
+      .select(col("va"), col("vb"), col("c").as("cos_sim"))
       .orderBy("va", "vb")
   }
   /** Dedup end-game: collapse near-dup PAIRS (d03, J ≥ 0.5) into

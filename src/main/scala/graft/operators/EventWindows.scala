@@ -51,11 +51,11 @@ object EventWindows {
     "e01_tumbling_window",
     Some("""SELECT (epoch_us(ts) - epoch_us(ts) % 600000000) AS win_start_us,
       event_type, count(*) AS n_events,
-      CAST(sum(value) AS DECIMAL(18,2)) AS sum_value
+      CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, d) =>
     Tables.events(s, d)
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), dec2(sum("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), xsum2(col("value")).as("sum_value"))
       .select(unix_micros(col("window.start")).as("win_start_us"),
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy("win_start_us", "event_type")
@@ -67,7 +67,7 @@ object EventWindows {
   val e02 = QueryDef(
     "e02_sliding_window",
     Some("""SELECT win_start_us, count(*) AS n_events,
-      CAST(sum(value) AS DECIMAL(18,2)) AS sum_value FROM (
+      CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value FROM (
         SELECT unnest([epoch_us(ts) - epoch_us(ts) % 300000000 - 300000000,
                        epoch_us(ts) - epoch_us(ts) % 300000000]) AS win_start_us,
                value
@@ -75,7 +75,7 @@ object EventWindows {
       GROUP BY 1 ORDER BY 1""")) { (s, d) =>
     Tables.events(s, d)
       .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
-      .agg(count(lit(1)).as("n_events"), dec2(sum("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), xsum2(col("value")).as("sum_value"))
       .select(unix_micros(col("window.start")).as("win_start_us"),
         col("n_events"), col("sum_value"))
       .orderBy("win_start_us")

@@ -59,13 +59,13 @@ object Relational {
   val q01 = QueryDef(
     "q01_agg",
     Some("""SELECT l_returnflag, l_linestatus,
-      CAST(sum(l_quantity) AS DECIMAL(18,2)) AS sum_qty,
-      CAST(sum(l_extendedprice) AS DECIMAL(18,2)) AS sum_base_price,
-      CAST(sum(l_extendedprice*(1-l_discount)) AS DECIMAL(18,2)) AS sum_disc_price,
-      CAST(sum(l_extendedprice*(1-l_discount)*(1+l_tax)) AS DECIMAL(18,2)) AS sum_charge,
-      CAST(avg(l_quantity) AS DECIMAL(18,4)) AS avg_qty,
-      CAST(avg(l_extendedprice) AS DECIMAL(18,4)) AS avg_price,
-      CAST(avg(l_discount) AS DECIMAL(18,4)) AS avg_disc,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+      CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(l_discount) AS avg_disc,
       count(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-12-01'
@@ -75,13 +75,15 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-12-01").cast("timestamp_ntz"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        dec2(sum("l_quantity")).as("sum_qty"),
-        dec2(sum("l_extendedprice")).as("sum_base_price"),
-        dec2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
-        dec2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
-        dec4(avg("l_quantity")).as("avg_qty"),
-        dec4(avg("l_extendedprice")).as("avg_price"),
-        dec4(avg("l_discount")).as("avg_disc"),
+        xsum2(col("l_quantity")).as("sum_qty"),
+        xsum2(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice").cast(m2) * (lit(1) - col("l_discount").cast(r2)))
+          .cast("double").as("sum_disc_price"),
+        sum(col("l_extendedprice").cast(m2) * (lit(1) - col("l_discount").cast(r2))
+          * (lit(1) + col("l_tax").cast(r2))).cast("double").as("sum_charge"),
+        xavg2(col("l_quantity")).as("avg_qty"),
+        xavg2(col("l_extendedprice")).as("avg_price"),
+        xavg2(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -118,7 +120,7 @@ object Relational {
     "q03_join_broadcast",
     Some("""SELECT r_name, n_name,
       count(*) AS n_orders,
-      CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS total_price
+      CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
       FROM orders
       JOIN customer ON o_custkey = c_custkey
       JOIN nation   ON c_nationkey = n_nationkey
@@ -132,7 +134,7 @@ object Relational {
       .groupBy("r_name", "n_name")
       .agg(
         count(lit(1)).as("n_orders"),
-        dec2(sum("o_totalprice")).as("total_price"))
+        xsum2(col("o_totalprice")).as("total_price"))
       .orderBy("r_name", "n_name")
   }
 
@@ -144,7 +146,7 @@ object Relational {
     "q04_join_large",
     Some("""SELECT o_orderpriority,
       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
-      CAST(sum(l_extendedprice*(1-l_discount)) AS DECIMAL(18,2)) AS revenue
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
       GROUP BY o_orderpriority
@@ -155,7 +157,8 @@ object Relational {
       .groupBy("o_orderpriority")
       .agg(
         big(countDistinct(col("o_orderkey"))).as("n_orders"),
-        dec2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        sum(col("l_extendedprice").cast(m2) * (lit(1) - col("l_discount").cast(r2)))
+          .cast("double").as("revenue"))
       .orderBy("o_orderpriority")
   }
 
@@ -199,6 +202,10 @@ object Relational {
   /** Equi + non-equi (theta) join condition: same-nation pairs where the
     * customer out-balances the supplier. Planned as a join on the equi
     * part with the range predicate as a post-condition — not a cartesian.
+    * supplier (the small side) is broadcast: nationkey has only 25
+    * distinct values, so a shuffled join would concentrate 1/25 of both
+    * tables on single tasks at scale — the broadcast removes that
+    * skewed exchange entirely (round-1 bench: 7.4 s → ~1 s).
     */
   val q07 = QueryDef(
     "q07_join_nonequi",
@@ -208,7 +215,7 @@ object Relational {
       JOIN nation   ON s_nationkey = n_nationkey
       GROUP BY n_name, s_suppkey
       ORDER BY n_name, s_suppkey""")) { (s, d) =>
-    Tables.supplier(s, d)
+    broadcast(Tables.supplier(s, d))
       .join(Tables.customer(s, d),
         col("s_nationkey") === col("c_nationkey") && col("c_acctbal") > col("s_acctbal"))
       .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))

@@ -40,7 +40,7 @@ object Scalars {
     "q31_sql_surface",
     Some("""SELECT o_orderpriority, n_name,
       count(*) AS n_orders,
-      CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS total
+      CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
       FROM orders JOIN customer ON o_custkey = c_custkey
                   JOIN nation ON c_nationkey = n_nationkey
       WHERE o_orderstatus = 'O' AND n_regionkey < 2
@@ -51,7 +51,7 @@ object Scalars {
     Tables.nation(s, d).createOrReplaceTempView("nation")
     s.sql("""SELECT o_orderpriority, n_name,
       count(*) AS n_orders,
-      CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS total
+      CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
       FROM orders JOIN customer ON o_custkey = c_custkey
                   JOIN nation ON c_nationkey = n_nationkey
       WHERE o_orderstatus = 'O' AND n_regionkey < 2
@@ -217,7 +217,7 @@ object Scalars {
            WHEN c_acctbal < 7000 THEN 'mid'
            ELSE 'high' END AS bal_bucket,
       count(*) AS n,
-      CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal ELSE 0 END) AS DECIMAL(18,2)) AS building_bal
+      CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN CAST(c_acctbal AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS building_bal
       FROM customer GROUP BY 1 ORDER BY bal_bucket""")) { (s, d) =>
     Tables.customer(s, d)
       .groupBy(
@@ -227,7 +227,8 @@ object Scalars {
           .otherwise("high").as("bal_bucket"))
       .agg(
         count(lit(1)).as("n"),
-        dec2(sum(when(col("c_mktsegment") === "BUILDING", col("c_acctbal")).otherwise(0))).as("building_bal"))
+        sum(when(col("c_mktsegment") === "BUILDING", col("c_acctbal").cast(m2))
+          .otherwise(lit(0).cast(m2))).cast("double").as("building_bal"))
       .orderBy("bal_bucket")
   }
 

@@ -78,7 +78,7 @@ object Similarity {
       .withColumn("rn", row_number().over(
         Window.partitionBy("va").orderBy(col("c").desc, col("nn"))))
       .where(col("rn") === 1)
-      .select(col("va"), col("cell"), col("nn"), dec6(col("c")).as("cos_sim"))
+      .select(col("va"), col("cell"), col("nn"), col("c").as("cos_sim"))
       .orderBy("va")
   }
 
@@ -90,7 +90,7 @@ object Similarity {
     "s01_cosine_topk",
     Some(s"""${Vec.duckNormCte}
       SELECT a.vec_id, a.label,
-        CAST(${Vec.duckDot("a.v", "q.v")} / (a.nrm * q.nrm) AS DECIMAL(9,6)) AS cos_sim
+        ${Vec.duckDot("a.v", "q.v")} / (a.nrm * q.nrm) AS cos_sim
       FROM n a CROSS JOIN (SELECT v, nrm FROM n WHERE vec_id = 0) q
       ORDER BY ${Vec.duckDot("a.v", "q.v")} / (a.nrm * q.nrm) DESC, a.vec_id
       LIMIT 20""")) { (s, d) =>
@@ -101,7 +101,7 @@ object Similarity {
         (expr(Vec.dot("v", "qv")) / (col("nrm") * col("qn"))).as("c"))
       .orderBy(col("c").desc, col("vec_id"))
       .limit(20)
-      .select(col("vec_id"), col("label"), dec6(col("c")).as("cos_sim"))
+      .select(col("vec_id"), col("label"), col("c").as("cos_sim"))
   }
 
   /** Approximate nearest neighbor via sign-LSH: bucket = 8 sign bits
@@ -114,7 +114,7 @@ object Similarity {
       b AS (SELECT vec_id, v, nrm,
         list_sum(list_transform(range(1, 9), i -> CASE WHEN v[i] >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END))::BIGINT AS bucket
         FROM n)
-      SELECT va, bucket, nn, CAST(c AS DECIMAL(9,6)) AS cos_sim FROM (
+      SELECT va, bucket, nn, c AS cos_sim FROM (
         SELECT a.vec_id AS va, a.bucket AS bucket, x.vec_id AS nn,
           ${Vec.duckDot("a.v", "x.v")} / (a.nrm * x.nrm) AS c,
           row_number() OVER (PARTITION BY a.vec_id
@@ -133,7 +133,7 @@ object Similarity {
       .withColumn("rn", row_number().over(
         Window.partitionBy("va").orderBy(col("c").desc, col("nn"))))
       .where(col("rn") === 1)
-      .select(col("va"), col("bucket"), col("nn"), dec6(col("c")).as("cos_sim"))
+      .select(col("va"), col("bucket"), col("nn"), col("c").as("cos_sim"))
       .orderBy("va")
   }
 
@@ -155,9 +155,9 @@ object Similarity {
       cn AS (SELECT label, c,
                sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(c, x -> x::DOUBLE * x::DOUBLE)), (acc, x) -> acc + x)) AS cnrm
              FROM cent)
-      SELECT vec_id, label, CAST(
+      SELECT vec_id, label,
           list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> n.v[i] * cn.c[i]::DOUBLE)), (acc, x) -> acc + x)
-            / (n.nrm * cn.cnrm) AS DECIMAL(9,6)) AS cos_to_centroid
+            / (n.nrm * cn.cnrm) AS cos_to_centroid
       FROM n JOIN cn USING (label) ORDER BY vec_id""")) { (s, d) =>
     val e = Vec.withNorm(Tables.embeddings(s, d))
     val q = e.select(col("vec_id"), col("label"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -168,7 +168,7 @@ object Similarity {
       .withColumn("cnrm", expr(s"sqrt(${graft.Vec.dot("c", "c")})"))
     e.join(broadcast(cent), "label")
       .select(col("vec_id"), col("label"),
-        dec6(expr(graft.Vec.dot("v", "c")) / (col("nrm") * col("cnrm"))).as("cos_to_centroid"))
+        (expr(graft.Vec.dot("v", "c")) / (col("nrm") * col("cnrm"))).as("cos_to_centroid"))
       .orderBy("vec_id")
   }
 }

@@ -23,7 +23,7 @@ object Windows {
   val q34 = QueryDef(
     "q34_topk_strategy",
     Some("""SELECT o_custkey, o_orderkey,
-      CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      o_totalprice AS price
       FROM (SELECT o_custkey, o_orderkey, o_totalprice,
               row_number() OVER (PARTITION BY o_custkey
                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -35,7 +35,7 @@ object Windows {
         Seq(col("o_custkey")),
         Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
       .select(col("o_custkey"), col("o_orderkey"),
-        dec2(col("o_totalprice")).as("price"))
+        col("o_totalprice").as("price"))
       .orderBy("o_custkey", "o_orderkey")
   }
 
@@ -48,7 +48,7 @@ object Windows {
   val q32 = QueryDef(
     "q32_topk_per_key",
     Some("""SELECT o_custkey, rn, o_orderkey,
-      CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      o_totalprice AS price
       FROM (SELECT o_custkey, o_orderkey, o_totalprice,
               row_number() OVER (PARTITION BY o_custkey
                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -60,7 +60,7 @@ object Windows {
         col("o_totalprice"), col("o_orderkey")).as("top"))
       .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "e")))
       .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rn"),
-        col("e._2").as("o_orderkey"), dec2(col("e._1")).as("price"))
+        col("e._2").as("o_orderkey"), col("e._1").as("price"))
       .orderBy("o_custkey", "rn")
   }
 
@@ -95,18 +95,24 @@ object Windows {
   val q14 = QueryDef(
     "q14_window_frames",
     Some("""SELECT o_orderkey, o_custkey,
-      CAST(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total,
-      CAST(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS moving_avg3,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3,
       count(*) OVER (PARTITION BY o_custkey) AS n_cust_orders
       FROM orders ORDER BY o_orderkey""")) { (s, d) =>
     val seq = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val run3 = seq.rowsBetween(-2, Window.currentRow)
     Tables.orders(s, d)
       .select(
         col("o_orderkey"), col("o_custkey"),
-        dec2(sum("o_totalprice").over(seq.rowsBetween(Window.unboundedPreceding, Window.currentRow))).as("running_total"),
-        dec4(avg("o_totalprice").over(seq.rowsBetween(-2, Window.currentRow))).as("moving_avg3"),
+        sum(col("o_totalprice").cast(m2))
+          .over(seq.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_total"),
+        (sum(col("o_totalprice").cast(m2)).over(run3).cast("double")
+          / count(lit(1)).over(run3)).as("moving_avg3"),
         count(lit(1)).over(Window.partitionBy("o_custkey")).as("n_cust_orders"))
       .orderBy("o_orderkey")
   }

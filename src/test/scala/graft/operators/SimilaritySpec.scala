@@ -11,7 +11,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("s04 IVF ANN is deterministic across runs") {
     def run() = Similarity.s04.fn(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDecimal(3))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
     val a = run()
     val b = run()
     assert(a == b)
@@ -29,6 +29,6 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.nonEmpty)
     // symmetric sanity: if a's NN is b with cosine c, then b's NN cosine >= c - epsilon is not guaranteed,
     // but every reported cosine must be within [-1, 1]
-    lsh.foreach(r => assert(math.abs(r.getDecimal(3).doubleValue) <= 1.0 + 1e-9))
+    lsh.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
   }
 }
