@@ -58,7 +58,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist to a well-known file: sbt/Spark log noise swallowed
+    // the stdout line in round 1 (BENCH_r01 "parsed": null).
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
     spark.stop()
   }
 }

@@ -3,7 +3,6 @@ package graft.engine
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import java.io.{BufferedWriter, OutputStreamWriter}
 import java.nio.charset.StandardCharsets
 
 /** The archiver: read → project → null-overlay → format → sink, the
@@ -16,9 +15,10 @@ import java.nio.charset.StandardCharsets
   *
   * Sink semantics: the reference streams one S3 object per archive
   * through an io.Pipe (bounded memory, chiv.go:127–143). Here:
-  *   - parity mode: one exact-named object, streamed driver-side from
-  *     `toLocalIterator` (one partition in flight, bounded memory) —
-  *     correct for archive-sized outputs, single-stream by definition.
+  *   - parity mode: one exact-named object — partitions format in
+  *     parallel to staged byte files, then the driver concatenates
+  *     them byte-for-byte to the exact key (bounded memory, pure I/O
+  *     on the sequential leg).
   *   - sharded mode (`sharded = true`): the 100 TB path — executors
   *     write part objects under `<key>/` in parallel via the
   *     committer; CSV gets a header per part, JSON degrades to
@@ -66,28 +66,59 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
     val fmt = RowFormatter.of(cfg.format)
     val schema = df.schema
     val nullValue = cfg.nullValue
-    // Format on executors (the expensive part, fully parallel)…
-    val lines = stage("download") {
-      df.mapPartitions(_.map(r => fmt.row(schema, r, nullValue)))(
-        org.apache.spark.sql.Encoders.STRING)
+    val staging = dest + ".staging"
+    // Format on executors (the expensive part), every partition IN
+    // PARALLEL in one Spark job, each streaming its rows — joined by
+    // the in-part separators — to one staged byte file. (The previous
+    // toLocalIterator implementation ran one sequential job per
+    // partition: 34 s vs 3.6 s sharded at sf0.1, and a hard driver
+    // bottleneck at scale.)
+    val bcConf = spark.sparkContext.broadcast(
+      new org.apache.spark.SerializableWritable(spark.sparkContext.hadoopConfiguration))
+    val stagedRdd = stage("download") {
+      val sep = fmt.separator
+      df.rdd.mapPartitionsWithIndex { (idx, it) =>
+        val path = new Path(f"$staging/part-$idx%05d")
+        val fs = path.getFileSystem(bcConf.value.value)
+        var any = false
+        val out = new java.io.BufferedOutputStream(fs.create(path, true), 1 << 20)
+        try {
+          it.foreach { r =>
+            if (any && sep.nonEmpty) out.write(sep.getBytes(StandardCharsets.UTF_8))
+            out.write(fmt.row(schema, r, nullValue).getBytes(StandardCharsets.UTF_8))
+            any = true
+          }
+        } finally out.close()
+        if (!any) fs.delete(path, false)
+        Iterator.single((idx, any))
+      }
     }
-    // …stream to one exact-named object (parity with the reference's
-    // single-upload contract; one partition buffered at a time).
+    // …then ONE sequential driver-side byte concatenation to the
+    // exact key: pure I/O at filesystem copy speed (no row decode, no
+    // per-partition job scheduling), preserving header / array
+    // framing at the seams. Single-object output is driver-bound by
+    // contract (one named object); sharded mode is the scale path.
     stage("upload") {
+      val parts = stagedRdd.collect()
       val path = new Path(dest)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val out = new BufferedWriter(new OutputStreamWriter(
-        fs.create(path, true), StandardCharsets.UTF_8), 1 << 20)
+      val out = new java.io.BufferedOutputStream(fs.create(path, true), 1 << 20)
       try {
-        out.write(fmt.open(schema))
+        out.write(fmt.open(schema).getBytes(StandardCharsets.UTF_8))
         var first = true
-        lines.toLocalIterator.forEachRemaining { line =>
-          if (!first && fmt.separator.nonEmpty) out.write(fmt.separator)
-          out.write(line)
-          first = false
+        parts.sortBy(_._1).foreach { case (idx, any) =>
+          if (any) {
+            if (!first && fmt.separator.nonEmpty)
+              out.write(fmt.separator.getBytes(StandardCharsets.UTF_8))
+            val in = fs.open(new Path(f"$staging/part-$idx%05d"))
+            try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 1 << 20, false)
+            finally in.close()
+            first = false
+          }
         }
-        out.write(fmt.close)
+        out.write(fmt.close.getBytes(StandardCharsets.UTF_8))
       } finally out.close()
+      fs.delete(new Path(staging), true)
     }
   }
 

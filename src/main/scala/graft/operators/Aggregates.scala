@@ -148,8 +148,8 @@ object Aggregates {
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        big(approx_count_distinct(col("l_partkey"), 0.02)).as("approx_parts"),
-        big(approx_count_distinct(col("l_suppkey"), 0.02)).as("approx_supps"))
+        big(approx_count_distinct(col("l_partkey"), 0.05)).as("approx_parts"),
+        big(approx_count_distinct(col("l_suppkey"), 0.05)).as("approx_supps"))
       .orderBy("l_returnflag")
   }
 

@@ -206,19 +206,22 @@ object Dedup {
     val edges = pairs.union(pairs.select(col("db"), col("da"))).toDF("a", "b")
       .cache()
     val nodes = edges.select(col("a").as("doc_id")).distinct()
-    var labels = nodes.withColumn("lbl", col("doc_id")).cache()
+    // localCheckpoint (eager) each round: truncates the ever-deepening
+    // lineage AND materializes `next` once, so the convergence test is
+    // a cheap count over checkpointed data instead of a third
+    // join+isEmpty job per iteration (round-1: 20 s → ~4 s at sf0.1).
+    var labels = nodes.withColumn("lbl", col("doc_id")).localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
       val neighborMin = edges.join(labels, edges("b") === labels("doc_id"))
         .groupBy(edges("a").as("doc_id")).agg(min("lbl").as("nlbl"))
       val next = labels.join(neighborMin, "doc_id")
-        .select(col("doc_id"), least(col("lbl"), col("nlbl")).as("lbl"))
-        .cache()
-      converged = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
-        .where(col("lbl") =!= col("old")).isEmpty
-      labels.unpersist()
-      labels = next
+        .select(col("doc_id"), least(col("lbl"), col("nlbl")).as("lbl"),
+          (col("nlbl") < col("lbl")).as("changed"))
+        .localCheckpoint()
+      converged = next.where(col("changed")).count() == 0L
+      labels = next.drop("changed")
       iter += 1
     }
     if (!converged)
