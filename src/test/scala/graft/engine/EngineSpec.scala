@@ -47,6 +47,24 @@ class EngineSpec extends SparkSpec {
     assert(read(dest) == golden("postgres.csv"))
   }
 
+  test("two tables archived sequentially through one Engine (chiv two-tables case)") {
+    // chiv_integration_test.go:193–218: one Archiver, two Archive calls
+    // into the same bucket, each object matching its own golden.
+    import spark.implicits._
+    val first = Seq(
+      ("some second text", 22), ("lorem second ipsum", 23), ("final row", 24))
+      .toDF("text_column", "integer_column")
+    val second = Seq(("some text", 12), ("lorem ipsum", 13))
+      .toDF("text_column", "integer_column")
+    val dir = tmpDir
+    val e = new Engine(spark)
+    val d1 = e.archiveDF(first, dir.toString, "first_table")
+    val d2 = e.archiveDF(second, dir.toString, "second_table")
+    assert(d1 == s"$dir/first_table.csv" && d2 == s"$dir/second_table.csv")
+    assert(read(d1) == golden("two_tables_first.csv"))
+    assert(read(d2) == golden("two_tables_second.csv"))
+  }
+
   test("format + key/extension options follow chiv defaulting") {
     val dir = tmpDir
     val e = new Engine(spark, ArchiveConfig(format = Format.JsonArray))

@@ -110,4 +110,37 @@ class FormatterSpec extends AnyFunSuite {
     assert(one("{\"k\":1}") == "'{\"k\":1}'")
     assert(one("it's") == "'it''s'")
   }
+
+  // MariaDB corpus (reference testdata/mariadb/happy.*): the driver
+  // surfaces BOOLEAN as TINYINT, so bool cells arrive as Byte 1/0 and
+  // must render as bare integers — the driver-dependent rendering
+  // SURVEY §1.2 calls out (vs postgres true/false above).
+  private val mariaSchema = StructType(Seq(
+    StructField("id", IntegerType),
+    StructField("text_column", StringType),
+    StructField("char_column", StringType),
+    StructField("int_column", IntegerType),
+    StructField("float_column", DoubleType),
+    StructField("bool_column", ByteType),
+    StructField("ts_column", TimestampType)))
+
+  private val mariaRows = Seq(
+    Row(1, "some text", "some chars", 42, 3.14, 1.toByte,
+      ts("2018-01-04T00:00:00Z")),
+    Row(2, "some other text", null, 100, 3.141592, 1.toByte,
+      ts("2018-02-04T00:00:00Z")),
+    Row(3, "some more text", "some more chars", 101, null, 0.toByte,
+      ts("2018-02-05T00:00:00Z")))
+
+  test("CSV matches mariadb happy.csv byte-for-byte (TINYINT bools as 1/0)") {
+    assert(render(CsvFormatter, mariaSchema, mariaRows) == golden("mariadb.csv"))
+  }
+
+  test("JSON matches mariadb happy.json byte-for-byte") {
+    assert(render(JsonArrayFormatter, mariaSchema, mariaRows) == golden("mariadb.json"))
+  }
+
+  test("YAML matches mariadb happy.yaml byte-for-byte") {
+    assert(render(YamlFormatter, mariaSchema, mariaRows) == golden("mariadb.yaml"))
+  }
 }
