@@ -74,4 +74,46 @@ class TopKSpec extends SparkSpec {
       Seq(col("o_orderkey").asc), 1000000).count()
     assert(all == orders.count())
   }
+
+  // --- TopKRewrite: the optimizer rule that hands users the custom
+  // operator when they write the row_number()≤k idiom themselves ---
+
+  private def windowTopK(k: Int) = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+  }
+
+  test("rewrite: row_number()<=k + drop-rn projection becomes TopKPerKey") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = windowTopK(3)
+    assert(df.queryExecution.optimizedPlan.exists(_.isInstanceOf[TopKPerKey]))
+    val plan = df.queryExecution.executedPlan.toString
+    assert("TopKPerKey".r.findAllIn(plan).size == 2)
+    assert(!plan.contains("WindowExec"))
+    // and the rewritten plan returns exactly the window answer
+    val rewritten = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = TopK.perKey(orders, Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rewritten == direct && rewritten.nonEmpty)
+  }
+
+  test("rewrite leaves rn-keeping and rank() formulations untouched") {
+    graft.functions.GraftFunctions.register(spark)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    // output keeps rn → TopKPerKey cannot produce it → no rewrite
+    val keepsRn = orders.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select("o_custkey", "rn")
+    assert(!keepsRn.queryExecution.optimizedPlan.exists(_.isInstanceOf[TopKPerKey]))
+    // rank() admits >k rows on ties → not a top-k → no rewrite
+    val ranked = orders.withColumn("rk", rank().over(w))
+      .where(col("rk") <= 3)
+      .select("o_custkey", "o_orderkey")
+    assert(!ranked.queryExecution.optimizedPlan.exists(_.isInstanceOf[TopKPerKey]))
+  }
 }
