@@ -55,6 +55,43 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
     dest
   }
 
+  /** ArchiveWithContext (A2, chiv.go:32–34): the same archive, but
+    * cancellable mid-flight. chiv threads a `context.Context` through
+    * the row loop (chiv.go:166–168); the Spark analogue is a job
+    * group — every job the archive submits is tagged, and `cancel()`
+    * kills the running stages cluster-wide (`interruptOnCancel` sends
+    * a thread interrupt to executor tasks).
+    *
+    * One deliberate divergence: chiv's per-row check returns `nil` on
+    * cancellation, so a cancelled context can yield a silently
+    * truncated but "successful" object (SURVEY §3.1 note (a)). At
+    * 100 TB a truncated-but-green archive is data corruption, so here
+    * cancellation surfaces as a stage-prefixed [[ArchiveException]]
+    * and the destination object is never committed (the staged parts
+    * are discarded with the job).
+    */
+  def archiveDFCancellable(df: DataFrame, destDir: String, table: String = "table",
+      config: ArchiveConfig => ArchiveConfig = identity): ArchiveJob = {
+    val group = s"graft-archive-$table-${java.util.UUID.randomUUID()}"
+    val promise = scala.concurrent.Promise[String]()
+    val runner = new Thread(() => {
+      try {
+        // job-group tags are thread-local: every action archiveDF
+        // runs from this thread inherits the group
+        spark.sparkContext.setJobGroup(group, s"graft archive $table",
+          interruptOnCancel = true)
+        try promise.success(archiveDF(df, destDir, table, config))
+        finally spark.sparkContext.clearJobGroup()
+      } catch {
+        case e: ArchiveException => promise.failure(e)
+        case e: Throwable => promise.failure(new ArchiveException("download", e))
+      }
+    }, group)
+    runner.setDaemon(true)
+    runner.start()
+    new ArchiveJob(spark, group, promise.future)
+  }
+
   /** True for formats written by Spark's columnar writers rather than
     * the row formatters.
     */
@@ -181,4 +218,31 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
       case e: ArchiveException => throw e
       case e: Exception => throw new ArchiveException(name, e)
     }
+}
+
+/** Handle on a cancellable in-flight archive (A2). `cancel()` is the
+  * `context.CancelFunc`; `await()` is the blocking `Archive...` call
+  * returning the destination key or throwing the stage-prefixed
+  * error (first error wins, exactly like chiv's errgroup join,
+  * chiv.go:142).
+  */
+final class ArchiveJob private[engine] (
+    spark: SparkSession, val group: String,
+    val result: scala.concurrent.Future[String]) {
+
+  /** Cancel every Spark job this archive submitted — running stages
+    * are interrupted AND jobs the archive has not yet submitted (the
+    * upload leg after the staged write) fail fast, so a cancel
+    * between stages cannot half-commit. Idempotent; a no-op after
+    * completion.
+    */
+  def cancel(reason: String = "archive cancelled"): Unit =
+    spark.sparkContext.cancelJobGroupAndFutureJobs(group, reason)
+
+  def isCompleted: Boolean = result.isCompleted
+
+  /** Block for the destination key, or throw the ArchiveException. */
+  def await(timeout: scala.concurrent.duration.Duration =
+      scala.concurrent.duration.Duration.Inf): String =
+    scala.concurrent.Await.result(result, timeout)
 }

@@ -1,0 +1,51 @@
+package graft.engine
+
+import graft.SparkSpec
+
+import java.nio.file.Files
+import scala.concurrent.duration._
+
+/** A2 `ArchiveWithContext` semantics (chiv.go:32–34): a running
+  * archive can be cancelled mid-flight; cancellation surfaces as the
+  * stage-prefixed error (NOT chiv's silent truncation, chiv.go:166–
+  * 168 — see the archiveDFCancellable Scaladoc for the deliberate
+  * divergence) and the destination object is never committed.
+  */
+class CancellationSpec extends SparkSpec {
+
+  test("cancel() aborts a running archive with a stage-prefixed error, no object committed") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-cancel").toString
+    // A row source that cannot finish quickly: ~80 s of executor
+    // sleep across 4 partitions. Cancellation must land mid-job.
+    val slow = org.apache.spark.sql.functions.udf { (i: Long) =>
+      Thread.sleep(100L); i
+    }
+    val df = spark.range(0, 3200, 1, 4).toDF("id")
+      .withColumn("id", slow($"id"))
+    val job = new Engine(spark).archiveDFCancellable(df, out, "slow")
+    Thread.sleep(1500) // let the staged write start
+    assert(!job.isCompleted)
+    val t0 = System.nanoTime()
+    job.cancel("test cancel")
+    val e = intercept[ArchiveException] { job.await(60.seconds) }
+    val waited = (System.nanoTime() - t0) / 1e9
+    // stage-prefixed, prompt, and the exact key never appeared
+    assert(e.getMessage.startsWith("graft: "))
+    assert(waited < 30.0, s"cancellation took ${waited}s")
+    assert(!Files.exists(java.nio.file.Paths.get(s"$out/slow.csv")))
+  }
+
+  test("cancellable API completes normally when not cancelled") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-cancel").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val job = new Engine(spark).archiveDFCancellable(df, out, "ok")
+    val dest = job.await(60.seconds)
+    assert(dest.endsWith("/ok.csv"))
+    val bytes = new String(Files.readAllBytes(java.nio.file.Paths.get(dest)))
+    assert(bytes == "id,v\n1,a\n2,b\n")
+    job.cancel() // after completion: a no-op
+    assert(job.isCompleted)
+  }
+}
