@@ -67,6 +67,13 @@ object Windows {
   /** row_number / rank / dense_rank / ntile. row_number's window orders
     * by a unique tiebreak (suppkey) — without it the result is
     * nondeterministic and can never hash-match an oracle.
+    *
+    * SCALE NOTE: `nation_seq` and `quartile` use UNPARTITIONED windows
+    * (`OVER (ORDER BY …)` with no PARTITION BY), which Spark executes
+    * as a single-partition sort — acceptable only because supplier is
+    * dimension-sized. Never copy this shape onto a fact table: a
+    * global dense_rank belongs in a join against a ranked dimension,
+    * and a global ntile is better served by approx percentile cuts.
     */
   val q13 = QueryDef(
     "q13_window_rank",
