@@ -20,8 +20,13 @@ class DeterminismSpec extends SparkSpec {
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  // q01/q14/e01/s01 joined the list in round 2: they are the
+  // representatives of the formerly hash-red decimal-domain rewrites
+  // (group sums, window frame sums, event-window sums, cosine folds)
+  // whose order-independence this spec pins.
   for (name <- Seq("q28_salted_agg", "s03_label_centroid", "d03_ngram_jaccard",
-      "d06_dedup_survivors", "x05_train_test_split", "q32_topk_per_key")) {
+      "d06_dedup_survivors", "x05_train_test_split", "q32_topk_per_key",
+      "q01_agg", "q14_window_frames", "e01_tumbling_window", "s01_cosine_topk")) {
     test(s"$name is invariant to shuffle partition count (3 vs 17)") {
       assert(collectWith(3, name) == collectWith(17, name))
     }
