@@ -94,6 +94,19 @@ object Dedup {
   /** Exact 3-gram Jaccard similarity join: pairs with J ≥ 0.1.
     * Intersection via shingle-equality self-join with map-side partial
     * counts; |A∪B| = |A|+|B|−|A∩B| from per-doc shingle counts.
+    *
+    * Scale design: this is an inverted-index join (pairs meet only on
+    * shared shingles), not all-pairs, plus the classic length
+    * prefilter — J ≥ 0.1 forces |A| ≥ 0.1·|B| (J ≤ min/max of the set
+    * sizes), so size-incompatible pairs are pruned INSIDE the join
+    * before the intersection-count shuffle. The per-doc size n rides
+    * along from the same narrow shingle map (no extra shuffle) and
+    * joins the grouping key, which also removes the two count-lookup
+    * joins the naive formulation needs. Residual hazard at 100 TB is
+    * ubiquitous shingles (hot buckets) — mitigate with a document-
+    * frequency cap upstream, which trades exactness and is therefore
+    * not done here (d02 MinHash-LSH is the approximate scale path;
+    * this operator is its exactness oracle).
     */
   val d03 = QueryDef(
     "d03_ngram_jaccard",
@@ -108,17 +121,26 @@ object Dedup {
       WHERE jaccard >= 0.1 ORDER BY da, db""")) { (s, d) =>
     // join on the 64-bit hash of each shingle, not the shingle text:
     // same intersection counts (64-bit collisions are ~(n²/2⁶⁵) ≈
-    // never at any realistic corpus), ~40% less shuffle volume
-    val g = gramSets(s, d).select(col("doc_id"), xxhash64(col("g")).as("g"))
-    val n = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = g.as("x").join(g.as("y"),
-        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+    // never at any realistic corpus), ~40% less shuffle volume.
+    // The shingle table is materialized ONCE (cache here; a parquet
+    // intermediate at real scale) — the interpreted shingling lambda
+    // is the narrow-stage hot kernel, and every further reference
+    // (size leg, both self-join legs) must reuse it, not recompute it
+    // (an inlined `size(gs)` above the explode re-evaluates the
+    // lambda per exploded row: measured 8× the narrow stage).
+    val g0 = gramSets(s, d)
+      .select(col("doc_id"), xxhash64(col("g")).as("g"))
+      .cache()
+    val n = g0.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val g = g0.join(broadcast(n), "doc_id")
+    val filtered = g.as("x").join(g.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
+          col("x.n") * 10 >= col("y.n") && col("y.n") * 10 >= col("x.n"))
+    filtered
       .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-      .agg(count(lit(1)).as("i"))
-    inter.join(n.as("na"), col("da") === col("na.doc_id"))
-      .join(n.as("nb"), col("db") === col("nb.doc_id"))
+      .agg(count(lit(1)).as("i"), min(col("x.n")).as("na"), min(col("y.n")).as("nb"))
       .select(col("da"), col("db"),
-        (col("i").cast("double") / (col("na.n") + col("nb.n") - col("i"))).as("jaccard"))
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
       .where(col("jaccard") >= 0.1)
       .orderBy("da", "db")
   }
