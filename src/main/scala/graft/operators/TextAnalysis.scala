@@ -15,7 +15,61 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  def queries: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06)
+  def queries: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07)
+
+  /** Benchmark-contamination detection (the decontamination pass every
+    * serious training pipeline runs): for each eval-set document, find
+    * training documents that CONTAIN it — |grams(eval) ∩ grams(train)|
+    * / |grams(eval)| ≥ 0.5 over distinct 5-gram word shingles.
+    * Containment is asymmetric (a short eval doc inside a long train
+    * doc scores 1.0 where Jaccard would be tiny), which is exactly why
+    * decontamination uses it instead of d03's symmetric similarity.
+    * The eval set here is the deterministic `doc_id % 50 = 0` slice.
+    *
+    * Scale design: inverted-index join on hashed shingles — eval-side
+    * grams meet train-side grams only on equal shingles, so work is
+    * proportional to shared-shingle pairs, never |eval|×|train|; the
+    * shingle table is computed once (cache; parquet intermediate at
+    * real scale) and the eval-side size table is tiny (|eval docs|)
+    * and broadcast. Containment = exact-int ÷ exact-int in double —
+    * bit-identical to the oracle.
+    */
+  val x07 = QueryDef(
+    "x07_contamination",
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      grams AS (SELECT DISTINCT doc_id, ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]||' '||ts[i+4] AS g
+                FROM toks, unnest(range(1, len(ts) - 3)) AS r(i) WHERE len(ts) >= 5),
+      cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+      inter AS (SELECT e.doc_id AS eval_id, t.doc_id AS train_id, count(*) AS i
+                FROM grams e JOIN grams t ON e.g = t.g
+                WHERE e.doc_id % 50 = 0 AND t.doc_id % 50 <> 0
+                GROUP BY 1, 2)
+      SELECT eval_id, train_id, i::DOUBLE / c.n AS containment
+      FROM inter JOIN cnt c ON c.doc_id = eval_id
+      WHERE i::DOUBLE / c.n >= 0.5
+      ORDER BY eval_id, train_id""")) { (s, d) =>
+    val g = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, size(toks) - 4),
+          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+          |    element_at(toks, i + 2), element_at(toks, i + 3), element_at(toks, i + 4))))"""
+          .stripMargin)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("g"))
+      .cache()
+    val ev = g.where(col("doc_id") % 50 === 0)
+    val tr = g.where(col("doc_id") % 50 =!= 0)
+    val nEval = ev.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    ev.as("e").join(tr.as("t"), col("e.g") === col("t.g"))
+      .groupBy(col("e.doc_id").as("eval_id"), col("t.doc_id").as("train_id"))
+      .agg(count(lit(1)).as("i"))
+      .join(broadcast(nEval), col("eval_id") === nEval("doc_id"))
+      .select(col("eval_id"), col("train_id"),
+        (col("i").cast("double") / col("n")).as("containment"))
+      .where(col("containment") >= 0.5)
+      .orderBy("eval_id", "train_id")
+  }
 
   /** Deterministic train/valid/test split: the x04 rolling fingerprint
     * mod 10 buckets 80/10/10. Content-addressed (not row-order or
