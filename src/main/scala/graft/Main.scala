@@ -19,32 +19,37 @@ import org.apache.spark.sql.SparkSession
   */
 object Main {
   def main(args: Array[String]): Unit = {
-    val opts = parse(args.toList, Map.empty)
-    def req(k: String): String = opts.getOrElse(k,
-      sys.error(s"graft: missing required flag -$k"))
-
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-archive")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
-    try {
-      val cfg = ArchiveConfig(
-        format = opts.get("f").map {
-          case "csv" => Format.Csv
-          case "json" => Format.JsonArray
-          case "yaml" => Format.Yaml
-          case other => sys.error(s"graft: unknown format: $other")
-        }.getOrElse(Format.Csv),
-        key = opts.get("k"),
-        extension = opts.get("e"),
-        nullValue = opts.get("n"),
-        columns = opts.get("c").map(_.split(",").toSeq).getOrElse(Nil),
-        sharded = opts.contains("sharded"))
-      val dest = new Engine(spark, cfg).archive(req("d"), req("t"), req("b"))
-      println(s"archived ${req("t")} -> $dest")
-    } finally spark.stop()
+    try println(s"archived ${run(spark, args)}")
+    finally spark.stop()
+  }
+
+  /** Flag parsing + archive on a caller-owned session (separated from
+    * `main` so the CLI path is testable without stopping the JVM-wide
+    * session). Returns the destination key.
+    */
+  def run(spark: SparkSession, args: Array[String]): String = {
+    val opts = parse(args.toList, Map.empty)
+    def req(k: String): String = opts.getOrElse(k,
+      sys.error(s"graft: missing required flag -$k"))
+    val cfg = ArchiveConfig(
+      format = opts.get("f").map {
+        case "csv" => Format.Csv
+        case "json" => Format.JsonArray
+        case "yaml" => Format.Yaml
+        case other => sys.error(s"graft: unknown format: $other")
+      }.getOrElse(Format.Csv),
+      key = opts.get("k"),
+      extension = opts.get("e"),
+      nullValue = opts.get("n"),
+      columns = opts.get("c").map(_.split(",").toSeq).getOrElse(Nil),
+      sharded = opts.contains("sharded"))
+    new Engine(spark, cfg).archive(req("d"), req("t"), req("b"))
   }
 
   @annotation.tailrec

@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** CLI surface (A7, cmd/chiv/main.go:22–161): same flags, end-to-end
+  * through `Main.run` on the shared session.
+  */
+class MainSpec extends SparkSpec {
+
+  private val data = "/root/testdata/sf0.001"
+
+  private def read(dest: String): String =
+    new String(Files.readAllBytes(Paths.get(dest)), StandardCharsets.UTF_8)
+
+  test("-d -t -b archives a table to CSV by default") {
+    val out = Files.createTempDirectory("graft-cli").toString
+    val dest = Main.run(spark, Array("-d", data, "-t", "region", "-b", out))
+    assert(dest == s"$out/region.csv")
+    val body = read(dest)
+    assert(body.startsWith("r_regionkey,r_name\n"))
+    assert(body.linesIterator.size == 6) // header + 5 regions
+  }
+
+  test("-f json -c -e compose like chiv's flags; explicit -k wins verbatim") {
+    val out = Files.createTempDirectory("graft-cli").toString
+    val dest = Main.run(spark, Array(
+      "-d", data, "-t", "region", "-b", out,
+      "-f", "json", "-c", "r_name", "-e", "jsonarr"))
+    assert(dest == s"$out/region.jsonarr")
+    val body = read(dest)
+    assert(body.startsWith("[") && body.endsWith("]"))
+    assert(body.contains(""""r_name":"AFRICA""""))
+    assert(!body.contains("r_regionkey"))
+    // chiv key semantics: an explicit key is used verbatim, no
+    // extension negotiation (chiv.go:224–233)
+    val keyed = Main.run(spark, Array(
+      "-d", data, "-t", "region", "-b", out, "-k", "regions"))
+    assert(keyed == s"$out/regions")
+  }
+
+  test("missing required flag fails with the graft-prefixed error") {
+    val e = intercept[RuntimeException] {
+      Main.run(spark, Array("-d", data, "-t", "region"))
+    }
+    assert(e.getMessage == "graft: missing required flag -b")
+  }
+
+  test("unknown format fails with the graft-prefixed error") {
+    val e = intercept[RuntimeException] {
+      Main.run(spark, Array("-d", data, "-t", "region", "-b", "/tmp/x", "-f", "xml"))
+    }
+    assert(e.getMessage == "graft: unknown format: xml")
+  }
+}
