@@ -135,6 +135,83 @@ object RollingHash {
   }
 }
 
+/** Distinct hashed word n-gram shingles of a text, in one pass over
+  * the UTF-8 bytes — the narrow-stage kernel behind the d03 Jaccard
+  * and x07 contamination inverted-index joins. Exactly equivalent
+  * (modulo 64-bit hash collisions, which both callers already accept)
+  * to the HOF pipeline
+  *
+  * {{{
+  *   xxhash64(explode(array_distinct(transform(
+  *     sequence(1, size(split(text,' ')) - (n-1)),
+  *     i -> concat_ws(' ', tok_i … tok_{i+n-1})))))
+  * }}}
+  *
+  * because a space-joined window of consecutive split(" ")-tokens IS
+  * the source byte range between its token boundaries (single-space
+  * separator, empties preserved — split keeps them with limit −1),
+  * and the hash seed (42) matches Spark's `xxhash64`. No token
+  * strings, gram strings, or per-element lambda frames are ever
+  * materialized. Fewer than n tokens → empty array (the callers'
+  * `size(toks) ≥ n` guard, folded in).
+  */
+case class ShingleHashes(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(s: Any, n: Any): Any =
+    ShingleHashes.compute(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, n) => s"graft.functions.ShingleHashes.compute($s, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleHashes =
+    copy(left = newLeft, right = newRight)
+}
+
+object ShingleHashes {
+  def compute(s: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    // token start offsets: 0 and every byte after a 0x20 (a space byte
+    // never occurs inside a multi-byte UTF-8 sequence)
+    var starts = new Array[Int](16)
+    starts(0) = 0
+    var m = 1
+    var p = 0
+    while (p < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + p) == 0x20) {
+        if (m == starts.length) starts = java.util.Arrays.copyOf(starts, m * 2)
+        starts(m) = p + 1
+        m += 1
+      }
+      p += 1
+    }
+    if (m < n || n <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val seen = new java.util.HashSet[java.lang.Long](math.max(16, (m - n + 1) * 2))
+    val out = new Array[Long](m - n + 1)
+    var k = 0
+    var i = 0
+    while (i <= m - n) {
+      val a = starts(i)
+      // gram i ends where token i+n-1 ends: one byte before the next
+      // token's start, or at the end of the string
+      val b = if (i + n < m) starts(i + n) - 1 else len
+      val h = XXH64.hashUnsafeBytes(base, off + a, b - a, 42L)
+      if (seen.add(h)) { out(k) = h; k += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (k == out.length) out else java.util.Arrays.copyOf(out, k))
+  }
+}
+
 /** Registration: both through [[GraftExtensions]] (the library way,
   * `spark.sql.extensions=graft.functions.GraftExtensions`) and
   * [[GraftFunctions.register]] for sessions built without extensions.
@@ -144,6 +221,7 @@ object GraftFunctions {
     "simhash64" -> (es => SimHash64(es.head)),
     "vec_dot" -> (es => VecDot(es(0), es(1))),
     "rolling_hash" -> (es => RollingHash(es(0), es(1), es(2))),
+    "shingle_hashes" -> (es => ShingleHashes(es(0), es(1))),
     // Spark ships these only in the internal registry (they back the
     // runtime row-level filter rule); surface them for explicit
     // bloom-prefilter plans (q33)
@@ -184,6 +262,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (FunctionIdentifier("rolling_hash"),
         new ExpressionInfo("graft.functions.RollingHash", "rolling_hash"),
         (es: Seq[Expression]) => RollingHash(es(0), es(1), es(2))))
+    ext.injectFunction(
+      (FunctionIdentifier("shingle_hashes"),
+        new ExpressionInfo("graft.functions.ShingleHashes", "shingle_hashes"),
+        (es: Seq[Expression]) => ShingleHashes(es(0), es(1))))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
   }

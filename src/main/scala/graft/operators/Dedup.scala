@@ -121,15 +121,15 @@ object Dedup {
       WHERE jaccard >= 0.1 ORDER BY da, db""")) { (s, d) =>
     // join on the 64-bit hash of each shingle, not the shingle text:
     // same intersection counts (64-bit collisions are ~(n²/2⁶⁵) ≈
-    // never at any realistic corpus), ~40% less shuffle volume.
-    // The shingle table is materialized ONCE (cache here; a parquet
-    // intermediate at real scale) — the interpreted shingling lambda
-    // is the narrow-stage hot kernel, and every further reference
-    // (size leg, both self-join legs) must reuse it, not recompute it
-    // (an inlined `size(gs)` above the explode re-evaluates the
-    // lambda per exploded row: measured 8× the narrow stage).
-    val g0 = gramSets(s, d)
-      .select(col("doc_id"), xxhash64(col("g")).as("g"))
+    // never at any realistic corpus), ~40% less shuffle volume; the
+    // hashes come from the native one-pass shingle_hashes kernel
+    // (ExpressionsSpec pins equivalence to the split/transform/
+    // array_distinct/xxhash64 pipeline). The shingle table is
+    // materialized ONCE (cache here; a parquet intermediate at real
+    // scale) so the self-join legs and the count leg reuse it.
+    graft.functions.GraftFunctions.register(s)
+    val g0 = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr("shingle_hashes(text, 3)")).as("g"))
       .cache()
     val n = g0.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val g = g0.join(broadcast(n), "doc_id")

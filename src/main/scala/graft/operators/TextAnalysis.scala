@@ -48,15 +48,9 @@ object TextAnalysis {
       FROM inter JOIN cnt c ON c.doc_id = eval_id
       WHERE i::DOUBLE / c.n >= 0.5
       ORDER BY eval_id, train_id""")) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
     val g = Tables.documents(s, d)
-      .withColumn("toks", split(col("text"), " "))
-      .where(size(col("toks")) >= 5)
-      .select(col("doc_id"), explode(expr(
-        """array_distinct(transform(sequence(1, size(toks) - 4),
-          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
-          |    element_at(toks, i + 2), element_at(toks, i + 3), element_at(toks, i + 4))))"""
-          .stripMargin)).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("g"))
+      .select(col("doc_id"), explode(expr("shingle_hashes(text, 5)")).as("g"))
       .cache()
     val ev = g.where(col("doc_id") % 50 === 0)
     val tr = g.where(col("doc_id") % 50 =!= 0)

@@ -72,6 +72,38 @@ class ExpressionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("shingle_hashes matches the split/transform/array_distinct/xxhash64 pipeline") {
+    graft.functions.GraftFunctions.register(spark)
+    for (n <- Seq(3, 5)) {
+      val lam = (1 to n).map(j => s"element_at(toks, i + ${j - 1})").mkString(", ")
+      val hof = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+        .withColumn("toks", split(col("text"), " "))
+        .where(size(col("toks")) >= n)
+        .select(col("doc_id"), explode(expr(
+          s"array_distinct(transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', $lam)))")).as("g"))
+        .select(col("doc_id"), xxhash64(col("g")).as("g"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val native = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select(col("doc_id"), explode(expr(s"shingle_hashes(text, $n)")).as("g"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(native == hof && native.nonEmpty, s"n=$n")
+    }
+  }
+
+  test("shingle_hashes edge cases: short text, repeated grams, consecutive spaces, null") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Seq("a b", "a b c a b c a b c", "a  b c", null)
+      .toDF("text")
+      .select(expr("shingle_hashes(text, 3)").as("hs"))
+      .collect()
+    assert(rows(0).getSeq[Long](0).isEmpty)          // 2 tokens < n
+    assert(rows(1).getSeq[Long](0).size == 3)        // 7 windows, 3 distinct grams
+    // "a  b c" splits to ["a","","b","c"] -> grams "a  b" and " b c"
+    assert(rows(2).getSeq[Long](0).size == 2)
+    assert(rows(3).isNullAt(0))                      // null in, null out
+  }
+
   test("functions are injected via GraftExtensions (no manual register)") {
     // SparkSpec builds the session with spark.sql.extensions; the
     // expressions above resolving at all proves injection, but check
