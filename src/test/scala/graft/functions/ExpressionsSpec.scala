@@ -104,6 +104,34 @@ class ExpressionsSpec extends SparkSpec {
     assert(rows(3).isNullAt(0))                      // null in, null out
   }
 
+  test("shingle_hashes property: equals HOF pipeline on random unicode texts") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // multi-byte UTF-8, runs of spaces, empty tokens — the cases the
+    // byte-scan must get right
+    val tokGen = Gen.listOf(Gen.frequency(
+      5 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf("é", "ü", "日", "本", "𝕏", "ß", "λ"),
+      1 -> Gen.oneOf("\t", ",", "\""))).map(_.mkString)
+    val textGen = Gen.listOf(tokGen).map(_.mkString(" "))
+    val texts = (0 until 300).flatMap(i =>
+      textGen.apply(Gen.Parameters.default, Seed(7L + i)))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val hof = df
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 3)
+      .select(col("id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))")).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("g"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val native = df
+      .select(col("id"), explode(expr("shingle_hashes(text, 3)")).as("g"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native == hof && native.nonEmpty)
+  }
+
   test("functions are injected via GraftExtensions (no manual register)") {
     // SparkSpec builds the session with spark.sql.extensions; the
     // expressions above resolving at all proves injection, but check
