@@ -8,30 +8,31 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Typed `Aggregator` building a 32-permutation MinHash signature in
   * one pass (UDAF surface of SURVEY.md §2.5's last row).
   *
-  * Permutation i's hash of a shingle is bit-identical to Spark's
-  * `xxhash64(i, shingle)`: xxhash64 chains children — seed 42, hash
-  * the long i, then hash the string bytes with that as seed — so the
-  * signatures equal the expression-composed formulation while hashing
-  * each shingle once per permutation in a single aggregation buffer
-  * (vs the 32-column min() fan-out; comparable wall-clock at local
-  * scale, one object buffer instead of 32 agg slots per key).
+  * Input is the 64-bit shingle hash from [[ShingleHashes]] (not the
+  * gram string): permutation i's value is the xxhash64 chain
+  * (seed 42 → long i → long shingle-hash), i.e. bit-identical to
+  * Spark's `xxhash64(i, shingle_hash)`. Hashing the hash preserves
+  * the min-wise uniformity MinHash needs, and the signature
+  * aggregation then shuffles 8-byte longs instead of gram strings —
+  * a ~3× narrower exchange into the groupBy at corpus scale, on top
+  * of hashing each shingle once per permutation in a single buffer
+  * (vs the 32-column min() fan-out).
   *
   * Buffers are fixed 32×8 bytes regardless of document size — the
   * property that makes MinHash the 100 TB dedup path: signatures
   * merge associatively across partitions (partial aggregation works).
   */
-class MinHashAgg extends Aggregator[String, Array[Long], Array[Long]] {
+class MinHashAgg extends Aggregator[Long, Array[Long], Array[Long]] {
   import MinHashAgg.P
 
   override def zero: Array[Long] = Array.fill(P)(Long.MaxValue)
 
-  override def reduce(buf: Array[Long], gram: String): Array[Long] = {
-    val u = UTF8String.fromString(gram)
+  override def reduce(buf: Array[Long], shingleHash: Long): Array[Long] = {
     val seeds = MinHashAgg.seeds
     var i = 0
     while (i < P) {
-      // == xxhash64(i, gram): chain long i then bytes, seed 42
-      val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, seeds(i))
+      // == xxhash64(i, shingle_hash): chain long i then the long, seed 42
+      val h = XXH64.hashLong(shingleHash, seeds(i))
       if (h < buf(i)) buf(i) = h
       i += 1
     }
@@ -60,7 +61,9 @@ object MinHashAgg {
   private[functions] val seeds: Array[Long] =
     Array.tabulate(P)(i => XXH64.hashLong(i.toLong, 42L))
 
-  /** Untyped-groupBy handle: `df.groupBy(...).agg(minhash(col("g")))`. */
+  /** Untyped-groupBy handle: `df.groupBy(...).agg(minhash(col("g")))`
+    * where `g` is a [[ShingleHashes]] 64-bit shingle hash.
+    */
   lazy val minhash: org.apache.spark.sql.expressions.UserDefinedFunction =
-    org.apache.spark.sql.functions.udaf(new MinHashAgg, Encoders.STRING)
+    org.apache.spark.sql.functions.udaf(new MinHashAgg, Encoders.scalaLong)
 }

@@ -30,18 +30,11 @@ object Dedup {
 
   def queries: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07)
 
-  /** (doc_id, gram) pairs: distinct 3-token shingles per document.
-    * element_at is 1-based on both engines' oracle formulation.
+  /** DuckDB CTE for distinct 3-token shingles per document — the
+    * oracle-side counterpart of the Spark-side native
+    * `shingle_hashes(text, 3)` kernel (equivalence pinned in
+    * ExpressionsSpec).
     */
-  private def gramSets(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .withColumn("toks", split(col("text"), " "))
-      .where(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        """array_distinct(transform(sequence(1, size(toks) - 2),
-          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))"""
-          .stripMargin)).as("g"))
-
   private val gramCte =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
       |grams AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
@@ -69,9 +62,12 @@ object Dedup {
     * d03).
     */
   val d02 = QueryDef("d02_minhash_lsh", None) { (s, d) =>
-    val g = gramSets(s, d)
-    // one-pass signature via the typed MinHashAgg Aggregator (UDAF);
-    // values are bit-identical to min(xxhash64(i, g)) per permutation
+    graft.functions.GraftFunctions.register(s)
+    // native one-pass shingling (8-byte hashes into the signature
+    // shuffle, not gram strings), then the one-pass typed MinHashAgg
+    // Aggregator (UDAF); values = min(xxhash64(i, shingle_hash))
+    val g = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr("shingle_hashes(text, 3)")).as("g"))
     val sigs = g.groupBy("doc_id")
       .agg(graft.functions.MinHashAgg.minhash(col("g")).as("sig"))
     val bands = sigs.select(

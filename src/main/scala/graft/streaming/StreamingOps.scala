@@ -105,9 +105,9 @@ object StreamingOps {
     import docs.sparkSession.implicits._
     import graft.functions.MinHashAgg
     val shingled = docs.flatMap { doc =>
-      val toks = doc.text.split(" ")
-      val grams = (0 until math.max(toks.length - 2, 0))
-        .map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").distinct
+      // same native shingle kernel as batch d02 → identical signatures
+      val grams = graft.functions.ShingleHashes.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(doc.text), 3).toLongArray()
       if (grams.isEmpty) Seq.empty // <3 tokens: no signature (batch d02 parity)
       else {
         val sig = grams.foldLeft(new MinHashAgg().zero)(new MinHashAgg().reduce)
