@@ -19,13 +19,19 @@ import org.apache.spark.sql.SparkSession
   */
 object Main {
   def main(args: Array[String]): Unit = {
+    // validate flags BEFORE paying Spark startup: a missing -b must
+    // fail in milliseconds with a clean message, not after multi-
+    // second session build with the error buried in executor logs
+    val opts = parse(args.toList, Map.empty)
+    val table = Seq("d", "t", "b").map(k => opts.getOrElse(k,
+      sys.error(s"graft: missing required flag -$k"))).apply(1)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-archive")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
-    try println(s"archived ${run(spark, args)}")
+    try println(s"archived $table -> ${run(spark, args)}")
     finally spark.stop()
   }
 

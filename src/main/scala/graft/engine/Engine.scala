@@ -112,50 +112,90 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
     // bottleneck at scale.)
     val bcConf = spark.sparkContext.broadcast(
       new org.apache.spark.SerializableWritable(spark.sparkContext.hadoopConfiguration))
-    val stagedRdd = stage("download") {
-      val sep = fmt.separator
-      df.rdd.mapPartitionsWithIndex { (idx, it) =>
-        val path = new Path(f"$staging/part-$idx%05d")
-        val fs = path.getFileSystem(bcConf.value.value)
-        var any = false
+    try {
+      val stagedRdd = stage("download") {
+        val sep = fmt.separator
+        df.rdd.mapPartitionsWithIndex { (idx, it) =>
+          // Task-commit protocol: write to an attempt-unique file, then
+          // commit with a rename. Without it, speculative or zombie
+          // attempts of the same partition interleave bytes in one
+          // open staging file — silent corruption the collect() cannot
+          // see. A lost rename race means an identical-bytes attempt
+          // already committed (partitions format deterministically),
+          // so the loser just discards its file.
+          val attemptId = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
+          val attempt = new Path(f"$staging/part-$idx%05d.attempt-$attemptId")
+          val committed = new Path(f"$staging/part-$idx%05d")
+          val fs = attempt.getFileSystem(bcConf.value.value)
+          var any = false
+          val out = new java.io.BufferedOutputStream(fs.create(attempt, true), 1 << 20)
+          try {
+            // row production + formatting are chiv's download leg —
+            // tag their failures at the source so the driver rethrows
+            // the right stage; writes to the staging file stay on the
+            // upload leg (destination-filesystem I/O)
+            var done = false
+            while (!done) {
+              val bytes =
+                try {
+                  if (it.hasNext) fmt.row(schema, it.next(), nullValue)
+                  else { done = true; null }
+                } catch {
+                  case e: ArchiveException => throw e
+                  case e: Exception => throw new ArchiveException("download", e)
+                }
+              if (!done) {
+                if (any && sep.nonEmpty) out.write(sep.getBytes(StandardCharsets.UTF_8))
+                out.write(bytes.getBytes(StandardCharsets.UTF_8))
+                any = true
+              }
+            }
+          } finally out.close()
+          if (!any) fs.delete(attempt, false)
+          else if (!fs.rename(attempt, committed)) fs.delete(attempt, false)
+          Iterator.single((idx, any))
+        }
+      }
+      // …then ONE sequential driver-side byte concatenation to the
+      // exact key: pure I/O at filesystem copy speed (no row decode, no
+      // per-partition job scheduling), preserving header / array
+      // framing at the seams. Single-object output is driver-bound by
+      // contract (one named object); sharded mode is the scale path.
+      // The staged job runs inside the upload stage: its writes land on
+      // the destination filesystem, so an unwritable destination is an
+      // upload error (chiv parity) — formatter errors carry their own
+      // stage from the task, see above.
+      stage("upload") {
+        val parts = stagedRdd.collect()
+        val path = new Path(dest)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val out = new java.io.BufferedOutputStream(fs.create(path, true), 1 << 20)
         try {
-          it.foreach { r =>
-            if (any && sep.nonEmpty) out.write(sep.getBytes(StandardCharsets.UTF_8))
-            out.write(fmt.row(schema, r, nullValue).getBytes(StandardCharsets.UTF_8))
-            any = true
+          out.write(fmt.open(schema).getBytes(StandardCharsets.UTF_8))
+          var first = true
+          parts.sortBy(_._1).foreach { case (idx, any) =>
+            if (any) {
+              if (!first && fmt.separator.nonEmpty)
+                out.write(fmt.separator.getBytes(StandardCharsets.UTF_8))
+              val in = fs.open(new Path(f"$staging/part-$idx%05d"))
+              try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 1 << 20, false)
+              finally in.close()
+              first = false
+            }
           }
+          out.write(fmt.close.getBytes(StandardCharsets.UTF_8))
         } finally out.close()
-        if (!any) fs.delete(path, false)
-        Iterator.single((idx, any))
+        fs.delete(new Path(staging), true)
       }
-    }
-    // …then ONE sequential driver-side byte concatenation to the
-    // exact key: pure I/O at filesystem copy speed (no row decode, no
-    // per-partition job scheduling), preserving header / array
-    // framing at the seams. Single-object output is driver-bound by
-    // contract (one named object); sharded mode is the scale path.
-    stage("upload") {
-      val parts = stagedRdd.collect()
-      val path = new Path(dest)
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val out = new java.io.BufferedOutputStream(fs.create(path, true), 1 << 20)
-      try {
-        out.write(fmt.open(schema).getBytes(StandardCharsets.UTF_8))
-        var first = true
-        parts.sortBy(_._1).foreach { case (idx, any) =>
-          if (any) {
-            if (!first && fmt.separator.nonEmpty)
-              out.write(fmt.separator.getBytes(StandardCharsets.UTF_8))
-            val in = fs.open(new Path(f"$staging/part-$idx%05d"))
-            try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 1 << 20, false)
-            finally in.close()
-            first = false
-          }
-        }
-        out.write(fmt.close.getBytes(StandardCharsets.UTF_8))
-      } finally out.close()
-      fs.delete(new Path(staging), true)
+    } catch {
+      case e: Throwable =>
+        // failed or cancelled archives must not leak staged bytes
+        try {
+          val p = new Path(staging)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case _: Exception => () }
+        throw e
     }
   }
 
@@ -216,7 +256,16 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
   private def stage[T](name: String)(body: => T): T =
     try body catch {
       case e: ArchiveException => throw e
-      case e: Exception => throw new ArchiveException(name, e)
+      case e: Exception =>
+        // a task-side ArchiveException (e.g. a formatter failure tagged
+        // "download" on the executor) reaches the driver wrapped in a
+        // SparkException — surface it with its original stage
+        var c: Throwable = e.getCause
+        while (c != null) c match {
+          case ae: ArchiveException => throw ae
+          case other => c = other.getCause
+        }
+        throw new ArchiveException(name, e)
     }
 }
 

@@ -121,8 +121,10 @@ object Dedup {
     // hashes come from the native one-pass shingle_hashes kernel
     // (ExpressionsSpec pins equivalence to the split/transform/
     // array_distinct/xxhash64 pipeline). The shingle table is
-    // materialized ONCE (cache here; a parquet intermediate at real
-    // scale) so the self-join legs and the count leg reuse it.
+    // materialized ONCE (cache here — MEMORY_AND_DISK, LRU-evictable,
+    // a few MB at test scale, and plan-matched so d06/d07's reuse of
+    // d03 hits the same entry; a parquet intermediate at real scale)
+    // so the self-join legs and the count leg reuse it.
     graft.functions.GraftFunctions.register(s)
     val g0 = Tables.documents(s, d)
       .select(col("doc_id"), explode(expr("shingle_hashes(text, 3)")).as("g"))
@@ -228,6 +230,10 @@ object Dedup {
     // lineage AND materializes `next` once, so the convergence test is
     // a cheap count over checkpointed data instead of a third
     // join+isEmpty job per iteration (round-1: 20 s → ~4 s at sf0.1).
+    // Superseded rounds' checkpoint blocks are reclaimed by the
+    // ContextCleaner once unreferenced (the Dataset API exposes no
+    // explicit release for localCheckpoint storage); they are bounded
+    // by ≤ 20 rounds × one small row per clustered doc.
     var labels = nodes.withColumn("lbl", col("doc_id")).localCheckpoint()
     var converged = false
     var iter = 0

@@ -42,13 +42,20 @@ object TopKRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** cond ⇒ (row-number attribute, k) if it is a `rn ≤ k` bound. */
+  /** cond ⇒ (row-number attribute, k) if it is a `rn ≤ k` bound.
+    * The strict-bound cases guard `v > Int.MinValue`: without it,
+    * `rn < Int.MinValue` (an always-false filter) would wrap `v - 1`
+    * to Int.MaxValue and rewrite into a return-everything top-k.
+    */
   private def limitOf(cond: Expression): Option[(Attribute, Int)] = cond match {
     case LessThanOrEqual(a: Attribute, l: Literal) => intVal(l).map(a -> _)
-    case LessThan(a: Attribute, l: Literal) => intVal(l).map(v => a -> (v - 1))
+    case LessThan(a: Attribute, l: Literal) =>
+      intVal(l).filter(_ > Int.MinValue).map(v => a -> (v - 1))
     case EqualTo(a: Attribute, l: Literal) => intVal(l).filter(_ == 1).map(a -> _)
+    case EqualTo(l: Literal, a: Attribute) => intVal(l).filter(_ == 1).map(a -> _)
     case GreaterThanOrEqual(l: Literal, a: Attribute) => intVal(l).map(a -> _)
-    case GreaterThan(l: Literal, a: Attribute) => intVal(l).map(v => a -> (v - 1))
+    case GreaterThan(l: Literal, a: Attribute) =>
+      intVal(l).filter(_ > Int.MinValue).map(v => a -> (v - 1))
     case _ => None
   }
 

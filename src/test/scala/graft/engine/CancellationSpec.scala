@@ -30,10 +30,30 @@ class CancellationSpec extends SparkSpec {
     job.cancel("test cancel")
     val e = intercept[ArchiveException] { job.await(60.seconds) }
     val waited = (System.nanoTime() - t0) / 1e9
-    // stage-prefixed, prompt, and the exact key never appeared
+    // stage-prefixed, prompt, the exact key never appeared, and the
+    // staged parts were discarded (no leaked <dest>.staging bytes)
     assert(e.getMessage.startsWith("graft: "))
     assert(waited < 30.0, s"cancellation took ${waited}s")
     assert(!Files.exists(java.nio.file.Paths.get(s"$out/slow.csv")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$out/slow.csv.staging")))
+  }
+
+  test("executor-side formatter failures surface as the download stage, staging cleaned") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-cancel").toString
+    val boom = org.apache.spark.sql.functions.udf { (i: Long) =>
+      if (i == 7L) throw new IllegalStateException("bad row") else i
+    }
+    val df = spark.range(0, 16, 1, 4).toDF("id")
+      .withColumn("id", boom($"id"))
+    val e = intercept[ArchiveException] {
+      new Engine(spark).archiveDF(df, out, "boom")
+    }
+    // the UDF fails inside the staged write job; the failure is a row-
+    // production (chiv download-leg) error, not an upload error
+    assert(e.getMessage.startsWith("graft: download:"), e.getMessage)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$out/boom.csv")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$out/boom.csv.staging")))
   }
 
   test("cancellable API completes normally when not cancelled") {

@@ -101,6 +101,25 @@ class TopKSpec extends SparkSpec {
     assert(rewritten == direct && rewritten.nonEmpty)
   }
 
+  test("rewrite guards: Int.MinValue strict bound stays an empty filter; '1 = rn' rewrites") {
+    graft.functions.GraftFunctions.register(spark)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    // always-false filter: v - 1 must NOT wrap to Int.MaxValue and
+    // become a return-everything top-k
+    val neverRows = orders.withColumn("rn", row_number().over(w))
+      .where(col("rn") < Int.MinValue)
+      .select("o_custkey", "o_orderkey")
+    assert(!neverRows.queryExecution.optimizedPlan.exists(_.isInstanceOf[TopKPerKey]))
+    assert(neverRows.count() == 0)
+    // flipped equality form
+    val flipped = orders.withColumn("rn", row_number().over(w))
+      .where(lit(1) === col("rn"))
+      .select("o_custkey", "o_orderkey")
+    assert(flipped.queryExecution.optimizedPlan.exists(_.isInstanceOf[TopKPerKey]))
+    assert(flipped.count() == orders.select("o_custkey").distinct().count())
+  }
+
   test("rewrite leaves rn-keeping and rank() formulations untouched") {
     graft.functions.GraftFunctions.register(spark)
     val w = Window.partitionBy("o_custkey")
