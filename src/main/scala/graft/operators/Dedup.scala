@@ -172,8 +172,9 @@ object Dedup {
 
   /** Embedding near-dup: all pairs with cosine ≥ 0.4, exact. Dot and
     * norms are strict left folds in double on both engines → the
-    * doubles are bit-identical; DECIMAL(9,6) guards the comparison.
-    * The LSH-bucketed (sub-quadratic) variant is s02.
+    * emitted cosine doubles are bit-identical (no DECIMAL guard
+    * needed — or allowed, see OutputContractSpec). The LSH-bucketed
+    * (sub-quadratic) variant is s02.
     */
   val d05 = QueryDef(
     "d05_embedding_neardup",
