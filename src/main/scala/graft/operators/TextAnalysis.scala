@@ -15,7 +15,46 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  def queries: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07)
+  def queries: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07, x08)
+
+  /** Repetition filters (the Gopher-rules complement to x03's quality
+    * score): duplicate-word fraction and most-frequent-bigram mass per
+    * document — the standard signals for filtering degenerate
+    * repetitive text out of a training corpus. Pure per-document
+    * narrow work + one tiny per-doc aggregation; all ratios are
+    * exact-integer divisions in double (bit-identical cross-engine).
+    */
+  val x08 = QueryDef(
+    "x08_repetition",
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      tot AS (SELECT doc_id, len(ts) AS n, len(list_distinct(ts)) AS nd
+              FROM toks WHERE len(ts) >= 2),
+      bg AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS b
+             FROM toks, unnest(range(1, len(ts))) AS r(i) WHERE len(ts) >= 2),
+      bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+      bgtop AS (SELECT doc_id, max(c) AS mx, sum(c) AS nb FROM bgc GROUP BY doc_id)
+      SELECT t.doc_id,
+        CAST(t.n - t.nd AS DOUBLE) / t.n AS dup_word_frac,
+        CAST(g.mx AS DOUBLE) / g.nb AS top_bigram_frac
+      FROM tot t JOIN bgtop g ON g.doc_id = t.doc_id
+      ORDER BY t.doc_id""")) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 2)
+    val tot = toks.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n"),
+      size(array_distinct(col("toks"))).cast("long").as("nd"))
+    val bgtop = toks
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("mx"), sum("c").as("nb"))
+    tot.join(bgtop, "doc_id")
+      .select(col("doc_id"),
+        ((col("n") - col("nd")).cast("double") / col("n")).as("dup_word_frac"),
+        (col("mx").cast("double") / col("nb")).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
 
   /** Benchmark-contamination detection (the decontamination pass every
     * serious training pipeline runs): for each eval-set document, find
