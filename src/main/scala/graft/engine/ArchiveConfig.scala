@@ -39,6 +39,12 @@ object Format {
   *                  part objects under the key as a prefix instead of
   *                  one object — the 100 TB path; single-object
   *                  archives serialize through one stream by design.
+  * @param partitionBy scale extension (sharded mode only): hive-style
+  *                  directory layout `<key>/col=value/part-…` — the
+  *                  standard lake layout that gives every downstream
+  *                  reader partition pruning for free. Rejected in
+  *                  single-object mode (one key cannot carry a
+  *                  directory tree).
   */
 final case class ArchiveConfig(
     format: Format = Format.Csv,
@@ -46,7 +52,8 @@ final case class ArchiveConfig(
     extension: Option[String] = None,
     nullValue: Option[String] = None,
     columns: Seq[String] = Nil,
-    sharded: Boolean = false) {
+    sharded: Boolean = false,
+    partitionBy: Seq[String] = Nil) {
 
   /** Object key for a table archive: `key` if set, else
     * `<table>.<extension|format-default>` (chiv.go:224–233).

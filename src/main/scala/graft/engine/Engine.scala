@@ -99,6 +99,9 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
     f == Format.Parquet || f == Format.Orc
 
   private def writeSingleObject(df: DataFrame, cfg: ArchiveConfig, dest: String): Unit = {
+    if (cfg.partitionBy.nonEmpty)
+      throw new ArchiveException("upload", new IllegalArgumentException(
+        "partitionBy requires sharded mode: one exact-named object cannot carry a directory layout"))
     if (columnar(cfg.format)) return writeColumnarSingle(df, cfg, dest)
     val fmt = RowFormatter.of(cfg.format)
     val schema = df.schema
@@ -225,25 +228,34 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
   private def writeSharded(df: DataFrame, cfg: ArchiveConfig, dest: String): Unit = {
     val schema = df.schema
     val nullValue = cfg.nullValue
+    // hive-style partition layout (cfg.partitionBy): supported for the
+    // Spark codegen writers (parquet/orc/csv), where partition values
+    // move into the directory path and downstream scans prune on them
+    def laidOut(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) =
+      if (cfg.partitionBy.nonEmpty) w.partitionBy(cfg.partitionBy: _*) else w
     stage("upload") {
       cfg.format match {
         case Format.Parquet =>
-          df.write.mode("overwrite").parquet(dest)
+          laidOut(df.write.mode("overwrite")).parquet(dest)
         case Format.Orc =>
-          df.write.mode("overwrite").orc(dest)
+          laidOut(df.write.mode("overwrite")).orc(dest)
         case Format.Csv =>
           // Spark's codegen'd CSV writer: header per part, Go-style
           // minimal quoting, placeholder via nullValue option.
-          df.write.mode("overwrite")
+          laidOut(df.write.mode("overwrite")
             .option("header", "true")
             .option("nullValue", cfg.nullValue.getOrElse(""))
             .option("emptyValue", "")
             // lossless in sharded mode: always print microseconds
             // (single-object parity mode omits a zero fraction; the
             // writer option cannot express that conditionality)
-            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
             .csv(dest)
         case other =>
+          if (cfg.partitionBy.nonEmpty)
+            throw new IllegalArgumentException(
+              s"partitionBy is not supported for row-formatted $other shards " +
+                "(partition values live in the path, not the rows) — use parquet/orc/csv")
           val fmt = RowFormatter.of(other)
           val body = df.mapPartitions(
             _.map(r => fmt.row(schema, r, nullValue).stripSuffix("\n")))(

@@ -55,6 +55,9 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   def csv(spark: SparkSession, path: String, schemaDDL: Option[String] = None): DataFrame = {
     val r = spark.read.option("header", "true")
     schemaDDL.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)

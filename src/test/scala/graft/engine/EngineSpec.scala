@@ -184,4 +184,45 @@ class EngineSpec extends SparkSpec {
     assert(all.contains("id,text_column"))
     assert(all.contains("ea09d13c-f441-4550-9492-115f8b409c96"))
   }
+
+  test("partitionBy lays out hive-style directories, prunable and round-trippable") {
+    import spark.implicits._
+    val dir = tmpDir
+    val src = Seq((1L, "en", "a"), (2L, "de", "b"), (3L, "en", "c"))
+      .toDF("id", "lang", "text")
+    val dest = new Engine(spark,
+      ArchiveConfig(format = Format.Parquet, sharded = true, partitionBy = Seq("lang")))
+      .archiveDF(src, dir.toString, "docs")
+    val subdirs = Files.list(Paths.get(dest)).toArray.map(_.toString)
+    assert(subdirs.exists(_.endsWith("lang=en")) && subdirs.exists(_.endsWith("lang=de")))
+    // a partition-filtered read back sees only that directory's rows
+    val back = graft.sources.Sources.parquet(spark, dest)
+      .where(org.apache.spark.sql.functions.col("lang") === "en")
+    assert(back.count() == 2)
+    assert(back.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(lang"))
+    // single-object mode cannot carry a layout
+    val e = intercept[ArchiveException] {
+      new Engine(spark, ArchiveConfig(partitionBy = Seq("lang")))
+        .archiveDF(src, dir.toString, "docs2")
+    }
+    assert(e.getMessage.startsWith("graft: upload:"))
+    // row-formatted shards reject it too, with guidance
+    val y = intercept[ArchiveException] {
+      new Engine(spark, ArchiveConfig(format = Format.Yaml, sharded = true,
+        partitionBy = Seq("lang"))).archiveDF(src, dir.toString, "docs3")
+    }
+    assert(y.getMessage.contains("parquet/orc/csv"))
+  }
+
+  test("orc source reads back an orc archive") {
+    import spark.implicits._
+    val dir = tmpDir
+    val src = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val dest = new Engine(spark, ArchiveConfig(format = Format.Orc))
+      .archiveDF(src, dir.toString, "t")
+    assert(dest.endsWith("/t.orc"))
+    val back = graft.sources.Sources.orc(spark, dest).orderBy("id")
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "x"), (2L, "y")))
+  }
 }
