@@ -9,7 +9,8 @@ import org.apache.spark.sql.SparkSession
   * {{{
   * spark-submit --class graft.Main graft.jar \
   *   -d /root/testdata/sf0.001 -t lineitem -b /tmp/archive \
-  *   [-f csv|json|yaml] [-c col1,col2] [-k key] [-e ext] [-n null] [--sharded]
+  *   [-f csv|json|yaml|parquet|orc] [-c col1,col2] [-k key] [-e ext] [-n null]
+  *   [--sharded] [-p partcol1,partcol2]
   * }}}
   *
   * `-d` is the data directory (the reference's DATABASE_URL becomes a
@@ -48,13 +49,16 @@ object Main {
         case "csv" => Format.Csv
         case "json" => Format.JsonArray
         case "yaml" => Format.Yaml
+        case "parquet" => Format.Parquet
+        case "orc" => Format.Orc
         case other => sys.error(s"graft: unknown format: $other")
       }.getOrElse(Format.Csv),
       key = opts.get("k"),
       extension = opts.get("e"),
       nullValue = opts.get("n"),
       columns = opts.get("c").map(_.split(",").toSeq).getOrElse(Nil),
-      sharded = opts.contains("sharded"))
+      sharded = opts.contains("sharded"),
+      partitionBy = opts.get("p").map(_.split(",").toSeq).getOrElse(Nil))
     new Engine(spark, cfg).archive(req("d"), req("t"), req("b"))
   }
 

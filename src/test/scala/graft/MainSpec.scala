@@ -39,6 +39,16 @@ class MainSpec extends SparkSpec {
     assert(keyed == s"$out/regions")
   }
 
+  test("--sharded -f parquet -p writes a hive-partitioned dataset") {
+    val out = Files.createTempDirectory("graft-cli").toString
+    val dest = Main.run(spark, Array(
+      "-d", data, "-t", "nation", "-b", out,
+      "-f", "parquet", "--sharded", "-p", "n_regionkey"))
+    val subdirs = java.nio.file.Files.list(Paths.get(dest)).toArray.map(_.toString)
+    assert(subdirs.exists(_.contains("n_regionkey=")))
+    assert(graft.sources.Sources.parquet(spark, dest).count() == 25)
+  }
+
   test("missing required flag fails with the graft-prefixed error") {
     val e = intercept[RuntimeException] {
       Main.run(spark, Array("-d", data, "-t", "region"))
