@@ -20,20 +20,23 @@ import org.apache.spark.sql.SparkSession
   */
 object Main {
   def main(args: Array[String]): Unit = {
-    // validate flags BEFORE paying Spark startup: a missing -b must
-    // fail in milliseconds with a clean message, not after multi-
-    // second session build with the error buried in executor logs
+    // full flag validation BEFORE paying Spark startup: a missing -b
+    // or a bogus -f must fail in milliseconds with a clean message,
+    // not after a multi-second session build with the error buried in
+    // executor logs
     val opts = parse(args.toList, Map.empty)
-    val table = Seq("d", "t", "b").map(k => opts.getOrElse(k,
-      sys.error(s"graft: missing required flag -$k"))).apply(1)
+    configOf(opts)
+    val (dir, table, bucket) = required(opts)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-archive")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
-    try println(s"archived $table -> ${run(spark, args)}")
-    finally spark.stop()
+    try {
+      val dest = new Engine(spark, configOf(opts)).archive(dir, table, bucket)
+      println(s"archived $table -> $dest")
+    } finally spark.stop()
   }
 
   /** Flag parsing + archive on a caller-owned session (separated from
@@ -42,9 +45,18 @@ object Main {
     */
   def run(spark: SparkSession, args: Array[String]): String = {
     val opts = parse(args.toList, Map.empty)
+    val (dir, table, bucket) = required(opts)
+    new Engine(spark, configOf(opts)).archive(dir, table, bucket)
+  }
+
+  private def required(opts: Map[String, String]): (String, String, String) = {
     def req(k: String): String = opts.getOrElse(k,
       sys.error(s"graft: missing required flag -$k"))
-    val cfg = ArchiveConfig(
+    (req("d"), req("t"), req("b"))
+  }
+
+  private def configOf(opts: Map[String, String]): ArchiveConfig =
+    ArchiveConfig(
       format = opts.get("f").map {
         case "csv" => Format.Csv
         case "json" => Format.JsonArray
@@ -59,8 +71,6 @@ object Main {
       columns = opts.get("c").map(_.split(",").toSeq).getOrElse(Nil),
       sharded = opts.contains("sharded"),
       partitionBy = opts.get("p").map(_.split(",").toSeq).getOrElse(Nil))
-    new Engine(spark, cfg).archive(req("d"), req("t"), req("b"))
-  }
 
   @annotation.tailrec
   private def parse(args: List[String], acc: Map[String, String]): Map[String, String] =

@@ -67,8 +67,11 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
     * truncated but "successful" object (SURVEY §3.1 note (a)). At
     * 100 TB a truncated-but-green archive is data corruption, so here
     * cancellation surfaces as a stage-prefixed [[ArchiveException]]
-    * and the destination object is never committed (the staged parts
-    * are discarded with the job).
+    * and the destination object is never committed — the final object
+    * appears only via a rename after a complete write, and staged
+    * parts are discarded with the job (best-effort: a straggler task
+    * outliving the abort can briefly recreate staging, the same
+    * residual-garbage caveat Spark's own file committers carry).
     */
   def archiveDFCancellable(df: DataFrame, destDir: String, table: String = "table",
       config: ArchiveConfig => ArchiveConfig = identity): ArchiveJob = {
@@ -155,7 +158,13 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
               }
             }
           } finally out.close()
-          if (!any) fs.delete(attempt, false)
+          // a killed task must not commit: after a job abort the driver
+          // deletes staging, and a straggler's late rename would
+          // recreate it (narrows the race; full protection against
+          // zombies is a committer-level guarantee Spark itself also
+          // only approximates)
+          val killed = Option(org.apache.spark.TaskContext.get()).exists(_.isInterrupted())
+          if (!any || killed) fs.delete(attempt, false)
           else if (!fs.rename(attempt, committed)) fs.delete(attempt, false)
           Iterator.single((idx, any))
         }
@@ -171,9 +180,14 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
       // stage from the task, see above.
       stage("upload") {
         val parts = stagedRdd.collect()
-        val path = new Path(dest)
-        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val out = new java.io.BufferedOutputStream(fs.create(path, true), 1 << 20)
+        val target = new Path(dest)
+        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // concatenate into a temp object INSIDE staging, then commit
+        // with one rename: a failure mid-copy can never leave a
+        // truncated-but-plausible object at the exact key (the catch
+        // below removes staging, temp object included)
+        val tmp = new Path(s"$staging/_object")
+        val out = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 20)
         try {
           out.write(fmt.open(schema).getBytes(StandardCharsets.UTF_8))
           var first = true
@@ -189,6 +203,9 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
           }
           out.write(fmt.close.getBytes(StandardCharsets.UTF_8))
         } finally out.close()
+        fs.delete(target, false)
+        if (!fs.rename(tmp, target))
+          throw new IllegalStateException(s"rename $tmp -> $target failed")
         fs.delete(new Path(staging), true)
       }
     } catch {
@@ -207,22 +224,32 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
     * exact-name pattern; on S3A the rename is a server-side copy).
     */
   private def writeColumnarSingle(df: DataFrame, cfg: ArchiveConfig, dest: String): Unit =
-    stage("upload") {
-      val path = new Path(dest)
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val staging = new Path(dest + ".staging")
-      val one = df.coalesce(1).write.mode("overwrite")
-      cfg.format match {
-        case Format.Orc => one.orc(staging.toString)
-        case _ => one.parquet(staging.toString)
+    try {
+      stage("upload") {
+        val path = new Path(dest)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val staging = new Path(dest + ".staging")
+        val one = df.coalesce(1).write.mode("overwrite")
+        cfg.format match {
+          case Format.Orc => one.orc(staging.toString)
+          case _ => one.parquet(staging.toString)
+        }
+        val part = fs.listStatus(staging)
+          .map(_.getPath).find(_.getName.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException(s"no part file under $staging"))
+        fs.delete(path, false)
+        if (!fs.rename(part, path))
+          throw new IllegalStateException(s"rename $part -> $path failed")
+        fs.delete(staging, true)
       }
-      val part = fs.listStatus(staging)
-        .map(_.getPath).find(_.getName.startsWith("part-"))
-        .getOrElse(throw new IllegalStateException(s"no part file under $staging"))
-      fs.delete(path, false)
-      if (!fs.rename(part, path))
-        throw new IllegalStateException(s"rename $part -> $path failed")
-      fs.delete(staging, true)
+    } catch {
+      case e: Throwable =>
+        // same no-leak contract as the row-format path
+        try {
+          val p = new Path(dest + ".staging")
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case _: Exception => () }
+        throw e
     }
 
   private def writeSharded(df: DataFrame, cfg: ArchiveConfig, dest: String): Unit = {
@@ -271,7 +298,10 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
       case e: Exception =>
         // a task-side ArchiveException (e.g. a formatter failure tagged
         // "download" on the executor) reaches the driver wrapped in a
-        // SparkException — surface it with its original stage
+        // SparkException — surface it with its original stage. (If the
+        // executor's exception chain failed Java serialization, Spark
+        // drops the cause and the error keeps this stage's label — a
+        // less precise stage, never a lost error.)
         var c: Throwable = e.getCause
         while (c != null) c match {
           case ae: ArchiveException => throw ae
