@@ -56,6 +56,22 @@ class CancellationSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(s"$out/boom.csv.staging")))
   }
 
+  test("failed columnar single-object archive leaves no staging directory") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-cancel").toString
+    val boom = org.apache.spark.sql.functions.udf { (i: Long) =>
+      if (i == 3L) throw new IllegalStateException("bad row") else i
+    }
+    val df = spark.range(0, 8, 1, 2).toDF("id").withColumn("id", boom($"id"))
+    val e = intercept[ArchiveException] {
+      new Engine(spark, ArchiveConfig(format = Format.Parquet))
+        .archiveDF(df, out, "colboom")
+    }
+    assert(e.getMessage.startsWith("graft: "))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$out/colboom.parquet")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$out/colboom.parquet.staging")))
+  }
+
   test("cancellable API completes normally when not cancelled") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-cancel").toString
