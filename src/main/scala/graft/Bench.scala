@@ -31,16 +31,29 @@ object Bench {
       }
     }
     val queryResults = SparkEntry.queries.map { case (name, fn) =>
-      name -> (time(name, fn), time(name, fn)) match {
-        case (n, (Some(a), Some(b))) => n -> math.min(a, b)
-        case (n, _) => n -> -1.0
+      val measured = (time(name, fn), time(name, fn)) match {
+        case (Some(a), Some(b)) =>
+          val mn = math.min(a, b)
+          // the two runs disagreeing badly on a non-trivial query means
+          // a co-load spike polluted one of them — arbitrate with a
+          // third run instead of reporting a lucky/unlucky min-of-2
+          if (mn > 1.0 && math.max(a, b) > 1.5 * mn)
+            time(name, fn).map(math.min(mn, _)).getOrElse(mn)
+          else mn
+        case _ => -1.0
       }
+      name -> measured
     }
     // archive throughput — the reference's own workload (format rows,
     // write one object / sharded parts); measured on lineitem
     def timeArchive(name: String)(body: => Unit): (String, Double) = {
-      val t0 = System.nanoTime()
-      try { body; name -> (System.nanoTime() - t0) / 1e9 }
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        body; (System.nanoTime() - t0) / 1e9
+      }
+      // min-of-2 like the queries: archive entries are the flagship
+      // numbers and the most co-load-sensitive (driver-side I/O leg)
+      try { name -> math.min(once(), once()) }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         name -> -1.0
