@@ -72,6 +72,26 @@ class CancellationSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(s"$out/colboom.parquet.staging")))
   }
 
+  test("cancelling one archive leaves a concurrent sibling untouched (job-group isolation)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-cancel").toString
+    val slow = org.apache.spark.sql.functions.udf { (i: Long) =>
+      Thread.sleep(25L); i
+    }
+    val eng = new Engine(spark)
+    val victim = eng.archiveDFCancellable(
+      spark.range(0, 1600, 1, 4).toDF("id").withColumn("id", slow($"id")), out, "victim")
+    val sibling = eng.archiveDFCancellable(
+      spark.range(0, 160, 1, 4).toDF("id").withColumn("id", slow($"id")), out, "sibling")
+    Thread.sleep(500)
+    victim.cancel("only the victim")
+    intercept[ArchiveException] { victim.await(60.seconds) }
+    // the sibling's job group was not cancelled: it must finish clean
+    val dest = sibling.await(120.seconds)
+    assert(dest.endsWith("/sibling.csv"))
+    assert(Files.readAllLines(java.nio.file.Paths.get(dest)).size == 161) // header + 160
+  }
+
   test("cancellable API completes normally when not cancelled") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-cancel").toString
