@@ -101,6 +101,20 @@ class TopKSpec extends SparkSpec {
     assert(rewritten == direct && rewritten.nonEmpty)
   }
 
+  test("rewrite fires through the SQL surface too") {
+    graft.functions.GraftFunctions.register(spark)
+    orders.createOrReplaceTempView("orders_topk_sql")
+    val df = spark.sql(
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders_topk_sql) WHERE rn <= 2""".stripMargin)
+    assert(df.queryExecution.optimizedPlan.exists(_.isInstanceOf[TopKPerKey]))
+    assert(!df.queryExecution.executedPlan.toString.contains("WindowExec"))
+    assert(df.count() > 0)
+  }
+
   test("rewrite guards: Int.MinValue strict bound stays an empty filter; '1 = rn' rewrites") {
     graft.functions.GraftFunctions.register(spark)
     val w = Window.partitionBy("o_custkey")
