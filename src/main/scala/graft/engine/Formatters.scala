@@ -199,5 +199,7 @@ object RowFormatter {
     case Format.Csv => CsvFormatter
     case Format.JsonArray => JsonArrayFormatter
     case Format.Yaml => YamlFormatter
+    case columnar => throw new IllegalArgumentException(
+      s"$columnar has no row formatter — columnar formats go through Spark's writers")
   }
 }
