@@ -82,6 +82,17 @@ class JdbcRoundTripSpec extends SparkSpec {
     assert(total == 25.5)
   }
 
+  test("filters push down into the JDBC source query") {
+    val df = Sources.jdbcTable(spark, url, "people", props = driverProps)
+      .where("SCORE > 5.0")
+    // the predicate must reach the JDBCRelation (executed at Derby,
+    // not post-filtered in Spark) — the same mechanics that narrow a
+    // 100 TB source scan to the requested slice
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("SCORE"), plan)
+    assert(df.count() == 3)
+  }
+
   test("S2 arbitrary-query scan runs the caller's SQL at the source") {
     val df = Sources.jdbcQuery(spark, url,
       "SELECT name, score FROM people WHERE score > 5.0",
