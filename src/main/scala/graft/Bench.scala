@@ -31,6 +31,11 @@ object Bench {
       }
     }
     val queryResults = SparkEntry.queries.map { case (name, fn) =>
+      // benchmark integrity: queries like d03/x07 cache their shingle
+      // tables and d06/d07 reuse d03's entry via plan matching — clear
+      // Spark-level caches before each entry so no query's number
+      // silently excludes work a previous entry materialized
+      spark.sharedState.cacheManager.clearCache()
       val measured = (time(name, fn), time(name, fn)) match {
         case (Some(a), Some(b)) =>
           val mn = math.min(a, b)
@@ -47,17 +52,19 @@ object Bench {
     // archive throughput — the reference's own workload (format rows,
     // write one object / sharded parts); measured on lineitem
     def timeArchive(name: String)(body: => Unit): (String, Double) = {
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        body; (System.nanoTime() - t0) / 1e9
-      }
-      // min-of-2 like the queries: archive entries are the flagship
-      // numbers and the most co-load-sensitive (driver-side I/O leg)
-      try { name -> math.min(once(), once()) }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        name -> -1.0
-      }
+      def once(): Option[Double] =
+        try {
+          val t0 = System.nanoTime()
+          body; Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
+        }
+      // min-of-2 like the queries (archive entries are the flagship,
+      // most co-load-sensitive numbers); one successful run still
+      // counts if the other fails transiently
+      val runs = Seq(once(), once()).flatten
+      name -> (if (runs.isEmpty) -1.0 else runs.min)
     }
     val engine = new graft.engine.Engine(spark)
     val out = java.nio.file.Files.createTempDirectory("graft-bench-archive").toString

@@ -87,7 +87,19 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
         finally spark.sparkContext.clearJobGroup()
       } catch {
         case e: ArchiveException => promise.failure(e)
-        case e: Throwable => promise.failure(new ArchiveException("download", e))
+        case e: Throwable =>
+          // preserve a stage-tagged cause if one exists anywhere in
+          // the chain (e.g. an executor-side tag inside a
+          // SparkException); "download" is only the fallback label
+          // for pre-stage plumbing failures
+          var c: Throwable = e.getCause
+          var found: ArchiveException = null
+          while (c != null && found == null) c match {
+            case ae: ArchiveException => found = ae
+            case other => c = other.getCause
+          }
+          promise.failure(
+            if (found != null) found else new ArchiveException("download", e))
       }
     }, group)
     runner.setDaemon(true)
@@ -118,7 +130,7 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
     // bottleneck at scale.)
     val bcConf = spark.sparkContext.broadcast(
       new org.apache.spark.SerializableWritable(spark.sparkContext.hadoopConfiguration))
-    try {
+    cleaningStagingOnFailure(staging) {
       val stagedRdd = stage("download") {
         val sep = fmt.separator
         df.rdd.mapPartitionsWithIndex { (idx, it) =>
@@ -208,23 +220,29 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
           throw new IllegalStateException(s"rename $tmp -> $target failed")
         fs.delete(new Path(staging), true)
       }
-    } catch {
+    }
+  }
+
+  /** Run `body`; on ANY failure best-effort delete the staging path
+    * (failed or cancelled archives must not leak staged bytes), then
+    * rethrow.
+    */
+  private def cleaningStagingOnFailure[T](staging: String)(body: => T): T =
+    try body catch {
       case e: Throwable =>
-        // failed or cancelled archives must not leak staged bytes
         try {
           val p = new Path(staging)
           p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
         } catch { case _: Exception => () }
         throw e
     }
-  }
 
   /** Columnar single object: one part file written to a staging dir,
     * then committed to the exact key with a rename (the classic
     * exact-name pattern; on S3A the rename is a server-side copy).
     */
   private def writeColumnarSingle(df: DataFrame, cfg: ArchiveConfig, dest: String): Unit =
-    try {
+    cleaningStagingOnFailure(dest + ".staging") {
       stage("upload") {
         val path = new Path(dest)
         val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -242,14 +260,6 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
           throw new IllegalStateException(s"rename $part -> $path failed")
         fs.delete(staging, true)
       }
-    } catch {
-      case e: Throwable =>
-        // same no-leak contract as the row-format path
-        try {
-          val p = new Path(dest + ".staging")
-          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-        } catch { case _: Exception => () }
-        throw e
     }
 
   private def writeSharded(df: DataFrame, cfg: ArchiveConfig, dest: String): Unit = {

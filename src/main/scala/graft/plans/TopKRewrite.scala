@@ -60,17 +60,19 @@ object TopKRewrite extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case Project(projectList,
+    case p @ Project(projectList,
         Filter(cond,
           Window(Seq(alias @ Alias(WindowExpression(_: RowNumber,
             WindowSpecDefinition(_, _,
               SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)),
           partitionSpec, orderSpec, child, _)))
-        if partitionSpec.nonEmpty && limitOf(cond).exists { case (a, k) =>
-          k >= 1 && a.exprId == alias.exprId &&
-            !projectList.exists(_.references.exists(_.exprId == alias.exprId))
-        } =>
-      val k = limitOf(cond).get._2
-      Project(projectList, TopKPerKey(k, partitionSpec, orderSpec, child))
+        if partitionSpec.nonEmpty =>
+      limitOf(cond) match {
+        case Some((a, k))
+            if k >= 1 && a.exprId == alias.exprId &&
+              !projectList.exists(_.references.exists(_.exprId == alias.exprId)) =>
+          Project(projectList, TopKPerKey(k, partitionSpec, orderSpec, child))
+        case _ => p
+      }
   }
 }

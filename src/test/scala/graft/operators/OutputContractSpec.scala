@@ -15,7 +15,10 @@ import org.apache.spark.sql.types._
   * exact sums are computed in the decimal domain internally and cast
   * to double (bit-identical in DuckDB and the JVM), everything else
   * is double/integral/string/date/timestamp/boolean/arrays thereof.
-  * This spec is schema-only (no jobs run) and covers every query.
+  * The check reads only each query's resolved schema — though
+  * building a DataFrame is not free for every query (d06's iterative
+  * body executes eagerly during construction) — and covers all of
+  * them.
   */
 class OutputContractSpec extends SparkSpec {
 
