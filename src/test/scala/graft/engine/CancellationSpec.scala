@@ -92,6 +92,34 @@ class CancellationSpec extends SparkSpec {
     assert(Files.readAllLines(java.nio.file.Paths.get(dest)).size == 161) // header + 160
   }
 
+  test("single-object output is byte-identical across partitionings (seam framing)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-seams").toString
+    val rows = (1 to 17).map(i => (i.toLong, s"v$i"))
+    for (fmt <- Seq(Format.Csv, Format.JsonArray, Format.Yaml)) {
+      val eng = new Engine(spark, ArchiveConfig(format = fmt))
+      // 1 partition vs many (some empty after the filter) must
+      // concatenate to the same bytes: separators only BETWEEN
+      // non-empty parts, header/array framing once
+      val base = rows.toDF("id", "v").where($"id" =!= 4L)
+      val one = eng.archiveDF(base.coalesce(1), out, s"one_${fmt.extension}")
+      val many = eng.archiveDF(base.repartition(8, $"id"), out, s"many_${fmt.extension}")
+      val a = Files.readAllBytes(java.nio.file.Paths.get(one))
+      val b = Files.readAllBytes(java.nio.file.Paths.get(many))
+      // row ORDER may differ across partitionings; byte-length and the
+      // sorted line/entry multiset must match exactly
+      assert(a.length == b.length, s"$fmt byte length")
+      def canon(bytes: Array[Byte]): Seq[String] = {
+        val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        if (fmt == Format.JsonArray) {
+          assert(s.startsWith("[{") && s.endsWith("}]"), s"$fmt framing")
+          s.stripPrefix("[{").stripSuffix("}]").split("\\},\\{").toSeq.sorted
+        } else s.split("\n").toSeq.sorted
+      }
+      assert(canon(a) == canon(b), s"$fmt content multiset")
+    }
+  }
+
   test("cancellable API completes normally when not cancelled") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-cancel").toString
