@@ -104,6 +104,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming signature fold equals batch MinHashAgg over the same shingle kernel") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs today"))
+    // batch side: shingle_hashes → MinHashAgg, exactly d02's pipeline
+    val batch = texts.toDF("doc_id", "text")
+      .select(col("doc_id"), explode(expr("shingle_hashes(text, 3)")).as("g"))
+      .groupBy("doc_id")
+      .agg(graft.functions.MinHashAgg.minhash(col("g")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    // streaming side: the per-document fold streamingNearDup uses
+    val agg = new graft.functions.MinHashAgg
+    val stream = texts.map { case (id, t) =>
+      val grams = graft.functions.ShingleHashes.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), 3).toLongArray()
+      id -> grams.foldLeft(agg.zero)(agg.reduce).toVector
+    }.toMap
+    assert(batch == stream)
+  }
+
   test("readEventsStream normalizes the TIMESTAMP(NANOS) events source") {
     // the file stream source needs a directory of landed files
     val dir = java.nio.file.Files.createTempDirectory("graft-events-stream")
