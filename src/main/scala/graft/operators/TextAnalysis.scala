@@ -140,11 +140,31 @@ object TextAnalysis {
     * engine-specific → rows-only check; determinism within Spark is
     * pinned by the seed.
     */
-  val x06 = QueryDef("x06_stratified_sample", None) { (s, d) =>
+  /** Content-addressed stratified sampling: per-language keep
+    * fractions applied by thresholding the x04/x05 rolling fingerprint
+    * (`fp % 1000 < frac·1000`) instead of a seeded RNG. Same one-pass,
+    * shuffle-free shape as `df.stat.sampleBy` (which remains the
+    * RNG-based alternative, exercised in SamplingSpec), but the sample
+    * is a pure function of document CONTENT — stable across engines,
+    * runs, partitionings, and row order, which is what a reproducible
+    * training pipeline actually needs, and what makes this operator
+    * oracle-checkable rather than rows-only.
+    */
+  val x06 = QueryDef(
+    "x06_stratified_sample",
+    Some("""SELECT lang, count(*) AS n_sampled FROM (
+      SELECT lang,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, length(text) + 1), i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))),
+          (h, c) -> (h * 31 + c) % 1000000007) % 1000 AS bucket
+      FROM documents)
+      WHERE bucket < CASE WHEN lang = 'en' THEN 500 ELSE 1000 END
+      GROUP BY lang ORDER BY lang""")) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, d)
-      .stat.sampleBy("lang",
-        Map("en" -> 0.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0),
-        seed = 42L)
+      .withColumn("bucket", expr("rolling_hash(text, 31L, 1000000007L) % 1000"))
+      .where(col("bucket") <
+        when(col("lang") === "en", 500).otherwise(1000))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_sampled"))
       .orderBy("lang")
