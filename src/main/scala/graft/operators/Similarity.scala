@@ -26,17 +26,68 @@ object Similarity {
 
   def queries: Seq[QueryDef] = Seq(s01, s02, s03, s04)
 
+  /** DuckDB twins of the s04 k-means legs, composed per unrolled
+    * iteration. Every float op is the bit-identical cross-engine form
+    * proven elsewhere in this file: strict-fold dots (s01/s02),
+    * `round(x*1e6)` fixed-point with BIGINT sums (s03), and
+    * truncating integral division (Spark's double→long cast ≡ DuckDB
+    * `trunc`+CAST since the quotient is then integral).
+    */
+  private def duckAssign(cents: String, name: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, v, nrm, cell FROM (
+       |    SELECT n.vec_id, n.v, n.nrm, q.cell,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY (q.cn2 - 2 * ${Vec.duckDot("n.v", "q.cd")}), q.cell) AS rn
+       |    FROM n CROSS JOIN (
+       |      SELECT cell, cd, ${Vec.duckDot("cd", "cd")} AS cn2
+       |      FROM (SELECT cell, list_transform(c, y -> y / 1000000.0) AS cd FROM $cents)) q)
+       |  WHERE rn = 1)""".stripMargin
+
+  private def duckCentroids(assigned: String, name: String): String =
+    s"""$name AS (
+       |  SELECT cell, list(ci ORDER BY pos) AS c FROM (
+       |    SELECT cell, pos, CAST(trunc(sum(xi) / count(*)) AS BIGINT) AS ci FROM (
+       |      SELECT a.cell, r.pos, CAST(round(a.v[r.pos + 1] * 1000000) AS BIGINT) AS xi
+       |      FROM $assigned a, unnest(range(0, 64)) AS r(pos))
+       |    GROUP BY cell, pos)
+       |  GROUP BY cell)""".stripMargin
+
   /** IVF ANN with a trained coarse quantizer: k-means (k=8, 3
     * iterations, deterministic — centroids accumulate in fixed-point
     * BIGINT like s03, initialized from the first vector per vec_id
     * mod k) partitions the corpus into cells; each vector's nearest
     * neighbor is then searched only within its cell. This is the
     * production ANN shape at 100 TB: train on a sample, assign in one
-    * broadcast-join pass, search bucket-locally. Centroid training is
-    * engine-internal → rows-only driver check; determinism and
-    * convergence are pinned by SimilaritySpec.
+    * broadcast-join pass, search bucket-locally. The oracle unrolls
+    * the 3 training rounds as chained CTEs over the same bit-identical
+    * float forms, so even the trained quantizer is cross-checked;
+    * determinism and convergence are additionally pinned by
+    * SimilaritySpec.
     */
-  val s04 = QueryDef("s04_ivf_ann", None) { (s, d) =>
+  val s04 = QueryDef(
+    "s04_ivf_ann",
+    Some(s"""${Vec.duckNormCte},
+      init AS (
+        SELECT cell, list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT)) AS c FROM (
+          SELECT vec_id % 8 AS cell, v,
+                 row_number() OVER (PARTITION BY vec_id % 8 ORDER BY vec_id) AS rn
+          FROM n)
+        WHERE rn = 1),
+      ${duckAssign("init", "a1")},
+      ${duckCentroids("a1", "c1")},
+      ${duckAssign("c1", "a2")},
+      ${duckCentroids("a2", "c2")},
+      ${duckAssign("c2", "a3")},
+      ${duckCentroids("a3", "c3")},
+      ${duckAssign("c3", "cells")}
+      SELECT va, cell, nn, cos_sim FROM (
+        SELECT a.vec_id AS va, a.cell AS cell, b.vec_id AS nn,
+               ${Vec.duckDot("a.v", "b.v")} / (a.nrm * b.nrm) AS cos_sim,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY ${Vec.duckDot("a.v", "b.v")} / (a.nrm * b.nrm) DESC, b.vec_id) AS rn
+        FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+      WHERE rn = 1 ORDER BY va""")) { (s, d) =>
     val e = Vec.withNorm(Tables.embeddings(s, d)).cache()
     val k = 8
     // deterministic seeding: centroid j = fixed-point copy of the
