@@ -111,11 +111,15 @@ object MultimodalPipeline {
     }
   }
 
-  /** Full stub pipeline as a DataFrame (queries-map entry point). */
+  /** Full stub pipeline as a DataFrame (queries-map entry point).
+    * Counters emit as BIGINT to align with the DuckDB oracle schema.
+    */
   def features(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(assetsFromDocuments(spark, dir)).toDF()
-      .select(col("asset_id"), col("modality"), col("byte_len"),
-        col("checksum"), col("n_frames"),
+      .select(col("asset_id"), col("modality"),
+        col("byte_len").cast("long").as("byte_len"),
+        col("checksum"),
+        col("n_frames").cast("long").as("n_frames"),
         element_at(col("histogram"), 1).as("hist_bucket0"),
         aggregate(col("histogram"), lit(0L), (acc, x) => acc + x).as("hist_total"))
       .orderBy("asset_id")

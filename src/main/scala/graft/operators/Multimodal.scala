@@ -35,21 +35,48 @@ object MultimodalOps {
   }
 
   /** Stubbed decode pipeline end-to-end (mapPartitions over binary
-    * payloads → typed features). Feature values come from the Scala
-    * decode stub → rows-only driver check; the Scala-side unit spec
-    * asserts the exact values.
+    * payloads → typed features). The decoder is still the documented
+    * STUB (no codecs in this container), but its byte-level arithmetic
+    * is fully deterministic over the UTF-8 payloads — so the whole
+    * mapPartitions pipeline is cross-checked against a DuckDB oracle
+    * recomputing the same features from the text (ASCII corpus:
+    * codepoints = bytes, proven by m01).
     */
-  val m02 = QueryDef("m02_decode_pipeline", None) { (s, d) =>
+  val m02 = QueryDef(
+    "m02_decode_pipeline",
+    Some("""SELECT doc_id AS asset_id,
+      CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+      CAST(strlen(text) AS BIGINT) AS byte_len,
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, length(text) + 1), i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))),
+        (h, c) -> (h * 31 + c) % 1000000007) AS checksum,
+      CAST(CASE WHEN strlen(text) = 0 THEN 0 WHEN doc_id % 3 = 2 THEN 4 ELSE 1 END AS BIGINT) AS n_frames,
+      CAST(len(list_filter(list_transform(range(1, length(text) + 1), i -> unicode(substr(text, i, 1))), c -> c < 16)) AS BIGINT) AS hist_bucket0,
+      CAST(strlen(text) AS BIGINT) AS hist_total
+      FROM documents ORDER BY asset_id""")) { (s, d) =>
     graft.multimodal.MultimodalPipeline.features(s, d)
   }
 
   /** Frame sampling as a generator: "video" assets explode into 4
     * frame rows each with per-frame byte features — the row-explosion
     * shape a real video pipeline has (asset → frames → per-frame
-    * model input). Frame values come from the deterministic stub →
-    * rows-only check.
+    * model input). Frame offsets and checksums are pure byte
+    * arithmetic over the deterministic payloads, so the oracle
+    * recomputes each frame's slice and rolling checksum from the
+    * source text.
     */
-  val m03 = QueryDef("m03_frame_sample", None) { (s, d) =>
+  val m03 = QueryDef(
+    "m03_frame_sample",
+    Some("""SELECT doc_id AS asset_id, CAST(k AS BIGINT) AS frame_no,
+      CAST(least(256, L - off) AS BIGINT) AS frame_bytes,
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(off + 1, off + least(256, L - off) + 1), i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))),
+        (h, c) -> (h * 31 + c) % 1000000007) AS frame_checksum
+      FROM (
+        SELECT doc_id, text, strlen(text) AS L, k, (strlen(text) * k) // 4 AS off
+        FROM documents, unnest(range(0, 4)) AS r(k)
+        WHERE doc_id % 3 = 2 AND strlen(text) > 0)
+      ORDER BY asset_id, frame_no""")) { (s, d) =>
     import org.apache.spark.sql.Encoders
     val assets = graft.multimodal.MultimodalPipeline.assetsFromDocuments(s, d)
       .filter(_.modality == "video")
@@ -62,6 +89,8 @@ object MultimodalOps {
       }
     }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, Encoders.scalaInt, Encoders.scalaLong))
     frames.toDF("asset_id", "frame_no", "frame_bytes", "frame_checksum")
+      .select(col("asset_id"), big(col("frame_no")).as("frame_no"),
+        big(col("frame_bytes")).as("frame_bytes"), col("frame_checksum"))
       .orderBy("asset_id", "frame_no")
   }
 }
