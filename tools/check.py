@@ -122,9 +122,13 @@ def driver_sim_mismatch(spark_parts, oracle_sql):
 
 n_ok = n_bad = 0
 results = {}
-names = sorted(
+# enumerate the UNION of produced outputs and declared oracles: an
+# oracle whose output dir is missing (Verify died partway, or the
+# output got mangled) must FAIL, not silently vanish from the report
+out_dirs = {
     os.path.basename(p) for p in glob.glob(f"{OUT}/*") if os.path.isdir(p)
-)
+}
+names = sorted(out_dirs | set(oracles.keys()))
 for name in names:
     if ONLY and name not in ONLY:
         continue
