@@ -30,7 +30,13 @@ object Bench {
         None
       }
     }
-    val queryResults = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q01_agg,d06_dedup_survivors: time just those
+    // entries (fast iteration on a single regression); unset = all
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(SparkEntry.queries)(
+      names => SparkEntry.queries.filter { case (n, _) => names(n) })
+    val queryResults = selected.map { case (name, fn) =>
       // benchmark integrity: queries like d03/x07 cache their shingle
       // tables and d06/d07 reuse d03's entry via plan matching — clear
       // Spark-level caches before each entry so no query's number
@@ -68,21 +74,27 @@ object Bench {
     }
     val engine = new graft.engine.Engine(spark)
     val out = java.nio.file.Files.createTempDirectory("graft-bench-archive").toString
-    val results = queryResults ++ Seq(
-      timeArchive("archive_lineitem_csv_sharded") {
-        engine.archive(sfDir, "lineitem", out, _.copy(sharded = true))
-      },
-      timeArchive("archive_lineitem_csv_single") {
-        engine.archive(sfDir, "lineitem", out, _.copy(key = Some("lineitem_single.csv")))
-      })
+    val archives =
+      if (only.isDefined) Seq.empty
+      else Seq(
+        timeArchive("archive_lineitem_csv_sharded") {
+          engine.archive(sfDir, "lineitem", out, _.copy(sharded = true))
+        },
+        timeArchive("archive_lineitem_csv_single") {
+          engine.archive(sfDir, "lineitem", out, _.copy(key = Some("lineitem_single.csv")))
+        })
+    val results = queryResults ++ archives
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // Also persist to a well-known file: sbt/Spark log noise swallowed
-    // the stdout line in round 1 (BENCH_r01 "parsed": null).
+    // Persist to a well-known file: sbt/Spark log noise swallowed the
+    // stdout line in rounds 1 AND 2 (BENCH_r0{1,2} "parsed": null)…
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
+    // …and print the JSON only AFTER the session is stopped, so no
+    // Spark shutdown chatter can land between it and process exit: the
+    // line the driver's tail-parse sees last is the JSON itself.
     spark.stop()
+    println(json)
   }
 }

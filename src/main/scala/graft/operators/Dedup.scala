@@ -92,17 +92,16 @@ object Dedup {
     * counts; |A∪B| = |A|+|B|−|A∩B| from per-doc shingle counts.
     *
     * Scale design: this is an inverted-index join (pairs meet only on
-    * shared shingles), not all-pairs, plus the classic length
-    * prefilter — J ≥ 0.1 forces |A| ≥ 0.1·|B| (J ≤ min/max of the set
-    * sizes), so size-incompatible pairs are pruned INSIDE the join
-    * before the intersection-count shuffle. The per-doc size n rides
-    * along from the same narrow shingle map (no extra shuffle) and
-    * joins the grouping key, which also removes the two count-lookup
-    * joins the naive formulation needs. Residual hazard at 100 TB is
-    * ubiquitous shingles (hot buckets) — mitigate with a document-
-    * frequency cap upstream, which trades exactness and is therefore
-    * not done here (d02 MinHash-LSH is the approximate scale path;
-    * this operator is its exactness oracle).
+    * shared shingles), not all-pairs. The per-doc sizes join the
+    * post-aggregation PAIR table, which is orders of magnitude smaller
+    * than the shingle legs (the round-2 variant that pushed sizes plus
+    * a J ≥ 0.1 length prefilter inside the self-join priced every
+    * shingle row and regressed 3.2 → 5.2 s on near-uniform lengths —
+    * docs/MICROBENCH.md). Residual hazard at 100 TB is ubiquitous
+    * shingles (hot buckets) — mitigate with a document-frequency cap
+    * upstream, which trades exactness and is therefore not done here
+    * (d02 MinHash-LSH is the approximate scale path; this operator is
+    * its exactness oracle).
     */
   val d03 = QueryDef(
     "d03_ngram_jaccard",
@@ -126,19 +125,29 @@ object Dedup {
     // d03 hits the same entry; a parquet intermediate at real scale)
     // so the self-join legs and the count leg reuse it.
     graft.functions.GraftFunctions.register(s)
-    val g0 = Tables.documents(s, d)
+    val g = Tables.documents(s, d)
       .select(col("doc_id"), explode(expr("shingle_hashes(text, 3)")).as("g"))
       .cache()
-    val n = g0.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val g = g0.join(broadcast(n), "doc_id")
-    val filtered = g.as("x").join(g.as("y"),
-        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
-          col("x.n") * 10 >= col("y.n") && col("y.n") * 10 >= col("x.n"))
-    filtered
+    val n = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // count lookups ride the POST-aggregation pair table (tiny), not
+    // the join legs: round 2 pushed n + a J ≥ 0.1 length prefilter
+    // inside the self-join, which priced every shingle row (wider legs
+    // + broadcast probe) for a filter that prunes nothing when doc
+    // lengths are near-uniform — measured 3.2 → 5.2 s at the driver's
+    // local[32] (docs/MICROBENCH.md). Re-add the prefilter only under
+    // measured length skew. n is corpus-sized (one row per doc):
+    // broadcast is right at bench scale; at 100 TB these two lookups
+    // become shuffle joins on da/db — still pair-table-sized, ≪ the
+    // shingle self-join either way.
+    val inter = g.as("x").join(g.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-      .agg(count(lit(1)).as("i"), min(col("x.n")).as("na"), min(col("y.n")).as("nb"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(broadcast(n).as("na"), col("da") === col("na.doc_id"))
+      .join(broadcast(n).as("nb"), col("db") === col("nb.doc_id"))
       .select(col("da"), col("db"),
-        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
+        (col("i").cast("double") / (col("na.n") + col("nb.n") - col("i"))).as("jaccard"))
       .where(col("jaccard") >= 0.1)
       .orderBy("da", "db")
   }
@@ -224,41 +233,62 @@ object Dedup {
         FROM reach GROUP BY a)
       ORDER BY doc_id""")) { (s, d) =>
     val pairs = d03.fn(s, d).where(col("jaccard") >= 0.5).select("da", "db")
+    // The near-dup EDGE set is orders of magnitude smaller than the
+    // corpus (dozens of rows here; ≤ duplicate count at any scale), so
+    // the whole propagation loop runs single-partition: materialize the
+    // edges ONCE at full parallelism (that count() pays d03's heavy
+    // shingle join with the session's normal partitioning), then drop
+    // the session to shuffle.partitions=1 for the loop. Without this
+    // the loop schedules ~100 near-empty tasks per round — pure
+    // small-task overhead that cost 19.4 s at the driver's local[32]
+    // (round 2) for ~50 rows of actual data. At real scale pick a
+    // partition count sized to the EDGE volume (still ≪ the corpus),
+    // not the cluster default.
     val edges = pairs.union(pairs.select(col("db"), col("da"))).toDF("a", "b")
-      .cache()
-    val nodes = edges.select(col("a").as("doc_id")).distinct()
-    // localCheckpoint (eager) each round: truncates the ever-deepening
-    // lineage AND materializes `next` once, so the convergence test is
-    // a cheap count over checkpointed data instead of a third
-    // join+isEmpty job per iteration (round-1: 20 s → ~4 s at sf0.1).
-    // Superseded rounds' checkpoint blocks are reclaimed by the
-    // ContextCleaner once unreferenced (the Dataset API exposes no
-    // explicit release for localCheckpoint storage); they are bounded
-    // by ≤ 20 rounds × one small row per clustered doc.
-    var labels = nodes.withColumn("lbl", col("doc_id")).localCheckpoint()
+      .repartition(1).cache()
+    edges.count()
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "1")
     var converged = false
-    var iter = 0
-    while (!converged && iter < 20) {
-      val neighborMin = edges.join(labels, edges("b") === labels("doc_id"))
-        .groupBy(edges("a").as("doc_id")).agg(min("lbl").as("nlbl"))
-      val next = labels.join(neighborMin, "doc_id")
-        .select(col("doc_id"), least(col("lbl"), col("nlbl")).as("lbl"),
-          (col("nlbl") < col("lbl")).as("changed"))
-        .localCheckpoint()
-      converged = next.where(col("changed")).count() == 0L
-      labels = next.drop("changed")
-      iter += 1
-    }
-    if (!converged)
-      throw new IllegalStateException(
-        s"graft: d06 label propagation did not converge in $iter iterations " +
-          "(component diameter exceeds the cap — raise it or switch to the " +
-          "large-star/small-star variant)")
-    edges.unpersist(blocking = false)
-    labels
-      .select(col("doc_id"), col("lbl").as("survivor"),
-        (col("doc_id") === col("lbl")).as("is_survivor"))
-      .orderBy("doc_id")
+    try {
+      val nodes = edges.select(col("a").as("doc_id")).distinct()
+      // localCheckpoint (eager) each round: truncates the ever-deepening
+      // lineage AND materializes `next` once, so the convergence test is
+      // a cheap count over checkpointed data instead of a third
+      // join+isEmpty job per iteration (round-1: 20 s → ~4 s at sf0.1).
+      // Superseded rounds' checkpoint blocks are reclaimed by the
+      // ContextCleaner once unreferenced (the Dataset API exposes no
+      // explicit release for localCheckpoint storage); they are bounded
+      // by ≤ 20 rounds × one small row per clustered doc. Trade-off:
+      // localCheckpoint keeps blocks in EXECUTOR storage only — an
+      // executor loss mid-loop is unrecoverable. Right for local mode;
+      // on a cluster configure a checkpoint dir and use reliable
+      // checkpoint() here (or take d07, the GraphX twin, which is the
+      // recommended default at scale anyway).
+      var labels = nodes.withColumn("lbl", col("doc_id")).localCheckpoint()
+      var iter = 0
+      while (!converged && iter < 20) {
+        val neighborMin = edges.join(labels, edges("b") === labels("doc_id"))
+          .groupBy(edges("a").as("doc_id")).agg(min("lbl").as("nlbl"))
+        val next = labels.join(neighborMin, "doc_id")
+          .select(col("doc_id"), least(col("lbl"), col("nlbl")).as("lbl"),
+            (col("nlbl") < col("lbl")).as("changed"))
+          .localCheckpoint()
+        converged = next.where(col("changed")).count() == 0L
+        labels = next.drop("changed")
+        iter += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"graft: d06 label propagation did not converge in $iter iterations " +
+            "(component diameter exceeds the cap — raise it or switch to the " +
+            "large-star/small-star variant)")
+      edges.unpersist(blocking = false)
+      labels
+        .select(col("doc_id"), col("lbl").as("survivor"),
+          (col("doc_id") === col("lbl")).as("is_survivor"))
+        .orderBy("doc_id")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   /** GraphX twin of d06: the same survivor selection through Pregel

@@ -38,17 +38,29 @@ object Relational {
                       AND o_totalprice > 400000)
       ORDER BY c_custkey""")) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
-    Tables.orders(s, d).createOrReplaceTempView("orders")
     Tables.customer(s, d).createOrReplaceTempView("customer")
+    // scan orders ONCE: the selective leg (just the matching custkeys,
+    // ~1% of rows) is cached lazily — the bloom-build subquery job
+    // populates it, the semi join reads it back — so the filter and
+    // xxhash64 run once; round 2's two scalar-subquery + semi-join
+    // scans repeated both per leg. (Eager localCheckpoint was tried
+    // and is slower here: it serializes a third job just to
+    // materialize. MEMORY_AND_DISK + the per-query clearCache in
+    // Bench/Verify bound the cache's lifetime.)
+    val sel = Tables.orders(s, d)
+      .where(col("o_totalprice") > 400000)
+      .select("o_custkey")
+      .cache()
+    sel.createOrReplaceTempView("sel_orders")
     // might_contain requires its bloom as a scalar subquery (same
     // shape Spark's InjectRuntimeFilter emits); the IN semi join
     // absorbs bloom false positives → exact result
     s.sql("""SELECT c_custkey, c_name FROM customer
       WHERE might_contain(
               (SELECT bloom_filter_agg(xxhash64(o_custkey), 50000L, 400000L)
-               FROM orders WHERE o_totalprice > 400000),
+               FROM sel_orders),
               xxhash64(c_custkey))
-        AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        AND c_custkey IN (SELECT o_custkey FROM sel_orders)
       ORDER BY c_custkey""")
   }
 

@@ -90,40 +90,57 @@ object Similarity {
       WHERE rn = 1 ORDER BY va""")) { (s, d) =>
     val e = Vec.withNorm(Tables.embeddings(s, d)).cache()
     val k = 8
+    // k centroids are k rows — driver-side data by definition, exactly
+    // like any production k-means. Each round collects them (k×64
+    // longs) and bakes them into the ASSIGNMENT as literal columns:
+    // score_j = ||c_j||² − 2·v·c_j on the codegen'd vec_dot kernel,
+    // argmin = least() + a first-match when-chain (ties → lowest cell,
+    // the oracle's ORDER BY score, cell). Assignment is then a pure
+    // narrow projection — ZERO exchanges; round 2's formulation
+    // (crossJoin(broadcast) ×8 row blowup + row_number window =
+    // shuffle+sort per round) cost 6.5 s at the driver's local[32].
+    // ||c||² is a strict left fold over cd = c/10⁶, the same fold
+    // DuckDB's list_reduce runs → scores stay bit-identical.
+    def collected(cents: org.apache.spark.sql.DataFrame): Seq[(Long, Array[Double], Double)] =
+      cents.collect().map { r =>
+        val cd = r.getSeq[Long](1).map(_ / 1000000.0).toArray
+        var cn2 = 0.0
+        var i = 0
+        while (i < cd.length) { cn2 += cd(i) * cd(i); i += 1 }
+        (r.getLong(0), cd, cn2)
+      }.toSeq.sortBy(_._1)
+    def cellOf(cents: Seq[(Long, Array[Double], Double)]): org.apache.spark.sql.Column = {
+      val scores = cents.map { case (_, cd, cn2) =>
+        lit(cn2) - lit(2.0) * call_function("vec_dot", col("v"), lit(cd)) }
+      val best = least(scores: _*)
+      cents.zip(scores).init.foldRight(lit(cents.last._1)) {
+        case (((cell, _, _), sc), alt) => when(sc === best, lit(cell)).otherwise(alt)
+      }
+    }
+    def assign(cents: Seq[(Long, Array[Double], Double)]) =
+      e.withColumn("cell", cellOf(cents))
     // deterministic seeding: centroid j = fixed-point copy of the
     // lowest-vec_id vector with vec_id % k == j
-    val byCell = Window.partitionBy("cell").orderBy("vec_id")
-    // argmin over cells of ||v - c||² = ||v||² + (||c||² - 2·v·c); the
-    // ||v||² term is constant per vector, so ranking by the
-    // parenthesized score is the same argmin — and both legs run on
-    // the codegen'd vec_dot kernel instead of an interpreted
-    // aggregate(zip_with(…)) lambda (~100× per-row, see MICROBENCH).
-    val byVec = Window.partitionBy("vec_id").orderBy(col("score"), col("cell"))
-    def quantizer(centroids: org.apache.spark.sql.DataFrame) = centroids
-      .select(col("cell"), expr("transform(c, y -> y / 1000000D)").as("cd"))
-      .withColumn("cn2", expr("vec_dot(cd, cd)"))
-    def assign(centroids: org.apache.spark.sql.DataFrame) =
-      e.crossJoin(broadcast(quantizer(centroids)))
-        .withColumn("score", col("cn2") - lit(2.0) * expr("vec_dot(v, cd)"))
-        .withColumn("rn", row_number().over(byVec))
-        .where(col("rn") === 1)
-    var centroids = e
+    var centroids = collected(e
       .withColumn("cell", pmod(col("vec_id"), lit(k)))
-      .withColumn("rn", row_number().over(byCell))
-      .where(col("rn") === 1)
-      .select(col("cell"), expr("transform(v, x -> CAST(round(x * 1000000) AS BIGINT))").as("c"))
+      .groupBy("cell")
+      .agg(min_by(col("v"), col("vec_id")).as("v0"))
+      .select(col("cell"), expr("transform(v0, x -> CAST(round(x * 1000000) AS BIGINT))").as("c")))
+    // 3 training rounds: narrow assign + ONE shuffle each (the
+    // centroid-update groupBy — the only exchange k-means needs)
     for (_ <- 1 to 3) {
-      val assigned = assign(centroids)
-        .select(col("vec_id"), col("cell"), col("v"))
-      centroids = assigned
+      centroids = collected(assign(centroids)
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .withColumn("xi", expr("CAST(round(x * 1000000) AS BIGINT)"))
         .groupBy("cell", "pos")
         .agg((sum("xi") / count(lit(1))).cast("long").as("ci"))
         .groupBy("cell")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, ci))), s -> s.ci)").as("c"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, ci))), s -> s.ci)").as("c")))
     }
-    // final assignment, then bucket-local nearest neighbor
+    // final assignment (narrow), then bucket-local nearest neighbor:
+    // the cell-equality self-join is the one data-sized shuffle; top-1
+    // per vector is a partial-aggregating max_by (ordered by cos desc,
+    // then LOWEST nn — the struct key negates nn), not a window sort
     val cells = assign(centroids)
       .select(col("vec_id"), col("cell"), col("v"), col("nrm"))
     cells.as("a").join(cells.as("x"),
@@ -131,10 +148,9 @@ object Similarity {
       .select(col("a.vec_id").as("va"), col("a.cell").as("cell"),
         col("x.vec_id").as("nn"),
         (expr(Vec.dot("a.v", "x.v")) / (col("a.nrm") * col("x.nrm"))).as("c"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("va").orderBy(col("c").desc, col("nn"))))
-      .where(col("rn") === 1)
-      .select(col("va"), col("cell"), col("nn"), col("c").as("cos_sim"))
+      .groupBy("va", "cell")
+      .agg(max_by(struct(col("nn"), col("c")), struct(col("c"), -col("nn"))).as("m"))
+      .select(col("va"), col("cell"), col("m.nn").as("nn"), col("m.c").as("cos_sim"))
       .orderBy("va")
   }
 
