@@ -13,9 +13,11 @@ import org.apache.spark.sql.SparkSession
   *   [--sharded] [-p partcol1,partcol2]
   * }}}
   *
-  * `-d` is the data directory (the reference's DATABASE_URL becomes a
-  * table source: parquet dir here; a JDBC URL would go through
-  * `spark.read.jdbc` identically), `-b` the destination "bucket"
+  * `-d` is the data source — a parquet data directory OR a JDBC URL
+  * (`jdbc:` prefix), the reference CLI's native shape
+  * (`chiv -d $DATABASE_URL -t table -b bucket`). Like the reference,
+  * `-d` falls back to the `DATABASE_URL` environment variable when
+  * omitted (cmd/chiv/main.go:30–40). `-b` is the destination "bucket"
   * (any Hadoop FS URI), `-t` the table.
   */
 object Main {
@@ -26,7 +28,7 @@ object Main {
     // executor logs
     val opts = parse(args.toList, Map.empty)
     configOf(opts)
-    val (dir, table, bucket) = required(opts)
+    val (dir, table, bucket) = required(opts, sys.env)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-archive")
@@ -41,18 +43,25 @@ object Main {
 
   /** Flag parsing + archive on a caller-owned session (separated from
     * `main` so the CLI path is testable without stopping the JVM-wide
-    * session). Returns the destination key.
+    * session; `env` injectable for the DATABASE_URL fallback).
+    * Returns the destination key.
     */
-  def run(spark: SparkSession, args: Array[String]): String = {
+  def run(spark: SparkSession, args: Array[String],
+      env: Map[String, String] = sys.env): String = {
     val opts = parse(args.toList, Map.empty)
-    val (dir, table, bucket) = required(opts)
+    val (dir, table, bucket) = required(opts, env)
     new Engine(spark, configOf(opts)).archive(dir, table, bucket)
   }
 
-  private def required(opts: Map[String, String]): (String, String, String) = {
+  private def required(opts: Map[String, String],
+      env: Map[String, String]): (String, String, String) = {
     def req(k: String): String = opts.getOrElse(k,
       sys.error(s"graft: missing required flag -$k"))
-    (req("d"), req("t"), req("b"))
+    // reference parity: -d beats the environment; DATABASE_URL is the
+    // fallback source (cmd/chiv/main.go:30–40)
+    val source = opts.get("d").orElse(env.get("DATABASE_URL")).getOrElse(
+      sys.error("graft: missing required flag -d (and DATABASE_URL is unset)"))
+    (source, req("t"), req("b"))
   }
 
   private def configOf(opts: Map[String, String]): ArchiveConfig =

@@ -43,7 +43,17 @@ object Qdsl {
   /** per-row rate in [0,1), exact at 2 decimals */
   val r2: DecimalType = DecimalType(4, 2)
   /** exact decimal-domain sum emitted as double — order-independent,
-    * ≡ DuckDB `CAST(sum(CAST(x AS DECIMAL(12,2))) AS DOUBLE)` */
+    * ≡ DuckDB `CAST(sum(CAST(x AS DECIMAL(12,2))) AS DOUBLE)`.
+    *
+    * Contract bound: cross-engine bit-equality of the emitted double
+    * is verified for scale-2 sums whose unscaled (cent) value stays
+    * within 2^52 (≈ $45 T per GROUP). Below that, both engines'
+    * decimal→double conversions are exact or correctly rounded to the
+    * same float64; beyond it DuckDB's two-step (double)unscaled/100.0
+    * can differ from the JVM's correctly-rounded BigDecimal.doubleValue
+    * by 1 ulp. No group sum approaches the bound at any TPC-H SF that
+    * fits 100 TB; a pipeline that genuinely aggregates beyond $45 T in
+    * one group should emit the decimal as a STRING instead. */
   def xsum2(c: Column): Column = sum(c.cast(m2)).cast("double")
   /** exact decimal-domain average emitted as double: decimal sum →
     * double, then one IEEE division by the group count */

@@ -1,9 +1,11 @@
 package graft.engine
 
 /** Output format — the reference's `Formatter` SPI surface
-  * (chiv_formatters.go:23–35) reduced to its three shipped
-  * implementations, plus each format's default extension
-  * (`Extensioner`, chiv_formatters.go:37–40).
+  * (chiv_formatters.go:23–35): the three shipped implementations,
+  * each format's default extension (`Extensioner`,
+  * chiv_formatters.go:37–40), columnar extensions, and — `WithFormat`
+  * parity (chiv_options.go:7–12) — a `Custom` carrier for any
+  * user-supplied [[RowFormatter]].
   */
 sealed trait Format { def extension: String }
 object Format {
@@ -14,6 +16,15 @@ object Format {
 
   /** `- key: value` block sequence — chiv_formatters.go:98–143. */
   case object Yaml extends Format { val extension = "yaml" }
+
+  /** User-pluggable formatter — the reference's open `Formatter`/
+    * `FormatterFunc` SPI (chiv_formatters.go:23–40): any
+    * [[RowFormatter]] implementation rides the same single-object and
+    * sharded row paths as the shipped formats. `extension` feeds key
+    * negotiation exactly like a built-in (`Extensioner` parity).
+    */
+  final case class Custom(formatter: RowFormatter, extension: String = "txt")
+      extends Format
 
   /** Columnar formats (beyond the reference: the archive formats a
     * Spark-era pipeline actually wants on an object store — typed,

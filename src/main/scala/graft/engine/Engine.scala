@@ -28,13 +28,18 @@ import java.nio.charset.StandardCharsets
   */
 final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
 
-  /** Archive a named parquet table from `sourceDir` (the Spark-world
-    * `Archive`: the JDBC scan S1 becomes a parquet/JDBC read).
+  /** Archive a named table from `source` (the Spark-world `Archive`).
+    * A `jdbc:` source is the reference's own shape — a full-table scan
+    * against a live database (chiv.go:200–215, `SELECT <cols> FROM
+    * <table>`), with Spark pushing projection/predicates into the
+    * cursor; anything else is a parquet data directory.
     */
-  def archive(sourceDir: String, table: String, destDir: String,
+  def archive(source: String, table: String, destDir: String,
       config: ArchiveConfig => ArchiveConfig = identity): String = {
     val df = stage("query") {
-      spark.read.parquet(s"$sourceDir/$table.parquet")
+      if (source.startsWith("jdbc:"))
+        graft.sources.Sources.jdbcTable(spark, source, table)
+      else spark.read.parquet(s"$source/$table.parquet")
     }
     archiveDF(df, destDir, table, config)
   }
@@ -121,7 +126,12 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
     val fmt = RowFormatter.of(cfg.format)
     val schema = df.schema
     val nullValue = cfg.nullValue
-    val staging = dest + ".staging"
+    // invocation-unique staging: two concurrent archives to the SAME
+    // destination (trivial via archiveDFCancellable) must not
+    // interleave staged parts or delete each other's staging on their
+    // own failure path; the last-wins race is then confined to the
+    // final rename, which is atomic per filesystem contract
+    val staging = dest + ".staging-" + java.util.UUID.randomUUID()
     // Format on executors (the expensive part), every partition IN
     // PARALLEL in one Spark job, each streaming its rows — joined by
     // the in-part separators — to one staged byte file. (The previous
@@ -241,12 +251,14 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
     * then committed to the exact key with a rename (the classic
     * exact-name pattern; on S3A the rename is a server-side copy).
     */
-  private def writeColumnarSingle(df: DataFrame, cfg: ArchiveConfig, dest: String): Unit =
-    cleaningStagingOnFailure(dest + ".staging") {
+  private def writeColumnarSingle(df: DataFrame, cfg: ArchiveConfig, dest: String): Unit = {
+    // invocation-unique for the same reason as the row path above
+    val stagingDir = dest + ".staging-" + java.util.UUID.randomUUID()
+    cleaningStagingOnFailure(stagingDir) {
       stage("upload") {
         val path = new Path(dest)
         val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val staging = new Path(dest + ".staging")
+        val staging = new Path(stagingDir)
         val one = df.coalesce(1).write.mode("overwrite")
         cfg.format match {
           case Format.Orc => one.orc(staging.toString)
@@ -261,6 +273,7 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
         fs.delete(staging, true)
       }
     }
+  }
 
   private def writeSharded(df: DataFrame, cfg: ArchiveConfig, dest: String): Unit = {
     val schema = df.schema

@@ -60,9 +60,16 @@ object Render {
 
 /** Formatter SPI (reference `Formatter`: Open/Format/Close,
   * chiv_formatters.go:23–35): optional prologue, per-row text, row
-  * separator, optional epilogue.
+  * separator, optional epilogue. OPEN for user implementations — the
+  * reference accepts any `Formatter`/`FormatterFunc` via `WithFormat`
+  * (chiv_formatters.go:23–40, chiv_options.go:7–12); the Spark-side
+  * equivalent is `Format.Custom(myFormatter, ext)` in [[ArchiveConfig]],
+  * flowing through both the single-object and sharded row paths.
+  * Implementations run inside partition iterators on executors, hence
+  * `Serializable`; they must be pure functions of (schema, row) — any
+  * speculative re-execution must produce identical bytes.
   */
-sealed trait RowFormatter extends Serializable {
+trait RowFormatter extends Serializable {
   def open(schema: StructType): String
   def row(schema: StructType, r: Row, nullValue: Option[String]): String
   def separator: String
@@ -199,6 +206,7 @@ object RowFormatter {
     case Format.Csv => CsvFormatter
     case Format.JsonArray => JsonArrayFormatter
     case Format.Yaml => YamlFormatter
+    case Format.Custom(formatter, _) => formatter
     case columnar => throw new IllegalArgumentException(
       s"$columnar has no row formatter — columnar formats go through Spark's writers")
   }

@@ -56,6 +56,47 @@ class MainSpec extends SparkSpec {
     assert(e.getMessage == "graft: missing required flag -b")
   }
 
+  // the reference CLI's native shape: archive FROM a live database
+  // (`chiv -d $DATABASE_URL -t table -b bucket`, cmd/chiv/main.go:97–127)
+  private lazy val jdbcUrl = {
+    val dbDir = Files.createTempDirectory("graft-cli-derby")
+    System.setProperty("derby.system.home", dbDir.toString)
+    val url = s"jdbc:derby:$dbDir/clidb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("CREATE TABLE pets (id BIGINT NOT NULL, name VARCHAR(16))")
+      st.executeUpdate("INSERT INTO pets VALUES (1, 'rex'), (2, 'milo')")
+      st.close()
+    } finally conn.close()
+    url
+  }
+
+  test("-d accepts a JDBC URL and archives the database table") {
+    val out = Files.createTempDirectory("graft-cli").toString
+    val dest = Main.run(spark, Array("-d", jdbcUrl, "-t", "pets", "-b", out))
+    assert(dest == s"$out/pets.csv")
+    val body = read(dest)
+    assert(body.linesIterator.toSeq.map(_.toLowerCase) ==
+      Seq("id,name", "1,rex", "2,milo"))
+  }
+
+  test("DATABASE_URL is the -d fallback, and an explicit -d beats it") {
+    val out = Files.createTempDirectory("graft-cli").toString
+    val dest = Main.run(spark, Array("-t", "pets", "-b", out),
+      env = Map("DATABASE_URL" -> jdbcUrl))
+    assert(read(dest).toLowerCase.contains("rex"))
+    // explicit -d (parquet dir) wins over the env URL
+    val explicit = Main.run(spark, Array("-d", data, "-t", "region", "-b", out),
+      env = Map("DATABASE_URL" -> jdbcUrl))
+    assert(read(explicit).startsWith("r_regionkey"))
+    // neither flag nor env → the graft-prefixed error names both
+    val e = intercept[RuntimeException] {
+      Main.run(spark, Array("-t", "pets", "-b", out), env = Map.empty)
+    }
+    assert(e.getMessage.contains("-d") && e.getMessage.contains("DATABASE_URL"))
+  }
+
   test("unknown format fails with the graft-prefixed error") {
     val e = intercept[RuntimeException] {
       Main.run(spark, Array("-d", data, "-t", "region", "-b", "/tmp/x", "-f", "xml"))
