@@ -301,7 +301,13 @@ object Dedup {
   val d07 = QueryDef("d07_graphx_components", d06.oracle) { (s, d) =>
     import org.apache.spark.graphx.{Edge, Graph}
     val pairs = d03.fn(s, d).where(col("jaccard") >= 0.5).select("da", "db")
-    val edgeRdd = pairs.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    // same partition-sizing rule as d06: the edge set is tiny, so give
+    // Pregel 1 partition instead of paying cluster-default task counts
+    // per superstep (at real scale size this to the edge volume).
+    // repartition, NOT coalesce: coalesce(1) would collapse d03's
+    // whole final stage into a single task; the shuffle boundary keeps
+    // the upstream join parallel
+    val edgeRdd = pairs.repartition(1).rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
     val cc = Graph.fromEdges(edgeRdd, defaultValue = ())
       .connectedComponents()
       .vertices // (doc_id, min doc_id in component)

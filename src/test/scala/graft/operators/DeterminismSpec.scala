@@ -24,11 +24,24 @@ class DeterminismSpec extends SparkSpec {
   // representatives of the formerly hash-red decimal-domain rewrites
   // (group sums, window frame sums, event-window sums, cosine folds)
   // whose order-independence this spec pins.
+  // s04 joined in round 3: its assignment became a collected-centroid
+  // narrow projection — the fixed-point centroid sums must keep the
+  // trained quantizer identical at any fan-out
   for (name <- Seq("q28_salted_agg", "s03_label_centroid", "d03_ngram_jaccard",
       "d06_dedup_survivors", "x05_train_test_split", "q32_topk_per_key",
-      "q01_agg", "q14_window_frames", "e01_tumbling_window", "s01_cosine_topk")) {
+      "q01_agg", "q14_window_frames", "e01_tumbling_window", "s01_cosine_topk",
+      "s04_ivf_ann")) {
     test(s"$name is invariant to shuffle partition count (3 vs 17)") {
       assert(collectWith(3, name) == collectWith(17, name))
     }
+  }
+
+  // d06 drops the session to shuffle.partitions=1 for its tiny label
+  // loop — the override must never leak into the caller's session,
+  // fixpoint or not
+  test("d06 restores the session's shuffle.partitions after its internal loop") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    Registry.byName("d06_dedup_survivors").fn(spark, dir).count()
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == prev)
   }
 }
