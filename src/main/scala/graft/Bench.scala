@@ -30,12 +30,11 @@ object Bench {
         None
       }
     }
-    // SPARK_GRAFT_ONLY=q01_agg,d06_dedup_survivors: time just those
-    // entries (fast iteration on a single regression); unset = all
+    // SPARK_GRAFT_ONLY narrows the run (validated; archives selectable
+    // by name too); unset = the full suite
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    val selected = only.fold(SparkEntry.queries)(
-      names => SparkEntry.queries.filter { case (n, _) => names(n) })
+    val archiveNames = Set("archive_lineitem_csv_sharded", "archive_lineitem_csv_single")
+    val (selected, selectedArchives) = SparkEntry.selected(only, archiveNames)
     val queryResults = selected.map { case (name, fn) =>
       // benchmark integrity: queries like d03/x07 cache their shingle
       // tables and d06/d07 reuse d03's entry via plan matching — clear
@@ -74,23 +73,25 @@ object Bench {
     }
     val engine = new graft.engine.Engine(spark)
     val out = java.nio.file.Files.createTempDirectory("graft-bench-archive").toString
-    val archives =
-      if (only.isDefined) Seq.empty
-      else Seq(
-        timeArchive("archive_lineitem_csv_sharded") {
-          engine.archive(sfDir, "lineitem", out, _.copy(sharded = true))
-        },
-        timeArchive("archive_lineitem_csv_single") {
-          engine.archive(sfDir, "lineitem", out, _.copy(key = Some("lineitem_single.csv")))
-        })
+    val archives = Seq(
+      "archive_lineitem_csv_sharded" -> { () =>
+        engine.archive(sfDir, "lineitem", out, _.copy(sharded = true)); () },
+      "archive_lineitem_csv_single" -> { () =>
+        engine.archive(sfDir, "lineitem", out,
+          _.copy(key = Some("lineitem_single.csv"))); () })
+      .filter { case (n, _) => selectedArchives(n) }
+      .map { case (n, body) => timeArchive(n)(body()) }
     val results = queryResults ++ archives
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Persist to a well-known file: sbt/Spark log noise swallowed the
-    // stdout line in rounds 1 AND 2 (BENCH_r0{1,2} "parsed": null)…
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
+    // stdout line in rounds 1 AND 2 (BENCH_r0{1,2} "parsed": null).
+    // A filtered run must NOT clobber the canonical full-suite
+    // snapshot — partial results go to bench_partial.json.
+    val snapshot = if (only.isDefined) "bench_partial.json" else "bench.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(snapshot), json + "\n")
     // …and print the JSON only AFTER the session is stopped, so no
     // Spark shutdown chatter can land between it and process exit: the
     // line the driver's tail-parse sees last is the JSON itself.

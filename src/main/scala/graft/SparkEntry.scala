@@ -22,4 +22,21 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Registry.all.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
+
+  /** Dev-tooling filter shared by Bench/Verify: SPARK_GRAFT_ONLY as a
+    * comma-separated name list narrows a run to those entries (fast
+    * iteration on one regression). Unknown names fail fast — a typo
+    * must not "succeed" as an empty run. `extra` admits non-query
+    * entries a caller also times (Bench's archive entries).
+    */
+  def selected(only: Option[String], extra: Set[String] = Set.empty)
+      : (Map[String, (SparkSession, String) => DataFrame], Set[String]) =
+    only.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet) match {
+      case None => (queries, extra)
+      case Some(names) =>
+        val unknown = names -- queries.keySet -- extra
+        require(unknown.isEmpty,
+          s"graft: SPARK_GRAFT_ONLY names not in the registry: ${unknown.toSeq.sorted.mkString(", ")}")
+        (queries.filter { case (n, _) => names(n) }, extra.filter(names))
+    }
 }

@@ -15,12 +15,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // SPARK_GRAFT_ONLY=name,name: dump just those queries (local
-    // iteration); unset (the driver path) = all
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    val selected = only.fold(SparkEntry.queries)(
-      names => SparkEntry.queries.filter { case (n, _) => names(n) })
+    // SPARK_GRAFT_ONLY=name,name: dump just those queries (validated,
+    // local iteration); unset (the driver path) = all
+    val (selected, _) = SparkEntry.selected(sys.env.get("SPARK_GRAFT_ONLY"))
     selected.foreach { case (name, fn) =>
       // queries like d03/x07 cache() shingle tables; in this
       // long-lived loop distinct entries would otherwise accumulate

@@ -130,7 +130,12 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
     // destination (trivial via archiveDFCancellable) must not
     // interleave staged parts or delete each other's staging on their
     // own failure path; the last-wins race is then confined to the
-    // final rename, which is atomic per filesystem contract
+    // final rename, which is atomic per filesystem contract. The
+    // trade-off vs a fixed name: a hard driver kill (no cleanup path
+    // runs) leaks a uniquely-named `.staging-*` dir instead of being
+    // overwritten by the next run — the same residual class as Spark's
+    // own `_temporary` attempt dirs; reap by prefix with a periodic
+    // policy (see docs/S3A.md for the object-store variant).
     val staging = dest + ".staging-" + java.util.UUID.randomUUID()
     // Format on executors (the expensive part), every partition IN
     // PARALLEL in one Spark job, each streaming its rows — joined by

@@ -237,8 +237,8 @@ object Dedup {
     // corpus (dozens of rows here; ≤ duplicate count at any scale), so
     // the whole propagation loop runs single-partition: materialize the
     // edges ONCE at full parallelism (that count() pays d03's heavy
-    // shingle join with the session's normal partitioning), then drop
-    // the session to shuffle.partitions=1 for the loop. Without this
+    // shingle join with the session's normal partitioning), then run
+    // the loop at shuffle.partitions=1. Without this
     // the loop schedules ~100 near-empty tasks per round — pure
     // small-task overhead that cost 19.4 s at the driver's local[32]
     // (round 2) for ~50 rows of actual data. At real scale pick a
@@ -247,48 +247,53 @@ object Dedup {
     val edges = pairs.union(pairs.select(col("db"), col("da"))).toDF("a", "b")
       .repartition(1).cache()
     edges.count()
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "1")
+    // the parallelism override lives in a PRIVATE session: newSession()
+    // shares the SparkContext, cache, and catalog state but carries its
+    // own SQLConf, so queries planned concurrently on the caller's
+    // session never see shuffle.partitions=1. The materialized edge
+    // cache is reached through the RDD lineage (cache blocks are
+    // context-global).
+    val loop = s.newSession()
+    loop.conf.set("spark.sql.shuffle.partitions", "1")
+    val edgesLoop = loop.createDataFrame(edges.rdd, edges.schema)
     var converged = false
-    try {
-      val nodes = edges.select(col("a").as("doc_id")).distinct()
-      // localCheckpoint (eager) each round: truncates the ever-deepening
-      // lineage AND materializes `next` once, so the convergence test is
-      // a cheap count over checkpointed data instead of a third
-      // join+isEmpty job per iteration (round-1: 20 s → ~4 s at sf0.1).
-      // Superseded rounds' checkpoint blocks are reclaimed by the
-      // ContextCleaner once unreferenced (the Dataset API exposes no
-      // explicit release for localCheckpoint storage); they are bounded
-      // by ≤ 20 rounds × one small row per clustered doc. Trade-off:
-      // localCheckpoint keeps blocks in EXECUTOR storage only — an
-      // executor loss mid-loop is unrecoverable. Right for local mode;
-      // on a cluster configure a checkpoint dir and use reliable
-      // checkpoint() here (or take d07, the GraphX twin, which is the
-      // recommended default at scale anyway).
-      var labels = nodes.withColumn("lbl", col("doc_id")).localCheckpoint()
-      var iter = 0
-      while (!converged && iter < 20) {
-        val neighborMin = edges.join(labels, edges("b") === labels("doc_id"))
-          .groupBy(edges("a").as("doc_id")).agg(min("lbl").as("nlbl"))
-        val next = labels.join(neighborMin, "doc_id")
-          .select(col("doc_id"), least(col("lbl"), col("nlbl")).as("lbl"),
-            (col("nlbl") < col("lbl")).as("changed"))
-          .localCheckpoint()
-        converged = next.where(col("changed")).count() == 0L
-        labels = next.drop("changed")
-        iter += 1
-      }
-      if (!converged)
-        throw new IllegalStateException(
-          s"graft: d06 label propagation did not converge in $iter iterations " +
-            "(component diameter exceeds the cap — raise it or switch to the " +
-            "large-star/small-star variant)")
-      edges.unpersist(blocking = false)
-      labels
-        .select(col("doc_id"), col("lbl").as("survivor"),
-          (col("doc_id") === col("lbl")).as("is_survivor"))
-        .orderBy("doc_id")
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val nodes = edgesLoop.select(col("a").as("doc_id")).distinct()
+    // localCheckpoint (eager) each round: truncates the ever-deepening
+    // lineage AND materializes `next` once, so the convergence test is
+    // a cheap count over checkpointed data instead of a third
+    // join+isEmpty job per iteration (round-1: 20 s → ~4 s at sf0.1).
+    // Superseded rounds' checkpoint blocks are reclaimed by the
+    // ContextCleaner once unreferenced (the Dataset API exposes no
+    // explicit release for localCheckpoint storage); they are bounded
+    // by ≤ 20 rounds × one small row per clustered doc. Trade-off:
+    // localCheckpoint keeps blocks in EXECUTOR storage only — an
+    // executor loss mid-loop is unrecoverable. Right for local mode;
+    // on a cluster configure a checkpoint dir and use reliable
+    // checkpoint() here (or take d07, the GraphX twin, which is the
+    // recommended default at scale anyway).
+    var labels = nodes.withColumn("lbl", col("doc_id")).localCheckpoint()
+    var iter = 0
+    while (!converged && iter < 20) {
+      val neighborMin = edgesLoop.join(labels, edgesLoop("b") === labels("doc_id"))
+        .groupBy(edgesLoop("a").as("doc_id")).agg(min("lbl").as("nlbl"))
+      val next = labels.join(neighborMin, "doc_id")
+        .select(col("doc_id"), least(col("lbl"), col("nlbl")).as("lbl"),
+          (col("nlbl") < col("lbl")).as("changed"))
+        .localCheckpoint()
+      converged = next.where(col("changed")).count() == 0L
+      labels = next.drop("changed")
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"graft: d06 label propagation did not converge in $iter iterations " +
+          "(component diameter exceeds the cap — raise it or switch to the " +
+          "large-star/small-star variant)")
+    edges.unpersist(blocking = false)
+    labels
+      .select(col("doc_id"), col("lbl").as("survivor"),
+        (col("doc_id") === col("lbl")).as("is_survivor"))
+      .orderBy("doc_id")
   }
 
   /** GraphX twin of d06: the same survivor selection through Pregel

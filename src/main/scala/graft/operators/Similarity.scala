@@ -126,32 +126,39 @@ object Similarity {
       .groupBy("cell")
       .agg(min_by(col("v"), col("vec_id")).as("v0"))
       .select(col("cell"), expr("transform(v0, x -> CAST(round(x * 1000000) AS BIGINT))").as("c")))
-    // 3 training rounds: narrow assign + ONE shuffle each (the
-    // centroid-update groupBy — the only exchange k-means needs)
-    for (_ <- 1 to 3) {
-      centroids = collected(assign(centroids)
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .withColumn("xi", expr("CAST(round(x * 1000000) AS BIGINT)"))
-        .groupBy("cell", "pos")
-        .agg((sum("xi") / count(lit(1))).cast("long").as("ci"))
-        .groupBy("cell")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, ci))), s -> s.ci)").as("c")))
+    // empty corpus → no centroids → cellOf's least()/last would throw;
+    // the correct result is simply no rows (matches the oracle)
+    if (centroids.isEmpty)
+      e.limit(0).select(col("vec_id").as("va"), lit(0L).as("cell"),
+        col("vec_id").as("nn"), lit(0.0).as("cos_sim"))
+    else {
+      // 3 training rounds: narrow assign + ONE shuffle each (the
+      // centroid-update groupBy — the only exchange k-means needs)
+      for (_ <- 1 to 3) {
+        centroids = collected(assign(centroids)
+          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+          .withColumn("xi", expr("CAST(round(x * 1000000) AS BIGINT)"))
+          .groupBy("cell", "pos")
+          .agg((sum("xi") / count(lit(1))).cast("long").as("ci"))
+          .groupBy("cell")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, ci))), s -> s.ci)").as("c")))
+      }
+      // final assignment (narrow), then bucket-local nearest neighbor:
+      // the cell-equality self-join is the one data-sized shuffle; top-1
+      // per vector is a partial-aggregating max_by (ordered by cos desc,
+      // then LOWEST nn — the struct key negates nn), not a window sort
+      val cells = assign(centroids)
+        .select(col("vec_id"), col("cell"), col("v"), col("nrm"))
+      cells.as("a").join(cells.as("x"),
+          col("a.cell") === col("x.cell") && col("a.vec_id") =!= col("x.vec_id"))
+        .select(col("a.vec_id").as("va"), col("a.cell").as("cell"),
+          col("x.vec_id").as("nn"),
+          (expr(Vec.dot("a.v", "x.v")) / (col("a.nrm") * col("x.nrm"))).as("c"))
+        .groupBy("va", "cell")
+        .agg(max_by(struct(col("nn"), col("c")), struct(col("c"), -col("nn"))).as("m"))
+        .select(col("va"), col("cell"), col("m.nn").as("nn"), col("m.c").as("cos_sim"))
+        .orderBy("va")
     }
-    // final assignment (narrow), then bucket-local nearest neighbor:
-    // the cell-equality self-join is the one data-sized shuffle; top-1
-    // per vector is a partial-aggregating max_by (ordered by cos desc,
-    // then LOWEST nn — the struct key negates nn), not a window sort
-    val cells = assign(centroids)
-      .select(col("vec_id"), col("cell"), col("v"), col("nrm"))
-    cells.as("a").join(cells.as("x"),
-        col("a.cell") === col("x.cell") && col("a.vec_id") =!= col("x.vec_id"))
-      .select(col("a.vec_id").as("va"), col("a.cell").as("cell"),
-        col("x.vec_id").as("nn"),
-        (expr(Vec.dot("a.v", "x.v")) / (col("a.nrm") * col("x.nrm"))).as("c"))
-      .groupBy("va", "cell")
-      .agg(max_by(struct(col("nn"), col("c")), struct(col("c"), -col("nn"))).as("m"))
-      .select(col("va"), col("cell"), col("m.nn").as("nn"), col("m.c").as("cos_sim"))
-      .orderBy("va")
   }
 
   /** Brute-force cosine top-k (k=20) against the vec_id=0 query

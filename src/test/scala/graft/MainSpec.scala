@@ -76,9 +76,10 @@ class MainSpec extends SparkSpec {
     val out = Files.createTempDirectory("graft-cli").toString
     val dest = Main.run(spark, Array("-d", jdbcUrl, "-t", "pets", "-b", out))
     assert(dest == s"$out/pets.csv")
-    val body = read(dest)
-    assert(body.linesIterator.toSeq.map(_.toLowerCase) ==
-      Seq("id,name", "1,rex", "2,milo"))
+    val lines = read(dest).linesIterator.toSeq.map(_.toLowerCase)
+    // JDBC cursor order is not contractual — compare data order-free
+    assert(lines.head == "id,name")
+    assert(lines.tail.sorted == Seq("1,rex", "2,milo"))
   }
 
   test("DATABASE_URL is the -d fallback, and an explicit -d beats it") {
