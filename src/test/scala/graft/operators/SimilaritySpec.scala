@@ -31,4 +31,18 @@ class SimilaritySpec extends SparkSpec {
     // but every reported cosine must be within [-1, 1]
     lsh.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
   }
+
+  test("s04 yields zero rows (not a crash) on an empty embeddings table") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-s04-empty").toString
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.s04.fn(spark, dir)
+    assert(out.columns.toSeq == Seq("va", "cell", "nn", "cos_sim"))
+    assert(out.count() == 0)
+  }
 }
