@@ -124,6 +124,15 @@ object Dedup {
     // a few MB at test scale, and plan-matched so d06/d07's reuse of
     // d03 hits the same entry; a parquet intermediate at real scale)
     // so the self-join legs and the count leg reuse it.
+    jaccardPairs(s, d).orderBy("da", "db")
+  }
+
+  /** d03's core — unsorted (da, db, jaccard) pairs with J ≥ 0.1.
+    * Shared with d06/d07, which consume the pairs as graph edges and
+    * must not pay d03's final total sort (a range exchange plus its
+    * partition-bound sampling job per invocation).
+    */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val g = Tables.documents(s, d)
       .select(col("doc_id"), explode(expr("shingle_hashes(text, 3)")).as("g"))
@@ -149,7 +158,6 @@ object Dedup {
       .select(col("da"), col("db"),
         (col("i").cast("double") / (col("na.n") + col("nb.n") - col("i"))).as("jaccard"))
       .where(col("jaccard") >= 0.1)
-      .orderBy("da", "db")
   }
 
   /** SimHash near-dup: 64-bit fingerprint (per-token xxhash64 bit
@@ -232,7 +240,7 @@ object Dedup {
         SELECT a AS doc_id, least(a, min(b)) AS survivor
         FROM reach GROUP BY a)
       ORDER BY doc_id""")) { (s, d) =>
-    val pairs = d03.fn(s, d).where(col("jaccard") >= 0.5).select("da", "db")
+    val pairs = jaccardPairs(s, d).where(col("jaccard") >= 0.5).select("da", "db")
     // The near-dup EDGE set is orders of magnitude smaller than the
     // corpus (dozens of rows here; ≤ duplicate count at any scale), so
     // the whole propagation loop runs single-partition: materialize the
@@ -305,7 +313,7 @@ object Dedup {
     */
   val d07 = QueryDef("d07_graphx_components", d06.oracle) { (s, d) =>
     import org.apache.spark.graphx.{Edge, Graph}
-    val pairs = d03.fn(s, d).where(col("jaccard") >= 0.5).select("da", "db")
+    val pairs = jaccardPairs(s, d).where(col("jaccard") >= 0.5).select("da", "db")
     // same partition-sizing rule as d06: the edge set is tiny, so give
     // Pregel 1 partition instead of paying cluster-default task counts
     // per superstep (at real scale size this to the edge volume).
