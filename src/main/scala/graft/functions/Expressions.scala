@@ -61,6 +61,68 @@ object SimHash64 {
   }
 }
 
+/** SimHash over a token array with a CROSS-ENGINE-REPRODUCIBLE hash:
+  * per token, two polynomial rolling hashes over its code points
+  * (h·31+cp mod 1 000 000 007 and h·131+cp mod 998 244 353) supply 60
+  * vote bits (30+30); ±1 votes; sign fingerprint in [0, 2⁶⁰). Unlike
+  * [[SimHash64]] (xxhash64-based, engine-internal), every operation
+  * here is plain BIGINT arithmetic DuckDB can replay exactly — this
+  * is what makes the d04 near-dup operator value-checkable by the
+  * driver's oracle instead of rows-only.
+  */
+case class SimHashPoly(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_poly"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashPoly.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashPoly.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashPoly =
+    copy(child = newChild)
+}
+
+object SimHashPoly {
+  val Bits = 60
+  val P1 = 1000000007L
+  val P2 = 998244353L
+
+  def compute(arr: ArrayData): Long = {
+    val votes = new Array[Int](Bits)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i).toString
+        var h1 = 0L
+        var h2 = 0L
+        var j = 0
+        while (j < s.length) {
+          val cp = s.codePointAt(j)
+          h1 = (h1 * 31L + cp) % P1
+          h2 = (h2 * 131L + cp) % P2
+          j += Character.charCount(cp)
+        }
+        var b = 0
+        while (b < 30) {
+          if (((h1 >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          if (((h2 >>> b) & 1L) == 1L) votes(30 + b) += 1 else votes(30 + b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < Bits) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+}
+
 /** Dot product of two double arrays as a strict left fold — the exact
   * same add order as `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, +)`
   * and as the DuckDB `list_reduce` oracles, so results stay
@@ -212,6 +274,83 @@ object ShingleHashes {
   }
 }
 
+/** Distinct poly-hashed word n-gram shingles — [[ShingleHashes]]'s
+  * CROSS-ENGINE-REPRODUCIBLE sibling. Each gram's hash is the 61-bit
+  * composite `h1·2³¹ + h2` of two polynomial rolling hashes over its
+  * code points (the same h·31+cp mod 1 000 000 007 / h·131+cp mod
+  * 998 244 353 arithmetic as [[SimHashPoly]]), so a DuckDB oracle can
+  * replay every value with `list_reduce` — this is what lets the d02
+  * MinHash-LSH operator be value-checked instead of rows-only.
+  * xxhash-based [[ShingleHashes]] remains the pick where only hash
+  * EQUALITY matters (d03/x07 inverted-index joins): its 64-bit range
+  * has a ~8× lower collision rate.
+  */
+case class ShinglePolyHashes(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_polyhashes"
+
+  override def nullSafeEval(s: Any, n: Any): Any =
+    ShinglePolyHashes.compute(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, n) => s"graft.functions.ShinglePolyHashes.compute($s, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShinglePolyHashes =
+    copy(left = newLeft, right = newRight)
+}
+
+object ShinglePolyHashes {
+  val P1 = 1000000007L
+  val P2 = 998244353L
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    // decode once; token boundaries are char offsets (a ' ' char is
+    // never half of a surrogate pair), hashes walk code points — the
+    // exact arithmetic of the DuckDB unicode(substr(...)) oracle
+    val str = s.toString
+    var starts = new Array[Int](16)
+    starts(0) = 0
+    var m = 1
+    var p = 0
+    while (p < str.length) {
+      if (str.charAt(p) == ' ') {
+        if (m == starts.length) starts = java.util.Arrays.copyOf(starts, m * 2)
+        starts(m) = p + 1
+        m += 1
+      }
+      p += 1
+    }
+    if (m < n || n <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val seen = new java.util.HashSet[java.lang.Long](math.max(16, (m - n + 1) * 2))
+    val out = new Array[Long](m - n + 1)
+    var k = 0
+    var i = 0
+    while (i <= m - n) {
+      val a = starts(i)
+      val b = if (i + n < m) starts(i + n) - 1 else str.length
+      var h1 = 0L
+      var h2 = 0L
+      var j = a
+      while (j < b) {
+        val cp = str.codePointAt(j)
+        h1 = (h1 * 31L + cp) % P1
+        h2 = (h2 * 131L + cp) % P2
+        j += Character.charCount(cp)
+      }
+      val h = h1 * 2147483648L + h2 // h1 · 2³¹ + h2, < 2⁶¹
+      if (seen.add(h)) { out(k) = h; k += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (k == out.length) out else java.util.Arrays.copyOf(out, k))
+  }
+}
+
 /** Registration: both through [[GraftExtensions]] (the library way,
   * `spark.sql.extensions=graft.functions.GraftExtensions`) and
   * [[GraftFunctions.register]] for sessions built without extensions.
@@ -219,9 +358,11 @@ object ShingleHashes {
 object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "simhash64" -> (es => SimHash64(es.head)),
+    "simhash_poly" -> (es => SimHashPoly(es.head)),
     "vec_dot" -> (es => VecDot(es(0), es(1))),
     "rolling_hash" -> (es => RollingHash(es(0), es(1), es(2))),
     "shingle_hashes" -> (es => ShingleHashes(es(0), es(1))),
+    "shingle_polyhashes" -> (es => ShinglePolyHashes(es(0), es(1))),
     // Spark ships these only in the internal registry (they back the
     // runtime row-level filter rule); surface them for explicit
     // bloom-prefilter plans (q33)
@@ -255,6 +396,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new ExpressionInfo("graft.functions.SimHash64", "simhash64"),
         (es: Seq[Expression]) => SimHash64(es.head)))
     ext.injectFunction(
+      (FunctionIdentifier("simhash_poly"),
+        new ExpressionInfo("graft.functions.SimHashPoly", "simhash_poly"),
+        (es: Seq[Expression]) => SimHashPoly(es.head)))
+    ext.injectFunction(
       (FunctionIdentifier("vec_dot"),
         new ExpressionInfo("graft.functions.VecDot", "vec_dot"),
         (es: Seq[Expression]) => VecDot(es(0), es(1))))
@@ -266,6 +411,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (FunctionIdentifier("shingle_hashes"),
         new ExpressionInfo("graft.functions.ShingleHashes", "shingle_hashes"),
         (es: Seq[Expression]) => ShingleHashes(es(0), es(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("shingle_polyhashes"),
+        new ExpressionInfo("graft.functions.ShinglePolyHashes", "shingle_polyhashes"),
+        (es: Seq[Expression]) => ShinglePolyHashes(es(0), es(1))))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
   }

@@ -1,38 +1,38 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.{Encoder, Encoders}
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Typed `Aggregator` building a 32-permutation MinHash signature in
   * one pass (UDAF surface of SURVEY.md §2.5's last row).
   *
-  * Input is the 64-bit shingle hash from [[ShingleHashes]] (not the
-  * gram string): permutation i's value is the xxhash64 chain
-  * (seed 42 → long i → long shingle-hash), i.e. bit-identical to
-  * Spark's `xxhash64(i, shingle_hash)`. Hashing the hash preserves
-  * the min-wise uniformity MinHash needs, and the signature
-  * aggregation then shuffles 8-byte longs instead of gram strings —
-  * a ~3× narrower exchange into the groupBy at corpus scale, on top
-  * of hashing each shingle once per permutation in a single buffer
-  * (vs the 32-column min() fan-out).
+  * Input is the 61-bit composite shingle hash from
+  * [[ShinglePolyHashes]] (not the gram string): permutation i's value
+  * is the affine transform `(A(i)·(g mod P) + B(i)) mod P` over
+  * P = 1 000 000 007 — the textbook universal-hash MinHash family,
+  * chosen because it is plain BIGINT arithmetic a DuckDB oracle can
+  * replay exactly (the round-2 xxhash64 chain made d02 rows-only by
+  * necessity). Hashing the hash preserves the min-wise uniformity
+  * MinHash needs, and the signature aggregation shuffles 8-byte longs
+  * instead of gram strings — a ~3× narrower exchange into the groupBy
+  * at corpus scale, on top of hashing each shingle once per
+  * permutation in a single buffer (vs the 32-column min() fan-out).
   *
   * Buffers are fixed 32×8 bytes regardless of document size — the
   * property that makes MinHash the 100 TB dedup path: signatures
   * merge associatively across partitions (partial aggregation works).
   */
 class MinHashAgg extends Aggregator[Long, Array[Long], Array[Long]] {
-  import MinHashAgg.P
+  import MinHashAgg.{A, B, MOD, P}
 
   override def zero: Array[Long] = Array.fill(P)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], shingleHash: Long): Array[Long] = {
-    val seeds = MinHashAgg.seeds
+    val g = shingleHash % MOD // shingle hashes are non-negative (< 2⁶¹)
     var i = 0
     while (i < P) {
-      // == xxhash64(i, shingle_hash): chain long i then the long, seed 42
-      val h = XXH64.hashLong(shingleHash, seeds(i))
+      // A(i)·g < 2⁶⁰ — no overflow, identical in any BIGINT engine
+      val h = (A(i) * g + B(i)) % MOD
       if (h < buf(i)) buf(i) = h
       i += 1
     }
@@ -57,12 +57,25 @@ object MinHashAgg {
   /** Number of simulated permutations (16 LSH bands × 2 rows). */
   val P = 32
 
-  /** Permutation seeds, hoisted: seed(i) = xxhash64-chain of long i. */
-  private[functions] val seeds: Array[Long] =
-    Array.tabulate(P)(i => XXH64.hashLong(i.toLong, 42L))
+  /** The affine family's modulus (shared with the DuckDB oracles). */
+  val MOD = 1000000007L
+
+  private def powmod(base: Long, exp: Int): Long = {
+    var r = 1L
+    var i = 0
+    while (i < exp) { r = r * base % MOD; i += 1 }
+    r
+  }
+
+  /** Permutation multipliers/offsets: A(i) = 31^(i+1), B(i) = 131^(i+1)
+    * mod P — fixed, nonzero, and trivially reproducible in oracle SQL
+    * (interpolated as literal arrays by d02's QueryDef).
+    */
+  val A: Array[Long] = Array.tabulate(P)(i => powmod(31L, i + 1))
+  val B: Array[Long] = Array.tabulate(P)(i => powmod(131L, i + 1))
 
   /** Untyped-groupBy handle: `df.groupBy(...).agg(minhash(col("g")))`
-    * where `g` is a [[ShingleHashes]] 64-bit shingle hash.
+    * where `g` is a [[ShinglePolyHashes]] composite shingle hash.
     */
   lazy val minhash: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new MinHashAgg, Encoders.scalaLong)

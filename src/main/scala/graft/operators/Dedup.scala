@@ -20,9 +20,9 @@ import org.apache.spark.sql.functions._
   *     quadratic in the worst case (shingle-match self-join), kept
   *     exact deliberately; at 100 TB you run d02 and sample-verify
   *     with d03 on candidate pairs only.
-  *   - d04 SimHash: 64-bit fingerprints with pigeonhole banding — a
-  *     hamming-ball ≤ 3·16 bits pair must agree on ≥1 of 4 16-bit
-  *     bands, so the join is again bucket-local.
+  *   - d04 SimHash: 60-bit poly-hash fingerprints with pigeonhole
+  *     banding — a hamming ≤ 3 pair must agree on ≥1 of 4 15-bit
+  *     bands, so the join is bucket-local AND exact at that radius.
   *   - d05 embedding near-dup: exact threshold variant; the
   *     LSH-bucketed ANN variant is s02 in [[Similarity]].
   */
@@ -54,25 +54,56 @@ object Dedup {
       .orderBy("keep_id")
   }
 
-  /** MinHash + LSH near-dup candidates. 32 permutations simulated by
-    * seed-prefixed xxhash64 of each shingle; 16 bands × 2 rows; pairs
-    * sharing any band bucket are candidates; estimated Jaccard =
-    * matching-minhash fraction, kept at ≥ 0.5. Signature values depend
-    * on Spark's xxhash64 → rows-only driver check (exact counterpart:
-    * d03).
+  /** DuckDB literal arrays of the MinHash affine family's constants —
+    * the SAME values [[graft.functions.MinHashAgg]] uses, interpolated
+    * so the oracle replays the exact signatures.
     */
-  val d02 = QueryDef("d02_minhash_lsh", None) { (s, d) =>
+  private def duckArr(a: Array[Long]): String = a.mkString("[", ", ", "]")
+
+  /** MinHash + LSH near-dup candidates. 32 permutations as affine
+    * transforms `(A(i)·(g mod P) + B(i)) mod P` over poly-hashed
+    * shingles — plain BIGINT arithmetic, so the ORACLE replays the
+    * exact signatures (round 2's xxhash64 chain was rows-only by
+    * necessity); 16 bands × 2 rows with an arithmetic band bucket;
+    * pairs sharing any band bucket are candidates; estimated Jaccard =
+    * matching-minhash fraction, kept at ≥ 0.5. Exact counterpart: d03.
+    */
+  val d02 = QueryDef(
+    "d02_minhash_lsh",
+    Some(s"""$gramCte,
+      gh AS (SELECT doc_id,
+          list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(g) + 1), i -> CAST(unicode(substr(g, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) % 1000000007) * 2147483648
+        + list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(g) + 1), i -> CAST(unicode(substr(g, i, 1)) AS BIGINT))), (h, c) -> (h * 131 + c) % 998244353) AS gh
+        FROM grams),
+      sigs AS (SELECT doc_id, i,
+          min((${duckArr(graft.functions.MinHashAgg.A)}[CAST(i + 1 AS INTEGER)] * (gh % 1000000007)
+             + ${duckArr(graft.functions.MinHashAgg.B)}[CAST(i + 1 AS INTEGER)]) % 1000000007) AS s
+        FROM gh, unnest(range(0, 32)) AS r(i) GROUP BY doc_id, i),
+      sig AS (SELECT doc_id, list(s ORDER BY i) AS sg FROM sigs GROUP BY doc_id),
+      bands AS (SELECT doc_id, sg, b,
+          sg[CAST(2 * b + 1 AS INTEGER)] * 2147483648 + sg[CAST(2 * b + 2 AS INTEGER)] AS bh
+        FROM sig, unnest(range(0, 16)) AS r(b)),
+      cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db, x.sg AS sa, y.sg AS sb
+               FROM bands x JOIN bands y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id)
+      SELECT da, db, est_jaccard FROM (
+        SELECT da, db,
+          CAST(list_sum(list_transform(range(1, 33), i -> CASE WHEN sa[CAST(i AS INTEGER)] = sb[CAST(i AS INTEGER)] THEN 1 ELSE 0 END)) AS DOUBLE) / 32 AS est_jaccard
+        FROM cand)
+      WHERE est_jaccard >= 0.5 ORDER BY da, db""")) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
-    // native one-pass shingling (8-byte hashes into the signature
+    // native one-pass shingling (8-byte poly hashes into the signature
     // shuffle, not gram strings), then the one-pass typed MinHashAgg
-    // Aggregator (UDAF); values = min(xxhash64(i, shingle_hash))
+    // Aggregator (UDAF)
     val g = Tables.documents(s, d)
-      .select(col("doc_id"), explode(expr("shingle_hashes(text, 3)")).as("g"))
+      .select(col("doc_id"), explode(expr("shingle_polyhashes(text, 3)")).as("g"))
     val sigs = g.groupBy("doc_id")
       .agg(graft.functions.MinHashAgg.minhash(col("g")).as("sig"))
+    // band bucket = sig[2b]·2³¹ + sig[2b+1]: INJECTIVE (both values
+    // are < 10⁹+7 < 2³¹, so the pair is recoverable) and reproducible
+    // — no engine-internal hash() in the bucketing either
     val bands = sigs.select(
       col("doc_id"), col("sig"),
-      explode(expr("transform(sequence(0, 15), b -> struct(b AS band, hash(sig[2*b], sig[2*b+1]) AS bh))")).as("bd"))
+      explode(expr("transform(sequence(0, 15), b -> struct(b AS band, sig[2*b] * 2147483648L + sig[2*b+1] AS bh))")).as("bd"))
       .select(col("doc_id"), col("sig"), col("bd.band").as("band"), col("bd.bh").as("bh"))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -160,20 +191,42 @@ object Dedup {
       .where(col("jaccard") >= 0.1)
   }
 
-  /** SimHash near-dup: 64-bit fingerprint (per-token xxhash64 bit
-    * votes), 4×16-bit band blocking (pigeonhole-complete for hamming
-    * ≤ 3, approximate above), hamming ≤ 8 verified with
-    * bit_count(xor). Fingerprints depend on Spark's xxhash64 →
-    * rows-only check.
+  /** SimHash near-dup: 60-bit fingerprint from per-token polynomial
+    * hashes (two rolling hashes supply 30 vote bits each — plain
+    * BIGINT arithmetic, so the ORACLE replays the exact fingerprints;
+    * round 2's xxhash64 variant was rows-only by necessity), 4×15-bit
+    * band blocking, hamming ≤ 3 verified with bit_count(xor) — at that
+    * threshold the 4-band pigeonhole is COMPLETE (any pair within
+    * hamming 3 agrees on ≥ 1 whole band), so the operator is exact,
+    * not approximate.
     */
-  val d04 = QueryDef("d04_simhash", None) { (s, d) =>
+  val d04 = QueryDef(
+    "d04_simhash",
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      tok AS (SELECT doc_id, t FROM toks, unnest(ts) AS u(t)),
+      th AS (SELECT doc_id,
+        list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(t) + 1), i -> CAST(unicode(substr(t, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) % 1000000007) AS h1,
+        list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(t) + 1), i -> CAST(unicode(substr(t, i, 1)) AS BIGINT))), (h, c) -> (h * 131 + c) % 998244353) AS h2
+        FROM tok),
+      votes AS (SELECT doc_id, b,
+          sum((CASE WHEN b < 30 THEN (h1 >> b) & 1 ELSE (h2 >> (b - 30)) & 1 END) * 2 - 1) AS v
+        FROM th, unnest(range(0, 60)) AS r(b) GROUP BY doc_id, b),
+      fps AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS fp
+              FROM votes GROUP BY doc_id),
+      bands AS (SELECT doc_id, fp, k, (fp >> CAST(k * 15 AS INTEGER)) & 32767 AS bh
+                FROM fps, unnest(range(0, 4)) AS r(k)),
+      cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db, x.fp AS fa, y.fp AS fb
+               FROM bands x JOIN bands y ON x.k = y.k AND x.bh = y.bh AND x.doc_id < y.doc_id)
+      SELECT da, db, hamming FROM (
+        SELECT da, db, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming FROM cand)
+      WHERE hamming <= 3 ORDER BY da, db""")) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
     val fp = Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
-      .withColumn("fp", expr("simhash64(toks)"))
+      .withColumn("fp", expr("simhash_poly(toks)"))
       .select("doc_id", "fp")
     val bands = fp.select(col("doc_id"), col("fp"),
-      explode(expr("transform(sequence(0, 3), k -> struct(k AS band, shiftright(fp, k * 16) & 65535 AS bh))")).as("bd"))
+      explode(expr("transform(sequence(0, 3), k -> struct(k AS band, shiftright(fp, k * 15) & 32767 AS bh))")).as("bd"))
       .select(col("doc_id"), col("fp"), col("bd.band").as("band"), col("bd.bh").as("bh"))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -182,7 +235,7 @@ object Dedup {
         col("x.fp").as("fa"), col("y.fp").as("fb"))
       .distinct()
       .withColumn("hamming", big(bit_count(col("fa").bitwiseXOR(col("fb")))))
-      .where(col("hamming") <= 8)
+      .where(col("hamming") <= 3)
       .select("da", "db", "hamming")
       .orderBy("da", "db")
   }

@@ -106,7 +106,7 @@ object StreamingOps {
     import graft.functions.MinHashAgg
     val shingled = docs.flatMap { doc =>
       // same native shingle kernel as batch d02 → identical signatures
-      val grams = graft.functions.ShingleHashes.compute(
+      val grams = graft.functions.ShinglePolyHashes.compute(
         org.apache.spark.unsafe.types.UTF8String.fromString(doc.text), 3).toLongArray()
       if (grams.isEmpty) Seq.empty // <3 tokens: no signature (batch d02 parity)
       else {

@@ -132,6 +132,67 @@ class ExpressionsSpec extends SparkSpec {
     assert(native == hof && native.nonEmpty)
   }
 
+  test("shingle_polyhashes equals the rolling_hash-composed gram pipeline on random unicode") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val tokGen = Gen.listOf(Gen.frequency(
+      5 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf("é", "ü", "日", "本", "𝕏", "ß", "λ"),
+      1 -> Gen.oneOf("\t", ",", "\""))).map(_.mkString)
+    val textGen = Gen.listOf(tokGen).map(_.mkString(" "))
+    val texts = (0 until 300).flatMap(i =>
+      textGen.apply(Gen.Parameters.default, Seed(11L + i)))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    // independent formulation: materialize gram STRINGS, hash each with
+    // the rolling_hash kernel (itself pinned to its HOF fold above),
+    // combine h1·2³¹+h2 — must equal the one-pass byte-scan kernel
+    val composed = df
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 3)
+      .select(col("id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))")).as("g"))
+      .select(col("id"), expr(
+        "rolling_hash(g, 31L, 1000000007L) * 2147483648L + rolling_hash(g, 131L, 998244353L)").as("g"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val native = df
+      .select(col("id"), explode(expr("shingle_polyhashes(text, 3)")).as("g"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native == composed && native.nonEmpty)
+  }
+
+  test("simhash_poly equals the rolling_hash-composed vote pipeline on random unicode") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val textGen = Gen.listOf(Gen.listOf(Gen.frequency(
+      5 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf("é", "日", "𝕏", "ß"))).map(_.mkString)).map(_.mkString(" "))
+    val texts = (0 until 200).flatMap(i =>
+      textGen.apply(Gen.Parameters.default, Seed(13L + i)))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    // independent formulation: per-token rolling hashes → explicit
+    // per-bit ±1 vote aggregation → sign fingerprint
+    val composed = df
+      .select(col("id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("id"),
+        expr("rolling_hash(t, 31L, 1000000007L)").as("h1"),
+        expr("rolling_hash(t, 131L, 998244353L)").as("h2"))
+      .select(col("id"), col("h1"), col("h2"), explode(expr("sequence(0, 59)")).as("b"))
+      .withColumn("v", expr(
+        "IF((IF(b < 30, shiftright(h1, b), shiftright(h2, b - 30)) & 1) = 1, 1, -1)"))
+      .groupBy("id", "b").agg(sum("v").as("v"))
+      .groupBy("id").agg(expr("sum(IF(v > 0, shiftleft(1L, b), 0L))").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = df
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("id"), expr("simhash_poly(toks)").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == composed && native.nonEmpty)
+  }
+
   test("functions are injected via GraftExtensions (no manual register)") {
     // SparkSpec builds the session with spark.sql.extensions; the
     // expressions above resolving at all proves injection, but check

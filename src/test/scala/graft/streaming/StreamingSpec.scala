@@ -111,16 +111,16 @@ class StreamingSpec extends SparkSpec {
     val texts = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "pack my box with five dozen liquor jugs today"))
-    // batch side: shingle_hashes → MinHashAgg, exactly d02's pipeline
+    // batch side: shingle_polyhashes → MinHashAgg, exactly d02's pipeline
     val batch = texts.toDF("doc_id", "text")
-      .select(col("doc_id"), explode(expr("shingle_hashes(text, 3)")).as("g"))
+      .select(col("doc_id"), explode(expr("shingle_polyhashes(text, 3)")).as("g"))
       .groupBy("doc_id")
       .agg(graft.functions.MinHashAgg.minhash(col("g")).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
     // streaming side: the per-document fold streamingNearDup uses
     val agg = new graft.functions.MinHashAgg
     val stream = texts.map { case (id, t) =>
-      val grams = graft.functions.ShingleHashes.compute(
+      val grams = graft.functions.ShinglePolyHashes.compute(
         org.apache.spark.unsafe.types.UTF8String.fromString(t), 3).toLongArray()
       id -> grams.foldLeft(agg.zero)(agg.reduce).toVector
     }.toMap
