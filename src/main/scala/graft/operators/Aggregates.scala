@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   */
 object Aggregates {
 
-  def queries: Seq[QueryDef] = Seq(q09, q10, q11, q12, q21, q26, q27, q28, q29)
+  def queries: Seq[QueryDef] = Seq(q09, q10, q11, q12, q21, q26, q27, q28, q29, q35)
 
   /** Skew-resistant two-phase (salted) aggregation: phase 1 groups on
     * (key, salt) so a hot key spreads over 8 reducers, phase 2 merges
@@ -142,7 +142,8 @@ object Aggregates {
     * count-distinct (no per-key shuffle of raw values, fixed-size
     * sketches merge associatively). Sketch estimates are
     * engine-specific → no SQL oracle; the driver rows-only checks it.
-    * Exactness is covered by q09 on the same grouping.
+    * Exactness is covered by q09 on the same grouping, and q35 is the
+    * graft-native sketch whose estimates ARE oracle-checked.
     */
   val q10 = QueryDef("q10_approx_distinct", None) { (s, d) =>
     Tables.lineitem(s, d)
@@ -151,6 +152,58 @@ object Aggregates {
         big(approx_count_distinct(col("l_partkey"), 0.05)).as("approx_parts"),
         big(approx_count_distinct(col("l_suppkey"), 0.05)).as("approx_supps"))
       .orderBy("l_returnflag")
+  }
+
+  /** DuckDB replay of [[graft.functions.HllAgg]]'s rank function:
+    * leading-zero rank of the 50-bit window, as an exact comparison
+    * chain (no log2 — libm functions are not bit-stable across
+    * engines).
+    */
+  private val hllRankCase: String =
+    (0 until 50).map(k => s"WHEN v >= ${1L << (49 - k)} THEN ${k + 1}")
+      .mkString("CASE ", " ", " ELSE 51 END")
+
+  /** The graft-native HyperLogLog (custom typed Aggregator,
+    * [[graft.functions.HllAgg]]): same scale story as q10 — fixed
+    * 1024-byte sketches, associative merge, no per-key shuffle — but
+    * every step is plain BIGINT arithmetic, so the ORACLE replays the
+    * registers and the estimate bit-for-bit. The exact count rides
+    * along to show the estimator lands within its ~3% band.
+    */
+  val q35 = QueryDef(
+    "q35_custom_hll",
+    Some {
+      import graft.functions.HllAgg.{A1, A2, A3, K}
+      s"""WITH h0 AS (SELECT o_orderpriority AS grp, o_custkey,
+          $A1 * (o_custkey % 2147483648) AS t1 FROM orders),
+      h1 AS (SELECT grp, o_custkey,
+          $A2 * (xor(t1 % 2147483648, t1 // 2147483648) % 2147483648) AS t2 FROM h0),
+      h2 AS (SELECT grp, o_custkey,
+          xor(t2 % 2147483648, t2 // 2147483648) % 2147483648 AS x2 FROM h1),
+      h AS (SELECT grp, o_custkey,
+          x2 * 2147483648
+        + xor(($A3 * x2) % 2147483648, ($A3 * x2) // 2147483648) % 2147483648 AS h
+        FROM h2),
+      hb AS (SELECT grp, h % 1024 AS bucket, (h // 1024) % 1125899906842624 AS v FROM h),
+      r AS (SELECT grp, bucket, max($hllRankCase) AS reg FROM hb GROUP BY grp, bucket),
+      s AS (SELECT grp,
+              CAST(1024 - count(*) AS BIGINT) * 2251799813685248
+            + CAST(sum(2251799813685248 // (1::BIGINT << CAST(reg AS INTEGER))) AS BIGINT) AS S,
+              CAST(1024 - count(*) AS BIGINT) AS V
+            FROM r GROUP BY grp),
+      e AS (SELECT grp, count(DISTINCT o_custkey) AS n_exact FROM h GROUP BY grp)
+      SELECT e.grp AS o_orderpriority, CAST(e.n_exact AS BIGINT) AS n_exact,
+             CASE WHEN ($K / CAST(S AS DOUBLE)) <= 2560.0 AND V > 0
+                  THEN ${graft.functions.HllAgg.LnCorrection.mkString("[", ", ", "]")}[CAST(V AS INTEGER)]
+                  ELSE $K / CAST(S AS DOUBLE) END AS approx_nd
+      FROM s JOIN e ON s.grp = e.grp ORDER BY o_orderpriority"""
+    }) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        big(countDistinct(col("o_custkey"))).as("n_exact"),
+        graft.functions.HllAgg.hll(col("o_custkey")).as("approx_nd"))
+      .orderBy("o_orderpriority")
   }
 
   /** ROLLUP — hierarchical subtotals; Spark plans one Expand + single
