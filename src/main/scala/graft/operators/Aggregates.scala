@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   */
 object Aggregates {
 
-  def queries: Seq[QueryDef] = Seq(q09, q10, q11, q12, q21, q26, q27, q28, q29, q35)
+  def queries: Seq[QueryDef] = Seq(q09, q10, q11, q12, q21, q26, q27, q28, q29, q35, q36)
 
   /** Skew-resistant two-phase (salted) aggregation: phase 1 groups on
     * (key, salt) so a hot key spreads over 8 reducers, phase 2 merges
@@ -204,6 +204,58 @@ object Aggregates {
         big(countDistinct(col("o_custkey"))).as("n_exact"),
         graft.functions.HllAgg.hll(col("o_custkey")).as("approx_nd"))
       .orderBy("o_orderpriority")
+  }
+
+  /** DuckDB replay of [[graft.functions.QuantileSketchAgg]]'s octave
+    * (⌊log₂v⌋) — an exact comparison chain, same no-libm rationale as
+    * the HLL rank chain.
+    */
+  private val log2Case: String =
+    (62 to 1 by -1).map(e => s"WHEN v >= ${1L << e} THEN $e")
+      .mkString("CASE ", " ", " ELSE 0 END")
+
+  /** The graft-native quantile sketch (custom typed Aggregator,
+    * [[graft.functions.QuantileSketchAgg]]): q29's scale story —
+    * fixed-size mergeable sketches, no per-group sort — with every
+    * step replayable by the oracle: integer-cent inputs, exact log₂
+    * bucketing (16 sub-buckets/octave → ≤3% relative error), integer
+    * rank selection, and a shared-operation-order midpoint decode.
+    */
+  val q36 = QueryDef(
+    "q36_custom_quantile",
+    Some(s"""WITH v AS (SELECT l_returnflag AS grp,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+      eb AS (SELECT grp, v, $log2Case AS e FROM v WHERE v >= 1),
+      bk AS (SELECT grp, e, ((v - (1::BIGINT << CAST(e AS INTEGER))) * 16) // (1::BIGINT << CAST(e AS INTEGER)) AS sub FROM eb),
+      c AS (SELECT grp, e, sub, count(*) AS c FROM bk GROUP BY grp, e, sub),
+      cum AS (SELECT grp, e, sub, c,
+          sum(c) OVER (PARTITION BY grp ORDER BY e, sub) AS cum,
+          sum(c) OVER (PARTITION BY grp) AS n
+        FROM c),
+      sel AS (SELECT grp, CAST(max(n) AS BIGINT) AS n,
+          min(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT) THEN e * 16 + sub END) AS b50,
+          min(CASE WHEN cum >= CAST(ceil(0.9 * n) AS BIGINT) THEN e * 16 + sub END) AS b90,
+          min(CASE WHEN cum >= CAST(ceil(0.99 * n) AS BIGINT) THEN e * 16 + sub END) AS b99
+        FROM cum GROUP BY grp)
+      SELECT grp AS l_returnflag,
+        (1.0 + (2.0 * (b50 % 16) + 1.0) / 32.0) * CAST(1::BIGINT << CAST(b50 // 16 AS INTEGER) AS DOUBLE) / 100.0 AS p50,
+        (1.0 + (2.0 * (b90 % 16) + 1.0) / 32.0) * CAST(1::BIGINT << CAST(b90 // 16 AS INTEGER) AS DOUBLE) / 100.0 AS p90,
+        (1.0 + (2.0 * (b99 % 16) + 1.0) / 32.0) * CAST(1::BIGINT << CAST(b99 // 16 AS INTEGER) AS DOUBLE) / 100.0 AS p99,
+        n
+      FROM sel ORDER BY l_returnflag""")) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .groupBy("l_returnflag")
+      .agg(
+        graft.functions.QuantileSketchAgg.sketch(col("cents")).as("p"),
+        count(when(col("cents") >= 1, 1)).as("n"))
+      .select(col("l_returnflag"),
+        element_at(col("p"), 1).as("p50"),
+        element_at(col("p"), 2).as("p90"),
+        element_at(col("p"), 3).as("p99"),
+        col("n"))
+      .orderBy("l_returnflag")
   }
 
   /** ROLLUP — hierarchical subtotals; Spark plans one Expand + single
