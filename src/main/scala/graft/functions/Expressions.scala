@@ -61,14 +61,56 @@ object SimHash64 {
   }
 }
 
+/** The shared two-prime polynomial hash pair — ONE implementation of
+  * the `(h·31+cp) mod 1 000 000 007` / `(h·131+cp) mod 998 244 353`
+  * code-point folds behind [[SimHashPoly]], [[ShinglePolyHashes]] and
+  * the d02/d04 oracle SQL (which interpolates THESE constants). Plain
+  * BIGINT arithmetic DuckDB replays exactly; the composite packs both
+  * 30-bit hashes into one long.
+  */
+object PolyPair {
+  val P1 = 1000000007L
+  val P2 = 998244353L
+  val Base1 = 31L
+  val Base2 = 131L
+  val F = 2147483648L // 2³¹ — the pack/fold width
+
+  /** Composite h1·2³¹ + h2 over `str`'s code points in [from, until)
+    * (char offsets; a surrogate pair is one code point on both
+    * engines — DuckDB's `unicode(substr(...))` walks code points too).
+    */
+  def compute(str: String, from: Int, until: Int): Long = {
+    var h1 = 0L
+    var h2 = 0L
+    var j = from
+    while (j < until) {
+      val cp = str.codePointAt(j)
+      h1 = (h1 * Base1 + cp) % P1
+      h2 = (h2 * Base2 + cp) % P2
+      j += Character.charCount(cp)
+    }
+    h1 * F + h2
+  }
+
+  /** xor the product's halves, clamped back to 31 bits — the same
+    * fold as [[HllAgg]]'s mixer (the clamp matters: the quotient can
+    * carry a 32nd bit, and DuckDB errors on INT64 overflow).
+    */
+  def fold(t: Long): Long = ((t % F) ^ (t / F)) % F
+}
+
 /** SimHash over a token array with a CROSS-ENGINE-REPRODUCIBLE hash:
-  * per token, two polynomial rolling hashes over its code points
-  * (h·31+cp mod 1 000 000 007 and h·131+cp mod 998 244 353) supply 60
-  * vote bits (30+30); ±1 votes; sign fingerprint in [0, 2⁶⁰). Unlike
-  * [[SimHash64]] (xxhash64-based, engine-internal), every operation
-  * here is plain BIGINT arithmetic DuckDB can replay exactly — this
-  * is what makes the d04 near-dup operator value-checkable by the
-  * driver's oracle instead of rows-only.
+  * per token, the [[PolyPair]] rolling hashes are each passed through
+  * one multiply/xor-fold round (raw polynomial hashes of SHORT tokens
+  * never reach the high bits — 'the' has h < 2²⁷ — which would bias
+  * the upper vote bits of every document toward 0; the fold spreads
+  * carry entropy across all 30 bits, measured balance 0.48–0.52 vs
+  * 0.20–0.57 raw), supplying 60 vote bits; ±1 votes; sign fingerprint
+  * in [0, 2⁶⁰). Unlike [[SimHash64]] (xxhash64-based,
+  * engine-internal), every operation is plain BIGINT arithmetic
+  * DuckDB can replay exactly — this is what makes the d04 near-dup
+  * operator value-checkable by the driver's oracle instead of
+  * rows-only.
   */
 case class SimHashPoly(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -88,8 +130,11 @@ case class SimHashPoly(child: Expression)
 
 object SimHashPoly {
   val Bits = 60
-  val P1 = 1000000007L
-  val P2 = 998244353L
+  /** Per-token bit-mixing multipliers (32-bit hash primes; products of
+    * a 31-bit folded operand stay below 2⁶³).
+    */
+  val M1 = 2654435761L
+  val M2 = 2246822519L
 
   def compute(arr: ArrayData): Long = {
     val votes = new Array[Int](Bits)
@@ -98,19 +143,13 @@ object SimHashPoly {
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val s = arr.getUTF8String(i).toString
-        var h1 = 0L
-        var h2 = 0L
-        var j = 0
-        while (j < s.length) {
-          val cp = s.codePointAt(j)
-          h1 = (h1 * 31L + cp) % P1
-          h2 = (h2 * 131L + cp) % P2
-          j += Character.charCount(cp)
-        }
+        val c = PolyPair.compute(s, 0, s.length)
+        val y1 = PolyPair.fold(M1 * (c / PolyPair.F))
+        val y2 = PolyPair.fold(M2 * (c % PolyPair.F))
         var b = 0
         while (b < 30) {
-          if (((h1 >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          if (((h2 >>> b) & 1L) == 1L) votes(30 + b) += 1 else votes(30 + b) -= 1
+          if (((y1 >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          if (((y2 >>> b) & 1L) == 1L) votes(30 + b) += 1 else votes(30 + b) -= 1
           b += 1
         }
       }
@@ -304,13 +343,12 @@ case class ShinglePolyHashes(left: Expression, right: Expression)
 }
 
 object ShinglePolyHashes {
-  val P1 = 1000000007L
-  val P2 = 998244353L
 
   def compute(s: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
     // decode once; token boundaries are char offsets (a ' ' char is
-    // never half of a surrogate pair), hashes walk code points — the
-    // exact arithmetic of the DuckDB unicode(substr(...)) oracle
+    // never half of a surrogate pair); the [[PolyPair]] kernel walks
+    // code points — the exact arithmetic of the DuckDB
+    // unicode(substr(...)) oracle
     val str = s.toString
     var starts = new Array[Int](16)
     starts(0) = 0
@@ -333,16 +371,7 @@ object ShinglePolyHashes {
     while (i <= m - n) {
       val a = starts(i)
       val b = if (i + n < m) starts(i + n) - 1 else str.length
-      var h1 = 0L
-      var h2 = 0L
-      var j = a
-      while (j < b) {
-        val cp = str.codePointAt(j)
-        h1 = (h1 * 31L + cp) % P1
-        h2 = (h2 * 131L + cp) % P2
-        j += Character.charCount(cp)
-      }
-      val h = h1 * 2147483648L + h2 // h1 · 2³¹ + h2, < 2⁶¹
+      val h = PolyPair.compute(str, a, b) // h1 · 2³¹ + h2, < 2⁶¹
       if (seen.add(h)) { out(k) = h; k += 1 }
       i += 1
     }

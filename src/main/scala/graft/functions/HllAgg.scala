@@ -83,7 +83,9 @@ object HllAgg {
   val F = 2147483648L // 2³¹ — the fold width
 
   /** 62-bit mixed hash of a long key — replayable in SQL with only
-    * `*`, `%`, `//` and `xor()`. A plain affine-mod-P transform is NOT
+    * `*`, `%`, `//` and `xor()` (the floorMod is SQL's
+    * `((k % F) + F) % F`, which the q35 oracle uses, so negative keys
+    * replay correctly too). A plain affine-mod-P transform is NOT
     * enough here: HLL's occupancy/rank statistics assume Poisson
     * bucket filling, and an affine map sends sequential ids round-robin
     * through the buckets (measured +50% overestimate on this data).

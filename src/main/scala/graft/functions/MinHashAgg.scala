@@ -28,7 +28,11 @@ class MinHashAgg extends Aggregator[Long, Array[Long], Array[Long]] {
   override def zero: Array[Long] = Array.fill(P)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], shingleHash: Long): Array[Long] = {
-    val g = shingleHash % MOD // shingle hashes are non-negative (< 2⁶¹)
+    // floorMod, not %: ShinglePolyHashes outputs are non-negative (same
+    // result), but a caller feeding signed 64-bit hashes (e.g. the
+    // xxhash64-based shingle_hashes) must not silently poison every
+    // signature slot with negative affine values
+    val g = java.lang.Math.floorMod(shingleHash, MOD)
     var i = 0
     while (i < P) {
       // A(i)·g < 2⁶⁰ — no overflow, identical in any BIGINT engine

@@ -76,10 +76,15 @@ object QuantileSketchAgg {
   val Slots = 63 * 16
   val Qs: Array[Double] = Array(0.5, 0.9, 0.99)
 
-  /** Bucket of a positive value: 16·⌊log₂v⌋ + next-4-mantissa-bits. */
+  /** Bucket of a positive value: 16·⌊log₂v⌋ + next-4-mantissa-bits.
+    * The sub-bucket shifts RIGHT for e ≥ 4 — `(v − 2^e) << 4` would
+    * overflow Long for e ≥ 60 and silently corrupt the bucket (the
+    * oracle's `* 16` would error instead: divergence).
+    */
   def bucket(v: Long): Int = {
     val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
-    val sub = (((v - (1L << e)) << 4) >> e).toInt
+    val frac = v - (1L << e)
+    val sub = (if (e >= 4) frac >> (e - 4) else frac << (4 - e)).toInt
     e * 16 + sub
   }
 

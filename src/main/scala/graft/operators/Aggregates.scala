@@ -175,7 +175,7 @@ object Aggregates {
     Some {
       import graft.functions.HllAgg.{A1, A2, A3, K}
       s"""WITH h0 AS (SELECT o_orderpriority AS grp, o_custkey,
-          $A1 * (o_custkey % 2147483648) AS t1 FROM orders),
+          $A1 * (((o_custkey % 2147483648) + 2147483648) % 2147483648) AS t1 FROM orders),
       h1 AS (SELECT grp, o_custkey,
           $A2 * (xor(t1 % 2147483648, t1 // 2147483648) % 2147483648) AS t2 FROM h0),
       h2 AS (SELECT grp, o_custkey,
@@ -214,6 +214,19 @@ object Aggregates {
     (62 to 1 by -1).map(e => s"WHEN v >= ${1L << e} THEN $e")
       .mkString("CASE ", " ", " ELSE 0 END")
 
+  /** Quantile levels interpolated from the ONE Scala definition
+    * ([[graft.functions.QuantileSketchAgg.Qs]]) — editing Qs cannot
+    * drift the Spark sketch away from its oracle.
+    */
+  private val qsLabels: Seq[(Double, Int)] =
+    graft.functions.QuantileSketchAgg.Qs.toSeq.map(q => q -> math.round(q * 100).toInt)
+  private val qsBucketLines: String = qsLabels.map { case (q, lbl) =>
+    s"min(CASE WHEN cum >= CAST(ceil($q * n) AS BIGINT) THEN e * 16 + sub END) AS b$lbl"
+  }.mkString(",\n          ")
+  private val qsDecodeLines: String = qsLabels.map { case (_, lbl) =>
+    s"(1.0 + (2.0 * (b$lbl % 16) + 1.0) / 32.0) * CAST(1::BIGINT << CAST(b$lbl // 16 AS INTEGER) AS DOUBLE) / 100.0 AS p$lbl"
+  }.mkString(",\n        ")
+
   /** The graft-native quantile sketch (custom typed Aggregator,
     * [[graft.functions.QuantileSketchAgg]]): q29's scale story —
     * fixed-size mergeable sketches, no per-group sort — with every
@@ -233,14 +246,10 @@ object Aggregates {
           sum(c) OVER (PARTITION BY grp) AS n
         FROM c),
       sel AS (SELECT grp, CAST(max(n) AS BIGINT) AS n,
-          min(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT) THEN e * 16 + sub END) AS b50,
-          min(CASE WHEN cum >= CAST(ceil(0.9 * n) AS BIGINT) THEN e * 16 + sub END) AS b90,
-          min(CASE WHEN cum >= CAST(ceil(0.99 * n) AS BIGINT) THEN e * 16 + sub END) AS b99
+          ${qsBucketLines}
         FROM cum GROUP BY grp)
       SELECT grp AS l_returnflag,
-        (1.0 + (2.0 * (b50 % 16) + 1.0) / 32.0) * CAST(1::BIGINT << CAST(b50 // 16 AS INTEGER) AS DOUBLE) / 100.0 AS p50,
-        (1.0 + (2.0 * (b90 % 16) + 1.0) / 32.0) * CAST(1::BIGINT << CAST(b90 // 16 AS INTEGER) AS DOUBLE) / 100.0 AS p90,
-        (1.0 + (2.0 * (b99 % 16) + 1.0) / 32.0) * CAST(1::BIGINT << CAST(b99 // 16 AS INTEGER) AS DOUBLE) / 100.0 AS p99,
+        ${qsDecodeLines},
         n
       FROM sel ORDER BY l_returnflag""")) { (s, d) =>
     Tables.lineitem(s, d)
@@ -250,11 +259,10 @@ object Aggregates {
       .agg(
         graft.functions.QuantileSketchAgg.sketch(col("cents")).as("p"),
         count(when(col("cents") >= 1, 1)).as("n"))
-      .select(col("l_returnflag"),
-        element_at(col("p"), 1).as("p50"),
-        element_at(col("p"), 2).as("p90"),
-        element_at(col("p"), 3).as("p99"),
-        col("n"))
+      .select(col("l_returnflag") +:
+        qsLabels.zipWithIndex.map { case ((_, lbl), i) =>
+          element_at(col("p"), i + 1).as(s"p$lbl") } :+
+        col("n"): _*)
       .orderBy("l_returnflag")
   }
 

@@ -60,6 +60,24 @@ object Dedup {
     */
   private def duckArr(a: Array[Long]): String = a.mkString("[", ", ", "]")
 
+  /** Oracle SQL fragments replaying [[graft.functions.PolyPair]] —
+    * constants interpolated from the ONE Scala definition, and the
+    * code-point list materialized once per row (the hashes fold the
+    * same list twice; inlining the list_transform into each
+    * list_reduce would decode every string twice).
+    */
+  private object Oracle {
+    import graft.functions.PolyPair.{Base1, Base2, F, P1, P2}
+    def cpList(col: String): String =
+      s"list_prepend(0::BIGINT, list_transform(range(1, length($col) + 1), i -> CAST(unicode(substr($col, i, 1)) AS BIGINT)))"
+    def poly1(cs: String): String = s"list_reduce($cs, (h, c) -> (h * $Base1 + c) % $P1)"
+    def poly2(cs: String): String = s"list_reduce($cs, (h, c) -> (h * $Base2 + c) % $P2)"
+    def polyPair(cs: String): String = s"${poly1(cs)} * $F + ${poly2(cs)}"
+    /** [[graft.functions.PolyPair.fold]]: xor of product halves, 31-bit clamp. */
+    def foldMul(m: Long, x: String): String =
+      s"xor(($m * $x) % $F, ($m * $x) // $F) % $F"
+  }
+
   /** MinHash + LSH near-dup candidates. 32 permutations as affine
     * transforms `(A(i)·(g mod P) + B(i)) mod P` over poly-hashed
     * shingles — plain BIGINT arithmetic, so the ORACLE replays the
@@ -71,10 +89,8 @@ object Dedup {
   val d02 = QueryDef(
     "d02_minhash_lsh",
     Some(s"""$gramCte,
-      gh AS (SELECT doc_id,
-          list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(g) + 1), i -> CAST(unicode(substr(g, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) % 1000000007) * 2147483648
-        + list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(g) + 1), i -> CAST(unicode(substr(g, i, 1)) AS BIGINT))), (h, c) -> (h * 131 + c) % 998244353) AS gh
-        FROM grams),
+      gcps AS (SELECT doc_id, ${Oracle.cpList("g")} AS cs FROM grams),
+      gh AS (SELECT doc_id, ${Oracle.polyPair("cs")} AS gh FROM gcps),
       sigs AS (SELECT doc_id, i,
           min((${duckArr(graft.functions.MinHashAgg.A)}[CAST(i + 1 AS INTEGER)] * (gh % 1000000007)
              + ${duckArr(graft.functions.MinHashAgg.B)}[CAST(i + 1 AS INTEGER)]) % 1000000007) AS s
@@ -202,15 +218,17 @@ object Dedup {
     */
   val d04 = QueryDef(
     "d04_simhash",
-    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
       tok AS (SELECT doc_id, t FROM toks, unnest(ts) AS u(t)),
-      th AS (SELECT doc_id,
-        list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(t) + 1), i -> CAST(unicode(substr(t, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) % 1000000007) AS h1,
-        list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(t) + 1), i -> CAST(unicode(substr(t, i, 1)) AS BIGINT))), (h, c) -> (h * 131 + c) % 998244353) AS h2
-        FROM tok),
+      cps AS (SELECT doc_id, ${Oracle.cpList("t")} AS cs FROM tok),
+      th AS (SELECT doc_id, ${Oracle.poly1("cs")} AS h1, ${Oracle.poly2("cs")} AS h2 FROM cps),
+      mx AS (SELECT doc_id,
+          ${Oracle.foldMul(graft.functions.SimHashPoly.M1, "h1")} AS y1,
+          ${Oracle.foldMul(graft.functions.SimHashPoly.M2, "h2")} AS y2
+        FROM th),
       votes AS (SELECT doc_id, b,
-          sum((CASE WHEN b < 30 THEN (h1 >> b) & 1 ELSE (h2 >> (b - 30)) & 1 END) * 2 - 1) AS v
-        FROM th, unnest(range(0, 60)) AS r(b) GROUP BY doc_id, b),
+          sum((CASE WHEN b < 30 THEN (y1 >> b) & 1 ELSE (y2 >> (b - 30)) & 1 END) * 2 - 1) AS v
+        FROM mx, unnest(range(0, 60)) AS r(b) GROUP BY doc_id, b),
       fps AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS fp
               FROM votes GROUP BY doc_id),
       bands AS (SELECT doc_id, fp, k, (fp >> CAST(k * 15 AS INTEGER)) & 32767 AS bh

@@ -173,16 +173,21 @@ class ExpressionsSpec extends SparkSpec {
     val texts = (0 until 200).flatMap(i =>
       textGen.apply(Gen.Parameters.default, Seed(13L + i)))
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
-    // independent formulation: per-token rolling hashes → explicit
-    // per-bit ±1 vote aggregation → sign fingerprint
+    // independent formulation: per-token rolling hashes → one
+    // multiply/xor-fold mix round each → explicit per-bit ±1 vote
+    // aggregation → sign fingerprint
+    val (m1, m2) = (SimHashPoly.M1, SimHashPoly.M2)
     val composed = df
       .select(col("id"), explode(split(col("text"), " ")).as("t"))
       .select(col("id"),
         expr("rolling_hash(t, 31L, 1000000007L)").as("h1"),
         expr("rolling_hash(t, 131L, 998244353L)").as("h2"))
-      .select(col("id"), col("h1"), col("h2"), explode(expr("sequence(0, 59)")).as("b"))
+      .select(col("id"),
+        expr(s"((($m1 * h1) % 2147483648L) ^ (($m1 * h1) div 2147483648L)) % 2147483648L").as("y1"),
+        expr(s"((($m2 * h2) % 2147483648L) ^ (($m2 * h2) div 2147483648L)) % 2147483648L").as("y2"))
+      .select(col("id"), col("y1"), col("y2"), explode(expr("sequence(0, 59)")).as("b"))
       .withColumn("v", expr(
-        "IF((IF(b < 30, shiftright(h1, b), shiftright(h2, b - 30)) & 1) = 1, 1, -1)"))
+        "IF((IF(b < 30, shiftright(y1, b), shiftright(y2, b - 30)) & 1) = 1, 1, -1)"))
       .groupBy("id", "b").agg(sum("v").as("v"))
       .groupBy("id").agg(expr("sum(IF(v > 0, shiftleft(1L, b), 0L))").as("fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
