@@ -168,7 +168,11 @@ object Aggregates {
     * 1024-byte sketches, associative merge, no per-key shuffle — but
     * every step is plain BIGINT arithmetic, so the ORACLE replays the
     * registers and the estimate bit-for-bit. The exact count rides
-    * along to show the estimator lands within its ~3% band.
+    * along to show the estimator lands within its ~3% band — note the
+    * PLAN cost of that ride-along: count(DISTINCT) forces the per-key
+    * distinct expansion (docs/PLANS.md), which is exactly what the
+    * sketch alone avoids; a production query keeps only the hll column
+    * and its plan is a plain two-phase ObjectHashAggregate.
     */
   val q35 = QueryDef(
     "q35_custom_hll",

@@ -73,6 +73,33 @@ object StreamingOps {
       }
   }
 
+  final case class DistinctEstimate(event_type: String, approx_users: Double)
+
+  /** Streaming approximate distinct-count via the graft-native HLL
+    * ([[graft.functions.HllAgg]]): per event_type, the state is ONE
+    * fixed 1024-byte register array — merged with each micro-batch's
+    * keys, never a per-key set — and the running estimate is emitted
+    * on every update. This is the streaming face of q35, and the
+    * reason mergeable sketches matter on a stream: exact streaming
+    * count-distinct needs O(distinct keys) state, this needs O(types).
+    * Batch/stream agreement: the state fold IS the batch Aggregator's
+    * reduce/finish, so a stream's final estimate equals q35's batch
+    * estimate over the same rows (pinned in StreamingSpec).
+    */
+  def streamingApproxDistinct(events: Dataset[Event]): Dataset[DistinctEstimate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[Array[Byte], DistinctEstimate](GroupStateTimeout.NoTimeout()) {
+        (tpe, it, state) =>
+          val agg = new graft.functions.HllAgg
+          val regs = state.getOption.getOrElse(agg.zero)
+          it.foreach(e => agg.reduce(regs, e.user_id))
+          state.update(regs)
+          DistinctEstimate(tpe, agg.finish(regs))
+      }
+  }
+
   /** File-source entry: tail a parquet events directory as a stream
     * (the production pattern for continuous ingest of landed files).
     * Normalizes the driver testdata's TIMESTAMP(NANOS) column the

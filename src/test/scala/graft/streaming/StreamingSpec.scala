@@ -104,6 +104,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingApproxDistinct's final estimate equals the batch HLL over the same rows") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingOps.streamingApproxDistinct(input.toDS())
+      .writeStream.format("memory").queryName("hllstream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // two micro-batches with overlapping users: the sketch state must
+      // merge across batches, not reset
+      input.addData((1 to 400).map(i => ev(i, 1, i % 250)): _*)
+      q.processAllAvailable()
+      input.addData((401 to 800).map(i => ev(i, 2, i % 350)): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hllstream").as[DistinctEstimate].collect()
+        .groupBy(_.event_type).map { case (t, rows) => t -> rows.last.approx_users }
+      // batch twin: fold every user_id through the same Aggregator
+      val agg = new graft.functions.HllAgg
+      val batch = agg.finish(
+        ((1 to 400).map(i => (i % 250).toLong) ++ (401 to 800).map(i => (i % 350).toLong))
+          .foldLeft(agg.zero)(agg.reduce))
+      assert(streamed("click") == batch)
+      // sanity: 350 true distinct users, estimate within the band
+      assert(math.abs(streamed("click") / 350.0 - 1.0) < 0.15)
+    } finally q.stop()
+  }
+
   test("streaming signature fold equals batch MinHashAgg over the same shingle kernel") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
