@@ -75,6 +75,14 @@ object PolyPair {
   val Base2 = 131L
   val F = 2147483648L // 2³¹ — the pack/fold width
 
+  /** Bit-mixing multipliers (32-bit hash primes; a product with a
+    * 31-bit folded operand stays below 2⁶³) — the ONE set shared by
+    * [[SimHashPoly]]'s vote mixing and [[HllAgg]]'s key mixer.
+    */
+  val Mix1 = 2654435761L
+  val Mix2 = 2246822519L
+  val Mix3 = 3266489917L
+
   /** Composite h1·2³¹ + h2 over `str`'s code points in [from, until)
     * (char offsets; a surrogate pair is one code point on both
     * engines — DuckDB's `unicode(substr(...))` walks code points too).
@@ -130,11 +138,9 @@ case class SimHashPoly(child: Expression)
 
 object SimHashPoly {
   val Bits = 60
-  /** Per-token bit-mixing multipliers (32-bit hash primes; products of
-    * a 31-bit folded operand stay below 2⁶³).
-    */
-  val M1 = 2654435761L
-  val M2 = 2246822519L
+  /** Per-token bit-mixing multipliers — [[PolyPair]]'s shared set. */
+  val M1 = PolyPair.Mix1
+  val M2 = PolyPair.Mix2
 
   def compute(arr: ArrayData): Long = {
     val votes = new Array[Int](Bits)

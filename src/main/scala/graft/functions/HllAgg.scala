@@ -76,11 +76,15 @@ object HllAgg {
   val M = 1024 // registers (p = 10)
   val W = 1L << 50 // hash window width above the bucket bits
 
-  /** Multiply–xor-fold mixer constants (32-bit hash primes; every
-    * product stays below 2⁶³ because the folded operand is < 2³¹).
+  /** Multiply–xor-fold mixer constants and fold width — the ONE
+    * shared set in [[PolyPair]] (the d02/d04 oracles interpolate
+    * PolyPair's copies, q35's oracle these aliases: same values by
+    * construction).
     */
-  val A1 = 2654435761L; val A2 = 2246822519L; val A3 = 3266489917L
-  val F = 2147483648L // 2³¹ — the fold width
+  val A1: Long = PolyPair.Mix1
+  val A2: Long = PolyPair.Mix2
+  val A3: Long = PolyPair.Mix3
+  val F: Long = PolyPair.F
 
   /** 62-bit mixed hash of a long key — replayable in SQL with only
     * `*`, `%`, `//` and `xor()` (the floorMod is SQL's
@@ -97,18 +101,11 @@ object HllAgg {
     */
   def hash(key: Long): Long = {
     val x0 = java.lang.Math.floorMod(key, F)
-    val x1 = fold(A1 * x0)
-    val x2 = fold(A2 * x1)
-    val x3 = fold(A3 * x2)
+    val x1 = PolyPair.fold(A1 * x0)
+    val x2 = PolyPair.fold(A2 * x1)
+    val x3 = PolyPair.fold(A3 * x2)
     x2 * F + x3
   }
-
-  /** xor the product's halves, clamped back to 31 bits (the quotient
-    * can carry a 32nd bit when the multiplier exceeds 2³¹ — without
-    * the clamp the next product would overflow INT64, which DuckDB
-    * rejects rather than wraps).
-    */
-  private def fold(t: Long): Long = ((t % F) ^ (t / F)) % F
 
   private def bitLength(v: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(v)
 

@@ -222,8 +222,15 @@ object Aggregates {
     * ([[graft.functions.QuantileSketchAgg.Qs]]) — editing Qs cannot
     * drift the Spark sketch away from its oracle.
     */
-  private val qsLabels: Seq[(Double, Int)] =
-    graft.functions.QuantileSketchAgg.Qs.toSeq.map(q => q -> math.round(q * 100).toInt)
+  private val qsLabels: Seq[(Double, String)] =
+    graft.functions.QuantileSketchAgg.Qs.toSeq.map { q =>
+      // exact decimal label: 0.5 → "50", 0.99 → "99", 0.999 → "99_9" —
+      // rounding would mislabel (or collide) finer quantiles
+      q -> (BigDecimal(q.toString) * 100).bigDecimal
+        .stripTrailingZeros.toPlainString.replace(".", "_")
+    }
+  require(qsLabels.map(_._2).distinct.size == qsLabels.size,
+    s"graft: quantile labels collide: $qsLabels")
   private val qsBucketLines: String = qsLabels.map { case (q, lbl) =>
     s"min(CASE WHEN cum >= CAST(ceil($q * n) AS BIGINT) THEN e * 16 + sub END) AS b$lbl"
   }.mkString(",\n          ")

@@ -112,11 +112,15 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("hllstream")
       .outputMode(OutputMode.Update()).start()
     try {
-      // two micro-batches with overlapping users: the sketch state must
-      // merge across batches, not reset
-      input.addData((1 to 400).map(i => ev(i, 1, i % 250)): _*)
+      // two micro-batches with overlapping users, over TWO event types
+      // with disjoint user ranges: state must merge across batches AND
+      // stay isolated per type
+      def typed(id: Int, user: Long, tpe: String) =
+        Event(id.toLong, ts(1), user, tpe, 1.0)
+      input.addData((1 to 400).map(i => typed(i, i % 250, "click")) ++
+        (1 to 100).map(i => typed(1000 + i, 100000L + i % 60, "view")): _*)
       q.processAllAvailable()
-      input.addData((401 to 800).map(i => ev(i, 2, i % 350)): _*)
+      input.addData((401 to 800).map(i => typed(i, i % 350, "click")): _*)
       q.processAllAvailable()
       val streamed = spark.table("hllstream").as[DistinctEstimate].collect()
         .groupBy(_.event_type).map { case (t, rows) => t -> rows.last.approx_users }
@@ -126,8 +130,10 @@ class StreamingSpec extends SparkSpec {
         ((1 to 400).map(i => (i % 250).toLong) ++ (401 to 800).map(i => (i % 350).toLong))
           .foldLeft(agg.zero)(agg.reduce))
       assert(streamed("click") == batch)
-      // sanity: 350 true distinct users, estimate within the band
+      // sanity: 350 true distinct click users / 60 view users; the
+      // small view sketch must not absorb click's keys
       assert(math.abs(streamed("click") / 350.0 - 1.0) < 0.15)
+      assert(math.abs(streamed("view") / 60.0 - 1.0) < 0.15)
     } finally q.stop()
   }
 
