@@ -19,6 +19,11 @@ import org.apache.spark.sql.SparkSession
   * `-d` falls back to the `DATABASE_URL` environment variable when
   * omitted (cmd/chiv/main.go:30–40). `-b` is the destination "bucket"
   * (any Hadoop FS URI), `-t` the table.
+  *
+  * `--jdbc-partitions col:lower:upper:n` (JDBC sources only) splits
+  * the extraction into n parallel stride reads on `col` — the 100 TB
+  * scan path the reference's single cursor cannot express; bounds
+  * shape the strides, every row is read regardless.
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -29,6 +34,7 @@ object Main {
     val opts = parse(args.toList, Map.empty)
     configOf(opts)
     val (dir, table, bucket) = required(opts, sys.env)
+    partitionsOf(opts, dir) // fail fast on a malformed spec too
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-archive")
@@ -36,7 +42,7 @@ object Main {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     try {
-      val dest = new Engine(spark, configOf(opts)).archive(dir, table, bucket)
+      val dest = archive(spark, opts, dir, table, bucket)
       println(s"archived $table -> $dest")
     } finally spark.stop()
   }
@@ -50,8 +56,35 @@ object Main {
       env: Map[String, String] = sys.env): String = {
     val opts = parse(args.toList, Map.empty)
     val (dir, table, bucket) = required(opts, env)
-    new Engine(spark, configOf(opts)).archive(dir, table, bucket)
+    archive(spark, opts, dir, table, bucket)
   }
+
+  private def archive(spark: SparkSession, opts: Map[String, String],
+      dir: String, table: String, bucket: String): String =
+    partitionsOf(opts, dir) match {
+      case Some((col, lo, hi, n)) =>
+        val df = graft.sources.Sources.jdbcTablePartitioned(
+          spark, dir, table, col, lo, hi, n)
+        new Engine(spark, configOf(opts)).archiveDF(df, bucket, table)
+      case None =>
+        new Engine(spark, configOf(opts)).archive(dir, table, bucket)
+    }
+
+  private def partitionsOf(opts: Map[String, String],
+      source: String): Option[(String, Long, Long, Int)] =
+    opts.get("jdbc-partitions").map { spec =>
+      if (!source.startsWith("jdbc:"))
+        sys.error("graft: --jdbc-partitions requires a jdbc: source")
+      spec.split(":") match {
+        case Array(col, lo, hi, n) if col.nonEmpty =>
+          try (col, lo.toLong, hi.toLong, n.toInt)
+          catch { case _: NumberFormatException =>
+            sys.error(s"graft: malformed --jdbc-partitions: $spec")
+          }
+        case _ => sys.error(
+          s"graft: --jdbc-partitions wants col:lower:upper:n, got: $spec")
+      }
+    }
 
   private def required(opts: Map[String, String],
       env: Map[String, String]): (String, String, String) = {

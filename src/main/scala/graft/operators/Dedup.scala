@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  def queries: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07)
+  def queries: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08)
 
   /** DuckDB CTE for distinct 3-token shingles per document — the
     * oracle-side counterpart of the Spark-side native
@@ -399,5 +399,51 @@ object Dedup {
       .select(col("doc_id"), col("survivor"),
         (col("doc_id") === col("survivor")).as("is_survivor"))
       .orderBy("doc_id")
+  }
+
+  /** d03's HOT-SHINGLE-CAPPED variant — the skew mitigation d03's
+    * scaladoc defers: shingles whose document frequency exceeds the
+    * cap (ubiquitous n-grams — the keys that would make inverted-index
+    * join buckets quadratic at 100 TB) are dropped from the index
+    * BEFORE the self-join, via a broadcast anti join against the tiny
+    * hot set (a handful of keys by construction: each hot shingle owns
+    * ≥ cap rows). Jaccard is then computed over the CAPPED shingle
+    * sets — a documented approximation of d03 (it can only lose
+    * evidence shared by many documents), fully deterministic and
+    * oracle-replayed exactly.
+    */
+  val d08 = QueryDef(
+    "d08_dfcap_jaccard",
+    Some(s"""$gramCte,
+      df AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
+      kept AS (SELECT doc_id, grams.g FROM grams JOIN df ON grams.g = df.g WHERE df <= 10),
+      cnt AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+      inter AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS i
+                FROM kept x JOIN kept y ON x.g = y.g AND x.doc_id < y.doc_id
+                GROUP BY 1, 2)
+      SELECT da, db, jaccard FROM (
+        SELECT da, db, i::DOUBLE / (ca.n + cb.n - i) AS jaccard
+        FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db)
+      WHERE jaccard >= 0.1 ORDER BY da, db""")) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val cap = 10
+    val g = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr("shingle_hashes(text, 3)")).as("g"))
+      .cache()
+    val hot = g.groupBy("g").agg(count(lit(1)).as("df"))
+      .where(col("df") > cap).select("g")
+    val kept = g.join(broadcast(hot), Seq("g"), "left_anti")
+    val n = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = kept.as("x").join(kept.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(broadcast(n).as("na"), col("da") === col("na.doc_id"))
+      .join(broadcast(n).as("nb"), col("db") === col("nb.doc_id"))
+      .select(col("da"), col("db"),
+        (col("i").cast("double") / (col("na.n") + col("nb.n") - col("i"))).as("jaccard"))
+      .where(col("jaccard") >= 0.1)
+      .orderBy("da", "db")
   }
 }

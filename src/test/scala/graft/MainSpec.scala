@@ -82,6 +82,29 @@ class MainSpec extends SparkSpec {
     assert(lines.tail.sorted == Seq("1,rex", "2,milo"))
   }
 
+  test("--jdbc-partitions splits the extraction into parallel stride reads") {
+    val out = Files.createTempDirectory("graft-cli").toString
+    val dest = Main.run(spark, Array(
+      "-d", jdbcUrl, "-t", "pets", "-b", out,
+      "--jdbc-partitions", "id:1:2:2"))
+    // bounds shape the strides only — every row must still arrive
+    val lines = read(dest).linesIterator.toSeq.map(_.toLowerCase)
+    assert(lines.head == "id,name")
+    assert(lines.tail.sorted == Seq("1,rex", "2,milo"))
+    // a non-JDBC source rejects the flag fast
+    val e = intercept[RuntimeException] {
+      Main.run(spark, Array("-d", data, "-t", "region", "-b", out,
+        "--jdbc-partitions", "r_regionkey:0:4:2"))
+    }
+    assert(e.getMessage.contains("requires a jdbc: source"))
+    // malformed spec named in the error
+    val m = intercept[RuntimeException] {
+      Main.run(spark, Array("-d", jdbcUrl, "-t", "pets", "-b", out,
+        "--jdbc-partitions", "id:one:2:2"))
+    }
+    assert(m.getMessage.contains("malformed"))
+  }
+
   test("DATABASE_URL is the -d fallback, and an explicit -d beats it") {
     val out = Files.createTempDirectory("graft-cli").toString
     val dest = Main.run(spark, Array("-t", "pets", "-b", out),
