@@ -35,7 +35,7 @@ object Dedup {
     * `shingle_hashes(text, 3)` kernel (equivalence pinned in
     * ExpressionsSpec).
     */
-  private val gramCte =
+  private[operators] val gramCte =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
       |grams AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
       |          FROM toks, unnest(range(1, len(ts) - 1)) AS r(i) WHERE len(ts) >= 3)""".stripMargin

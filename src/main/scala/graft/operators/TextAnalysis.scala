@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  def queries: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07, x08)
+  def queries: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09)
 
   /** Repetition filters (the Gopher-rules complement to x03's quality
     * score): duplicate-word fraction and most-frequent-bigram mass per
@@ -260,20 +260,97 @@ object TextAnalysis {
         len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to')))::DOUBLE / len(string_split(text, ' ')) AS stop_ratio
         FROM documents)
       ORDER BY doc_id""")) { (s, d) =>
-    Tables.documents(s, d)
-      .withColumn("toks", split(col("text"), " "))
-      .select(
-        col("doc_id"),
-        big(length(col("text"))).as("n_chars"),
-        big(size(col("toks"))).as("n_tokens"),
-        (size(array_distinct(col("toks"))).cast("double") / size(col("toks"))).as("diversity"),
-        expr("CAST(size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) / size(toks)").as("stop_ratio"))
-      .withColumn("quality",
-        when(col("n_chars").between(100, 450) && col("diversity") >= 0.3 &&
-          col("stop_ratio").between(0.02, 0.4), "high")
-          .when(col("n_chars") >= 60 && col("diversity") >= 0.15, "medium")
-          .otherwise("low"))
+    qualityScored(Tables.documents(s, d))
+      .select("doc_id", "n_chars", "n_tokens", "diversity", "stop_ratio", "quality")
       .orderBy("doc_id")
+  }
+
+  /** x03's scoring as a reusable stage (shared with the x09 pipeline
+    * so the filter semantics cannot drift between them).
+    */
+  private def qualityScored(docs: org.apache.spark.sql.DataFrame) = docs
+    .withColumn("toks", split(col("text"), " "))
+    .withColumn("n_chars", big(length(col("text"))))
+    .withColumn("n_tokens", big(size(col("toks"))))
+    .withColumn("diversity",
+      size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+    .withColumn("stop_ratio",
+      expr("CAST(size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) / size(toks)"))
+    .withColumn("quality",
+      when(col("n_chars").between(100, 450) && col("diversity") >= 0.3 &&
+        col("stop_ratio").between(0.02, 0.4), "high")
+        .when(col("n_chars") >= 60 && col("diversity") >= 0.15, "medium")
+        .otherwise("low"))
+
+  /** The pipeline CAPSTONE: quality gate → near-dup survivor selection
+    * → content-addressed split, composed from x03 + d07 + x05 — the
+    * corpus-curation flow a 100 TB training-data run actually executes,
+    * as ONE declarative plan (Catalyst fuses the narrow stages; the
+    * only shuffles are the dedup join and the final summary
+    * aggregation). The oracle chains the same stages as CTEs, with the
+    * survivor set from the recursive-CTE ground truth d06/d07 share.
+    * Non-survivors are removed with a left-anti join on doc_id —
+    * pair-table-sized, never corpus² — and docs in no near-dup cluster
+    * pass through untouched.
+    */
+  val x09 = QueryDef(
+    "x09_corpus_pipeline",
+    Some(s"""${Dedup.gramCte},
+      cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+      inter AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS i
+                FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+                GROUP BY 1, 2),
+      pairs AS (SELECT da, db FROM inter
+                JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+                WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.5),
+      e AS (SELECT da AS a, db AS b FROM pairs
+            UNION SELECT db, da FROM pairs),
+      reach AS (
+        WITH RECURSIVE r(a, b) AS (
+          SELECT a, b FROM e
+          UNION
+          SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
+        SELECT * FROM r),
+      nonsurv AS (SELECT a AS doc_id FROM reach GROUP BY a
+                  HAVING least(a, min(b)) <> a),
+      q AS (SELECT doc_id, text,
+        CASE WHEN n_chars BETWEEN 100 AND 450 AND diversity >= 0.3 AND stop_ratio BETWEEN 0.02 AND 0.4 THEN 'high'
+             WHEN n_chars >= 60 AND diversity >= 0.15 THEN 'medium'
+             ELSE 'low' END AS quality
+        FROM (SELECT doc_id, text,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          len(list_distinct(string_split(text, ' ')))::DOUBLE / len(string_split(text, ' ')) AS diversity,
+          len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to')))::DOUBLE / len(string_split(text, ' ')) AS stop_ratio
+          FROM documents)),
+      kept AS (SELECT doc_id, quality, text FROM q
+               WHERE quality <> 'low'
+                 AND doc_id NOT IN (SELECT doc_id FROM nonsurv)),
+      sp AS (SELECT doc_id, quality,
+          CASE WHEN fp % 10 < 8 THEN 'train'
+               WHEN fp % 10 = 8 THEN 'valid'
+               ELSE 'test' END AS split
+        FROM (SELECT doc_id, quality,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, length(text) + 1), i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))),
+            (h, c) -> (h * 31 + c) % 1000000007) AS fp
+          FROM kept))
+      SELECT split, quality, count(*) AS n, min(doc_id) AS first_doc
+      FROM sp GROUP BY split, quality ORDER BY split, quality""")) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val qual = qualityScored(Tables.documents(s, d))
+      .where(col("quality") =!= "low")
+      .select("doc_id", "quality", "text")
+    val nonSurvivors = Dedup.d07.fn(s, d)
+      .where(!col("is_survivor")).select("doc_id")
+    qual.join(nonSurvivors, Seq("doc_id"), "left_anti")
+      .withColumn("fp", expr("rolling_hash(text, 31L, 1000000007L)"))
+      .withColumn("split",
+        when(col("fp") % 10 < 8, "train")
+          .when(col("fp") % 10 === 8, "valid")
+          .otherwise("test"))
+      .groupBy("split", "quality")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("first_doc"))
+      .orderBy("split", "quality")
   }
 
   /** Content fingerprint: polynomial rolling hash over the character
