@@ -77,10 +77,14 @@ object Main {
         sys.error("graft: --jdbc-partitions requires a jdbc: source")
       spec.split(":") match {
         case Array(col, lo, hi, n) if col.nonEmpty =>
-          try (col, lo.toLong, hi.toLong, n.toInt)
-          catch { case _: NumberFormatException =>
-            sys.error(s"graft: malformed --jdbc-partitions: $spec")
-          }
+          val parsed =
+            try (col, lo.toLong, hi.toLong, n.toInt)
+            catch { case _: NumberFormatException =>
+              sys.error(s"graft: malformed --jdbc-partitions: $spec")
+            }
+          if (parsed._4 < 1 || parsed._2 > parsed._3)
+            sys.error(s"graft: --jdbc-partitions wants lower <= upper and n >= 1, got: $spec")
+          parsed
         case _ => sys.error(
           s"graft: --jdbc-partitions wants col:lower:upper:n, got: $spec")
       }

@@ -181,9 +181,16 @@ object Dedup {
     */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val g = Tables.documents(s, d)
+    jaccardFrom(Tables.documents(s, d)
       .select(col("doc_id"), explode(expr("shingle_hashes(text, 3)")).as("g"))
-      .cache()
+      .cache())
+  }
+
+  /** J ≥ 0.1 pairs over ANY (doc_id, g) shingle table — d03 runs it on
+    * the full index, d08 on the df-capped one (one implementation, so
+    * the plan lessons below apply to both).
+    */
+  private def jaccardFrom(g: DataFrame): DataFrame = {
     val n = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // count lookups ride the POST-aggregation pair table (tiny), not
     // the join legs: round 2 pushed n + a J ≥ 0.1 length prefilter
@@ -289,10 +296,13 @@ object Dedup {
     * Pregel would be the long-chain alternative). Oracle: recursive
     * CTE transitive closure, provably the same min-label result.
     */
-  val d06 = QueryDef(
-    "d06_dedup_survivors",
-    Some(s"""$gramCte,
-      cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+  /** The survivor-selection oracle CTE chain (J ≥ 0.5 pairs →
+    * symmetric edges → recursive-CTE transitive closure), shared
+    * verbatim by the d06/d07 oracles and x09's pipeline oracle —
+    * assumes `grams` from [[gramCte]] is in scope.
+    */
+  private[operators] val survivorCtes =
+    """cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
       inter AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS i
                 FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
                 GROUP BY 1, 2),
@@ -306,7 +316,12 @@ object Dedup {
           SELECT a, b FROM e
           UNION
           SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
-        SELECT * FROM r)
+        SELECT * FROM r)"""
+
+  val d06 = QueryDef(
+    "d06_dedup_survivors",
+    Some(s"""$gramCte,
+      $survivorCtes
       SELECT doc_id, survivor, doc_id = survivor AS is_survivor FROM (
         SELECT a AS doc_id, least(a, min(b)) AS survivor
         FROM reach GROUP BY a)
@@ -408,15 +423,21 @@ object Dedup {
     * BEFORE the self-join, via a broadcast anti join against the tiny
     * hot set (a handful of keys by construction: each hot shingle owns
     * ≥ cap rows). Jaccard is then computed over the CAPPED shingle
-    * sets — a documented approximation of d03 (it can only lose
-    * evidence shared by many documents), fully deterministic and
-    * oracle-replayed exactly.
+    * sets — a documented approximation of d03 in BOTH directions:
+    * dropping a shared hot shingle loses intersection evidence, while
+    * dropping a hot shingle only one side holds shrinks the union and
+    * can RAISE a pair over the threshold. Fully deterministic and
+    * oracle-replayed exactly; at real scale the cap is set relative to
+    * corpus size (df ≤ ε·N), fixed here for a reproducible oracle.
     */
+  /** One shared cap value, interpolated into the oracle (drift-proof). */
+  private val DfCap = 10
+
   val d08 = QueryDef(
     "d08_dfcap_jaccard",
     Some(s"""$gramCte,
       df AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
-      kept AS (SELECT doc_id, grams.g FROM grams JOIN df ON grams.g = df.g WHERE df <= 10),
+      kept AS (SELECT doc_id, grams.g FROM grams JOIN df ON grams.g = df.g WHERE df <= $DfCap),
       cnt AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
       inter AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS i
                 FROM kept x JOIN kept y ON x.g = y.g AND x.doc_id < y.doc_id
@@ -426,24 +447,12 @@ object Dedup {
         FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db)
       WHERE jaccard >= 0.1 ORDER BY da, db""")) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
-    val cap = 10
     val g = Tables.documents(s, d)
       .select(col("doc_id"), explode(expr("shingle_hashes(text, 3)")).as("g"))
       .cache()
     val hot = g.groupBy("g").agg(count(lit(1)).as("df"))
-      .where(col("df") > cap).select("g")
-    val kept = g.join(broadcast(hot), Seq("g"), "left_anti")
-    val n = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = kept.as("x").join(kept.as("y"),
-        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(broadcast(n).as("na"), col("da") === col("na.doc_id"))
-      .join(broadcast(n).as("nb"), col("db") === col("nb.doc_id"))
-      .select(col("da"), col("db"),
-        (col("i").cast("double") / (col("na.n") + col("nb.n") - col("i"))).as("jaccard"))
-      .where(col("jaccard") >= 0.1)
+      .where(col("df") > DfCap).select("g")
+    jaccardFrom(g.join(broadcast(hot), Seq("g"), "left_anti"))
       .orderBy("da", "db")
   }
 }

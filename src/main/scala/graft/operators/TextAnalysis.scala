@@ -17,6 +17,38 @@ object TextAnalysis {
 
   def queries: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09)
 
+  /** x03's quality thresholds — ONE definition feeding the Spark stage
+    * AND (interpolated) the x03/x09 oracle SQL, so a tweak cannot
+    * drift either pair apart.
+    */
+  private val QCharsLo = 100; private val QCharsHi = 450
+  private val QDivHigh = 0.3
+  private val QStopLo = 0.02; private val QStopHi = 0.4
+  private val QCharsMed = 60; private val QDivMed = 0.15
+
+  private[operators] val duckQualityCase: String =
+    s"""CASE WHEN n_chars BETWEEN $QCharsLo AND $QCharsHi AND diversity >= $QDivHigh AND stop_ratio BETWEEN $QStopLo AND $QStopHi THEN 'high'
+           WHEN n_chars >= $QCharsMed AND diversity >= $QDivMed THEN 'medium'
+           ELSE 'low' END"""
+
+  /** x03's scoring as a reusable stage (shared with the x09 pipeline
+    * so the filter semantics cannot drift between them).
+    */
+  private def qualityScored(docs: org.apache.spark.sql.DataFrame) = docs
+    .withColumn("toks", split(col("text"), " "))
+    .withColumn("n_chars", big(length(col("text"))))
+    .withColumn("n_tokens", big(size(col("toks"))))
+    .withColumn("diversity",
+      size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+    .withColumn("stop_ratio",
+      expr("CAST(size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) / size(toks)"))
+    .withColumn("quality",
+      when(col("n_chars").between(QCharsLo, QCharsHi) && col("diversity") >= QDivHigh &&
+        col("stop_ratio").between(QStopLo, QStopHi), "high")
+        .when(col("n_chars") >= QCharsMed && col("diversity") >= QDivMed, "medium")
+        .otherwise("low"))
+
+
   /** Repetition filters (the Gopher-rules complement to x03's quality
     * score): duplicate-word fraction and most-frequent-bigram mass per
     * document — the standard signals for filtering degenerate
@@ -249,10 +281,8 @@ object TextAnalysis {
     */
   val x03 = QueryDef(
     "x03_quality",
-    Some("""SELECT doc_id, n_chars, n_tokens, diversity, stop_ratio,
-      CASE WHEN n_chars BETWEEN 100 AND 450 AND diversity >= 0.3 AND stop_ratio BETWEEN 0.02 AND 0.4 THEN 'high'
-           WHEN n_chars >= 60 AND diversity >= 0.15 THEN 'medium'
-           ELSE 'low' END AS quality
+    Some(s"""SELECT doc_id, n_chars, n_tokens, diversity, stop_ratio,
+      $duckQualityCase AS quality
       FROM (SELECT doc_id,
         CAST(length(text) AS BIGINT) AS n_chars,
         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -265,29 +295,14 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** x03's scoring as a reusable stage (shared with the x09 pipeline
-    * so the filter semantics cannot drift between them).
-    */
-  private def qualityScored(docs: org.apache.spark.sql.DataFrame) = docs
-    .withColumn("toks", split(col("text"), " "))
-    .withColumn("n_chars", big(length(col("text"))))
-    .withColumn("n_tokens", big(size(col("toks"))))
-    .withColumn("diversity",
-      size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
-    .withColumn("stop_ratio",
-      expr("CAST(size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) / size(toks)"))
-    .withColumn("quality",
-      when(col("n_chars").between(100, 450) && col("diversity") >= 0.3 &&
-        col("stop_ratio").between(0.02, 0.4), "high")
-        .when(col("n_chars") >= 60 && col("diversity") >= 0.15, "medium")
-        .otherwise("low"))
-
   /** The pipeline CAPSTONE: quality gate → near-dup survivor selection
     * → content-addressed split, composed from x03 + d07 + x05 — the
     * corpus-curation flow a 100 TB training-data run actually executes,
-    * as ONE declarative plan (Catalyst fuses the narrow stages; the
-    * only shuffles are the dedup join and the final summary
-    * aggregation). The oracle chains the same stages as CTEs, with the
+    * as ONE program (the quality and split stages fuse into narrow
+    * codegen; the dedup stage inherits d07's shuffles — shingle
+    * self-join, pair aggregation, Pregel supersteps — plus the
+    * anti-join and the final summary aggregation). The oracle chains
+    * the same stages as CTEs, with the
     * survivor set from the recursive-CTE ground truth d06/d07 share.
     * Non-survivors are removed with a left-anti join on doc_id —
     * pair-table-sized, never corpus² — and docs in no near-dup cluster
@@ -296,27 +311,11 @@ object TextAnalysis {
   val x09 = QueryDef(
     "x09_corpus_pipeline",
     Some(s"""${Dedup.gramCte},
-      cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
-      inter AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS i
-                FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
-                GROUP BY 1, 2),
-      pairs AS (SELECT da, db FROM inter
-                JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
-                WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.5),
-      e AS (SELECT da AS a, db AS b FROM pairs
-            UNION SELECT db, da FROM pairs),
-      reach AS (
-        WITH RECURSIVE r(a, b) AS (
-          SELECT a, b FROM e
-          UNION
-          SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
-        SELECT * FROM r),
+      ${Dedup.survivorCtes},
       nonsurv AS (SELECT a AS doc_id FROM reach GROUP BY a
                   HAVING least(a, min(b)) <> a),
       q AS (SELECT doc_id, text,
-        CASE WHEN n_chars BETWEEN 100 AND 450 AND diversity >= 0.3 AND stop_ratio BETWEEN 0.02 AND 0.4 THEN 'high'
-             WHEN n_chars >= 60 AND diversity >= 0.15 THEN 'medium'
-             ELSE 'low' END AS quality
+        $duckQualityCase AS quality
         FROM (SELECT doc_id, text,
           CAST(length(text) AS BIGINT) AS n_chars,
           len(list_distinct(string_split(text, ' ')))::DOUBLE / len(string_split(text, ' ')) AS diversity,

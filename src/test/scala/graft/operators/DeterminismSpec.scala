@@ -31,7 +31,7 @@ class DeterminismSpec extends SparkSpec {
       "d06_dedup_survivors", "x05_train_test_split", "q32_topk_per_key",
       "q01_agg", "q14_window_frames", "e01_tumbling_window", "s01_cosine_topk",
       "s04_ivf_ann", "q35_custom_hll", "q36_custom_quantile",
-      "d08_dfcap_jaccard")) {
+      "d08_dfcap_jaccard", "x09_corpus_pipeline")) {
     test(s"$name is invariant to shuffle partition count (3 vs 17)") {
       assert(collectWith(3, name) == collectWith(17, name))
     }
