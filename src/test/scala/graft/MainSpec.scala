@@ -103,6 +103,14 @@ class MainSpec extends SparkSpec {
         "--jdbc-partitions", "id:one:2:2"))
     }
     assert(m.getMessage.contains("malformed"))
+    // degenerate bounds rejected before Spark sees them
+    for (bad <- Seq("id:1:2:0", "id:5:2:2")) {
+      val b = intercept[RuntimeException] {
+        Main.run(spark, Array("-d", jdbcUrl, "-t", "pets", "-b", out,
+          "--jdbc-partitions", bad))
+      }
+      assert(b.getMessage.contains("lower <= upper and n >= 1"))
+    }
   }
 
   test("DATABASE_URL is the -d fallback, and an explicit -d beats it") {
