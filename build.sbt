@@ -1,6 +1,15 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "chivspark"
+// No "[success] Total time: …" trailer after task output: the bench
+// driver tail-parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON, and sbt's success line landed after the program's output in
+// rounds 1-3 (BENCH_r0{1,2,3} "parsed": null). Exit codes still carry
+// pass/fail; tools/bench.sh is the sbt-free alternative launcher.
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not another setting —
+// exclude it from the unused-key lint so every batch run isn't noisy.
+Global / excludeLintKeys += showSuccess
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything
@@ -11,6 +20,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout RAW, not through sbt's logger:
+// the logger prefixes every line with "[info] ", which corrupts the
+// bench contract (the driver json-parses the final stdout line of
+// `sbt "runMain graft.Bench"`).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -82,20 +82,34 @@ object Bench {
       .filter { case (n, _) => selectedArchives(n) }
       .map { case (n, body) => timeArchive(n)(body()) }
     val results = queryResults ++ archives
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Persist to a well-known file: sbt/Spark log noise swallowed the
-    // stdout line in rounds 1 AND 2 (BENCH_r0{1,2} "parsed": null).
-    // A filtered run must NOT clobber the canonical full-suite
-    // snapshot — partial results go to bench_partial.json.
+    // One JSON line, two renderings of the same numbers. The driver
+    // tail-parses the LAST ≤2000 stdout chars (BENCH_r0{1,2,3} all
+    // "parsed": null): full-precision per-query values made the line
+    // 2220 chars, so its head fell out of the window. Stdout gets
+    // seconds rounded to 10 ms — ~1730 chars for 70 entries, ample
+    // slack — while bench.json keeps full precision for MICROBENCH
+    // work. (build.sbt's `showSuccess := false` removes the other
+    // killer: sbt's trailing "[success] Total time: …" line, which
+    // used to follow the JSON as the true last line.)
+    def render(perQuery: Double => String): String = {
+      val qs = results.map { case (k, v) =>
+        "\"" + k + "\":" + (if (v < 0) "-1" else perQuery(v))
+      }.mkString("{", ",", "}")
+      val t = "%.3f".formatLocal(java.util.Locale.ROOT, total)
+      s"""{"metric":"total","value":$t,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val full = render(_.toString)
+    val compact = render(v => "%.2f".formatLocal(java.util.Locale.ROOT, v))
+    // Persist to a well-known file as well. A filtered run must NOT
+    // clobber the canonical full-suite snapshot — partial results go
+    // to bench_partial.json.
     val snapshot = if (only.isDefined) "bench_partial.json" else "bench.json"
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(snapshot), json + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(snapshot), full + "\n")
     // …and print the JSON only AFTER the session is stopped, so no
     // Spark shutdown chatter can land between it and process exit: the
     // line the driver's tail-parse sees last is the JSON itself.
     spark.stop()
-    println(json)
+    println(compact)
   }
 }

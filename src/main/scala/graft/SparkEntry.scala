@@ -34,6 +34,12 @@ object SparkEntry {
     only.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet) match {
       case None => (queries, extra)
       case Some(names) =>
+        // a set variable that parses to NOTHING (empty string, only
+        // commas/whitespace) is a malformed filter, not "run nothing" —
+        // same contract as unknown names: a filter must never
+        // "succeed" as an empty run
+        require(names.nonEmpty,
+          "graft: SPARK_GRAFT_ONLY is set but names no entries (unset it to run the full suite)")
         val unknown = names -- queries.keySet -- extra
         require(unknown.isEmpty,
           s"graft: SPARK_GRAFT_ONLY names not in the registry: ${unknown.toSeq.sorted.mkString(", ")}")

@@ -130,7 +130,12 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
     // destination (trivial via archiveDFCancellable) must not
     // interleave staged parts or delete each other's staging on their
     // own failure path; the last-wins race is then confined to the
-    // final rename, which is atomic per filesystem contract. The
+    // final commit. That commit is delete(target)-then-rename — a
+    // two-step window in which a concurrent committer can recreate the
+    // target (the loser's rename then fails with IllegalStateException
+    // rather than corrupting) and a reader can briefly observe the
+    // destination missing; a single-step rename-with-overwrite (where
+    // the filesystem offers one) would close it. The
     // trade-off vs a fixed name: a hard driver kill (no cleanup path
     // runs) leaks a uniquely-named `.staging-*` dir instead of being
     // overwritten by the next run — the same residual class as Spark's

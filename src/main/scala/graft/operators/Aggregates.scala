@@ -244,6 +244,11 @@ object Aggregates {
     * step replayable by the oracle: integer-cent inputs, exact log₂
     * bucketing (16 sub-buckets/octave → ≤3% relative error), integer
     * rank selection, and a shared-operation-order midpoint decode.
+    * Groups whose rows are ALL non-positive cents (n = 0: the sketch
+    * only ingests v ≥ 1) are dropped to match the oracle, which
+    * filters v ≥ 1 before grouping and so never sees such a group —
+    * unreachable on TPC-H prices, but the contract should not be
+    * silently narrower than stated.
     */
   val q36 = QueryDef(
     "q36_custom_quantile",
@@ -270,6 +275,7 @@ object Aggregates {
       .agg(
         graft.functions.QuantileSketchAgg.sketch(col("cents")).as("p"),
         count(when(col("cents") >= 1, 1)).as("n"))
+      .where(col("n") > 0)
       .select(col("l_returnflag") +:
         qsLabels.zipWithIndex.map { case ((_, lbl), i) =>
           element_at(col("p"), i + 1).as(s"p$lbl") } :+

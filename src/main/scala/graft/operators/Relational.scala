@@ -29,6 +29,13 @@ object Relational {
     * this turns "shuffle the whole fact table" into "shuffle the ~1%
     * that might match". Result is provably the plain semi join → the
     * oracle is the unfiltered EXISTS.
+    *
+    * Cache lifetime: the filtered-orders leg is `cache()`d lazily and
+    * CANNOT be unpersisted here — the action that populates it runs in
+    * the caller. Bench/Verify clear Spark's cache between entries;
+    * a library caller invoking q33 directly owns the entry's lifetime
+    * (`spark.sharedState.cacheManager.clearCache()` or `unpersist` on
+    * the cached plan) — otherwise it lives until LRU eviction.
     */
   val q33 = QueryDef(
     "q33_bloom_prefilter",

@@ -27,4 +27,13 @@ class SelectionSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("q99_typo"))
   }
+
+  test("a set-but-empty filter fails fast instead of running nothing") {
+    for (junk <- Seq("", "  ", ",", " , ,")) {
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.selected(Some(junk), Set("archive_x"))
+      }
+      assert(e.getMessage.contains("SPARK_GRAFT_ONLY"))
+    }
+  }
 }
