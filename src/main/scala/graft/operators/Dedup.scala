@@ -198,17 +198,26 @@ object Dedup {
     // + broadcast probe) for a filter that prunes nothing when doc
     // lengths are near-uniform — measured 3.2 → 5.2 s at the driver's
     // local[32] (docs/MICROBENCH.md). Re-add the prefilter only under
-    // measured length skew. n is corpus-sized (one row per doc):
-    // broadcast is right at bench scale; at 100 TB these two lookups
-    // become shuffle joins on da/db — still pair-table-sized, ≪ the
-    // shingle self-join either way.
+    // measured length skew.
     val inter = g.as("x").join(g.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .agg(count(lit(1)).as("i"))
+    // n is corpus-sized (one row per doc): broadcast is right at bench
+    // scale but would force a corpus-sized build side onto every
+    // executor at 100 TB. The lookups are deliberately UNHINTED — the
+    // size check is AQE's, which measures n's ACTUAL shuffle bytes at
+    // runtime and converts to broadcast-hash below
+    // spark.sql.adaptive.autoBroadcastJoinThreshold, keeping a
+    // pair-table-sized shuffle join above it (a compile-time stats
+    // estimate would see the explode-inflated scan and guess wrong in
+    // exactly the cases that matter; a hand-rolled count() would spend
+    // a job to learn what AQE learns free). DedupSpec pins both paths
+    // to identical rows; PLANS.md shows the bench-scale plan landing
+    // on BroadcastHashJoin.
     inter
-      .join(broadcast(n).as("na"), col("da") === col("na.doc_id"))
-      .join(broadcast(n).as("nb"), col("db") === col("nb.doc_id"))
+      .join(n.as("na"), col("da") === col("na.doc_id"))
+      .join(n.as("nb"), col("db") === col("nb.doc_id"))
       .select(col("da"), col("db"),
         (col("i").cast("double") / (col("na.n") + col("nb.n") - col("i"))).as("jaccard"))
       .where(col("jaccard") >= 0.1)

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** The jaccard count-lookup join must be correct on BOTH physical
+  * paths: broadcast-hash (AQE's runtime pick at bench scale, where the
+  * per-doc count table is tiny) and shuffle join (the 100 TB shape,
+  * where one-row-per-doc is corpus-sized and must not be forced onto
+  * every executor). jaccardFrom carries no broadcast() hint — the size
+  * check is AQE's runtime measurement — so forcing the thresholds to
+  * -1 exercises exactly the fallback path a large cluster would take.
+  */
+class DedupSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val broadcastConfs = Seq(
+    "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+  private def rows(name: String): (Seq[String], String) = {
+    val df = graft.Registry.byName(name).fn(spark, sf)
+    val collected = df.collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+    (collected, df.queryExecution.executedPlan.toString)
+  }
+
+  test("d03 count lookups: shuffle-join fallback matches the broadcast path") {
+    val prev = broadcastConfs.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      val (viaAqe, _) = rows("d03_ngram_jaccard")
+      spark.sharedState.cacheManager.clearCache()
+      broadcastConfs.foreach(spark.conf.set(_, "-1"))
+      val (viaShuffle, forcedPlan) = rows("d03_ngram_jaccard")
+      // the forced run must genuinely take the non-broadcast path …
+      assert(!forcedPlan.contains("BroadcastHashJoin"),
+        s"thresholds -1 still planned a broadcast join:\n${forcedPlan.take(2000)}")
+      assert(forcedPlan.contains("SortMergeJoin") || forcedPlan.contains("ShuffledHashJoin"))
+      // … and produce bit-identical pairs
+      assert(viaShuffle == viaAqe)
+      assert(viaAqe.nonEmpty)
+    } finally {
+      spark.sharedState.cacheManager.clearCache()
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
+  test("at bench scale AQE lands the count lookups on broadcast-hash") {
+    spark.sharedState.cacheManager.clearCache()
+    val (_, plan) = rows("d03_ngram_jaccard")
+    assert(plan.contains("isFinalPlan=true"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected AQE to convert the tiny count-lookup joins:\n${plan.take(2000)}")
+    spark.sharedState.cacheManager.clearCache()
+  }
+}
