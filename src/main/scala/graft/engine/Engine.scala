@@ -325,6 +325,61 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
     }
   }
 
+  /** Bucketed-table sink (K1c — the storage-LAYOUT half of the 100 TB
+    * story, complementing K1b's directory layout): write the archive
+    * output hash-bucketed by `bucketCol` into `buckets` buckets (and
+    * sorted within each file on the same key), registered in the
+    * catalog as `tableName`. Every future equi-join or aggregation on
+    * the bucket key against this table is then EXCHANGE-FREE on this
+    * side — the scan itself reports hashpartitioning(bucketCol,
+    * buckets), so Catalyst plans a sort-merge join with no shuffle of
+    * the archived data (BucketedArchiveSpec pins the plan; q37 is the
+    * oracle-checked query). At 100 TB that converts the dominant
+    * repeated cost of a fact table — reshuffling it under every join —
+    * into a one-time layout cost at archive write.
+    *
+    * Columnar formats only: bucket metadata lives in the catalog +
+    * file layout, which row formatters (CSV/JSON/YAML objects) cannot
+    * carry. Buckets should be sized like shuffle partitions at the
+    * target scale (e.g. ~128-256 MB of rows each); both join sides
+    * must agree on the bucket count (or differ by an integer factor
+    * with spark.sql.bucketing.coalesceBucketsInJoin.enabled).
+    */
+  def archiveBucketed(df: DataFrame, tableName: String, bucketCol: String,
+      buckets: Int, config: ArchiveConfig => ArchiveConfig = identity): Unit = {
+    require(buckets > 0, s"graft: buckets must be positive, got $buckets")
+    val cfg = config(base)
+    val projected = stage("columns") {
+      if (cfg.columns.nonEmpty) df.select(cfg.columns.map(df.col): _*) else df
+    }
+    val fmt = cfg.format match {
+      case Format.Orc => "orc"
+      // Format.Csv is ArchiveConfig's untouched default — a caller who
+      // never chose a format gets the columnar default here, parquet
+      case Format.Parquet | Format.Csv => "parquet"
+      case other =>
+        throw new ArchiveException("columns", new IllegalArgumentException(
+          s"bucketed archive requires a columnar format (parquet/orc), got $other"))
+    }
+    stage("upload") {
+      // Re-archive must win over any previous state. DROP handles a
+      // live catalog entry (and deletes its managed location); the
+      // explicit location delete handles the ORPHAN case — a previous
+      // process wrote the table, the in-memory catalog forgot it at
+      // exit, and the warehouse directory survived, which makes
+      // saveAsTable fail with LOCATION_ALREADY_EXISTS.
+      spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+      val loc = new Path(spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(tableName)))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      projected.write.format(fmt).mode("overwrite")
+        .bucketBy(buckets, bucketCol)
+        .sortBy(bucketCol)
+        .saveAsTable(tableName)
+    }
+  }
+
   private def stage[T](name: String)(body: => T): T =
     try body catch {
       case e: ArchiveException => throw e

@@ -19,7 +19,48 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
-  def queries: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q33)
+  def queries: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q33, q37)
+
+  /** Bucketed-layout co-located join — the payoff query for the K1c
+    * bucketed-archive sink: both fact tables are archived bucketed on
+    * the join key ([[graft.engine.Engine.archiveBucketed]], 8 buckets
+    * here; size to ~128-256 MB/bucket in production), so the join
+    * consumes the scans' own hashpartitioning and plans with NO
+    * Exchange under the sort-merge join — at 100 TB this removes the
+    * dominant repeated cost of every fact-fact join, reshuffling the
+    * fact table each time. The join runs in a private session with
+    * broadcast disabled so the bench number measures the co-located
+    * SMJ itself (at sf0.1 the orders side would otherwise broadcast
+    * and skip the layout entirely); BucketedArchiveSpec asserts the
+    * exchange-free plan. Oracle: the same join over the raw parquet —
+    * layout must not change a single value.
+    */
+  val q37 = QueryDef(
+    "q37_bucketed_join",
+    Some("""SELECT o_orderpriority, count(*) AS n,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")) { (s, d) =>
+    val engine = new graft.engine.Engine(s)
+    engine.archiveBucketed(
+      Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice"),
+      "graft_bkt_lineitem", "l_orderkey", 8)
+    engine.archiveBucketed(
+      Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+      "graft_bkt_orders", "o_orderkey", 8)
+    // private-session conf (the d06 pattern): disable broadcast for
+    // THIS query only; the catalog is SharedState-scoped, so the
+    // bucketed tables written above are visible here
+    val co = s.newSession()
+    co.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    co.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    co.table("graft_bkt_lineitem")
+      .join(co.table("graft_bkt_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), xsum2(col("l_extendedprice")).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
 
   /** Runtime bloom-filter pre-filtering for a selective semi join —
     * the manual form of Spark's runtime row-level filters: build a
