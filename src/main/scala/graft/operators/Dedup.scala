@@ -361,28 +361,38 @@ object Dedup {
     val edgesLoop = loop.createDataFrame(edges.rdd, edges.schema)
     var converged = false
     val nodes = edgesLoop.select(col("a").as("doc_id")).distinct()
-    // localCheckpoint (eager) each round: truncates the ever-deepening
+    // Checkpoint (eager) each round: truncates the ever-deepening
     // lineage AND materializes `next` once, so the convergence test is
     // a cheap count over checkpointed data instead of a third
     // join+isEmpty job per iteration (round-1: 20 s → ~4 s at sf0.1).
     // Superseded rounds' checkpoint blocks are reclaimed by the
     // ContextCleaner once unreferenced (the Dataset API exposes no
     // explicit release for localCheckpoint storage); they are bounded
-    // by ≤ 20 rounds × one small row per clustered doc. Trade-off:
-    // localCheckpoint keeps blocks in EXECUTOR storage only — an
-    // executor loss mid-loop is unrecoverable. Right for local mode;
-    // on a cluster configure a checkpoint dir and use reliable
-    // checkpoint() here (or take d07, the GraphX twin, which is the
-    // recommended default at scale anyway).
-    var labels = nodes.withColumn("lbl", col("doc_id")).localCheckpoint()
+    // by ≤ 20 rounds × one small row per clustered doc.
+    //
+    // TWO checkpoint modes: localCheckpoint keeps blocks in EXECUTOR
+    // storage only — fastest, right for local mode, but an executor
+    // loss mid-loop is unrecoverable. Setting `spark.graft.checkpointDir`
+    // (or SparkContext.setCheckpointDir) switches the loop to RELIABLE
+    // checkpoint(): each round's labels persist to the configured
+    // fault-tolerant filesystem and survive executor loss — the
+    // cluster-production setting (DeterminismSpec pins both modes to
+    // the same oracle rows; d07, the GraphX twin, remains the
+    // recommended default at scale regardless).
+    s.conf.getOption("spark.graft.checkpointDir")
+      .filter(_ => s.sparkContext.getCheckpointDir.isEmpty)
+      .foreach(s.sparkContext.setCheckpointDir)
+    val reliable = s.sparkContext.getCheckpointDir.isDefined
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    var labels = ckpt(nodes.withColumn("lbl", col("doc_id")))
     var iter = 0
     while (!converged && iter < 20) {
       val neighborMin = edgesLoop.join(labels, edgesLoop("b") === labels("doc_id"))
         .groupBy(edgesLoop("a").as("doc_id")).agg(min("lbl").as("nlbl"))
-      val next = labels.join(neighborMin, "doc_id")
+      val next = ckpt(labels.join(neighborMin, "doc_id")
         .select(col("doc_id"), least(col("lbl"), col("nlbl")).as("lbl"),
-          (col("nlbl") < col("lbl")).as("changed"))
-        .localCheckpoint()
+          (col("nlbl") < col("lbl")).as("changed")))
       converged = next.where(col("changed")).count() == 0L
       labels = next.drop("changed")
       iter += 1

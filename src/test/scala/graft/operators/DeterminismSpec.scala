@@ -45,4 +45,27 @@ class DeterminismSpec extends SparkSpec {
     Registry.byName("d06_dedup_survivors").fn(spark, dir).count()
     assert(spark.conf.get("spark.sql.shuffle.partitions") == prev)
   }
+
+  // the cluster-production variant: spark.graft.checkpointDir switches
+  // d06's label loop from executor-local to RELIABLE checkpoints
+  // (survives executor loss); the rows must be bit-identical. Runs
+  // LAST in this suite: SparkContext.setCheckpointDir cannot be unset
+  // on the shared session, and later d06 runs staying reliable is
+  // correct (just marginally slower).
+  test("d06 with a reliable checkpoint dir produces identical rows") {
+    val base = Registry.byName("d06_dedup_survivors").fn(spark, dir)
+      .collect().map(_.toString).toSeq
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", ckptDir)
+    try {
+      val reliable = Registry.byName("d06_dedup_survivors").fn(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(reliable == base)
+      // the loop really took the reliable path: checkpoint data landed
+      def anyFile(f: java.io.File): Boolean =
+        f.isFile || Option(f.listFiles).exists(_.exists(anyFile))
+      assert(anyFile(new java.io.File(ckptDir)),
+        s"no reliable checkpoint data written under $ckptDir")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
 }
