@@ -1,0 +1,150 @@
+package graft.multimodal
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector.{BigIntVector, VarBinaryVector, VectorSchemaRoot}
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Columnar (Arrow-batch) stage for binary payloads — the Scala-native
+  * equivalent of PySpark's `mapInArrow`.
+  *
+  * PySpark's `mapInArrow` is a Python-worker bridge: Spark serializes
+  * each partition to Arrow record batches, ships them over a socket,
+  * and a Python function maps batch → batch. On the JVM there is no
+  * worker hop — the idiomatic shape is a `mapPartitions` stage that
+  * assembles the SAME Arrow `VectorSchemaRoot` batches in-process and
+  * runs a vectorized kernel directly over the Arrow buffers:
+  *
+  *   rows ─(batch fill)→ VectorSchemaRoot[asset_id, data]
+  *        ─(kernel: one pass over the contiguous value buffer,
+  *          row boundaries from the offset buffer)→
+  *        VectorSchemaRoot[asset_id, byte_len, ws_count, checksum]
+  *        ─(drain)→ rows
+  *
+  * Why bother with Arrow at all in-JVM? The batch hand-off point is
+  * exactly where a native media codec plugs in: a real decoder
+  * (libjpeg/ffmpeg behind JNI or the Arrow C Data Interface) consumes
+  * an Arrow batch pointer without copying. This stage keeps that seam
+  * real — schema, batch shape, buffer layout — while the kernel itself
+  * is codec-free byte arithmetic (this container ships no codecs),
+  * oracle-checkable against DuckDB recomputing the same features from
+  * the source text (ASCII corpus: codepoints = bytes, proven by m01).
+  *
+  * Design for 100 TB:
+  *   - one allocator + two roots per PARTITION (not per batch), reused
+  *     across batches; constant memory ∝ batch size, never ∝ partition.
+  *   - the kernel does ONE bulk copy of the batch's value region into a
+  *     reusable scratch array, then a single tight primitive-array pass
+  *     — no per-row `Array[Byte]` allocation, no per-byte JNI chatter.
+  *   - stays a narrow map stage: no shuffle, pipelines with the scan.
+  *
+  * Reference: chiv treats every cell as an opaque byte string
+  * (chiv.go:152–199 formats [][]byte rows); it has no columnar or
+  * media path — this is part of the training-pipeline extension
+  * surface (SURVEY.md §2 "multimodal columns").
+  */
+object ArrowBatchStage {
+
+  /** Rows per Arrow batch. Small enough that scratch = batch bytes
+    * stays cache/heap-friendly at any payload size; large enough to
+    * amortize batch setup. PySpark's default Arrow batch is 10k rows;
+    * payloads here are documents (KBs), so batches are capped lower.
+    */
+  val BatchRows = 512
+
+  private val Mod = 1000000007L
+
+  /** Per-asset byte stats computed batch-at-a-time over Arrow buffers:
+    * byte_len from the offset buffer alone, ws_count (bytes ≤ 0x20) and
+    * a ×131 rolling checksum from one pass over the value buffer.
+    */
+  def byteStats(assets: Dataset[Asset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val allocator = new RootAllocator()
+        val inSchema = new Schema(java.util.Arrays.asList(
+          new Field("asset_id", FieldType.notNullable(new ArrowType.Int(64, true)), null),
+          new Field("data", FieldType.notNullable(ArrowType.Binary.INSTANCE), null)))
+        val outSchema = new Schema(java.util.Arrays.asList(
+          new Field("asset_id", FieldType.notNullable(new ArrowType.Int(64, true)), null),
+          new Field("byte_len", FieldType.notNullable(new ArrowType.Int(64, true)), null),
+          new Field("ws_count", FieldType.notNullable(new ArrowType.Int(64, true)), null),
+          new Field("checksum", FieldType.notNullable(new ArrowType.Int(64, true)), null)))
+        val inRoot = VectorSchemaRoot.create(inSchema, allocator)
+        val outRoot = VectorSchemaRoot.create(outSchema, allocator)
+        // Roots/allocator live for the whole task; freed exactly once at
+        // task completion (success or failure) so the lazy flatMap below
+        // can't outlive its buffers.
+        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+          inRoot.close(); outRoot.close(); allocator.close()
+        })
+        var scratch = new Array[Byte](64 * 1024)
+
+        it.grouped(BatchRows).flatMap { batch =>
+          val n = batch.size
+          // ---- fill the input batch (row → Arrow) ----
+          val idVec = inRoot.getVector("asset_id").asInstanceOf[BigIntVector]
+          val dataVec = inRoot.getVector("data").asInstanceOf[VarBinaryVector]
+          idVec.reset(); dataVec.reset()
+          var i = 0
+          batch.foreach { a =>
+            idVec.setSafe(i, a.asset_id)
+            dataVec.setSafe(i, a.data)
+            i += 1
+          }
+          inRoot.setRowCount(n)
+
+          // ---- vectorized kernel (Arrow buffers → Arrow buffers) ----
+          // Row boundaries come from the offset buffer (4-byte ints,
+          // n+1 entries); the value region [first, last) is copied ONCE
+          // into the reusable scratch array and scanned in one pass.
+          val offBuf = dataVec.getOffsetBuffer
+          val first = offBuf.getInt(0L)
+          val last = offBuf.getInt(n * 4L)
+          val total = last - first
+          if (scratch.length < total) scratch = new Array[Byte](Integer.highestOneBit(total) * 2)
+          dataVec.getDataBuffer.getBytes(first.toLong, scratch, 0, total)
+
+          val outId = outRoot.getVector("asset_id").asInstanceOf[BigIntVector]
+          val outLen = outRoot.getVector("byte_len").asInstanceOf[BigIntVector]
+          val outWs = outRoot.getVector("ws_count").asInstanceOf[BigIntVector]
+          val outCk = outRoot.getVector("checksum").asInstanceOf[BigIntVector]
+          i = 0
+          while (i < n) {
+            val s = offBuf.getInt(i * 4L) - first
+            val e = offBuf.getInt((i + 1) * 4L) - first
+            var ws = 0L
+            var h = 0L
+            var j = s
+            while (j < e) {
+              val b = scratch(j) & 0xff
+              if (b <= 0x20) ws += 1
+              h = (h * 131 + b) % Mod
+              j += 1
+            }
+            outId.setSafe(i, idVec.get(i))
+            outLen.setSafe(i, (e - s).toLong)
+            outWs.setSafe(i, ws)
+            outCk.setSafe(i, h)
+            i += 1
+          }
+          outRoot.setRowCount(n)
+
+          // ---- drain the output batch (Arrow → row) ----
+          // Materialized per batch (≤ BatchRows tuples) so the output
+          // root can be safely refilled by the next batch.
+          val out = new Array[(Long, Long, Long, Long)](n)
+          i = 0
+          while (i < n) {
+            out(i) = (outId.get(i), outLen.get(i), outWs.get(i), outCk.get(i))
+            i += 1
+          }
+          out
+        }
+      }
+    }.toDF("asset_id", "byte_len", "ws_count", "checksum")
+  }
+}

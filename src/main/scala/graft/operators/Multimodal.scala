@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalOps {
 
-  def queries: Seq[QueryDef] = Seq(m01, m02, m03)
+  def queries: Seq[QueryDef] = Seq(m01, m02, m03, m04)
 
   /** Binary payload features computed relationally: byte length, head
     * bytes as hex, and an additive codepoint checksum — all
@@ -92,5 +92,26 @@ object MultimodalOps {
       .select(col("asset_id"), big(col("frame_no")).as("frame_no"),
         big(col("frame_bytes")).as("frame_bytes"), col("frame_checksum"))
       .orderBy("asset_id", "frame_no")
+  }
+
+  /** Arrow-batch (columnar) byte-stats stage — the Scala-native
+    * `mapInArrow` shape: partitions are processed as Arrow
+    * `VectorSchemaRoot` batches with a single-pass kernel over the
+    * offset/value buffers (see [[graft.multimodal.ArrowBatchStage]]).
+    * Features are codec-free byte arithmetic, so the oracle recomputes
+    * them from the source text (ASCII corpus: codepoints = bytes).
+    */
+  val m04 = QueryDef(
+    "m04_arrow_batch",
+    Some("""SELECT doc_id AS asset_id,
+      CAST(strlen(text) AS BIGINT) AS byte_len,
+      CAST(len(list_filter(list_transform(range(1, length(text) + 1), i -> unicode(substr(text, i, 1))), c -> c <= 32)) AS BIGINT) AS ws_count,
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, length(text) + 1), i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))),
+        (h, c) -> (h * 131 + c) % 1000000007) AS checksum
+      FROM documents ORDER BY asset_id""")) { (s, d) =>
+    graft.multimodal.ArrowBatchStage
+      .byteStats(graft.multimodal.MultimodalPipeline.assetsFromDocuments(s, d))
+      .orderBy("asset_id")
   }
 }
