@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   */
 object Aggregates {
 
-  def queries: Seq[QueryDef] = Seq(q09, q10, q11, q12, q21, q26, q27, q28, q29, q35, q36)
+  def queries: Seq[QueryDef] =
+    Seq(q09, q10, q11, q12, q21, q26, q27, q28, q29, q35, q36, q37)
 
   /** Skew-resistant two-phase (salted) aggregation: phase 1 groups on
     * (key, salt) so a hot key spreads over 8 reducers, phase 2 merges
@@ -280,6 +281,80 @@ object Aggregates {
         qsLabels.zipWithIndex.map { case ((_, lbl), i) =>
           element_at(col("p"), i + 1).as(s"p$lbl") } :+
         col("n"): _*)
+      .orderBy("l_returnflag")
+  }
+
+  /** DuckDB replay of [[graft.functions.KllSampleAgg.level]]:
+    * trailing-zero count of the mixed hash as an exact comparison
+    * chain (h % 2^(j+1) = 2^j ⟺ tz(h) = j), capped at GCap — same
+    * no-libm/no-bit-intrinsic rationale as the HLL rank chain.
+    */
+  private val tzCase: String =
+    (0 until graft.functions.KllSampleAgg.GCap.toInt)
+      .map(j => s"WHEN h % ${1L << (j + 1)} = ${1L << j} THEN $j")
+      .mkString("CASE ", " ", s" ELSE ${graft.functions.KllSampleAgg.GCap} END")
+
+  /** The graft-native KLL-style quantile sketch (custom typed
+    * Aggregator, [[graft.functions.KllSampleAgg]]): q36 bounds
+    * relative VALUE error via log buckets; this bounds RANK error via
+    * hash-determined geometric level sampling — KLL's contract, made
+    * order-independent (and so oracle-replayable) by deriving levels
+    * from the row-key hash instead of compaction coin flips. The
+    * oracle recomputes per-level counts, the minimal level L with
+    * ≤ K survivors, and the order statistics of the surviving values —
+    * every step BIGINT, the only float op the shared ⌈q·m⌉. Exact
+    * whenever a group has ≤ K rows (sf0.001 here); the sketch path
+    * (L ≥ 1, m ≤ K) engages from sf0.01 up.
+    */
+  val q37 = QueryDef(
+    "q37_kll_quantile",
+    Some {
+      import graft.functions.HllAgg.{A1, A2, A3, F}
+      import graft.functions.KllSampleAgg.K
+      s"""WITH x AS (SELECT l_returnflag AS grp,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+          l_orderkey * 8 + l_linenumber AS key FROM lineitem),
+      h0 AS (SELECT grp, v, $A1 * (((key % $F) + $F) % $F) AS t1 FROM x),
+      h1 AS (SELECT grp, v, $A2 * (xor(t1 % $F, t1 // $F) % $F) AS t2 FROM h0),
+      h2 AS (SELECT grp, v, xor(t2 % $F, t2 // $F) % $F AS x2 FROM h1),
+      hh AS (SELECT grp, v, x2 * $F
+          + xor(($A3 * x2) % $F, ($A3 * x2) // $F) % $F AS h FROM h2),
+      gg AS (SELECT grp, v, $tzCase AS g FROM hh),
+      lv AS (SELECT grp, g, count(*) AS c FROM gg GROUP BY grp, g),
+      cand AS (SELECT lv.grp, r.range AS lvl,
+          sum(CASE WHEN lv.g >= r.range THEN lv.c ELSE 0 END) AS cge
+        FROM lv, range(0, ${graft.functions.KllSampleAgg.GCap + 2}) r
+        GROUP BY lv.grp, r.range),
+      lsel AS (SELECT grp, min(lvl) AS lvl FROM cand WHERE cge <= $K GROUP BY grp),
+      samp AS (SELECT gg.grp, gg.v FROM gg JOIN lsel ON gg.grp = lsel.grp
+        WHERE gg.g >= lsel.lvl),
+      ord AS (SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v) AS rn,
+          count(*) OVER (PARTITION BY grp) AS m FROM samp),
+      sel AS (SELECT grp, CAST(max(m) AS BIGINT) AS m,
+          min(CASE WHEN rn >= ceil(0.5 * m) THEN v END) AS p50_cents,
+          min(CASE WHEN rn >= ceil(0.9 * m) THEN v END) AS p90_cents,
+          min(CASE WHEN rn >= ceil(0.99 * m) THEN v END) AS p99_cents
+        FROM ord GROUP BY grp),
+      tot AS (SELECT grp, count(*) AS n FROM x GROUP BY grp)
+      SELECT sel.grp AS l_returnflag, p50_cents, p90_cents, p99_cents,
+        m, lsel.lvl, n
+      FROM sel JOIN lsel ON sel.grp = lsel.grp JOIN tot ON sel.grp = tot.grp
+      ORDER BY l_returnflag"""
+    }) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        (col("l_orderkey").cast("long") * 8 + col("l_linenumber").cast("long")).as("rk"))
+      .groupBy("l_returnflag")
+      .agg(graft.functions.KllSampleAgg.kllSample(col("cents"), col("rk")).as("p"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        element_at(col("p"), 1).as("p50_cents"),
+        element_at(col("p"), 2).as("p90_cents"),
+        element_at(col("p"), 3).as("p99_cents"),
+        element_at(col("p"), 4).as("m"),
+        element_at(col("p"), 5).as("lvl"),
+        col("n"))
       .orderBy("l_returnflag")
   }
 
