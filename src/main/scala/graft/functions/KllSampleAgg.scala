@@ -115,7 +115,7 @@ object KllSampleAgg {
 
   /** Geometric level of a row key: trailing zeros of the shared
     * [[PolyPair]] mixer ([[HllAgg.hash]]), capped. Replayed in SQL as
-    * a CASE chain on h % 2^(j+1) — see q37's oracle.
+    * a CASE chain on h % 2^(j+1) — see q38's oracle.
     */
   def level(key: Long): Long = {
     val h = HllAgg.hash(key)

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 object Aggregates {
 
   def queries: Seq[QueryDef] =
-    Seq(q09, q10, q11, q12, q21, q26, q27, q28, q29, q35, q36, q37)
+    Seq(q09, q10, q11, q12, q21, q26, q27, q28, q29, q35, q36, q38)
 
   /** Skew-resistant two-phase (salted) aggregation: phase 1 groups on
     * (key, salt) so a hot key spreads over 8 reducers, phase 2 merges
@@ -306,8 +306,8 @@ object Aggregates {
     * whenever a group has ≤ K rows (sf0.001 here); the sketch path
     * (L ≥ 1, m ≤ K) engages from sf0.01 up.
     */
-  val q37 = QueryDef(
-    "q37_kll_quantile",
+  val q38 = QueryDef(
+    "q38_kll_quantile",
     Some {
       import graft.functions.HllAgg.{A1, A2, A3, F}
       import graft.functions.KllSampleAgg.K
