@@ -110,6 +110,13 @@ object Bench {
     // Spark shutdown chatter can land between it and process exit: the
     // line the driver's tail-parse sees last is the JSON itself.
     spark.stop()
+    // Headroom guard: the driver tail-parses the last ~2000 stdout
+    // chars. 73 entries render to ~1800 — warn while there is still
+    // slack so the fix (shorter names / drop stdout detail) happens
+    // BEFORE the window truncates the line again.
+    if (compact.length > 1900)
+      System.err.println(s"[bench] WARNING compact line ${compact.length} chars " +
+        "— approaching the driver's ~2000-char tail window")
     println(compact)
   }
 }
