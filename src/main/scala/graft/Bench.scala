@@ -100,7 +100,15 @@ object Bench {
       s"""{"metric":"total","value":$t,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
     val full = render(_.toString)
-    val compact = render(v => "%.2f".formatLocal(java.util.Locale.ROOT, v))
+    // Adaptive stdout precision: the driver tail-parses the last
+    // ~2000 stdout chars, so the printed line must stay under that
+    // whatever the registry grows to. 2-decimal detail while it fits,
+    // 1-decimal when tight; full precision always lives in bench.json.
+    val compact = {
+      val two = render(v => "%.2f".formatLocal(java.util.Locale.ROOT, v))
+      if (two.length <= 1900) two
+      else render(v => "%.1f".formatLocal(java.util.Locale.ROOT, v))
+    }
     // Persist to a well-known file as well. A filtered run must NOT
     // clobber the canonical full-suite snapshot — partial results go
     // to bench_partial.json.
@@ -110,10 +118,9 @@ object Bench {
     // Spark shutdown chatter can land between it and process exit: the
     // line the driver's tail-parse sees last is the JSON itself.
     spark.stop()
-    // Headroom guard: the driver tail-parses the last ~2000 stdout
-    // chars. 73 entries render to ~1800 — warn while there is still
-    // slack so the fix (shorter names / drop stdout detail) happens
-    // BEFORE the window truncates the line again.
+    // Headroom guard: even 1-decimal rendering has a ceiling (~26
+    // chars/entry) — warn when THAT nears the window so the next fix
+    // (drop stdout detail, keep bench.json) happens before truncation.
     if (compact.length > 1900)
       System.err.println(s"[bench] WARNING compact line ${compact.length} chars " +
         "— approaching the driver's ~2000-char tail window")

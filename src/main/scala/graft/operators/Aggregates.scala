@@ -10,7 +10,36 @@ import org.apache.spark.sql.functions._
 object Aggregates {
 
   def queries: Seq[QueryDef] =
-    Seq(q09, q10, q11, q12, q21, q26, q27, q28, q29, q35, q36, q38)
+    Seq(q09, q10, q11, q12, q21, q26, q27, q28, q29, q35, q36, q38, q40)
+
+  /** UNPIVOT / melt — the inverse of e04's pivot: a wide per-group
+    * aggregate reshaped to (group, metric, value) rows via
+    * `Dataset.unpivot` (plans as a single Expand over the aggregate —
+    * no join, no extra shuffle; the melt is free at any scale). The
+    * count melts through DOUBLE like the sums so the value column has
+    * one type, exactly as the oracle's UNION ALL does.
+    */
+  val q40 = QueryDef(
+    "q40_unpivot",
+    Some("""WITH w AS (SELECT l_returnflag,
+        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        CAST(count(*) AS DOUBLE) AS n
+      FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+      UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
+      UNION ALL SELECT l_returnflag, 'n', n FROM w
+      ORDER BY l_returnflag, metric""")) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(xsum2(col("l_quantity")).as("sum_qty"),
+        xsum2(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).cast("double").as("n"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("n")),
+        "metric", "value")
+      .orderBy("l_returnflag", "metric")
+  }
 
   /** Skew-resistant two-phase (salted) aggregation: phase 1 groups on
     * (key, salt) so a hot key spreads over 8 reducers, phase 2 merges

@@ -19,7 +19,45 @@ import org.apache.spark.sql.functions._
   */
 object EventWindows {
 
-  def queries: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, e06)
+  def queries: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, e06, e07)
+
+  /** Interval (time-bounded) stream-stream join, batch twin: click →
+    * purchase by the same user within 10 minutes. This is THE
+    * stream-stream join shape — Structured Streaming requires exactly
+    * this time-bound condition to garbage-collect join state (the
+    * streaming variant with watermarks is
+    * [[graft.streaming.StreamingOps.intervalJoin]]; StreamingSpec pins
+    * batch/stream parity). In batch it plans as one shuffle on
+    * user_id with the time predicate evaluated inside the join — at
+    * 100 TB the equi-key carries the join; the interval is a free
+    * post-filter, never a range-join blowup.
+    */
+  val e07 = QueryDef(
+    "e07_interval_join",
+    Some("""WITH c AS (SELECT user_id, epoch_us(ts) AS c_us FROM events
+             WHERE event_type = 'click'),
+          p AS (SELECT user_id, epoch_us(ts) AS p_us FROM events
+             WHERE event_type = 'purchase')
+      SELECT c.user_id, count(*) AS n_pairs,
+        CAST(min(p_us - c_us) AS BIGINT) AS min_gap_us,
+        CAST(sum(p_us - c_us) AS BIGINT) AS sum_gap_us
+      FROM c JOIN p ON c.user_id = p.user_id
+        AND p_us >= c_us AND p_us < c_us + 600000000
+      GROUP BY c.user_id ORDER BY c.user_id""")) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us").as("c_us"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_us").as("p_us"))
+    clicks.join(buys,
+        col("user_id") === col("p_user") &&
+          col("p_us") >= col("c_us") && col("p_us") < col("c_us") + 600000000L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        big(min(col("p_us") - col("c_us"))).as("min_gap_us"),
+        big(sum(col("p_us") - col("c_us"))).as("sum_gap_us"))
+      .orderBy("user_id")
+  }
 
   /** Schema'd JSON parse (`from_json` → struct, vs e05's path-based
     * extraction): parse once, then relational ops over the typed

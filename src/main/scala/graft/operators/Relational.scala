@@ -19,7 +19,45 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
-  def queries: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q33, q37)
+  def queries: Seq[QueryDef] =
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q33, q37, q39)
+
+  /** FULL OUTER join with all three match classes live: customers are
+    * filtered to positive balances so orders from excluded customers
+    * surface as right-only rows, order-less customers as left-only.
+    * Plans as a shuffled SMJ (outer joins can't broadcast the outer
+    * side); at 100 TB the same single shuffle on the join key — no
+    * extra cost over an inner join beyond the null-extension.
+    */
+  val q39 = QueryDef(
+    "q39_outer_join",
+    Some("""SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+      CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+           WHEN o.o_custkey IS NULL THEN 'customer_only'
+           ELSE 'both' END AS side,
+      c.c_name, o.n_orders,
+      o.total
+      FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 0) c
+      FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY o_custkey) o
+      ON c.c_custkey = o.o_custkey
+      ORDER BY custkey""")) { (s, d) =>
+    val c = Tables.customer(s, d)
+      .filter(col("c_acctbal") > 0)
+      .select(col("c_custkey"), col("c_name"))
+    val o = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), xsum2(col("o_totalprice")).as("total"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        when(col("c_custkey").isNull, "order_only")
+          .when(col("o_custkey").isNull, "customer_only")
+          .otherwise("both").as("side"),
+        col("c_name"), col("n_orders"), col("total"))
+      .orderBy("custkey")
+  }
 
   /** Bucketed-layout co-located join — the payoff query for the K1c
     * bucketed-archive sink: both fact tables are archived bucketed on

@@ -15,7 +15,56 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  def queries: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09)
+  def queries: Seq[QueryDef] =
+    Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10)
+
+  /** x10's PII patterns — ONE definition feeding the Spark stage AND
+    * (interpolated) the oracle SQL. Both engines' regex dialects
+    * (Java util.regex / RE2) agree on this subset: char classes,
+    * bounded repetition, literal escapes; no backrefs or lookaround.
+    */
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhonePat = "\\+1-[0-9]{3}-[0-9]{4}"
+
+  /** PII redaction — the scrubbing stage every training-data pipeline
+    * runs before anything else sees the text. The synthetic corpus
+    * carries no natural PII, so (the m01–m04 pattern) contact strings
+    * are synthesized deterministically from doc_id — every doc gains
+    * one email + one phone, every third doc a second email — and the
+    * oracle replays synthesis and redaction. Redaction itself is two
+    * chained `regexp_replace`s: a narrow codegen'd map, no shuffle,
+    * linear at any corpus size. DuckDB's regexp_replace needs the 'g'
+    * flag for replace-all parity with Spark.
+    */
+  val x10 = QueryDef(
+    "x10_pii_redact",
+    Some(s"""WITH src AS (SELECT doc_id,
+        text || ' contact user' || doc_id || '@mail.example.com'
+             || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@ex.org' ELSE '' END
+             || ' or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS s
+      FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(s, '$EmailPat')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(s, '$PhonePat')) AS BIGINT) AS n_phones,
+        CAST(strlen(regexp_replace(regexp_replace(s, '$EmailPat', '<EMAIL>', 'g'), '$PhonePat', '<PHONE>', 'g')) AS BIGINT) AS red_len,
+        right(regexp_replace(regexp_replace(s, '$EmailPat', '<EMAIL>', 'g'), '$PhonePat', '<PHONE>', 'g'), 60) AS tail
+      FROM src ORDER BY doc_id""")) { (s, d) =>
+    val src = Tables.documents(s, d)
+      .select(col("doc_id"), concat(
+        col("text"), lit(" contact user"), col("doc_id"), lit("@mail.example.com"),
+        when(col("doc_id") % 3 === 0, " cc admin@ex.org").otherwise(""),
+        lit(" or +1-555-"), lpad(col("doc_id") % 10000, 4, "0")).as("s"))
+    val red = regexp_replace(
+      regexp_replace(col("s"), lit(EmailPat), lit("<EMAIL>")),
+      lit(PhonePat), lit("<PHONE>"))
+    src.withColumn("red", red)
+      .select(col("doc_id"),
+        big(size(regexp_extract_all(col("s"), lit(EmailPat), lit(0)))).as("n_emails"),
+        big(size(regexp_extract_all(col("s"), lit(PhonePat), lit(0)))).as("n_phones"),
+        big(octet_length(col("red"))).as("red_len"),
+        expr("right(red, 60)").as("tail"))
+      .orderBy("doc_id")
+  }
 
   /** x03's quality thresholds — ONE definition feeding the Spark stage
     * AND (interpolated) the x03/x09 oracle SQL, so a tweak cannot

@@ -169,6 +169,30 @@ object StreamingOps {
       .dropDuplicates("doc_id", "dup_of")
   }
 
+  /** Stream-stream interval join — e07's streaming twin: click →
+    * purchase by the same user within [0, 10 min). Both sides carry
+    * watermarks and the join condition time-bounds the match, which is
+    * exactly what lets Structured Streaming bound its join state: a
+    * buffered click can be dropped once the purchase-side watermark
+    * passes click-time + 10 min (state is O(events in the horizon),
+    * not O(stream)). Works identically on a batch DataFrame — the
+    * watermark is a no-op there — so batch/stream parity is pinned in
+    * StreamingSpec against the same rows.
+    */
+  def intervalJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "15 minutes")
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "15 minutes")
+    clicks.join(buys,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") < col("c_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("user_id"), col("c_ts"), col("p_ts"))
+  }
+
   /** Continuous archiving: the reference's whole purpose (archive
     * query results to object storage) lifted to a stream — every
     * micro-batch becomes one archived object

@@ -209,4 +209,43 @@ class StreamingSpec extends SparkSpec {
     val out = StreamingOps.sessionize(batch.drop("ts_us"))
     assert(out.count() > 0)
   }
+
+  test("intervalJoin pairs click→purchase within 10 min across micro-batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    def typed(id: Int, minute: Int, user: Long, tpe: String) =
+      Event(id.toLong, ts(minute), user, tpe, 1.0)
+    val input = MemoryStream[Event]
+    val q = StreamingOps.intervalJoin(input.toDF())
+      .writeStream.format("memory").queryName("ijoin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // clicks arrive first; purchases in a LATER micro-batch must
+      // still match buffered clicks (that buffering is the join state)
+      input.addData(typed(1, 1, 10, "click"), typed(2, 6, 11, "click"))
+      q.processAllAvailable()
+      input.addData(
+        typed(3, 5, 10, "purchase"), // pairs with click@1 (gap 4 min)
+        typed(4, 20, 10, "purchase"), // > 10 min after click@1: no pair
+        typed(5, 9, 11, "purchase"), // pairs with click@6 (gap 3 min)
+        typed(6, 5, 99, "purchase")) // user with no click: no pair
+      q.processAllAvailable()
+      val pairs = spark.table("ijoin").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toInstant.toString,
+          r.getTimestamp(2).toInstant.toString)).toSet
+      assert(pairs == Set(
+        (10L, "2024-01-01T00:01:00Z", "2024-01-01T00:05:00Z"),
+        (11L, "2024-01-01T00:06:00Z", "2024-01-01T00:09:00Z")))
+    } finally q.stop()
+  }
+
+  test("intervalJoin on the batch events table equals e07's join semantics") {
+    val batch = graft.Tables.events(spark, "/root/testdata/sf0.001").drop("ts_us")
+    val streamShaped = StreamingOps.intervalJoin(batch).count()
+    val e07Pairs = graft.operators.EventWindows.e07
+      .fn(spark, "/root/testdata/sf0.001")
+      .agg(org.apache.spark.sql.functions.sum("n_pairs")).head().getLong(0)
+    assert(streamShaped == e07Pairs)
+    assert(streamShaped > 0)
+  }
 }
