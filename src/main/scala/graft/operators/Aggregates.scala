@@ -10,7 +10,39 @@ import org.apache.spark.sql.functions._
 object Aggregates {
 
   def queries: Seq[QueryDef] =
-    Seq(q09, q10, q11, q12, q21, q26, q27, q28, q29, q35, q36, q38, q40)
+    Seq(q09, q10, q11, q12, q21, q26, q27, q28, q29, q35, q36, q38, q40, q41)
+
+  /** Changelog compaction / latest-wins upsert: the newest event per
+    * key via `max_by(payload, (ts, id))` — ONE partial-aggregating
+    * hash agg (each partition keeps one candidate per key before the
+    * shuffle), versus the window formulation's full shuffle + per-key
+    * sort + filter. At 100 TB this is how CDC streams compact into a
+    * current-state table. The (ts_us, event_id) struct ordering makes
+    * the winner deterministic under timestamp ties, which is what lets
+    * the oracle (a rn=1 window with the same tiebreak) match exactly.
+    */
+  val q41 = QueryDef(
+    "q41_latest_per_key",
+    Some("""WITH r AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          event_type, value,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id, event_id AS last_event_id, ts_us AS last_ts_us,
+        event_type AS last_type, value AS last_value
+      FROM r WHERE rn = 1 ORDER BY user_id""")) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(max_by(
+        struct(col("event_id"), col("ts_us"), col("event_type"), col("value")),
+        struct(col("ts_us"), col("event_id"))).as("last"))
+      .select(col("user_id"),
+        col("last.event_id").as("last_event_id"),
+        col("last.ts_us").as("last_ts_us"),
+        col("last.event_type").as("last_type"),
+        col("last.value").as("last_value"))
+      .orderBy("user_id")
+  }
 
   /** UNPIVOT / melt — the inverse of e04's pivot: a wide per-group
     * aggregate reshaped to (group, metric, value) rows via

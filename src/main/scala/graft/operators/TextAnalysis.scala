@@ -16,7 +16,54 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   def queries: Seq[QueryDef] =
-    Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10)
+    Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11)
+
+  /** Out-of-vocabulary rate against a corpus-derived vocabulary — the
+    * vocabulary-coverage filter of a training pipeline (docs full of
+    * tokens the tokenizer has never seen are usually noise). Two
+    * passes, both shuffle-efficient: (1) token document frequency →
+    * vocab = tokens in ≥ 20% of docs (one shuffle on token; on this
+    * corpus that admits every common token and excludes the rare
+    * near-dup marker); (2) per-doc OOV instance count via a LEFT ANTI
+    * join of token instances against the vocab — AQE broadcasts the
+    * vocab while it is small (thresholded, so usually tokenizer-sized)
+    * and falls back to a shuffle join when it isn't, same policy as
+    * d03's count lookups. The ratio is one exact IEEE division.
+    */
+  val x11 = QueryDef(
+    "x11_oov_rate",
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents),
+      dfc AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+      nd AS (SELECT count(*) AS n FROM documents),
+      vocab AS (SELECT tok FROM dfc, nd WHERE df * 5 >= n),
+      oov AS (SELECT t.doc_id, count(*) AS n_oov
+              FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+              WHERE v.tok IS NULL GROUP BY t.doc_id)
+      SELECT d.doc_id,
+        CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        CAST(coalesce(o.n_oov, 0) AS BIGINT) AS n_oov,
+        CAST(coalesce(o.n_oov, 0) AS DOUBLE) / len(string_split(d.text, ' ')) AS oov_ratio
+      FROM documents d LEFT JOIN oov o ON d.doc_id = o.doc_id
+      ORDER BY d.doc_id""")) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val tok = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    val vocab = tok.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+      .crossJoin(nDocs) // 1-row side: broadcast by construction
+      .filter(col("df") * 5 >= col("n"))
+      .select("tok")
+    val oov = tok.join(vocab, Seq("tok"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_oov"))
+    docs.select(col("doc_id"), big(size(col("toks"))).as("n_tokens"))
+      .join(oov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        big(coalesce(col("n_oov"), lit(0L))).as("n_oov"),
+        (coalesce(col("n_oov"), lit(0L)).cast("double") / col("n_tokens"))
+          .as("oov_ratio"))
+      .orderBy("doc_id")
+  }
 
   /** x10's PII patterns — ONE definition feeding the Spark stage AND
     * (interpolated) the oracle SQL. Both engines' regex dialects

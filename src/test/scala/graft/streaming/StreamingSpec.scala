@@ -239,6 +239,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrich joins a stream against a static dimension without shuffling the stream") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dim = Seq((10L, "gold"), (11L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Event]
+    val q = StreamingOps.enrich(input.toDF(), dim, "user_id")
+      .select("event_id", "tier")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(ev(1, 1, 10), ev(2, 2, 11), ev(3, 3, 99))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(rows == Map(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
+    } finally q.stop()
+  }
+
   test("intervalJoin on the batch events table equals e07's join semantics") {
     val batch = graft.Tables.events(spark, "/root/testdata/sf0.001").drop("ts_us")
     val streamShaped = StreamingOps.intervalJoin(batch).count()
