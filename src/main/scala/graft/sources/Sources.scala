@@ -55,6 +55,16 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Parquet read across an EVOLVING schema: union the footer schemas
+    * of every file (`mergeSchema`), so a column added mid-history is
+    * null-filled for older files instead of silently dropped (the
+    * default reads only one footer). The flag costs one footer read
+    * per file at planning — fine for a lake directory, which is why it
+    * is an explicit entry point rather than the parquet() default.
+    */
+  def parquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 

@@ -31,6 +31,18 @@ class SourcesSpec extends SparkSpec {
     assert(df.count() == 2)
   }
 
+  test("parquetMerged unions evolving schemas; default read would drop the new column") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    // generation 1: (id, v); generation 2 adds `tag`
+    Seq((1L, 10.0)).toDF("id", "v").write.parquet(s"$dir/g=1")
+    Seq((2L, 20.0, "new")).toDF("id", "v", "tag").write.parquet(s"$dir/g=2")
+    val merged = Sources.parquetMerged(spark, dir)
+    assert(merged.columns.toSet == Set("id", "v", "tag", "g"))
+    val byId = merged.collect().map(r => r.getLong(0) -> Option(r.getAs[String]("tag"))).toMap
+    assert(byId == Map(1L -> None, 2L -> Some("new"))) // old files null-fill
+  }
+
   test("jdbc builders construct without a live database") {
     // No DB in this container: assert the reader wiring fails only at
     // connect time with the JDBC stage's error, not a plan error.
