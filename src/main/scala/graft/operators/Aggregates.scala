@@ -14,12 +14,15 @@ object Aggregates {
 
   /** Changelog compaction / latest-wins upsert: the newest event per
     * key via `max_by(payload, (ts, id))` — ONE partial-aggregating
-    * hash agg (each partition keeps one candidate per key before the
-    * shuffle), versus the window formulation's full shuffle + per-key
-    * sort + filter. At 100 TB this is how CDC streams compact into a
-    * current-state table. The (ts_us, event_id) struct ordering makes
-    * the winner deterministic under timestamp ties, which is what lets
-    * the oracle (a rn=1 window with the same tiebreak) match exactly.
+    * aggregate (a SortAggregate here, since the struct buffer isn't
+    * hash-agg representable, but still with the partial/final split:
+    * each partition shuffles ONE candidate per key, versus the window
+    * formulation shuffling every input row; 20M-row A/B in
+    * docs/MICROBENCH.md). At 100 TB this is how CDC streams compact
+    * into a current-state table. The (ts_us, event_id) struct ordering
+    * makes the winner deterministic under timestamp ties, which is
+    * what lets the oracle (a rn=1 window with the same tiebreak) match
+    * exactly.
     */
   val q41 = QueryDef(
     "q41_latest_per_key",
