@@ -66,4 +66,17 @@ class BucketedArchiveSpec extends SparkSpec {
       engine.archiveBucketed(df, "bas_bad", "l_orderkey", 0)
     }
   }
+
+  test("q37's layout memo re-lays-out when the source dir changes mid-catalog") {
+    import graft.operators.Relational
+    val small = Relational.q37.fn(spark, "/root/testdata/sf0.001").collect()
+    // repeat WITHOUT a dir change: layout reused (no rewrite), same rows
+    val smallRepeat = Relational.q37.fn(spark, "/root/testdata/sf0.001").collect()
+    assert(small.toSeq == smallRepeat.toSeq)
+    val big = Relational.q37.fn(spark, "/root/testdata/sf0.01").collect()
+    assert(big.map(_.getLong(1)).sum > small.map(_.getLong(1)).sum)
+    // switching back must NOT reuse the sf0.01 tables
+    val smallBack = Relational.q37.fn(spark, "/root/testdata/sf0.001").collect()
+    assert(small.toSeq == smallBack.toSeq)
+  }
 }
