@@ -18,6 +18,23 @@ object Verify {
     // SPARK_GRAFT_ONLY=name,name: dump just those queries (validated,
     // local iteration); unset (the driver path) = all
     val (selected, _) = SparkEntry.selected(sys.env.get("SPARK_GRAFT_ONLY"))
+    // Full runs own the directory: remove result dirs for queries no
+    // longer in the registry (a RENAMED query's stale dump otherwise
+    // survives and reads as a rows-only pass in any dir-driven compare
+    // — exactly the silent false-green this tool exists to prevent).
+    // Filtered runs leave siblings alone so iteration stays cheap.
+    if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty) {
+      val keep = selected.keySet + "oracle_sql.json"
+      Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+        .filterNot(f => keep(f.getName))
+        .foreach { f =>
+          System.err.println(s"[verify] removing stale output: ${f.getName}")
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).getOrElse(Array.empty).foreach(rm); x.delete(); ()
+          }
+          rm(f)
+        }
+    }
     selected.foreach { case (name, fn) =>
       // queries like d03/x07 cache() shingle tables; in this
       // long-lived loop distinct entries would otherwise accumulate
