@@ -105,7 +105,10 @@ object ArrowBatchStage {
           val first = offBuf.getInt(0L)
           val last = offBuf.getInt(n * 4L)
           val total = last - first
-          if (scratch.length < total) scratch = new Array[Byte](Integer.highestOneBit(total) * 2)
+          // grow-to-fit without Int overflow (a doubling of
+          // highestOneBit would go negative near 2^31)
+          if (scratch.length < total)
+            scratch = new Array[Byte](math.max(total, math.min(scratch.length * 2L, Int.MaxValue - 16).toInt))
           dataVec.getDataBuffer.getBytes(first.toLong, scratch, 0, total)
 
           val outId = outRoot.getVector("asset_id").asInstanceOf[BigIntVector]
