@@ -25,8 +25,14 @@ object Verify {
     // Filtered runs leave siblings alone so iteration stays cheap.
     if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty) {
       val keep = selected.keySet + "oracle_sql.json"
+      // blast-radius guard: only entries that LOOK like prior dumps (a
+      // directory with a parquet _SUCCESS marker) are eligible — a
+      // mistakenly-passed outDir ('.', $HOME) must never lose anything
+      def looksLikeDump(f: java.io.File): Boolean =
+        f.isDirectory && new java.io.File(f, "_SUCCESS").exists()
       Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
         .filterNot(f => keep(f.getName))
+        .filter(looksLikeDump)
         .foreach { f =>
           System.err.println(s"[verify] removing stale output: ${f.getName}")
           def rm(x: java.io.File): Unit = {

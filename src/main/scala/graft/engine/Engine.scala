@@ -358,7 +358,9 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
       // never chose a format gets the columnar default here, parquet
       case Format.Parquet | Format.Csv => "parquet"
       case other =>
-        throw new ArchiveException("columns", new IllegalArgumentException(
+        // "format" stage: this is a format-negotiation failure, not a
+        // column-projection one
+        throw new ArchiveException("format", new IllegalArgumentException(
           s"bucketed archive requires a columnar format (parquet/orc), got $other"))
     }
     stage("upload") {

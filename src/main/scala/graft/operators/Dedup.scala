@@ -365,10 +365,15 @@ object Dedup {
     // lineage AND materializes `next` once, so the convergence test is
     // a cheap count over checkpointed data instead of a third
     // join+isEmpty job per iteration (round-1: 20 s → ~4 s at sf0.1).
-    // Superseded rounds' checkpoint blocks are reclaimed by the
+    // Superseded rounds' LOCAL checkpoint blocks are reclaimed by the
     // ContextCleaner once unreferenced (the Dataset API exposes no
     // explicit release for localCheckpoint storage); they are bounded
-    // by ≤ 20 rounds × one small row per clustered doc.
+    // by ≤ 20 rounds × one small row per clustered doc. RELIABLE
+    // checkpoint files are NOT auto-reclaimed unless the cluster sets
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true — with the
+    // default false they persist for the app's lifetime, ≤ 20 small
+    // dirs per run; a production deployment should set that conf or
+    // point spark.graft.checkpointDir at a TTL'd path.
     //
     // TWO checkpoint modes: localCheckpoint keeps blocks in EXECUTOR
     // storage only — fastest, right for local mode, but an executor

@@ -90,14 +90,20 @@ object Relational {
       GROUP BY o_orderpriority ORDER BY o_orderpriority""")) { (s, d) =>
     val engine = new graft.engine.Engine(s)
     // keyed by catalog, value = source dir: a different dir through the
-    // SAME catalog must re-lay-out (same table names, different data)
-    if (bucketedLaidOut.put(System.identityHashCode(s.sharedState), d) != d) {
+    // SAME catalog must re-lay-out (same table names, different data).
+    // The memo records success only AFTER both writes land — a partial
+    // layout (second write throws) must retry next call, not silently
+    // join a fresh lineitem against stale orders.
+    val catalogKey = System.identityHashCode(s.sharedState)
+    if (bucketedLaidOut.get(catalogKey) != d) {
+      bucketedLaidOut.remove(catalogKey)
       engine.archiveBucketed(
         Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice"),
         "graft_bkt_lineitem", "l_orderkey", 8)
       engine.archiveBucketed(
         Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
         "graft_bkt_orders", "o_orderkey", 8)
+      bucketedLaidOut.put(catalogKey, d)
     }
     // private-session conf (the d06 pattern): disable broadcast for
     // THIS query only; the catalog is SharedState-scoped, so the

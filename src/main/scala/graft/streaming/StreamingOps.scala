@@ -196,13 +196,16 @@ object StreamingOps {
   /** Stream-static enrichment join: a stream of events joined against
     * a static dimension table (the classic fact-stream × dimension
     * shape). The static side is planned per micro-batch with the
-    * normal batch strategies — broadcast when small, so the stream
-    * side never shuffles; no watermark is needed because the static
-    * side never grows stale mid-query (re-ingest to refresh). Works
-    * identically on a batch events DataFrame.
+    * normal batch strategies — the planner broadcasts it while it fits
+    * the threshold (stream side never shuffles) and falls back to a
+    * shuffled join when it doesn't, the same no-forced-broadcast
+    * policy as Dedup.jaccardFrom's count lookups; no watermark is
+    * needed because the static side never grows stale mid-query
+    * (re-ingest to refresh). Works identically on a batch events
+    * DataFrame.
     */
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
-    events.join(broadcast(dim), Seq(key), "left")
+    events.join(dim, Seq(key), "left")
 
   /** Continuous archiving: the reference's whole purpose (archive
     * query results to object storage) lifted to a stream — every

@@ -13,8 +13,13 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 CLASSES=target/scala-2.13/classes
+# Compare against the directory's own mtime, then TOUCH it after a
+# successful compile — sbt writes class files into nested package dirs
+# and never updates the top-level dir, so without the touch every run
+# after the first source edit would pay sbt startup forever.
 if [ ! -d "$CLASSES" ] || [ -n "$(find src/main/scala -newer "$CLASSES" -name '*.scala' -print -quit 2>/dev/null)" ]; then
   sbt -batch compile 1>&2
+  touch "$CLASSES"
 fi
 
 # Same JVM flags build.sbt passes to forked runs: Spark 4.x on JDK 17
