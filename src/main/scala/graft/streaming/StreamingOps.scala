@@ -115,6 +115,40 @@ object StreamingOps {
       .withColumn("ts", timestamp_micros(col("ts_us")))
   }
 
+  final case class QuantileEstimate(event_type: String,
+      p50: Double, p90: Double, p99: Double, sample_m: Long, lvl: Long)
+
+  /** Streaming quantiles via the graft-native KLL-style sampler
+    * ([[graft.functions.KllSampleAgg]]): per event_type the state is
+    * ONE bounded buffer (≤ 4096 kept rows + header), folded with each
+    * micro-batch and re-estimated on every update — q38's streaming
+    * face, exactly as [[streamingApproxDistinct]] is q35's. Because
+    * the sketch's final state is a pure function of the input multiset
+    * (level sampling, not compaction coins), the stream's estimate
+    * after N batches EQUALS the batch aggregation over the same rows —
+    * not approximately, bit-for-bit (pinned in StreamingSpec); a
+    * Datasketches-style KLL could not make that promise.
+    */
+  def streamingQuantiles(events: Dataset[Event]): Dataset[QuantileEstimate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[Array[Long], QuantileEstimate](GroupStateTimeout.NoTimeout()) {
+        (tpe, it, state) =>
+          val agg = new graft.functions.KllSampleAgg
+          var buf = state.getOption.getOrElse(agg.zero)
+          // value in integer cents (the sketch's exact fixed-point
+          // door); key = event_id, the row identity
+          it.foreach { e =>
+            buf = agg.reduce(buf, (math.round(e.value * 100), e.event_id))
+          }
+          state.update(buf)
+          val out = agg.finish(buf)
+          QuantileEstimate(tpe, out(0) / 100.0, out(1) / 100.0,
+            out(2) / 100.0, out(3), out(4))
+      }
+  }
+
   final case class Doc(doc_id: Long, text: String)
   final case class DupMatch(doc_id: Long, dup_of: Long, est_jaccard: Double)
 

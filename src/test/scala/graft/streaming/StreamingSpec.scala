@@ -239,6 +239,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingQuantiles' estimate after N batches equals the batch sketch bit-for-bit") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    def priced(id: Int, v: Double, tpe: String) = Event(id.toLong, ts(1), 1L, tpe, v)
+    val batch1 = (1 to 3000).map(i => priced(i, (i * 37 % 1000) / 10.0, "click"))
+    val batch2 = (3001 to 9000).map(i => priced(i, (i * 91 % 5000) / 10.0, "click")) ++
+      (1 to 500).map(i => priced(20000 + i, i / 10.0, "view"))
+    val input = MemoryStream[Event]
+    val q = StreamingOps.streamingQuantiles(input.toDS())
+      .writeStream.format("memory").queryName("kllstream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("kllstream")
+        .as[StreamingOps.QuantileEstimate].collect()
+        .groupBy(_.event_type).map { case (t, rows) => t -> rows.last }
+      // batch twin: fold every (cents, event_id) through the Aggregator
+      val agg = new graft.functions.KllSampleAgg
+      def batchOf(evs: Seq[StreamingOps.Event]): Array[Long] =
+        agg.finish(evs.foldLeft(agg.zero) { (b, e) =>
+          agg.reduce(b, (math.round(e.value * 100), e.event_id)) })
+      val clickBatch = batchOf((batch1 ++ batch2).filter(_.event_type == "click"))
+      assert(streamed("click").p50 == clickBatch(0) / 100.0)
+      assert(streamed("click").p99 == clickBatch(2) / 100.0)
+      assert(streamed("click").sample_m == clickBatch(3))
+      assert(streamed("click").lvl == clickBatch(4))
+      assert(streamed("click").lvl >= 1L) // 9000 rows > K: sketch path engaged
+      assert(streamed("view").lvl == 0L) // 500 rows <= K: exact
+      assert(streamed("view").p50 == 25.0) // exact median of 0.1..50.0
+    } finally q.stop()
+  }
+
   test("enrich joins a stream against a static dimension without shuffling the stream") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
