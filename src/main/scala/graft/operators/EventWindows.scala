@@ -19,7 +19,49 @@ import org.apache.spark.sql.functions._
   */
 object EventWindows {
 
-  def queries: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, e06, e07)
+  def queries: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, e06, e07, e08)
+
+  /** Time-series gap fill: e01's tumbling counts are SPARSE (a window
+    * with no events emits no row), which breaks charting, diffing and
+    * window-over-window math downstream. e08 densifies: generate the
+    * full 10-minute grid between the corpus' min/max windows per
+    * event_type (`sequence` + explode — computed FROM the data, no
+    * driver collect; the bounds ride a 1-row aggregate), left-join the
+    * sparse counts, zero-fill. The grid is |types| × windows rows —
+    * proportional to TIME RANGE, not corpus size, so at 100 TB the
+    * generated side stays tiny while the counts side is e01's
+    * ordinary partial+final aggregate.
+    */
+  val e08 = QueryDef(
+    "e08_gapfill",
+    Some("""WITH w AS (SELECT event_type,
+          epoch_us(ts) - epoch_us(ts) % 600000000 AS win FROM events),
+      b AS (SELECT min(win) AS lo, max(win) AS hi FROM w),
+      grid AS (SELECT t.event_type,
+          unnest(range(b.lo, b.hi + 600000000, 600000000)) AS win
+        FROM (SELECT DISTINCT event_type FROM w) t, b),
+      c AS (SELECT event_type, win, count(*) AS n FROM w GROUP BY 1, 2)
+      SELECT g.event_type, g.win AS win_start_us,
+        CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+      FROM grid g LEFT JOIN c ON g.event_type = c.event_type AND g.win = c.win
+      ORDER BY 1, 2""")) { (s, d) =>
+    val w = Tables.events(s, d)
+      .select(col("event_type"),
+        (col("ts_us") - col("ts_us") % 600000000L).as("win"))
+    val bounds = w.agg(min("win").as("lo"), max("win").as("hi"))
+    val grid = w.select("event_type").distinct()
+      .crossJoin(bounds) // 1-row side: broadcast by construction
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi, 600000000)")).as("win_start_us"))
+    val counts = w.groupBy(col("event_type").as("c_type"), col("win"))
+      .agg(count(lit(1)).as("n"))
+    grid.join(counts,
+        grid("event_type") === col("c_type") && col("win_start_us") === col("win"),
+        "left")
+      .select(grid("event_type"), col("win_start_us"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy("event_type", "win_start_us")
+  }
 
   /** Interval (time-bounded) stream-stream join, batch twin: click →
     * purchase by the same user within 10 minutes. This is THE
