@@ -16,7 +16,63 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   def queries: Seq[QueryDef] =
-    Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11)
+    Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12)
+
+  /** Sequence packing: assign documents (in doc_id order) to training
+    * shards of ~2000 tokens each — the shard-construction step between
+    * a curated corpus and a training run. The assignment needs a
+    * GLOBAL running token count, which a window over () would compute
+    * on a single partition (the classic scale trap); instead this is
+    * the distributed two-phase prefix sum: range-partition by doc_id,
+    * (1) one narrow pass sums tokens per partition, the P partial sums
+    * — P rows, driver-sized by definition — become per-partition start
+    * offsets via scanLeft; (2) a second narrow pass adds the offset to
+    * a local running sum. No shuffle beyond the range partitioning;
+    * both passes pipeline. shard_id = tokens-before ÷ budget, so a doc
+    * straddling a boundary belongs to the shard it STARTS in — the
+    * same rule the oracle's 1-PRECEDING window cumsum expresses.
+    */
+  val x12 = QueryDef(
+    "x12_sequence_pack",
+    Some("""WITH t AS (SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents)
+      SELECT doc_id, n_tokens,
+        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000
+          AS BIGINT) AS shard_id
+      FROM t ORDER BY doc_id""")) { (s, d) =>
+    val budget = 2000L
+    val parts = 32
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), big(size(split(col("text"), " "))).as("n_tokens"))
+      .repartitionByRange(parts, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+    import org.apache.spark.sql.Encoders
+    val tupEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    val typed = docs.as[(Long, Long)](tupEnc)
+    // phase 1: per-partition token sums (P rows — driver-side by
+    // definition, like s04's centroids)
+    val partSums = typed.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var sum = 0L
+      it.foreach(sum += _._2)
+      Iterator.single((pid.toLong, sum))
+    }(tupEnc).collect().sortBy(_._1)
+    val offsets = partSums.map(_._2).scanLeft(0L)(_ + _)
+    // phase 2: narrow map — local running sum + this partition's offset
+    typed.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var running = offsets(pid)
+      it.map { case (id, n) =>
+        val before = running
+        running += n
+        (id, n, before / budget)
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("doc_id", "n_tokens", "shard_id")
+      .orderBy("doc_id")
+  }
 
   /** Out-of-vocabulary rate against a corpus-derived vocabulary — the
     * vocabulary-coverage filter of a training pipeline (docs full of
