@@ -25,11 +25,13 @@ object Verify {
     // Filtered runs leave siblings alone so iteration stays cheap.
     if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty) {
       val keep = selected.keySet + "oracle_sql.json"
-      // blast-radius guard: only entries that LOOK like prior dumps (a
-      // directory with a parquet _SUCCESS marker) are eligible — a
+      // blast-radius guard: only entries that LOOK like prior dumps —
+      // a directory holding a parquet commit marker or part files
+      // (covers dumps interrupted before _SUCCESS) — are eligible; a
       // mistakenly-passed outDir ('.', $HOME) must never lose anything
       def looksLikeDump(f: java.io.File): Boolean =
-        f.isDirectory && new java.io.File(f, "_SUCCESS").exists()
+        f.isDirectory && Option(f.list()).getOrElse(Array.empty).exists(n =>
+          n == "_SUCCESS" || (n.startsWith("part-") && n.contains(".parquet")))
       Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
         .filterNot(f => keep(f.getName))
         .filter(looksLikeDump)

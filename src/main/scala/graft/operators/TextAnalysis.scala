@@ -44,15 +44,24 @@ object TextAnalysis {
       FROM t ORDER BY doc_id""")) { (s, d) =>
     val budget = 2000L
     val parts = 32
+    // persist() is CORRECTNESS here, not just economy: phase 1 and
+    // phase 2 are separate jobs, and an unpersisted repartitionByRange
+    // re-SAMPLES its range bounds per job (rdd.id-seeded) — beyond
+    // fully-sampled toy sizes the two jobs could disagree on which
+    // partition a boundary row lands in, misaligning every offset.
+    // The cache pins one partitioning for both passes (and halves the
+    // scan+shuffle work). Lifetime: Bench/Verify clearCache between
+    // entries; a direct library caller owns it, as with q33.
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), big(size(split(col("text"), " "))).as("n_tokens"))
       .repartitionByRange(parts, col("doc_id"))
       .sortWithinPartitions("doc_id")
+      .persist()
     import org.apache.spark.sql.Encoders
     val tupEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
     val typed = docs.as[(Long, Long)](tupEnc)
     // phase 1: per-partition token sums (P rows — driver-side by
-    // definition, like s04's centroids)
+    // definition, like s04's centroids); also materializes the cache
     val partSums = typed.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var sum = 0L
@@ -60,10 +69,11 @@ object TextAnalysis {
       Iterator.single((pid.toLong, sum))
     }(tupEnc).collect().sortBy(_._1)
     val offsets = partSums.map(_._2).scanLeft(0L)(_ + _)
+    val byPid = partSums.map(_._1.toInt).zip(offsets).toMap
     // phase 2: narrow map — local running sum + this partition's offset
     typed.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      var running = offsets(pid)
+      var running = byPid(pid)
       it.map { case (id, n) =>
         val before = running
         running += n

@@ -274,7 +274,17 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("enrich joins a stream against a static dimension without shuffling the stream") {
+  test("enrich broadcasts a small static dimension on batch (plan-asserted)") {
+    import spark.implicits._
+    val dim = Seq((10L, "gold")).toDF("user_id", "tier")
+    val batch = graft.Tables.events(spark, "/root/testdata/sf0.001").drop("ts_us")
+    val plan = StreamingOps.enrich(batch, dim, "user_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small dim should broadcast; got:\n${plan.take(800)}")
+  }
+
+  test("enrich joins a stream against a static dimension (left-preserving)") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
     val dim = Seq((10L, "gold"), (11L, "basic")).toDF("user_id", "tier")

@@ -13,13 +13,18 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 CLASSES=target/scala-2.13/classes
-# Compare against the directory's own mtime, then TOUCH it after a
-# successful compile — sbt writes class files into nested package dirs
-# and never updates the top-level dir, so without the touch every run
-# after the first source edit would pay sbt startup forever.
+# Compare against the directory's own mtime, then stamp it with the
+# PRE-compile time — sbt writes class files into nested package dirs
+# and never updates the top-level dir. Stamping pre-compile (not after)
+# means a source saved WHILE sbt ran — and so possibly missed by that
+# compilation — still reads as stale on the next run, instead of being
+# silently benchmarked as already-built.
 if [ ! -d "$CLASSES" ] || [ -n "$(find src/main/scala -newer "$CLASSES" -name '*.scala' -print -quit 2>/dev/null)" ]; then
+  STAMP="$(mktemp)"
   sbt -batch compile 1>&2
-  touch "$CLASSES"
+  mkdir -p "$CLASSES"
+  touch -r "$STAMP" "$CLASSES"
+  rm -f "$STAMP"
 fi
 
 # Same JVM flags build.sbt passes to forked runs: Spark 4.x on JDK 17
