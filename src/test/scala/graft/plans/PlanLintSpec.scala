@@ -1,0 +1,55 @@
+package graft.plans
+
+import graft.SparkSpec
+
+/** Whole-registry plan lint: every query's physical plan is audited
+  * for the scale anti-patterns the 100 TB design forbids. This is the
+  * automated form of the per-round manual plan audit — a new operator
+  * that sneaks in a cartesian product or an unbounded nested-loop
+  * join fails HERE, at sf0.001, not in a cluster incident.
+  */
+class PlanLintSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Queries whose nested-loop/cartesian shape is the DOCUMENTED
+    * design (exactness baselines over broadcast-bounded sides), with
+    * the reason pinned here so the whitelist can't grow silently.
+    */
+  private val nestedLoopAllowed: Map[String, String] = Map(
+    "s01_cosine_topk" -> "broadcast of ONE query row against the corpus",
+    "d05_embedding_neardup" -> "all-pairs exactness baseline (s02/s04 are the scale paths)",
+    "q07_join_nonequi" -> "theta join; small side broadcast by design",
+    "x11_oov_rate" -> "crossJoin of a ONE-row count aggregate (vocab threshold)",
+    "e08_gapfill" -> "crossJoin of a ONE-row min/max bounds aggregate")
+
+  test("no registry query plans a cartesian product or unlisted nested-loop join") {
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    graft.Registry.all.foreach { q =>
+      spark.sharedState.cacheManager.clearCache()
+      val plan =
+        try q.fn(spark, dir).queryExecution.executedPlan.toString
+        catch { case e: Throwable => fail(s"${q.name}: planning failed: $e") }
+      val cartesian = plan.contains("CartesianProduct")
+      val nlj = plan.contains("BroadcastNestedLoopJoin")
+      if (cartesian)
+        offenders += s"${q.name}: CartesianProduct"
+      else if (nlj && !nestedLoopAllowed.contains(q.name))
+        offenders += s"${q.name}: BroadcastNestedLoopJoin (not whitelisted)"
+    }
+    assert(offenders.isEmpty,
+      s"scale anti-patterns found:\n  ${offenders.mkString("\n  ")}")
+  }
+
+  test("whitelisted nested-loop queries still have bounded broadcast sides") {
+    // the whitelist is only valid while the NLJ side stays a broadcast
+    // (bounded) build — a whitelisted query regressing to an unbounded
+    // cartesian must fail
+    nestedLoopAllowed.keys.foreach { name =>
+      spark.sharedState.cacheManager.clearCache()
+      val plan = graft.Registry.byName(name).fn(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name regressed to cartesian")
+    }
+  }
+}
