@@ -36,15 +36,17 @@ object Similarity {
     * query-many production shape s04 (which trains inline per query)
     * leads to. BUILD: train the identical quantizer as s04 (shared
     * [[trainQuantizer]]), write the assignments BUCKETED by cell
-    * ([[graft.engine.Engine.archiveBucketed]], one bucket per cell).
-    * PROBE: the query vector's 2 nearest cells are found against the k
-    * collected centroids (k rows, driver data by definition) and the
-    * search reads ONLY those buckets — the scan reports
-    * `SelectedBucketsCount: 2 out of 8` (plan-asserted in
-    * SimilaritySpec), so at 100 TB a probe touches 1/4 of the index
-    * regardless of corpus size, with no shuffle and no join: filter +
-    * narrow cosine + global top-k (TakeOrderedAndProject). The oracle
-    * replays training, probe selection, and the bucket-local search.
+    * ([[graft.engine.Engine.archiveBucketed]]). Buckets are
+    * murmur-hash(cell) mod 8, so distinct cells CAN share a bucket —
+    * pruning is a best-effort I/O reduction while the cell filter
+    * stays exact; on this data the 2 probed cells land in 2 distinct
+    * buckets (`SelectedBucketsCount: 2 out of 8` in docs/PLANS.md;
+    * SimilaritySpec asserts a strict subset is selected). At 100 TB
+    * the probe cost scales with the probed cells' share of the corpus,
+    * not with the corpus, and the probe plan has no shuffle and no
+    * join: filter + narrow cosine + global top-k
+    * (TakeOrderedAndProject). The oracle replays training, probe
+    * selection, and the bucket-local search.
     */
   val s05 = QueryDef(
     "s05_ivf_index_probe",
@@ -74,12 +76,21 @@ object Similarity {
         WHERE a.cell = p.cell AND a.vec_id <> 0)
       ORDER BY cos_sim DESC, vec_id LIMIT 20""")) { (s, d) =>
     val e = Vec.withNorm(Tables.embeddings(s, d)).cache()
-    val centroids = trainQuantizer(e, 8, 3)
-    if (centroids.isEmpty)
+    val key = System.identityHashCode(s.sharedState)
+    // build-once/query-many: a memo HIT reuses the stored centroids AND
+    // the on-disk index — no retraining. The memo is consulted BEFORE
+    // training (retraining on every probe would both defeat the index's
+    // purpose and, if the dir's files changed, probe a stale index with
+    // fresh centroids). Success-only recording, as with q37's memo.
+    val cached = Option(ivfBuilt.get(key)).filter(_._1 == d)
+    val centroids = cached.map(_._2).getOrElse(trainQuantizer(e, 8, 3))
+    val qRowOpt = e.filter(col("vec_id") === 0)
+      .select(col("v"), col("nrm")).collect().headOption
+    if (centroids.isEmpty || qRowOpt.isEmpty)
+      // empty corpus, or no vec_id=0 query row: the oracle's q CTE is
+      // empty → zero rows, not a crash (s01's missing-query contract)
       e.limit(0).select(col("vec_id"), lit(0L).as("cell"), lit(0.0).as("cos_sim"))
     else {
-      val key = System.identityHashCode(s.sharedState)
-      val cached = Option(ivfBuilt.get(key)).filter(_._1 == d)
       if (cached.isEmpty) {
         ivfBuilt.remove(key)
         new graft.engine.Engine(s).archiveBucketed(
@@ -88,7 +99,7 @@ object Similarity {
           "graft_ivf_assign", "cell", 8)
         ivfBuilt.put(key, (d, centroids))
       }
-      val qRow = e.filter(col("vec_id") === 0).select(col("v"), col("nrm")).head()
+      val qRow = qRowOpt.get
       val qv = qRow.getSeq[Double](0).toArray
       val qnrm = qRow.getDouble(1)
       // 2 nearest cells by the SAME score arithmetic as the oracle's
@@ -103,9 +114,8 @@ object Similarity {
       // autoBucketedScan heuristic DISABLES bucketed reads when no
       // operator needs the distribution — which also forfeits bucket
       // PRUNING, the entire point of the probe. Forcing the bucketed
-      // scan here keeps `SelectedBucketsCount: 2 out of 8` (asserted
-      // in SimilaritySpec); the catalog is SharedState-scoped so the
-      // index table is visible.
+      // scan keeps the SelectedBucketsCount pruning in the plan; the
+      // catalog is SharedState-scoped so the index table is visible.
       val co = s.newSession()
       // a new session only inherits graft's functions when the parent
       // was built with GraftExtensions (the library way); Verify/Bench
@@ -150,18 +160,6 @@ object Similarity {
        |    GROUP BY cell, pos)
        |  GROUP BY cell)""".stripMargin
 
-  /** IVF ANN with a trained coarse quantizer: k-means (k=8, 3
-    * iterations, deterministic — centroids accumulate in fixed-point
-    * BIGINT like s03, initialized from the first vector per vec_id
-    * mod k) partitions the corpus into cells; each vector's nearest
-    * neighbor is then searched only within its cell. This is the
-    * production ANN shape at 100 TB: train on a sample, assign in one
-    * broadcast-join pass, search bucket-locally. The oracle unrolls
-    * the 3 training rounds as chained CTEs over the same bit-identical
-    * float forms, so even the trained quantizer is cross-checked;
-    * determinism and convergence are additionally pinned by
-    * SimilaritySpec.
-    */
   /** s04/s05-shared quantizer machinery: deterministic k-means over
     * fixed-point BIGINT sums, centroids collected (k rows — driver
     * data by definition) and baked into a zero-exchange narrow argmin
@@ -211,6 +209,18 @@ object Similarity {
     }
   }
 
+  /** IVF ANN with a trained coarse quantizer: k-means (k=8, 3
+    * iterations, deterministic — centroids accumulate in fixed-point
+    * BIGINT like s03, initialized from the first vector per vec_id
+    * mod k) partitions the corpus into cells; each vector's nearest
+    * neighbor is then searched only within its cell. This is the
+    * production ANN shape at 100 TB: train on a sample, assign in one
+    * broadcast-join pass, search bucket-locally. The oracle unrolls
+    * the 3 training rounds as chained CTEs over the same bit-identical
+    * float forms, so even the trained quantizer is cross-checked;
+    * determinism and convergence are additionally pinned by
+    * SimilaritySpec.
+    */
   val s04 = QueryDef(
     "s04_ivf_ann",
     Some(s"""${Vec.duckNormCte},

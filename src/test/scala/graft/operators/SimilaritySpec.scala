@@ -46,13 +46,31 @@ class SimilaritySpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
-  test("s05 probe reads only the probed buckets (SelectedBucketsCount 2 of 8)") {
+  test("s05 probe bucket-prunes, and its cosines match an independent recomputation") {
     val df = Similarity.s05.fn(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("SelectedBucketsCount: 2 out of 8"),
-      s"probe should bucket-prune; got:\n${plan.take(1200)}")
-    // and the probe agrees with brute force restricted to those cells:
-    // the top hit by cosine must be the global top among probed cells
-    assert(df.count() == 20)
+    // buckets are hash(cell) mod 8, so the exact count is data-shaped;
+    // the contract is a STRICT subset of buckets selected
+    val sel = "SelectedBucketsCount: (\\d+) out of 8".r.findFirstMatchIn(plan)
+    assert(sel.isDefined, s"probe should bucket-prune; got:\n${plan.take(1200)}")
+    assert(sel.get.group(1).toInt < 8, "probe selected every bucket — no pruning")
+    val rows = df.collect()
+    assert(rows.length == 20)
+    // cosines descend, and every returned value equals a from-scratch
+    // recomputation over the RAW embeddings (same left-fold pairing) —
+    // a stale or mis-probed index cannot return matching values
+    val byId = graft.Vec.withNorm(
+        graft.Tables.embeddings(spark, "/root/testdata/sf0.001")).collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Double](2).toArray, r.getDouble(3)))).toMap
+    val (qv, qnrm) = byId(0L)
+    rows.foreach { r =>
+      val (vv, nrm) = byId(r.getLong(0))
+      var dp = 0.0
+      var i = 0
+      while (i < vv.length) { dp += vv(i) * qv(i); i += 1 }
+      assert(r.getDouble(2) == dp / (nrm * qnrm), s"cos mismatch for ${r.getLong(0)}")
+    }
+    val cs = rows.map(_.getDouble(2)).toSeq
+    assert(cs == cs.sorted.reverse)
   }
 }
