@@ -353,7 +353,7 @@ object Aggregates {
     * chain (h % 2^(j+1) = 2^j ⟺ tz(h) = j), capped at GCap — same
     * no-libm/no-bit-intrinsic rationale as the HLL rank chain.
     */
-  private val tzCase: String =
+  private[operators] val tzCase: String =
     (0 until graft.functions.KllSampleAgg.GCap.toInt)
       .map(j => s"WHEN h % ${1L << (j + 1)} = ${1L << j} THEN $j")
       .mkString("CASE ", " ", s" ELSE ${graft.functions.KllSampleAgg.GCap} END")

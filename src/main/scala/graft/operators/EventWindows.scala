@@ -19,7 +19,76 @@ import org.apache.spark.sql.functions._
   */
 object EventWindows {
 
-  def queries: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, e06, e07, e08)
+  def queries: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09)
+
+  /** Windowed sketch quantiles: q38's KLL-style sampler aggregated per
+    * (1-day tumbling window × event_type) — sketches and time windows
+    * compose because the sampler is an ordinary typed Aggregator: one
+    * bounded buffer per group rides the same partial/final split as
+    * any windowed aggregate, which is the 100 TB per-window-quantiles
+    * shape (exact per-window percentiles would re-sort every window's
+    * rows). Order-independence makes the composition oracle-replayable
+    * — the q38 CTE chain re-grouped by (win, type); at these SFs each
+    * window holds < K rows so values are per-window EXACT order
+    * statistics (the sketch path itself is exercised by q38; the
+    * streaming face of this composition is
+    * [[graft.streaming.StreamingOps.streamingQuantiles]]).
+    */
+  val e09 = QueryDef(
+    "e09_windowed_quantiles",
+    Some {
+      import graft.functions.HllAgg.{A1, A2, A3, F}
+      import graft.functions.KllSampleAgg.{GCap, K}
+      s"""WITH x AS (SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS win,
+          event_type AS tpe, CAST(round(value * 100) AS BIGINT) AS v,
+          event_id AS key FROM events),
+      h0 AS (SELECT win, tpe, v, $A1 * (((key % $F) + $F) % $F) AS t1 FROM x),
+      h1 AS (SELECT win, tpe, v, $A2 * (xor(t1 % $F, t1 // $F) % $F) AS t2 FROM h0),
+      h2 AS (SELECT win, tpe, v, xor(t2 % $F, t2 // $F) % $F AS x2 FROM h1),
+      hh AS (SELECT win, tpe, v, x2 * $F
+          + xor(($A3 * x2) % $F, ($A3 * x2) // $F) % $F AS h FROM h2),
+      gg AS (SELECT win, tpe, v, ${Aggregates.tzCase} AS g FROM hh),
+      lv AS (SELECT win, tpe, g, count(*) AS c FROM gg GROUP BY 1, 2, 3),
+      cand AS (SELECT lv.win, lv.tpe, r.range AS lvl,
+          sum(CASE WHEN lv.g >= r.range THEN lv.c ELSE 0 END) AS cge
+        FROM lv, range(0, ${GCap + 2}) r GROUP BY 1, 2, 3),
+      lsel AS (SELECT win, tpe, min(lvl) AS lvl FROM cand
+        WHERE cge <= $K GROUP BY 1, 2),
+      samp AS (SELECT gg.win, gg.tpe, gg.v FROM gg
+        JOIN lsel ON gg.win = lsel.win AND gg.tpe = lsel.tpe
+        WHERE gg.g >= lsel.lvl),
+      ord AS (SELECT win, tpe, v,
+          row_number() OVER (PARTITION BY win, tpe ORDER BY v) AS rn,
+          count(*) OVER (PARTITION BY win, tpe) AS m FROM samp),
+      sel AS (SELECT win, tpe, CAST(max(m) AS BIGINT) AS m,
+          min(CASE WHEN rn >= ceil(0.5 * m) THEN v END) AS p50_cents,
+          min(CASE WHEN rn >= ceil(0.9 * m) THEN v END) AS p90_cents,
+          min(CASE WHEN rn >= ceil(0.99 * m) THEN v END) AS p99_cents
+        FROM ord GROUP BY 1, 2),
+      tot AS (SELECT win, tpe, count(*) AS n FROM x GROUP BY 1, 2)
+      SELECT sel.win AS win_start_us, sel.tpe AS event_type,
+        p50_cents, p90_cents, p99_cents, m, lsel.lvl, n
+      FROM sel JOIN lsel ON sel.win = lsel.win AND sel.tpe = lsel.tpe
+      JOIN tot ON sel.win = tot.win AND sel.tpe = tot.tpe
+      ORDER BY win_start_us, event_type"""
+    }) { (s, d) =>
+    Tables.events(s, d)
+      .select((col("ts_us") - col("ts_us") % 86400000000L).as("win_start_us"),
+        col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        col("event_id").as("rk"))
+      .groupBy("win_start_us", "event_type")
+      .agg(graft.functions.KllSampleAgg.kllSample(col("cents"), col("rk")).as("p"),
+        count(lit(1)).as("n"))
+      .select(col("win_start_us"), col("event_type"),
+        element_at(col("p"), 1).as("p50_cents"),
+        element_at(col("p"), 2).as("p90_cents"),
+        element_at(col("p"), 3).as("p99_cents"),
+        element_at(col("p"), 4).as("m"),
+        element_at(col("p"), 5).as("lvl"),
+        col("n"))
+      .orderBy("win_start_us", "event_type")
+  }
 
   /** Time-series gap fill: e01's tumbling counts are SPARSE (a window
     * with no events emits no row), which breaks charting, diffing and
