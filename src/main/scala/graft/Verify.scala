@@ -25,14 +25,24 @@ object Verify {
     // Filtered runs leave siblings alone so iteration stays cheap.
     if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty) {
       val keep = selected.keySet + "oracle_sql.json"
-      // blast-radius guard: only entries that LOOK like prior dumps —
-      // a directory holding a parquet commit marker or part files
-      // (covers dumps interrupted before _SUCCESS) — are eligible; a
-      // mistakenly-passed outDir ('.', $HOME) must never lose anything
+      // blast-radius guard, two independent conditions: (1) outDir must
+      // be PROVABLY a prior verify dir — oracle_sql.json, which only
+      // this tool writes, already present — so a mistakenly-passed
+      // outDir ('.', $HOME, a data-lake path full of ordinary parquet
+      // datasets) is never cleaned at all; (2) within a proven dir,
+      // only entries named like registry queries ([qdsexm]NN_...) that
+      // also LOOK like dumps (parquet commit marker or part files,
+      // covering dumps interrupted before _SUCCESS) are eligible.
+      val provenVerifyDir =
+        new java.io.File(outDir, "oracle_sql.json").isFile
+      val registryName = "^[a-z]\\d\\d_[a-z0-9_]+$".r
       def looksLikeDump(f: java.io.File): Boolean =
-        f.isDirectory && Option(f.list()).getOrElse(Array.empty).exists(n =>
-          n == "_SUCCESS" || (n.startsWith("part-") && n.contains(".parquet")))
-      Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+        f.isDirectory && registryName.matches(f.getName) &&
+          Option(f.list()).getOrElse(Array.empty).exists(n =>
+            n == "_SUCCESS" || (n.startsWith("part-") && n.contains(".parquet")))
+      (if (provenVerifyDir)
+        Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+      else Array.empty[java.io.File])
         .filterNot(f => keep(f.getName))
         .filter(looksLikeDump)
         .foreach { f =>

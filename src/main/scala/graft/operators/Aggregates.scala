@@ -419,6 +419,12 @@ object Aggregates {
         element_at(col("p"), 4).as("m"),
         element_at(col("p"), 5).as("lvl"),
         col("n"))
+      // m = 0 (every row of a >K group at the GCap level, P < K·2^−40)
+      // would emit −1 sentinels where the oracle's inner JOIN against
+      // `sel` emits no row — drop such groups so the two contracts are
+      // IDENTICAL, not just astronomically-probably identical (the q36
+      // n > 0 discipline).
+      .filter(col("m") > 0)
       .orderBy("l_returnflag")
   }
 

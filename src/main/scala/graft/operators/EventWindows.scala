@@ -87,6 +87,9 @@ object EventWindows {
         element_at(col("p"), 4).as("m"),
         element_at(col("p"), 5).as("lvl"),
         col("n"))
+      // same m > 0 guard as q38: align with the oracle's inner-JOIN
+      // drop of (impossibly rare) empty-retained-set groups
+      .filter(col("m") > 0)
       .orderBy("win_start_us", "event_type")
   }
 

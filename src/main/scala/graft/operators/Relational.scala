@@ -79,8 +79,7 @@ object Relational {
     * (bench's min-of-2 therefore times the JOIN, as the entry's name
     * says; the first call still pays and times the write).
     */
-  private val bucketedLaidOut =
-    new java.util.concurrent.ConcurrentHashMap[Int, String]()
+  private val bucketedLaidOut = new graft.engine.CatalogMemo[String]
 
   val q37 = QueryDef(
     "q37_bucketed_join",
@@ -89,21 +88,22 @@ object Relational {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority""")) { (s, d) =>
     val engine = new graft.engine.Engine(s)
-    // keyed by catalog, value = source dir: a different dir through the
-    // SAME catalog must re-lay-out (same table names, different data).
-    // The memo records success only AFTER both writes land — a partial
-    // layout (second write throws) must retry next call, not silently
-    // join a fresh lineitem against stale orders.
-    val catalogKey = System.identityHashCode(s.sharedState)
-    if (bucketedLaidOut.get(catalogKey) != d) {
-      bucketedLaidOut.remove(catalogKey)
+    // keyed by catalog, content-keyed on the source dir (CatalogMemo):
+    // a different dir — or the SAME dir rewritten in place — through
+    // the same catalog must re-lay-out (same table names, different
+    // data). The memo records success only AFTER both writes land — a
+    // partial layout (second write throws) must retry next call, not
+    // silently join a fresh lineitem against stale orders.
+    val ck = graft.engine.CatalogMemo.contentKey(d)
+    if (bucketedLaidOut.get(s.sharedState, ck).isEmpty) {
+      bucketedLaidOut.invalidate(s.sharedState)
       engine.archiveBucketed(
         Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice"),
         "graft_bkt_lineitem", "l_orderkey", 8)
       engine.archiveBucketed(
         Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
         "graft_bkt_orders", "o_orderkey", 8)
-      bucketedLaidOut.put(catalogKey, d)
+      bucketedLaidOut.put(s.sharedState, ck, d)
     }
     // private-session conf (the d06 pattern): disable broadcast for
     // THIS query only; the catalog is SharedState-scoped, so the

@@ -26,11 +26,12 @@ object Similarity {
 
   def queries: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05)
 
-  /** s05's build memo: catalog → (source dir, trained centroids). Same
-    * success-only discipline as q37's layout memo.
+  /** s05's build memo: catalog → (source content key, trained
+    * centroids). Same success-only discipline as q37's layout memo;
+    * identity + staleness hazards handled by [[graft.engine.CatalogMemo]].
     */
   private val ivfBuilt =
-    new java.util.concurrent.ConcurrentHashMap[Int, (String, Seq[(Long, Array[Double], Double)])]()
+    new graft.engine.CatalogMemo[Seq[(Long, Array[Double], Double)]]
 
   /** Persistent IVF index + bucket-pruned probe — the build-once /
     * query-many production shape s04 (which trains inline per query)
@@ -76,14 +77,16 @@ object Similarity {
         WHERE a.cell = p.cell AND a.vec_id <> 0)
       ORDER BY cos_sim DESC, vec_id LIMIT 20""")) { (s, d) =>
     val e = Vec.withNorm(Tables.embeddings(s, d)).cache()
-    val key = System.identityHashCode(s.sharedState)
+    // content-keyed so a dataset REWRITTEN at the same path misses and
+    // rebuilds (the files' count/mtime/bytes change)
+    val ck = graft.engine.CatalogMemo.contentKey(d)
     // build-once/query-many: a memo HIT reuses the stored centroids AND
     // the on-disk index — no retraining. The memo is consulted BEFORE
     // training (retraining on every probe would both defeat the index's
     // purpose and, if the dir's files changed, probe a stale index with
     // fresh centroids). Success-only recording, as with q37's memo.
-    val cached = Option(ivfBuilt.get(key)).filter(_._1 == d)
-    val centroids = cached.map(_._2).getOrElse(trainQuantizer(e, 8, 3))
+    val cached = ivfBuilt.get(s.sharedState, ck)
+    val centroids = cached.getOrElse(trainQuantizer(e, 8, 3))
     val qRowOpt = e.filter(col("vec_id") === 0)
       .select(col("v"), col("nrm")).collect().headOption
     if (centroids.isEmpty || qRowOpt.isEmpty)
@@ -92,12 +95,12 @@ object Similarity {
       e.limit(0).select(col("vec_id"), lit(0L).as("cell"), lit(0.0).as("cos_sim"))
     else {
       if (cached.isEmpty) {
-        ivfBuilt.remove(key)
+        ivfBuilt.invalidate(s.sharedState)
         new graft.engine.Engine(s).archiveBucketed(
           e.withColumn("cell", cellOf(centroids))
             .select(col("vec_id"), col("cell"), col("v"), col("nrm")),
           "graft_ivf_assign", "cell", 8)
-        ivfBuilt.put(key, (d, centroids))
+        ivfBuilt.put(s.sharedState, ck, centroids)
       }
       val qRow = qRowOpt.get
       val qv = qRow.getSeq[Double](0).toArray

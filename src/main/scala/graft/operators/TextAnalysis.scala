@@ -43,7 +43,17 @@ object TextAnalysis {
           AS BIGINT) AS shard_id
       FROM t ORDER BY doc_id""")) { (s, d) =>
     val budget = 2000L
-    val parts = 32
+    // Size range partitions to the DATA, not a constant (the d06
+    // sizing discipline): target ~1M docs per range partition — a few
+    // tens of MB of (doc_id, n_tokens) pairs, comfortably in-memory —
+    // with a floor of the session's parallelism so small inputs still
+    // use every core. P stays driver-sized by construction (P partial
+    // sums ≈ rows/1M; at 100 TB / ~100B docs that is ~1e5 longs). The
+    // row count comes from parquet footer metadata (a metadata-only
+    // count(*), no data scan).
+    val rows = Tables.documents(s, d).count()
+    val parts = math.max(s.sparkContext.defaultParallelism,
+      (rows / 1000000L).toInt + 1)
     // persist() is CORRECTNESS here, not just economy: phase 1 and
     // phase 2 are separate jobs, and an unpersisted repartitionByRange
     // re-SAMPLES its range bounds per job (rdd.id-seeded) — beyond

@@ -138,9 +138,15 @@ object StreamingOps {
           val agg = new graft.functions.KllSampleAgg
           var buf = state.getOption.getOrElse(agg.zero)
           // value in integer cents (the sketch's exact fixed-point
-          // door); key = event_id, the row identity
+          // door); key = event_id, the row identity. Cents via the SAME
+          // rounding as SQL round()/Spark's Round on DOUBLE — HALF_UP,
+          // half away from zero — NOT math.round (half toward +inf),
+          // which diverges on negative exact halves (-0.125 → -12 vs
+          // -13) and would break the documented q38 bit-for-bit parity.
           it.foreach { e =>
-            buf = agg.reduce(buf, (math.round(e.value * 100), e.event_id))
+            val cents = java.math.BigDecimal.valueOf(e.value * 100)
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+            buf = agg.reduce(buf, (cents, e.event_id))
           }
           state.update(buf)
           val out = agg.finish(buf)

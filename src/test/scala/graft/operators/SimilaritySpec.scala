@@ -73,4 +73,31 @@ class SimilaritySpec extends SparkSpec {
     val cs = rows.map(_.getDouble(2)).toSeq
     assert(cs == cs.sorted.reverse)
   }
+
+  test("s05 memo: unchanged dir reuses the index; a rewritten dir rebuilds it") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val work = Files.createTempDirectory("graft-s05-memo").toString
+    val src = Paths.get(dir, "embeddings.parquet")
+    val dst = Paths.get(work, "embeddings.parquet")
+    Files.copy(src, dst, StandardCopyOption.COPY_ATTRIBUTES)
+    def indexFiles(): Set[(String, Long)] = {
+      val loc = new java.io.File(spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier("graft_ivf_assign")).getPath)
+      Option(loc.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("part-"))
+        .map(f => (f.getName, f.lastModified)).toSet
+    }
+    val first = Similarity.s05.fn(spark, work).collect().toSeq
+    val builtOnce = indexFiles()
+    assert(builtOnce.nonEmpty)
+    // unchanged dir → memo HIT: the on-disk index is untouched
+    Similarity.s05.fn(spark, work).collect()
+    assert(indexFiles() == builtOnce, "memo hit must not rewrite the index")
+    // rewrite the dataset at the SAME path (new mtime) → memo MISS:
+    // the index is rebuilt, and results over identical data are equal
+    dst.toFile.setLastModified(dst.toFile.lastModified() + 60000)
+    val again = Similarity.s05.fn(spark, work).collect().toSeq
+    assert(indexFiles() != builtOnce, "rewritten dir must rebuild the index")
+    assert(again.map(_.toSeq) == first.map(_.toSeq))
+  }
 }

@@ -258,11 +258,16 @@ class StreamingSpec extends SparkSpec {
       val streamed = spark.table("kllstream")
         .as[StreamingOps.QuantileEstimate].collect()
         .groupBy(_.event_type).map { case (t, rows) => t -> rows.last }
-      // batch twin: fold every (cents, event_id) through the Aggregator
+      // batch twin: fold every (cents, event_id) through the Aggregator,
+      // converting to cents with the SAME HALF_UP rule as the operator
+      // (math.round here would mask a negative-half divergence)
       val agg = new graft.functions.KllSampleAgg
+      def cents(v: Double): Long = java.math.BigDecimal.valueOf(v * 100)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      assert(cents(-0.125) == -13L) // away from zero, like SQL round()
       def batchOf(evs: Seq[StreamingOps.Event]): Array[Long] =
         agg.finish(evs.foldLeft(agg.zero) { (b, e) =>
-          agg.reduce(b, (math.round(e.value * 100), e.event_id)) })
+          agg.reduce(b, (cents(e.value), e.event_id)) })
       val clickBatch = batchOf((batch1 ++ batch2).filter(_.event_type == "click"))
       assert(streamed("click").p50 == clickBatch(0) / 100.0)
       assert(streamed("click").p99 == clickBatch(2) / 100.0)
