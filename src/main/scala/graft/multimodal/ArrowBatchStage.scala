@@ -1,7 +1,7 @@
 package graft.multimodal
 
 import org.apache.arrow.memory.RootAllocator
-import org.apache.arrow.vector.{BigIntVector, VarBinaryVector, VectorSchemaRoot}
+import org.apache.arrow.vector.{BigIntVector, VarBinaryVector, VarCharVector, VectorSchemaRoot}
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Dataset}
@@ -149,5 +149,110 @@ object ArrowBatchStage {
         }
       }
     }.toDF("asset_id", "byte_len", "ws_count", "checksum")
+  }
+
+  /** REAL image decode at the Arrow batch seam — the codec the m04
+    * scaffolding was built to host, now plugged in: each batch's
+    * binary payloads land contiguously in the value buffer, and the
+    * kernel runs `javax.imageio` (format sniff → PNG inflate / BMP
+    * parse) over each row's range of that buffer, emitting per-image
+    * stats (dimensions, per-channel sums, a row-major RGB rolling
+    * checksum) into the output batch. A native decoder (libjpeg/ffmpeg
+    * via JNI or the Arrow C Data Interface) would consume the very
+    * same batch pointer; the JDK codecs prove the seam with zero new
+    * dependencies.
+    *
+    * Quarantine policy: undecodable payloads (no registered reader,
+    * truncated stream) emit a `codec='undecodable'` sentinel row with
+    * width/height −1 — rows stay accountable (a corrupt shard is
+    * visible downstream, countable, and filterable) and one bad asset
+    * cannot kill a 100 TB job. Pinned in ArrowBatchSpec.
+    */
+  def decodeImages(assets: Dataset[Asset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val allocator = new RootAllocator()
+        val inSchema = new Schema(java.util.Arrays.asList(
+          new Field("asset_id", FieldType.notNullable(new ArrowType.Int(64, true)), null),
+          new Field("data", FieldType.notNullable(ArrowType.Binary.INSTANCE), null)))
+        val outSchema = new Schema(java.util.Arrays.asList(
+          new Field("asset_id", FieldType.notNullable(new ArrowType.Int(64, true)), null),
+          new Field("codec", FieldType.notNullable(ArrowType.Utf8.INSTANCE), null),
+          new Field("width", FieldType.notNullable(new ArrowType.Int(64, true)), null),
+          new Field("height", FieldType.notNullable(new ArrowType.Int(64, true)), null),
+          new Field("r_sum", FieldType.notNullable(new ArrowType.Int(64, true)), null),
+          new Field("g_sum", FieldType.notNullable(new ArrowType.Int(64, true)), null),
+          new Field("b_sum", FieldType.notNullable(new ArrowType.Int(64, true)), null),
+          new Field("px_checksum", FieldType.notNullable(new ArrowType.Int(64, true)), null)))
+        val inRoot = VectorSchemaRoot.create(inSchema, allocator)
+        val outRoot = VectorSchemaRoot.create(outSchema, allocator)
+        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+          inRoot.close(); outRoot.close(); allocator.close()
+        })
+        var scratch = new Array[Byte](64 * 1024)
+
+        it.grouped(BatchRows).flatMap { batch =>
+          val n = batch.size
+          val idVec = inRoot.getVector("asset_id").asInstanceOf[BigIntVector]
+          val dataVec = inRoot.getVector("data").asInstanceOf[VarBinaryVector]
+          idVec.reset(); dataVec.reset()
+          var i = 0
+          batch.foreach { a =>
+            idVec.setSafe(i, a.asset_id)
+            dataVec.setSafe(i, a.data)
+            i += 1
+          }
+          inRoot.setRowCount(n)
+
+          // batch value region → scratch once (as in byteStats); each
+          // row's image decodes from its [s, e) range of scratch
+          val offBuf = dataVec.getOffsetBuffer
+          val first = offBuf.getInt(0L)
+          val total = offBuf.getInt(n * 4L) - first
+          if (scratch.length < total)
+            scratch = new Array[Byte](math.max(total, math.min(scratch.length * 2L, Int.MaxValue - 16).toInt))
+          dataVec.getDataBuffer.getBytes(first.toLong, scratch, 0, total)
+
+          val outId = outRoot.getVector("asset_id").asInstanceOf[BigIntVector]
+          val outCodec = outRoot.getVector("codec").asInstanceOf[VarCharVector]
+          val outW = outRoot.getVector("width").asInstanceOf[BigIntVector]
+          val outH = outRoot.getVector("height").asInstanceOf[BigIntVector]
+          val outR = outRoot.getVector("r_sum").asInstanceOf[BigIntVector]
+          val outG = outRoot.getVector("g_sum").asInstanceOf[BigIntVector]
+          val outB = outRoot.getVector("b_sum").asInstanceOf[BigIntVector]
+          val outCk = outRoot.getVector("px_checksum").asInstanceOf[BigIntVector]
+          outCodec.reset()
+          i = 0
+          while (i < n) {
+            val s = offBuf.getInt(i * 4L) - first
+            val e = offBuf.getInt((i + 1) * 4L) - first
+            val dec = ImageCodecs.decode(scratch, s, e - s)
+              .getOrElse(ImageCodecs.Decoded("undecodable", -1, -1, 0L, 0L, 0L, 0L))
+            outId.setSafe(i, idVec.get(i))
+            outCodec.setSafe(i, dec.codec.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            outW.setSafe(i, dec.width.toLong)
+            outH.setSafe(i, dec.height.toLong)
+            outR.setSafe(i, dec.rSum)
+            outG.setSafe(i, dec.gSum)
+            outB.setSafe(i, dec.bSum)
+            outCk.setSafe(i, dec.pxChecksum)
+            i += 1
+          }
+          outRoot.setRowCount(n)
+
+          val out = new Array[(Long, String, Long, Long, Long, Long, Long, Long)](n)
+          i = 0
+          while (i < n) {
+            out(i) = (outId.get(i),
+              new String(outCodec.get(i), java.nio.charset.StandardCharsets.UTF_8),
+              outW.get(i), outH.get(i), outR.get(i), outG.get(i), outB.get(i), outCk.get(i))
+            i += 1
+          }
+          out
+        }
+      }
+    }.toDF("asset_id", "codec", "width", "height", "r_sum", "g_sum", "b_sum", "px_checksum")
   }
 }

@@ -1,0 +1,156 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import javax.imageio.ImageIO
+
+/** REAL image encode/decode for the multimodal pipeline, built on the
+  * JDK's own `javax.imageio` codecs (PNG/BMP/JPEG/GIF/TIFF readers
+  * ship with every JRE and run headless — no native libraries, no
+  * AWT display).
+  *
+  * Testdata strategy — deterministic images, oracle-replayable stats:
+  * the container has no real media corpus, so payloads are SYNTHESIZED
+  * per asset: every channel value is the pure arithmetic function
+  *
+  *     px(id, x, y, c) = (id·7 + x·3 + y·5 + c·11) mod 256
+  *
+  * encoded as a real on-disk image format (hand-built uncompressed
+  * 24-bit BMP for even ids; JDK-encoded PNG for odd ids — two codecs,
+  * one of them compressed). The decode operator (m05) then runs the
+  * GENUINE path — format sniffing + `ImageIO.read` over the byte
+  * stream — and emits pixel statistics; the DuckDB oracle replays the
+  * arithmetic directly, never seeing the bytes. Both codecs are
+  * lossless, so decode(encode(px)) = px exactly and any decoder
+  * mis-step (stride, channel order, row direction, palette) breaks the
+  * hash. The reference treats all cells as opaque bytes
+  * (chiv.go:152–199); this is the training-pipeline extension surface.
+  *
+  * Scale note: encode/decode are partition-local per-row kernels — no
+  * shuffle, no driver involvement; at 100 TB the images would arrive
+  * from storage instead of a synthesizer, and ONLY the decode side
+  * runs (see [[ArrowBatchStage.decodeImages]] for the batch seam).
+  */
+object ImageCodecs {
+
+  /** The synthetic channel value at (x, y), channel c ∈ {0=R,1=G,2=B}. */
+  def px(id: Long, x: Int, y: Int, c: Int): Int =
+    ((id * 7 + x * 3 + y * 5 + c * 11) % 256).toInt
+
+  /** Image dimensions as a pure function of the asset id (kept tiny:
+    * the point is the codec path, not pixel volume).
+    */
+  def dims(id: Long): (Int, Int) = (((id % 5) + 4).toInt, ((id % 3) + 3).toInt)
+
+  /** Hand-built uncompressed 24-bit BMP (BITMAPINFOHEADER): 54-byte
+    * header, bottom-up rows, BGR byte order, rows padded to 4 bytes —
+    * every byte a pure function of (id, x, y), so the payload itself
+    * is reproducible, not just its decoded pixels.
+    */
+  def encodeBmp(id: Long): Array[Byte] = {
+    val (w, h) = dims(id)
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val buf = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + dataSize).putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h) // positive height = bottom-up
+    buf.putShort(1).putShort(24)
+    buf.putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = h - 1
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        buf.put(px(id, x, y, 2).toByte) // B
+        buf.put(px(id, x, y, 1).toByte) // G
+        buf.put(px(id, x, y, 0).toByte) // R
+        x += 1
+      }
+      var p = w * 3
+      while (p < rowSize) { buf.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** JDK-encoded PNG of the same pixel function — a real DEFLATE
+    * stream the decoder must actually inflate.
+    */
+  def encodePng(id: Long): Array[Byte] = {
+    val (w, h) = dims(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (px(id, x, y, 0) << 16) | (px(id, x, y, 1) << 8) | px(id, x, y, 2))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Codec per asset: even ids BMP, odd ids PNG. */
+  def encode(id: Long): Array[Byte] =
+    if (id % 2 == 0) encodeBmp(id) else encodePng(id)
+
+  final case class Decoded(
+      codec: String, width: Int, height: Int,
+      rSum: Long, gSum: Long, bSum: Long, pxChecksum: Long)
+
+  private val Mod = 1000000007L
+
+  /** The real decode: sniff the format from the byte stream, inflate /
+    * parse it with the JDK reader, and fold per-channel sums plus a
+    * ×131 rolling checksum over row-major (R,G,B) channel values —
+    * exactly the sequence the oracle replays arithmetically. Returns
+    * None for undecodable payloads (no registered reader, truncated
+    * stream): the caller decides quarantine policy.
+    */
+  def decode(data: Array[Byte]): Option[Decoded] = decode(data, 0, data.length)
+
+  /** Range variant so the Arrow stage can decode straight from its
+    * batch scratch buffer without per-row slice copies.
+    */
+  def decode(data: Array[Byte], off: Int, len: Int): Option[Decoded] = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(data, off, len))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        val codec = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
+        reader.setInput(iis)
+        try {
+          val img = reader.read(0)
+          val w = img.getWidth
+          val h = img.getHeight
+          var rs = 0L; var gs = 0L; var bs = 0L; var ck = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              rs += r; gs += g; bs += b
+              ck = (ck * 131 + r) % Mod
+              ck = (ck * 131 + g) % Mod
+              ck = (ck * 131 + b) % Mod
+              x += 1
+            }
+            y += 1
+          }
+          Some(Decoded(codec, w, h, rs, gs, bs, ck))
+        } catch {
+          case _: java.io.IOException => None // truncated/corrupt stream
+        } finally reader.dispose()
+      }
+    } finally iis.close()
+  }
+}

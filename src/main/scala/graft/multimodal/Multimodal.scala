@@ -15,12 +15,13 @@ import org.apache.spark.sql.functions._
   *   - assets travel as `binary` columns inside the DataFrame — never
   *     collected, never driver-side; all stages are mapPartitions-
   *     shaped and pipeline inside a single stage (no shuffle).
-  *   - the actual media decode is STUBBED (this container ships no
-  *     image/audio codecs): [[ByteFeatures.decodeStub]] is a
-  *     deterministic stand-in with the same signature/batch shape a
-  *     real decoder (JNI ffmpeg/libjpeg or a Python `mapInPandas`
-  *     worker) would have. The Spark-side plumbing — schema, encoder,
-  *     partition iteration, feature schema — is real and tested.
+  *   - image decode is REAL: [[ImageCodecs]] + m05 run the JDK's own
+  *     `javax.imageio` codecs (PNG/BMP/JPEG/GIF/TIFF) at the Arrow
+  *     batch seam ([[ArrowBatchStage.decodeImages]]). The byte-level
+  *     features below ([[ByteFeatures.byteHistogram]]) remain as the
+  *     codec-FREE path — the features a pipeline computes without
+  *     decoding (audio/video have no JDK codec; a production system
+  *     plugs ffmpeg into the same batch seam).
   */
 final case class Asset(
     asset_id: Long,
@@ -39,12 +40,14 @@ final case class AssetFeatures(
 
 object ByteFeatures {
 
-  /** STUB for the real media decoder. Deterministic byte-level
-    * "features" stand in for pixel/sample decoding so the pipeline is
-    * runnable and testable offline; swap this single function for a
-    * real codec without touching the Spark plumbing.
+  /** Byte-level (no-decode) feature: 16-bucket histogram of the raw
+    * payload bytes. This is NOT a decoder stand-in — real image decode
+    * lives in [[ImageCodecs.decode]]/m05 — it is the codec-free
+    * feature path for modalities without a JDK codec (audio/video),
+    * where production plugs a native decoder into the same
+    * [[ArrowBatchStage]] seam.
     */
-  def decodeStub(data: Array[Byte]): Array[Long] = {
+  def byteHistogram(data: Array[Byte]): Array[Long] = {
     val hist = new Array[Long](16)
     var i = 0
     while (i < data.length) { hist((data(i) & 0xff) >> 4) += 1; i += 1 }
@@ -91,6 +94,23 @@ object MultimodalPipeline {
       .as[Asset]
   }
 
+  /** Synthesized IMAGE assets: one real encoded image per document id
+    * (even ids BMP, odd ids PNG — [[ImageCodecs.encode]]), generated
+    * executor-side in a narrow map. Stands in for a binary image
+    * column read from storage; every payload is a pure function of
+    * the id, so the m05 oracle can replay the decoded pixels without
+    * ever seeing the bytes.
+    */
+  def imageAssets(spark: SparkSession, dir: String): Dataset[Asset] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val (w, h) = ImageCodecs.dims(id)
+        Asset(id, "image", ImageCodecs.encode(id), w, h)
+      }
+  }
+
   /** Partition-local decode + feature extraction. One iterator pass
     * per partition, constant memory, no shuffle — the plan stays a
     * single map stage whatever the corpus size.
@@ -106,7 +126,7 @@ object MultimodalPipeline {
         AssetFeatures(
           a.asset_id, a.modality, a.data.length,
           ByteFeatures.checksum(a.data),
-          ByteFeatures.decodeStub(a.data), frames)
+          ByteFeatures.byteHistogram(a.data), frames)
       }
     }
   }

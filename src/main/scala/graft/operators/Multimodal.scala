@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalOps {
 
-  def queries: Seq[QueryDef] = Seq(m01, m02, m03, m04)
+  def queries: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05)
 
   /** Binary payload features computed relationally: byte length, head
     * bytes as hex, and an additive codepoint checksum — all
@@ -112,6 +112,37 @@ object MultimodalOps {
       FROM documents ORDER BY asset_id""")) { (s, d) =>
     graft.multimodal.ArrowBatchStage
       .byteStats(graft.multimodal.MultimodalPipeline.assetsFromDocuments(s, d))
+      .orderBy("asset_id")
+  }
+
+  /** REAL image decode — the codec plugged into the m04 Arrow seam:
+    * per document, a genuine encoded image (hand-built uncompressed
+    * BMP for even ids, JDK-encoded PNG with a real DEFLATE stream for
+    * odd ids; every channel value the pure function
+    * (id·7 + x·3 + y·5 + c·11) mod 256) travels as a binary column and
+    * is decoded by `javax.imageio` — format sniff, inflate, pixel
+    * access — inside [[graft.multimodal.ArrowBatchStage.decodeImages]].
+    * The oracle replays the ARITHMETIC, never the bytes: detected
+    * codec, dimensions, per-channel sums, and a ×131 rolling checksum
+    * over row-major (R,G,B) values must all survive the encode→decode
+    * round trip bit-for-bit, so any stride/channel-order/row-direction
+    * /palette mistake in the decode path breaks the hash.
+    */
+  val m05 = QueryDef(
+    "m05_image_decode",
+    Some("""WITH g AS (SELECT doc_id, doc_id % 5 + 4 AS w, doc_id % 3 + 3 AS h FROM documents)
+      SELECT doc_id AS asset_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS codec,
+        CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        CAST(list_sum(list_transform(range(0, w*h), k -> (doc_id*7 + (k % w)*3 + (k // w)*5) % 256)) AS BIGINT) AS r_sum,
+        CAST(list_sum(list_transform(range(0, w*h), k -> (doc_id*7 + (k % w)*3 + (k // w)*5 + 11) % 256)) AS BIGINT) AS g_sum,
+        CAST(list_sum(list_transform(range(0, w*h), k -> (doc_id*7 + (k % w)*3 + (k // w)*5 + 22) % 256)) AS BIGINT) AS b_sum,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(0, w*h*3), k -> (doc_id*7 + ((k//3) % w)*3 + ((k//3) // w)*5 + (k%3)*11) % 256)),
+          (acc, v) -> (acc * 131 + v) % 1000000007) AS px_checksum
+      FROM g ORDER BY asset_id""")) { (s, d) =>
+    graft.multimodal.ArrowBatchStage.decodeImages(
+      graft.multimodal.MultimodalPipeline.imageAssets(s, d))
       .orderBy("asset_id")
   }
 }

@@ -53,6 +53,45 @@ class ArrowBatchSpec extends SparkSpec {
     assert(got(3L) == ((3L, 3L, ref(" \t\n".getBytes("UTF-8"))._3)))
   }
 
+  test("ImageCodecs: decoded pixels equal the generator arithmetic for both codecs") {
+    // even id → hand-built BMP, odd id → JDK PNG; decode must recover
+    // the exact px(id,x,y,c) arithmetic through the real codec path
+    Seq(42L, 43L, 0L, 101L).foreach { id =>
+      val (w, h) = ImageCodecs.dims(id)
+      val dec = ImageCodecs.decode(ImageCodecs.encode(id)).get
+      assert(dec.codec == (if (id % 2 == 0) "bmp" else "png"), s"id $id")
+      assert((dec.width, dec.height) == ((w, h)))
+      var rs = 0L; var gs = 0L; var bs = 0L; var ck = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        rs += ImageCodecs.px(id, x, y, 0)
+        gs += ImageCodecs.px(id, x, y, 1)
+        bs += ImageCodecs.px(id, x, y, 2)
+        for (c <- 0 to 2) ck = (ck * 131 + ImageCodecs.px(id, x, y, c)) % 1000000007L
+      }
+      assert((dec.rSum, dec.gSum, dec.bSum, dec.pxChecksum) == ((rs, gs, bs, ck)), s"id $id")
+    }
+  }
+
+  test("decodeImages crosses batch boundaries and quarantines undecodable payloads") {
+    import spark.implicits._
+    // > BatchRows real images (mixed codecs) + junk payloads, few
+    // partitions → root-reuse across refills, sentinel contract pinned
+    val good = (0 until ArrowBatchStage.BatchRows + 23).map(i =>
+      Asset(i.toLong, "image", ImageCodecs.encode(i.toLong), 0, 0))
+    val bad = Seq(
+      Asset(90001L, "image", "not an image at all".getBytes("UTF-8"), 0, 0),
+      Asset(90002L, "image", ImageCodecs.encodePng(7L).take(20), 0, 0)) // truncated PNG
+    val got = ArrowBatchStage.decodeImages((good ++ bad).toDS().repartition(2))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(7)))).toMap
+    good.foreach { a =>
+      val d = ImageCodecs.decode(a.data).get
+      assert(got(a.asset_id) == ((d.codec, d.width.toLong, d.height.toLong, d.pxChecksum)))
+    }
+    assert(got(90001L) == (("undecodable", -1L, -1L, 0L)))
+    assert(got(90002L) == (("undecodable", -1L, -1L, 0L)))
+  }
+
   test("m04 over sf0.001 equals a non-Arrow recomputation from the text") {
     import org.apache.spark.sql.functions._
     val m04 = graft.operators.MultimodalOps.m04.fn(spark, "/root/testdata/sf0.001")

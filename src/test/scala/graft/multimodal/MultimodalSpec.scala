@@ -2,11 +2,11 @@ package graft.multimodal
 
 import graft.SparkSpec
 
-/** Stubbed multimodal pipeline: kernel exactness + Spark plumbing. */
+/** Multimodal pipeline: byte-feature kernel exactness + Spark plumbing. */
 class MultimodalSpec extends SparkSpec {
 
-  test("decodeStub: byte histogram buckets by high nibble") {
-    val hist = ByteFeatures.decodeStub(Array[Byte](0x00, 0x0f, 0x10, 0x7f, -1))
+  test("byteHistogram buckets by high nibble") {
+    val hist = ByteFeatures.byteHistogram(Array[Byte](0x00, 0x0f, 0x10, 0x7f, -1))
     assert(hist(0) == 2L) // 0x00, 0x0f
     assert(hist(1) == 1L) // 0x10
     assert(hist(7) == 1L) // 0x7f
