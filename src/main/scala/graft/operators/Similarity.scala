@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def queries: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05)
+  def queries: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06)
 
   /** s05's build memo: catalog → (source content key, trained
     * centroids). Same success-only discipline as q37's layout memo;
@@ -77,16 +77,7 @@ object Similarity {
         WHERE a.cell = p.cell AND a.vec_id <> 0)
       ORDER BY cos_sim DESC, vec_id LIMIT 20""")) { (s, d) =>
     val e = Vec.withNorm(Tables.embeddings(s, d)).cache()
-    // content-keyed so a dataset REWRITTEN at the same path misses and
-    // rebuilds (the files' count/mtime/bytes change)
-    val ck = graft.engine.CatalogMemo.contentKey(d)
-    // build-once/query-many: a memo HIT reuses the stored centroids AND
-    // the on-disk index — no retraining. The memo is consulted BEFORE
-    // training (retraining on every probe would both defeat the index's
-    // purpose and, if the dir's files changed, probe a stale index with
-    // fresh centroids). Success-only recording, as with q37's memo.
-    val cached = ivfBuilt.get(s.sharedState, ck)
-    val centroids = cached.getOrElse(trainQuantizer(e, 8, 3))
+    val centroids = ensureIvfIndex(s, d, e)
     val qRowOpt = e.filter(col("vec_id") === 0)
       .select(col("v"), col("nrm")).collect().headOption
     if (centroids.isEmpty || qRowOpt.isEmpty)
@@ -94,14 +85,6 @@ object Similarity {
       // empty → zero rows, not a crash (s01's missing-query contract)
       e.limit(0).select(col("vec_id"), lit(0L).as("cell"), lit(0.0).as("cos_sim"))
     else {
-      if (cached.isEmpty) {
-        ivfBuilt.invalidate(s.sharedState)
-        new graft.engine.Engine(s).archiveBucketed(
-          e.withColumn("cell", cellOf(centroids))
-            .select(col("vec_id"), col("cell"), col("v"), col("nrm")),
-          "graft_ivf_assign", "cell", 8)
-        ivfBuilt.put(s.sharedState, ck, centroids)
-      }
       val qRow = qRowOpt.get
       val qv = qRow.getSeq[Double](0).toArray
       val qnrm = qRow.getDouble(1)
@@ -136,6 +119,33 @@ object Similarity {
     }
   }
 
+  /** Build-once face of the persistent IVF index, shared by s05 and
+    * s06: a memo HIT reuses the stored centroids AND the on-disk
+    * bucketed index — no retraining, no rewrite. The memo is consulted
+    * BEFORE training (retraining on every probe would both defeat the
+    * index's purpose and, if the dir's files changed, probe a stale
+    * index with fresh centroids); it records success only AFTER the
+    * write lands, and is content-keyed so a dataset REWRITTEN at the
+    * same path misses and rebuilds ([[graft.engine.CatalogMemo]]).
+    * Returns the trained centroids; empty corpus → empty Seq, nothing
+    * written.
+    */
+  private[operators] def ensureIvfIndex(s: org.apache.spark.sql.SparkSession,
+      d: String, e: org.apache.spark.sql.DataFrame): Seq[(Long, Array[Double], Double)] = {
+    val ck = graft.engine.CatalogMemo.contentKey(d)
+    val cached = ivfBuilt.get(s.sharedState, ck)
+    val centroids = cached.getOrElse(trainQuantizer(e, 8, 3))
+    if (centroids.nonEmpty && cached.isEmpty) {
+      ivfBuilt.invalidate(s.sharedState)
+      new graft.engine.Engine(s).archiveBucketed(
+        e.withColumn("cell", cellOf(centroids))
+          .select(col("vec_id"), col("cell"), col("v"), col("nrm")),
+        "graft_ivf_assign", "cell", 8)
+      ivfBuilt.put(s.sharedState, ck, centroids)
+    }
+    centroids
+  }
+
   /** DuckDB twins of the s04 k-means legs, composed per unrolled
     * iteration. Every float op is the bit-identical cross-engine form
     * proven elsewhere in this file: strict-fold dots (s01/s02),
@@ -153,6 +163,21 @@ object Similarity {
        |      SELECT cell, cd, ${Vec.duckDot("cd", "cd")} AS cn2
        |      FROM (SELECT cell, list_transform(c, y -> y / 1000000.0) AS cd FROM $cents)) q)
        |  WHERE rn = 1)""".stripMargin
+
+  /** Per-vector probe selection: each vector's `nprobe` nearest cells
+    * by the same score/tie order as [[duckAssign]] (rn = 1 of this IS
+    * the assignment).
+    */
+  private def duckProbes(cents: String, name: String, nprobe: Int): String =
+    s"""$name AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT n.vec_id, q.cell,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY (q.cn2 - 2 * ${Vec.duckDot("n.v", "q.cd")}), q.cell) AS rn
+       |    FROM n CROSS JOIN (
+       |      SELECT cell, cd, ${Vec.duckDot("cd", "cd")} AS cn2
+       |      FROM (SELECT cell, list_transform(c, y -> y / 1000000.0) AS cd FROM $cents)) q)
+       |  WHERE rn <= $nprobe)""".stripMargin
 
   private def duckCentroids(assigned: String, name: String): String =
     s"""$name AS (
@@ -279,6 +304,94 @@ object Similarity {
         .agg(max_by(struct(col("nn"), col("c")), struct(col("c"), -col("nn"))).as("m"))
         .select(col("va"), col("cell"), col("m.nn").as("nn"), col("m.c").as("cos_sim"))
         .orderBy("va")
+    }
+  }
+
+  /** Batch multi-probe ANN over the persistent IVF index — the real
+    * 100 TB batch-ANN query shape, and the closure of s04's documented
+    * gap: s04 searches only each vector's OWN cell, so cross-cell near
+    * neighbors are missed by construction; s06 probes every vector's
+    * nprobe=2 NEAREST cells (rank-1 is its own cell by definition of
+    * the assignment, so s06's candidate set strictly contains s04's)
+    * and returns top-k=3 neighbors.
+    *
+    * Scale shape: probe selection is NARROW — the k centroid scores
+    * are baked as literal columns (the s04 discipline) and the 2 best
+    * cells come from one codegen'd `array_sort(array(struct(score,
+    * cell)))` + `slice`, no join, no shuffle; the candidate join is
+    * deliberately UNHINTED (the d03 count-lookup policy) — the planner
+    * broadcasts the index while it is small and falls back to a
+    * sort-merge join when it isn't, in which case the index side reads
+    * its bucketed layout exchange-free (that at-scale shape is
+    * plan-asserted in SimilaritySpec with broadcast disabled).
+    * Probe fan-out is bounded (2 rows/vector), never all-pairs; cost
+    * ∝ nprobe/k of the corpus per vector, and in production k grows
+    * ~√N so cells stay bounded. The oracle replays training, PER-
+    * VECTOR probe selection (duckProbes: same score, same ties), the
+    * candidate join, and the top-3 window.
+    */
+  val s06 = QueryDef(
+    "s06_ivf_batch_probe",
+    Some(s"""${Vec.duckNormCte},
+      init AS (
+        SELECT cell, list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT)) AS c FROM (
+          SELECT vec_id % 8 AS cell, v,
+                 row_number() OVER (PARTITION BY vec_id % 8 ORDER BY vec_id) AS rn
+          FROM n)
+        WHERE rn = 1),
+      ${duckAssign("init", "a1")},
+      ${duckCentroids("a1", "c1")},
+      ${duckAssign("c1", "a2")},
+      ${duckCentroids("a2", "c2")},
+      ${duckAssign("c2", "a3")},
+      ${duckCentroids("a3", "c3")},
+      ${duckAssign("c3", "cells")},
+      ${duckProbes("c3", "pr", 2)},
+      cand AS (
+        SELECT a.vec_id AS va, x.vec_id AS nn, x.cell AS nn_cell,
+               ${Vec.duckDot("a.v", "x.v")} / (a.nrm * x.nrm) AS c
+        FROM n a JOIN pr ON pr.vec_id = a.vec_id
+        JOIN cells x ON x.cell = pr.cell AND x.vec_id <> a.vec_id)
+      SELECT va, nn, nn_cell, c AS cos_sim FROM (
+        SELECT va, nn, nn_cell, c,
+               row_number() OVER (PARTITION BY va ORDER BY c DESC, nn) AS rn
+        FROM cand)
+      WHERE rn <= 3 ORDER BY va, cos_sim DESC, nn""")) { (s, d) =>
+    // run everything in a private session sharing the parent's
+    // SharedState: the index table and build memo are catalog-scoped,
+    // and the bucketed-scan conf below must not leak to other queries
+    val co = s.newSession()
+    graft.functions.GraftFunctions.register(co)
+    val e = Vec.withNorm(Tables.embeddings(co, d)).cache()
+    val centroids = ensureIvfIndex(co, d, e)
+    if (centroids.isEmpty)
+      e.limit(0).select(col("vec_id").as("va"), col("vec_id").as("nn"),
+        lit(0L).as("nn_cell"), lit(0.0).as("cos_sim"))
+    else {
+      // Spark's autoBucketedScan heuristic can forfeit the bucketed
+      // layout when it judges the scan cheaper unbucketed; force it so
+      // the index side joins exchange-free (the s05 discipline)
+      co.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      // per-vector nprobe=2 nearest cells, selected NARROWLY: centroid
+      // scores as literal columns, natural struct ordering = the
+      // oracle's ORDER BY (score, cell)
+      val probeEntries = centroids.map { case (cell, cd, cn2) =>
+        struct((lit(cn2) - lit(2.0) * call_function("vec_dot", col("v"), lit(cd))).as("sc"),
+          lit(cell).as("cell"))
+      }
+      val probes = e.select(col("vec_id").as("va"), col("v").as("qv"),
+          col("nrm").as("qn"),
+          explode(slice(array_sort(array(probeEntries: _*)), 1, 2)).as("p"))
+        .select(col("va"), col("qv"), col("qn"), col("p.cell").as("pcell"))
+      probes.join(co.table("graft_ivf_assign"),
+          col("pcell") === col("cell") && col("vec_id") =!= col("va"))
+        .select(col("va"), col("vec_id").as("nn"), col("cell").as("nn_cell"),
+          (call_function("vec_dot", col("qv"), col("v")) / (col("qn") * col("nrm"))).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("va").orderBy(col("c").desc, col("nn"))))
+        .where(col("rn") <= 3)
+        .select(col("va"), col("nn"), col("nn_cell"), col("c").as("cos_sim"))
+        .orderBy(col("va"), col("cos_sim").desc, col("nn"))
     }
   }
 

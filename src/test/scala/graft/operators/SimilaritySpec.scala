@@ -74,6 +74,48 @@ class SimilaritySpec extends SparkSpec {
     assert(cs == cs.sorted.reverse)
   }
 
+  test("s06 probes contain own cell, results superset s04's candidates, index side exchange-free at scale") {
+    import org.apache.spark.sql.functions._
+    val df = Similarity.s06.fn(spark, dir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every vector reports ≤ 3 neighbors, descending cosine
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      val cs = rs.map(_.getDouble(3)).toSeq
+      assert(cs == cs.sorted.reverse)
+    }
+    // rank-1 probe is the vector's own cell, so s04's own-cell top-1 must
+    // appear among s06's candidates: s06's best cosine per vector >= s04's
+    val s04Best = Similarity.s04.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val s06Best = rows.groupBy(_.getLong(0))
+      .map { case (va, rs) => va -> rs.map(_.getDouble(3)).max }
+    s04Best.foreach { case (va, c04) =>
+      assert(s06Best(va) >= c04, s"vec $va: s06 ${s06Best(va)} < s04 $c04")
+    }
+    // at-scale join shape: with broadcast disabled the candidate join is
+    // a sort-merge join whose INDEX side reads the bucketed layout with
+    // no Exchange (the shuffle-once payoff); only the probe side shuffles
+    val co = spark.newSession()
+    graft.functions.GraftFunctions.register(co)
+    co.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    co.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    co.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val probes = graft.Vec.withNorm(graft.Tables.embeddings(co, dir))
+      .select(col("vec_id").as("va"), pmod(col("vec_id"), lit(8)).as("pcell"))
+    val plan = probes.join(co.table("graft_ivf_assign"),
+        col("pcell") === col("cell") && col("vec_id") =!= col("va"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ; got:\n${plan.take(900)}")
+    assert(plan.contains("graft_ivf_assign"))
+    // exactly ONE shuffle — the probe side; the bucketed index side
+    // joins with no Exchange (the shuffle-once payoff)
+    val nShuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nShuffles == 1,
+      s"expected exactly one shuffle (probe side only), got $nShuffles:\n${plan.take(1500)}")
+  }
+
   test("s05 memo: unchanged dir reuses the index; a rewritten dir rebuilds it") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val work = Files.createTempDirectory("graft-s05-memo").toString
