@@ -16,7 +16,24 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   def queries: Seq[QueryDef] =
-    Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12)
+    Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13)
+
+  /** x13's ln lookup table: round(ln(n)·10⁹) for n = 1..4094, computed
+    * ONCE here and embedded as a literal in BOTH the Spark plan and
+    * the oracle SQL — neither engine ever calls its own ln. This is
+    * the q35 discipline applied to transcendentals: Java's Math.log
+    * and DuckDB's ln differ by 1 ulp on ~1 in 50k integers (measured),
+    * so any recomputed log breaks bit-parity eventually; a shared
+    * literal table cannot. Nano-ln values are BIGINT, so per-document
+    * sums are EXACT integers — order-independent under partial
+    * aggregation — and the only float op is one final division pair
+    * on identical operands. Index bound 4094 = cap(c1)=2047 +
+    * cap(V)=2047; count capping is part of the MODEL's definition
+    * (standard practice for LM quality filters), not an approximation
+    * of it.
+    */
+  private val LnNano: Array[Long] =
+    Array.tabulate(4094)(i => math.round(math.log(i + 1.0) * 1e9))
 
   /** Sequence packing: assign documents (in doc_id order) to training
     * shards of ~2000 tokens each — the shard-construction step between
@@ -543,6 +560,87 @@ object TextAnalysis {
       .withColumn("fingerprint", expr("rolling_hash(text, 31L, 1000000007L)"))
       .select(col("doc_id"), col("fingerprint"),
         (col("fingerprint") % 64).as("shard"))
+      .orderBy("doc_id")
+  }
+
+  /** Bigram-LM perplexity quality score — the standard model-based
+    * quality filter between x03's surface heuristics and a real
+    * classifier: train an add-one-smoothed bigram LM over the corpus
+    * (counts capped per [[LnNano]]'s model definition), then score
+    * each document's average negative log-likelihood
+    *
+    *   nll(d) = 1/|bigrams(d)| · Σ [ln(cap(c(w₁))+V′) − ln(cap(c(w₁w₂))+1)]
+    *
+    * — low avg_nll = fluent under the corpus model, high = improbable
+    * token sequences (noise, boilerplate, wrong language).
+    *
+    * Scale design: training is TWO count aggregations (bigram counts;
+    * prefix counts derived from them by partial re-aggregation — never
+    * a second pass over the corpus); scoring joins each document's
+    * bigrams against the count tables UNHINTED, so AQE broadcasts the
+    * model while it fits (a capped-vocab LM usually does) and falls
+    * back to a shuffle join when it doesn't — the d03 count-lookup
+    * policy. V is one driver scalar (a count, like s04's k centroids);
+    * the ln lookup is a literal-array `element_at` — pure codegen'd
+    * projection. Per-doc sums are exact BIGINT nano-lns; the only
+    * float math is the final division pair, identical in both engines.
+    */
+  val x13 = QueryDef(
+    "x13_lm_quality",
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      bg0 AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+                i -> {'w1': ts[i], 'w2': ts[i + 1]})) AS p FROM t),
+      bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg0),
+      c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+      c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+      vc AS (SELECT least(count(DISTINCT tok), 2047) AS v FROM
+               (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+      lt AS (SELECT ${LnNano.mkString("[", ", ", "]")} AS a),
+      scored AS (SELECT bg.doc_id,
+          lt.a[CAST(least(c1.c1, 2047) + vc.v AS INT)]
+            - lt.a[CAST(least(c12.c12, 1023) + 1 AS INT)] AS nll
+        FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        CROSS JOIN vc CROSS JOIN lt),
+      agg AS (SELECT doc_id, count(*) AS n_bigrams,
+                CAST(sum(nll) AS BIGINT) AS s FROM scored GROUP BY 1)
+      SELECT t.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
+        coalesce(agg.s, 0) AS sum_nll_nano,
+        CASE WHEN coalesce(agg.n_bigrams, 0) = 0 THEN 0.0
+             ELSE CAST(agg.s AS DOUBLE) / CAST(agg.n_bigrams AS DOUBLE)
+                  / 1000000000.0 END AS avg_nll
+      FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""")) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+    // adjacent-pair extraction without a join: two slices zipped — a
+    // single-token doc slices to empty arrays and yields no bigrams
+    val bigrams = docs.select(col("doc_id"),
+        explode(expr("""zip_with(slice(ts, 1, size(ts) - 1),
+                                 slice(ts, 2, size(ts) - 1),
+                                 (a, b) -> struct(a AS w1, b AS w2))""")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .cache() // reused by training and scoring; Bench/Verify clear between entries
+    val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val vCap = math.min(
+      docs.select(explode(col("ts")).as("tok")).agg(countDistinct("tok")).first().getLong(0),
+      2047L)
+    val lnArr = lit(LnNano)
+    val scored = bigrams
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .select(col("doc_id"),
+        (element_at(lnArr, (least(col("c1"), lit(2047L)) + lit(vCap)).cast("int"))
+          - element_at(lnArr, (least(col("c12"), lit(1023L)) + lit(1L)).cast("int"))).as("nll"))
+    val agg = scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("nll").as("sum_nll_nano"))
+    docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        big(coalesce(col("n_bigrams"), lit(0L))).as("n_bigrams"),
+        big(coalesce(col("sum_nll_nano"), lit(0L))).as("sum_nll_nano"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("sum_nll_nano").cast("double")
+            / col("n_bigrams").cast("double") / lit(1e9)).as("avg_nll"))
       .orderBy("doc_id")
   }
 }

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the model-based text-quality operators (value
+  * parity with the oracle is the driver gate; these pin the MEANING).
+  */
+class TextAnalysisSpec extends SparkSpec {
+
+  private lazy val lmDir: String = {
+    import spark.implicits._
+    val dst = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    // doc 1: one bigram repeated — maximally probable under the model
+    // trained on this corpus; doc 2: every bigram unique (singletons);
+    // doc 3: single token (no bigrams); doc 4: repeats doc 1's phrase
+    val docs = Seq(
+      (1L, ("a b " * 20).trim, "en", "t", 0L),
+      (2L, (1 to 40).map(i => s"tok$i").mkString(" "), "en", "t", 0L),
+      (3L, "solo", "en", "t", 0L),
+      (4L, ("a b " * 10).trim, "en", "t", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    dst
+  }
+
+  test("x13: fluent-under-model docs score lower avg_nll than singleton-bigram docs") {
+    val rows = TextAnalysis.x13.fn(spark, lmDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // bigram counts: "a b"*20 → 39 bigrams; 40 unique tokens → 39; solo → 0
+    assert(rows(1L)._1 == 39L)
+    assert(rows(2L)._1 == 39L)
+    assert(rows(3L) == ((0L, 0L, 0.0)))
+    // the repeated-phrase docs are far more probable than the singleton doc
+    assert(rows(1L)._3 < rows(2L)._3,
+      s"repeated bigrams should score lower nll: ${rows(1L)._3} vs ${rows(2L)._3}")
+    assert(rows(4L)._3 < rows(2L)._3)
+    // all scores are non-negative (numerator count ≤ denominator by construction)
+    rows.values.foreach { case (_, s, a) => assert(s >= 0L && a >= 0.0) }
+  }
+
+  test("x13 is deterministic across runs and partitionings") {
+    val a = TextAnalysis.x13.fn(spark, "/root/testdata/sf0.001").collect().toSeq
+    spark.sharedState.cacheManager.clearCache()
+    val b = TextAnalysis.x13.fn(spark, "/root/testdata/sf0.001").collect().toSeq
+    assert(a.map(_.toSeq) == b.map(_.toSeq))
+    assert(a.nonEmpty)
+  }
+}
