@@ -382,6 +382,45 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
     }
   }
 
+  /** Z-order-clustered columnar archive — the data-SKIPPING half of
+    * storage layout, complementing [[archiveBucketed]]'s co-location
+    * half: rows are range-partitioned and sorted by the bit-interleave
+    * of two filter columns, so every Parquet row group covers a small
+    * RECTANGLE of the (a, b) value space and its min/max footer stats
+    * prune 2-D range predicates on EITHER or BOTH columns — a plain
+    * sort on `a` alone would leave `b`'s min/max spanning the whole
+    * domain in every row group. A Parquet bloom filter on an optional
+    * point-lookup column prunes equality probes the sorted stats
+    * can't. Row-group size is deliberately small (128 KiB) so skipping
+    * granularity is fine; at 100 TB the same layout writes ~128 MB row
+    * groups and the pruning arithmetic is identical. The reference's
+    * only layout lever is the S3 object key (chiv.go:224–233); this is
+    * the columnar-era equivalent. Pruning is evidenced by scan-metric
+    * A/B in ZorderSpec and docs/PLANS.md.
+    */
+  def archiveClustered(df: DataFrame, tableName: String, colA: String,
+      colB: String, rangePartitions: Int = 8,
+      bloomCol: Option[String] = None): Unit = {
+    require(rangePartitions > 0,
+      s"graft: rangePartitions must be positive, got $rangePartitions")
+    val z = Engine.zOrder(df.col(colA), df.col(colB))
+    stage("upload") {
+      spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+      val loc = new Path(spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(tableName)))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      val w = df.withColumn("z", z)
+        .repartitionByRange(rangePartitions, org.apache.spark.sql.functions.col("z"))
+        .sortWithinPartitions("z")
+        .write.format("parquet").mode("overwrite")
+        .option("parquet.block.size", 128 * 1024)
+      bloomCol.foldLeft(w)((w, c) =>
+          w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+        .saveAsTable(tableName)
+    }
+  }
+
   private def stage[T](name: String)(body: => T): T =
     try body catch {
       case e: ArchiveException => throw e
@@ -426,4 +465,27 @@ final class ArchiveJob private[engine] (
   def await(timeout: scala.concurrent.duration.Duration =
       scala.concurrent.duration.Duration.Inf): String =
     scala.concurrent.Await.result(result, timeout)
+}
+
+object Engine {
+  /** Z-order (Morton) key: bit-interleave of the low 16 bits of two
+    * long-castable columns — a(i) lands at bit 2i+1, b(i) at bit 2i.
+    * Built as a 32-term OR chain of shift/mask Column ops: pure
+    * codegen'd projection, evaluated once per row at WRITE time only.
+    * 16 bits/dimension distinguishes 65k positions per axis — more
+    * than the row-group count at any plausible table size, which is
+    * all a CLUSTERING key needs (ties within a row group cost
+    * nothing). Values must be non-negative (key columns: ids, days);
+    * negative values would need a sign-flip normalization first.
+    */
+  def zOrder(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    val al = a.cast("long")
+    val bl = b.cast("long")
+    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+  }
 }

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object Relational {
 
   def queries: Seq[QueryDef] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q33, q37, q39)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q33, q37, q39, q42)
 
   /** FULL OUTER join with all three match classes live: customers are
     * filtered to positive balances so orders from excluded customers
@@ -117,6 +117,48 @@ object Relational {
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"), xsum2(col("l_extendedprice")).as("revenue"))
       .orderBy("o_orderpriority")
+  }
+
+  private val zorderLaidOut = new graft.engine.CatalogMemo[String]
+
+  /** Z-order data-skipping layout — the storage-layout half bucketing
+    * (q37) doesn't cover: lineitem is archived clustered by the Morton
+    * interleave of (l_partkey, l_suppkey)
+    * ([[graft.engine.Engine.archiveClustered]], 128 KiB row groups, a
+    * Parquet bloom filter on l_orderkey for point probes), then a 2-D
+    * range predicate aggregates over the clustered table. Each row
+    * group covers a small rectangle of the key space, so its footer
+    * min/max prunes the scan — at sf0.1 the scan reads ~3% of rows vs
+    * ~100% from the identical data laid out unsorted (scan-metric A/B
+    * in ZorderSpec; docs/PLANS.md). At 100 TB the same layout skips
+    * the same fraction of ~128 MB row groups — the pruning arithmetic
+    * is scale-free. Layout cost is paid ONCE (content-keyed memo, the
+    * q37 discipline); the oracle runs the same predicate over the raw
+    * parquet — layout must not change a single value.
+    */
+  val q42 = QueryDef(
+    "q42_zorder_scan",
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+      CAST(coalesce(sum(CAST(l_quantity AS DECIMAL(12,2))), 0) AS DOUBLE) AS sum_qty,
+      CAST(coalesce(sum(l_partkey), 0) AS BIGINT) AS sum_pk
+      FROM lineitem
+      WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 40""")) { (s, d) =>
+    val ck = graft.engine.CatalogMemo.contentKey(d)
+    if (zorderLaidOut.get(s.sharedState, ck).isEmpty) {
+      zorderLaidOut.invalidate(s.sharedState)
+      new graft.engine.Engine(s).archiveClustered(
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity"),
+        "graft_z_lineitem", "l_partkey", "l_suppkey",
+        bloomCol = Some("l_orderkey"))
+      zorderLaidOut.put(s.sharedState, ck, d)
+    }
+    s.table("graft_z_lineitem")
+      .filter(col("l_partkey").between(100, 300) &&
+        col("l_suppkey").between(10, 40))
+      .agg(big(count(lit(1))).as("n"),
+        coalesce(xsum2(col("l_quantity")), lit(0.0)).as("sum_qty"),
+        big(coalesce(sum("l_partkey"), lit(0L))).as("sum_pk"))
   }
 
   /** Runtime bloom-filter pre-filtering for a selective semi join —
