@@ -13,6 +13,18 @@ object Bench {
     // Warm-up: JIT/codegen paths and parquet footers, so the first
     // measured query isn't charged ~4s of one-time session cost.
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    // …including the SESSION-WINDOW aggregate path: its merging-
+    // sessions codegen + UpdatingSessionsIterator machinery is a
+    // distinct first-touch cost that used to land inside e03's
+    // min-of-2 (driver-run flap: 1.15 s vs 0.43–0.47 s committed
+    // snapshots) — one tiny synthetic sessionization JITs it up front
+    spark.range(20000L)
+      .selectExpr("id % 97 AS uid",
+        "timestamp_micros(CAST(id * 1000000 AS LONG)) AS ts", "id AS v")
+      .groupBy(org.apache.spark.sql.functions.session_window(
+          org.apache.spark.sql.functions.col("ts"), "5 minutes"),
+        org.apache.spark.sql.functions.col("uid"))
+      .count().count()
     Seq("lineitem", "orders", "documents", "embeddings", "events").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
