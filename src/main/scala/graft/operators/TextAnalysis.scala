@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   def queries: Seq[QueryDef] =
-    Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13)
+    Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14)
 
   /** x13's ln lookup table: round(ln(n)·10⁹) for n = 1..4094, computed
     * ONCE here and embedded as a literal in BOTH the Spark plan and
@@ -643,4 +643,172 @@ object TextAnalysis {
             / col("n_bigrams").cast("double") / lit(1e9)).as("avg_nll"))
       .orderBy("doc_id")
   }
+
+  /** Number of BPE merge rules x14 learns. Each rule costs one
+    * corpus-wide pair-count aggregation, so the constant bounds both
+    * bench time and oracle size; production tokenizer training raises
+    * it (GPT-2: 50k) without changing the per-iteration shape.
+    */
+  private val BpeMerges = 16
+
+  /** x14's oracle: the [[BpeMerges]] learning iterations unrolled as
+    * CTE chains. Greedy leftmost non-overlapping merging is expressed
+    * with the gaps-and-islands construction — within each maximal run
+    * of consecutive match positions, exactly the odd-ranked positions
+    * merge and each consumes its successor — which equals the
+    * sequential left-to-right scan ([[BpeKernel.applyMerge]]): a
+    * position's rank in its island is odd iff the scan arrives at it
+    * un-consumed. LEFT JOIN ON TRUE (not CROSS JOIN) against the
+    * 1-row argmax keeps all sequences alive when no pair exists.
+    */
+  private def bpeOracle(n: Int): String = {
+    val sb = new StringBuilder
+    sb.append("""WITH seq1 AS MATERIALIZED (
+      SELECT doc_id * 100000 + wp AS wid,
+             list_transform(range(1, strlen(w) + 1), i -> w[i]) AS ts
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                   unnest(range(1, len(string_split(text, ' ')) + 1)) AS wp
+            FROM documents)
+      WHERE strlen(w) >= 1)""")
+    for (i <- 1 to n) {
+      sb.append(s""",
+      e$i AS MATERIALIZED (SELECT wid, j, tok, lead(tok) OVER (PARTITION BY wid ORDER BY j) AS nxt
+              FROM (SELECT wid, unnest(range(1, len(ts) + 1)) AS j, unnest(ts) AS tok
+                    FROM seq$i)),
+      p$i AS MATERIALIZED (SELECT tok AS w1, nxt AS w2, count(*) AS c FROM e$i
+              WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      b$i AS MATERIALIZED (SELECT w1, w2, c FROM p$i ORDER BY c DESC, w1, w2 LIMIT 1),
+      m$i AS MATERIALIZED (SELECT e.wid, e.j, e.tok, e.nxt,
+                     CASE WHEN b.w1 IS NOT NULL AND e.tok = b.w1 AND e.nxt = b.w2
+                          THEN 1 ELSE 0 END AS mt
+              FROM e$i e LEFT JOIN b$i b ON TRUE),
+      g$i AS MATERIALIZED (SELECT wid, j, j - row_number() OVER (PARTITION BY wid ORDER BY j) AS isl
+              FROM m$i WHERE mt = 1),
+      s$i AS MATERIALIZED (SELECT wid, j, row_number() OVER (PARTITION BY wid, isl ORDER BY j) AS r
+              FROM g$i),
+      seq${i + 1} AS MATERIALIZED (
+        SELECT m.wid,
+               list(CASE WHEN s.r IS NOT NULL AND s.r % 2 = 1 THEN m.tok || m.nxt
+                         ELSE m.tok END ORDER BY m.j) AS ts
+        FROM m$i m
+        LEFT JOIN s$i s ON m.wid = s.wid AND m.j = s.j
+        LEFT JOIN s$i sp ON m.wid = sp.wid AND m.j - 1 = sp.j AND sp.r % 2 = 1
+        WHERE sp.j IS NULL
+        GROUP BY m.wid)""")
+    }
+    sb.append("\n      SELECT * FROM (")
+    sb.append((1 to n)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS merge_rank, w1, w2, c FROM b$i")
+      .mkString(" UNION ALL "))
+    sb.append(") ORDER BY merge_rank")
+    sb.toString
+  }
+
+  /** BPE tokenizer construction as a distributed iterative aggregation
+    * — the d06/k-means driver-loop pattern applied to pair counting:
+    * learn the first [[BpeMerges]] byte-pair-encoding merge rules over
+    * the corpus. Sequences start as per-word character lists; each
+    * iteration (1) counts adjacent symbol pairs corpus-wide — one
+    * partial+final aggregation, (2) picks the most frequent pair
+    * (deterministic tie-break: count DESC, then lexicographic), (3)
+    * applies the merge greedily leftmost to every sequence — a narrow
+    * map re-deriving from the CACHED base so lineage stays constant.
+    * Driver state is the merge table itself (≤ 16 rows — the
+    * tokenizer artifact, driver-sized by definition, like s04's
+    * centroids). At 100 TB the same loop runs with bigger counts; the
+    * only growing cost is one aggregation per learned rule, which is
+    * what real BPE trainers pay too.
+    */
+  val x14 = QueryDef(
+    "x14_bpe_merges",
+    Some(bpeOracle(BpeMerges))) { (s, d) =>
+    import s.implicits._
+    // The standard BPE-trainer reduction: learn over the WORD-
+    // FREQUENCY DICTIONARY, not word instances — every pair count is
+    // Σ(distinct word's pairs × its multiplicity), identical to the
+    // per-instance total (the oracle counts instances and matches
+    // exactly), but the iterated data shrinks from corpus size to
+    // vocabulary size. The dict stays DISTRIBUTED (one shuffle on the
+    // word — at 100 TB the vocabulary is still billions of rows);
+    // each learning iteration then scans vocab-sized data only.
+    val dict = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      // char-split via transform+substring: sequence(1, 0) would be the
+      // DESCENDING [1,0] trap, hence the length >= 1 filter above
+      // (mirrored in the oracle's strlen(w) >= 1)
+      .select(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("ts"),
+        col("n"))
+      .as[(Array[String], Long)]
+    // size the trainer state's partitioning to the VOCABULARY (the x12
+    // sizing discipline): ~1M distinct words per partition, so a small
+    // corpus trains in 1-task jobs while a 100 TB vocabulary still
+    // spreads
+    val vocabRows = dict.count()
+    val parts = math.max(1, (vocabRows / 1000000L).toInt +
+      (if (vocabRows % 1000000L == 0) 0 else 1))
+    val rows = scala.collection.mutable.ListBuffer[(Long, String, String, Long)]()
+    // rolling state: `cur` holds the dictionary with all learned rules
+    // APPLIED. Each generation is localCheckpoint(eager)-ed: chained
+    // typed maps grow the Catalyst plan per generation and
+    // analysis/cache-lookup cost DOUBLES per iteration past ~10 rules
+    // (measured: 0.25 s/iter → 13 s/iter by rule 16); truncating
+    // lineage to a materialized RDD keeps every iteration O(vocab) and
+    // plan-size O(1). (For executor-loss safety on a real cluster,
+    // set a checkpoint dir and swap in reliable checkpoint() — the
+    // d06 option.)
+    var cur = dict.repartition(parts).localCheckpoint(true)
+    var rank = 1
+    var done = false
+    while (!done && rank <= BpeMerges) {
+      // pair-count as one partition-local pass with an open hash map
+      // (each pair weighted by its word's multiplicity): the shuffle
+      // carries only each partition's DISTINCT pairs, never pair
+      // instances — an explicit partial aggregate
+      val top = cur.mapPartitions { it =>
+        val m = new java.util.HashMap[(String, String), Long]
+        it.foreach { case (ts, n) =>
+          var i = 0
+          while (i < ts.length - 1) {
+            m.merge((ts(i), ts(i + 1)), n, _ + _)
+            i += 1
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        m.entrySet().iterator().asScala.map(e => (e.getKey._1, e.getKey._2, e.getValue))
+      }
+        .groupBy("_1", "_2").agg(sum("_3").as("c"))
+        .orderBy(col("c").desc, col("_1"), col("_2")).limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val r = top(0)
+        val (a, b) = (r.getString(0), r.getString(1))
+        rows += ((rank.toLong, a, b, r.getLong(2)))
+        cur = cur.map { case (ts, n) => (BpeKernel.applyMerge(ts, a, b), n) }
+          .localCheckpoint(true)
+        rank += 1
+      }
+    }
+    rows.toSeq.toDF("merge_rank", "w1", "w2", "c").orderBy("merge_rank")
+  }
+}
+
+/** The BPE merge kernel: greedy leftmost non-overlapping replacement
+  * of an adjacent symbol pair — the sequential form of the oracle's
+  * islands construction (see [[TextAnalysis.bpeOracle]]).
+  */
+object BpeKernel {
+  def applyMerge(ts: Array[String], a: String, b: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](ts.length)
+    var i = 0
+    while (i < ts.length) {
+      if (i + 1 < ts.length && ts(i) == a && ts(i + 1) == b) { out += a + b; i += 2 }
+      else { out += ts(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  def applyAll(ts: Array[String], merges: List[(String, String)]): Array[String] =
+    merges.foldLeft(ts) { case (cur, (a, b)) => applyMerge(cur, a, b) }
 }

@@ -39,6 +39,36 @@ class TextAnalysisSpec extends SparkSpec {
     rows.values.foreach { case (_, s, a) => assert(s >= 0L && a >= 0.0) }
   }
 
+  test("BpeKernel.applyMerge is greedy leftmost non-overlapping") {
+    def m(ts: String*)(a: String, b: String): Seq[String] =
+      BpeKernel.applyMerge(ts.toArray, a, b).toSeq
+    assert(m("a", "b", "c")("a", "b") == Seq("ab", "c"))
+    assert(m("a", "a", "a")("a", "a") == Seq("aa", "a"))
+    assert(m("a", "a", "a", "a")("a", "a") == Seq("aa", "aa"))
+    assert(m("x", "a", "b", "a", "b")("a", "b") == Seq("x", "ab", "ab"))
+    assert(m("a")("a", "a") == Seq("a"))
+    assert(m()("a", "b") == Seq())
+    // merged token can participate in later rules, not the same pass
+    assert(m("a", "b", "b")("a", "b") == Seq("ab", "b"))
+  }
+
+  test("x14 learns deterministic merges with non-increasing selection counts") {
+    val rows = TextAnalysis.x14.fn(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // contiguous ranks from 1
+    assert(rows.map(_._1).toSeq == (1L to rows.length).toSeq)
+    // a merge can only create pairs at most as frequent as the merge
+    // itself consumed, and never raises an existing pair's count — so
+    // selection counts are non-increasing
+    val cs = rows.map(_._4).toSeq
+    assert(cs == cs.sorted.reverse, s"counts must be non-increasing: $cs")
+    // determinism across runs
+    val again = TextAnalysis.x14.fn(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("x13 is deterministic across runs and partitionings") {
     val a = TextAnalysis.x13.fn(spark, "/root/testdata/sf0.001").collect().toSeq
     spark.sharedState.cacheManager.clearCache()
