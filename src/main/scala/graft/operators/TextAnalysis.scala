@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   def queries: Seq[QueryDef] =
-    Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14)
+    Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15)
 
   /** x13's ln lookup table: round(ln(n)·10⁹) for n = 1..4094, computed
     * ONCE here and embedded as a literal in BOTH the Spark plan and
@@ -661,7 +661,17 @@ object TextAnalysis {
     * un-consumed. LEFT JOIN ON TRUE (not CROSS JOIN) against the
     * 1-row argmax keeps all sequences alive when no pair exists.
     */
-  private def bpeOracle(n: Int): String = {
+  private def bpeOracle(n: Int): String =
+    bpeOracleChain(n) + "\n      SELECT * FROM (" +
+      (1 to n)
+        .map(i => s"SELECT CAST($i AS BIGINT) AS merge_rank, w1, w2, c FROM b$i")
+        .mkString(" UNION ALL ") +
+      ") ORDER BY merge_rank"
+
+  /** The WITH-chain alone (seq1..seq{n+1} + per-iteration CTEs), shared
+    * by x14 (emits the rules) and x15 (emits the final tokenization).
+    */
+  private def bpeOracleChain(n: Int): String = {
     val sb = new StringBuilder
     sb.append("""WITH seq1 AS MATERIALIZED (
       SELECT doc_id * 100000 + wp AS wid,
@@ -696,11 +706,6 @@ object TextAnalysis {
         WHERE sp.j IS NULL
         GROUP BY m.wid)""")
     }
-    sb.append("\n      SELECT * FROM (")
-    sb.append((1 to n)
-      .map(i => s"SELECT CAST($i AS BIGINT) AS merge_rank, w1, w2, c FROM b$i")
-      .mkString(" UNION ALL "))
-    sb.append(") ORDER BY merge_rank")
     sb.toString
   }
 
@@ -722,6 +727,32 @@ object TextAnalysis {
   val x14 = QueryDef(
     "x14_bpe_merges",
     Some(bpeOracle(BpeMerges))) { (s, d) =>
+    import s.implicits._
+    learnBpe(s, d).toDF("merge_rank", "w1", "w2", "c").orderBy("merge_rank")
+  }
+
+  /** The learned-tokenizer memo: x14 (emit the rules) and x15 (apply
+    * them) share one training run per (catalog, source content) — the
+    * q37/s05 build-once discipline applied to a MODEL artifact.
+    */
+  private val bpeLearned =
+    new graft.engine.CatalogMemo[Seq[(Long, String, String, Long)]]
+
+  /** Train-once BPE: returns (rank, w1, w2, count) rows, memoized.
+    * See [[x14]]'s doc for the algorithm and scale design.
+    */
+  private[operators] def learnBpe(
+      s: org.apache.spark.sql.SparkSession, d: String): Seq[(Long, String, String, Long)] = {
+    val ck = graft.engine.CatalogMemo.contentKey(d)
+    bpeLearned.get(s.sharedState, ck).getOrElse {
+      val learned = trainBpe(s, d)
+      bpeLearned.put(s.sharedState, ck, learned)
+      learned
+    }
+  }
+
+  private def trainBpe(
+      s: org.apache.spark.sql.SparkSession, d: String): Seq[(Long, String, String, Long)] = {
     import s.implicits._
     // The standard BPE-trainer reduction: learn over the WORD-
     // FREQUENCY DICTIONARY, not word instances — every pair count is
@@ -790,7 +821,68 @@ object TextAnalysis {
         rank += 1
       }
     }
-    rows.toSeq.toDF("merge_rank", "w1", "w2", "c").orderBy("merge_rank")
+    rows.toSeq
+  }
+
+  /** Tokenize the corpus with the x14-learned tokenizer — closing the
+    * construction→application loop: per document, word count, BPE
+    * token count and character count under the learned rules, plus
+    * chars-per-token (the compression ratio a tokenizer is judged by).
+    *
+    * Scale shape: training is memoized ([[learnBpe]] — pay once per
+    * catalog+content, the q37/s05 discipline); tokenization applies
+    * the 16 rules to the DISTINCT-word dictionary only (vocab-sized
+    * narrow map), then per-doc counts ride an unhinted join of word
+    * instances against that dictionary — AQE broadcasts the tokenized
+    * vocab while it fits, shuffles when it doesn't (d03 policy). The
+    * oracle re-runs the full 16-iteration chain on word instances and
+    * aggregates seq17 per document — same values, independently
+    * derived.
+    */
+  val x15 = QueryDef(
+    "x15_bpe_tokenize",
+    Some(bpeOracleChain(BpeMerges) + s""",
+      fin AS (SELECT wid, len(ts) AS nt FROM seq${BpeMerges + 1}),
+      orig AS (SELECT wid // 100000 AS doc_id, wid, len(ts) AS nc FROM seq1),
+      agg AS (SELECT orig.doc_id, count(*) AS n_words,
+                CAST(sum(fin.nt) AS BIGINT) AS n_bpe_tokens,
+                CAST(sum(orig.nc) AS BIGINT) AS n_chars
+              FROM orig JOIN fin USING (wid)
+              GROUP BY orig.doc_id)
+      SELECT t.doc_id, coalesce(agg.n_words, 0) AS n_words,
+        coalesce(agg.n_bpe_tokens, 0) AS n_bpe_tokens,
+        coalesce(agg.n_chars, 0) AS n_chars,
+        CASE WHEN coalesce(agg.n_bpe_tokens, 0) = 0 THEN 0.0
+             ELSE CAST(agg.n_chars AS DOUBLE) / CAST(agg.n_bpe_tokens AS DOUBLE)
+        END AS chars_per_token
+      FROM documents t LEFT JOIN agg ON t.doc_id = agg.doc_id
+      ORDER BY t.doc_id""")) { (s, d) =>
+    import s.implicits._
+    val rules = learnBpe(s, d).map(m => (m._2, m._3)).toList
+    val docs = Tables.documents(s, d)
+    val words = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+    // tokenize the DISTINCT vocabulary once (narrow, vocab-sized)…
+    val dictTok = words.select("w").distinct().as[String]
+      .map(w => (w, BpeKernel.applyAll(w.map(_.toString).toArray, rules).length.toLong))
+      .toDF("w", "nt")
+    // …then count per doc via the unhinted instance×vocab join
+    val agg = words.join(dictTok, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("nt").as("n_bpe_tokens"),
+        sum(length(col("w")).cast("long")).as("n_chars"))
+    docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        big(coalesce(col("n_words"), lit(0L))).as("n_words"),
+        big(coalesce(col("n_bpe_tokens"), lit(0L))).as("n_bpe_tokens"),
+        big(coalesce(col("n_chars"), lit(0L))).as("n_chars"),
+        when(coalesce(col("n_bpe_tokens"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+          .as("chars_per_token"))
+      .orderBy("doc_id")
   }
 }
 

@@ -69,6 +69,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("x15 tokenization compresses: tokens <= chars, ratio >= 1 for non-empty docs") {
+    val rows = TextAnalysis.x15.fn(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nw, nt, nc, ratio) =>
+      // merging only ever concatenates: word count <= tokens <= chars
+      assert(nw <= nt && nt <= nc, s"doc $id: $nw words, $nt tokens, $nc chars")
+      if (nt > 0) assert(ratio >= 1.0 && ratio == nc.toDouble / nt.toDouble)
+      else assert(ratio == 0.0)
+    }
+    // 16 learned merges on a natural-ish corpus must actually compress
+    val totTok = rows.map(_._3).sum
+    val totChar = rows.map(_._4).sum
+    assert(totTok < totChar, "learned merges should reduce token count below chars")
+  }
+
   test("x13 is deterministic across runs and partitionings") {
     val a = TextAnalysis.x13.fn(spark, "/root/testdata/sf0.001").collect().toSeq
     spark.sharedState.cacheManager.clearCache()
