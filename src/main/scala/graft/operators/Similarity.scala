@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def queries: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06)
+  def queries: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07)
 
   /** s05's build memo: catalog → (source content key, trained
     * centroids). Same success-only discipline as q37's layout memo;
@@ -205,9 +205,16 @@ object Similarity {
     }.toSeq.sortBy(_._1)
 
   private[operators] def cellOf(
-      cents: Seq[(Long, Array[Double], Double)]): org.apache.spark.sql.Column = {
+      cents: Seq[(Long, Array[Double], Double)]): org.apache.spark.sql.Column =
+    cellOf(cents, col("v"))
+
+  /** Argmin-centroid assignment over an arbitrary vector column (s07
+    * encodes each SUBVECTOR with its own codebook through this).
+    */
+  private[operators] def cellOf(cents: Seq[(Long, Array[Double], Double)],
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val scores = cents.map { case (_, cd, cn2) =>
-      lit(cn2) - lit(2.0) * call_function("vec_dot", col("v"), lit(cd)) }
+      lit(cn2) - lit(2.0) * call_function("vec_dot", v, lit(cd)) }
     val best = least(scores: _*)
     cents.zip(scores).init.foldRight(lit(cents.last._1)) {
       case (((cell, _, _), sc), alt) => when(sc === best, lit(cell)).otherwise(alt)
@@ -392,6 +399,161 @@ object Similarity {
         .where(col("rn") <= 3)
         .select(col("va"), col("nn"), col("nn_cell"), col("c").as("cos_sim"))
         .orderBy(col("va"), col("cos_sim").desc, col("nn"))
+    }
+  }
+
+  /** s07 PQ geometry: M subspaces × SubDim dims, K codes per
+    * codebook, R k-means iterations — 64 dims → M codes, a 64×
+    * memory compression (512 B of doubles → 8 B of codes).
+    */
+  private val PqM = 8
+  private val PqSubDim = 8
+  private val PqK = 8
+  private val PqRounds = 2
+
+  /** s07's trained codebooks, memoized per (catalog, content) — the
+    * build-once discipline (s05/s06/x14/x15).
+    */
+  private val pqBuilt =
+    new graft.engine.CatalogMemo[Seq[Seq[(Long, Array[Double], Double)]]]
+
+  /** DuckDB strict-fold dot over the first `n` elements (1-based). */
+  private def duckDotN(a: String, b: String, n: Int): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${n + 1}), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+
+  /** Per-subspace oracle chain: sub → init → (assign → centroids) ×
+    * rounds → final assign (the codes). Same fixed-point discipline
+    * as [[duckAssign]]/[[duckCentroids]], on [[PqSubDim]]-dim slices.
+    */
+  private def duckPqSubspace(m: Int): String = {
+    val lo = m * PqSubDim + 1
+    val hi = (m + 1) * PqSubDim
+    def assign(cents: String, name: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, sv, cell FROM (
+         |    SELECT s.vec_id, s.sv, q.cell,
+         |           row_number() OVER (PARTITION BY s.vec_id
+         |             ORDER BY (q.cn2 - 2 * ${duckDotN("s.sv", "q.cd", PqSubDim)}), q.cell) AS rn
+         |    FROM sub$m s CROSS JOIN (
+         |      SELECT cell, cd, ${duckDotN("cd", "cd", PqSubDim)} AS cn2
+         |      FROM (SELECT cell, list_transform(c, y -> y / 1000000.0) AS cd FROM $cents)) q)
+         |  WHERE rn = 1)""".stripMargin
+    def cents(assigned: String, name: String): String =
+      s"""$name AS (
+         |  SELECT cell, list(ci ORDER BY pos) AS c FROM (
+         |    SELECT cell, pos, CAST(trunc(sum(xi) / count(*)) AS BIGINT) AS ci FROM (
+         |      SELECT a.cell, r.pos, CAST(round(a.sv[r.pos + 1] * 1000000) AS BIGINT) AS xi
+         |      FROM $assigned a, unnest(range(0, $PqSubDim)) AS r(pos))
+         |    GROUP BY cell, pos)
+         |  GROUP BY cell)""".stripMargin
+    val sb = new StringBuilder
+    sb.append(s"""sub$m AS (SELECT vec_id, v[$lo:$hi] AS sv FROM n),
+      init$m AS (
+        SELECT cell, list_transform(sv, x -> CAST(round(x * 1000000) AS BIGINT)) AS c FROM (
+          SELECT vec_id % $PqK AS cell, sv,
+                 row_number() OVER (PARTITION BY vec_id % $PqK ORDER BY vec_id) AS rn
+          FROM sub$m)
+        WHERE rn = 1)""")
+    var prev = s"init$m"
+    for (r <- 1 to PqRounds) {
+      sb.append(",\n" + assign(prev, s"a${r}_$m") + ",\n" + cents(s"a${r}_$m", s"c${r}_$m"))
+      prev = s"c${r}_$m"
+    }
+    // codes = assignment against the FINAL codebook
+    sb.append(",\n" + assign(prev, s"codes$m"))
+    sb.append(s""",
+      qs$m AS (SELECT sv FROM sub$m WHERE vec_id = 0),
+      lut$m AS (SELECT cc.cell, ${duckDotN("q.sv", "cc.cd", PqSubDim)} AS val
+        FROM (SELECT cell, list_transform(c, y -> y / 1000000.0) AS cd FROM $prev) cc
+        CROSS JOIN qs$m q)""")
+    sb.toString
+  }
+
+  /** Product quantization ANN — the COMPRESSION half of IVF-PQ,
+    * completing the s04/s05/s06 coarse-quantizer story: each vector's
+    * 64 doubles (512 B) are encoded as [[PqM]] 3-bit codes (one
+    * argmin per 8-dim subspace against a per-subspace trained
+    * codebook), and the query scores candidates WITHOUT touching the
+    * raw vectors — adc_dot = Σₘ LUT[m][codeₘ], where the LUT holds the
+    * query-subvector · centroid dots (8 lookups + 7 adds per vector).
+    * This is how a billion-vector corpus fits ANN in RAM: 64×
+    * compression, table-lookup scoring, exact re-rank only on the
+    * shortlist (emitted here as the exact cos_sim column).
+    *
+    * Determinism/oracle: per-subspace k-means reuses the s04
+    * fixed-point discipline (BIGINT centroid sums, trunc division,
+    * tie → lowest cell), the LUT values are strict-fold dots of
+    * (raw-double query subvector) × (fixed-point centroid / 10⁶), and
+    * the ADC sum is a FIXED left-associated 8-term chain — identical
+    * IEEE operands and order in both engines. The oracle unrolls all
+    * 8 subspaces × 2 training rounds + encoding + LUT + scoring.
+    * Training is memoized per (catalog, content); encoding and
+    * scoring are narrow codegen'd projections (zero joins, zero
+    * shuffles) feeding one TakeOrderedAndProject.
+    */
+  val s07 = QueryDef(
+    "s07_pq_adc",
+    Some {
+      val subspaces = (0 until PqM).map(duckPqSubspace).mkString(",\n      ")
+      val joins = (0 until PqM).map(m =>
+        s"JOIN codes$m cd$m ON cd$m.vec_id = n.vec_id JOIN lut$m l$m ON l$m.cell = cd$m.cell")
+        .mkString("\n        ")
+      val adc = (0 until PqM).map(m => s"l$m.val").mkString(" + ")
+      s"""${Vec.duckNormCte},
+      $subspaces,
+      qq AS (SELECT v, nrm FROM n WHERE vec_id = 0)
+      SELECT n.vec_id, ($adc) AS adc_dot,
+             ${Vec.duckDot("n.v", "qq.v")} / (n.nrm * qq.nrm) AS cos_sim
+      FROM n $joins CROSS JOIN qq
+      WHERE n.vec_id <> 0
+      ORDER BY adc_dot DESC, n.vec_id LIMIT 20"""
+    }) { (s, d) =>
+    val e = Vec.withNorm(Tables.embeddings(s, d)).cache()
+    val ck = graft.engine.CatalogMemo.contentKey(d)
+    val codebooks = pqBuilt.get(s.sharedState, ck).getOrElse {
+      val trained = (0 until PqM).map { m =>
+        trainQuantizer(
+          e.select(col("vec_id"), expr(s"slice(v, ${m * PqSubDim + 1}, $PqSubDim)").as("v")),
+          PqK, PqRounds)
+      }
+      if (trained.forall(_.nonEmpty)) pqBuilt.put(s.sharedState, ck, trained)
+      trained
+    }
+    val qRowOpt = e.filter(col("vec_id") === 0)
+      .select(col("v"), col("nrm")).collect().headOption
+    if (codebooks.exists(_.isEmpty) || qRowOpt.isEmpty)
+      e.limit(0).select(col("vec_id"), lit(0.0).as("adc_dot"), lit(0.0).as("cos_sim"))
+    else {
+      val qRow = qRowOpt.get
+      val qv = qRow.getSeq[Double](0).toArray
+      val qnrm = qRow.getDouble(1)
+      // LUT: query-subvector · centroid, strict fold — the exact
+      // arithmetic of the oracle's lut$m CTEs, computed once on the
+      // driver (M × K doubles — the whole point of PQ scoring)
+      val lut: Seq[Array[Double]] = (0 until PqM).map { m =>
+        val arr = new Array[Double](PqK)
+        codebooks(m).foreach { case (cell, cd, _) =>
+          var dp = 0.0
+          var i = 0
+          while (i < cd.length) { dp += qv(m * PqSubDim + i) * cd(i); i += 1 }
+          arr(cell.toInt) = dp
+        }
+        arr
+      }
+      // adc = fixed left-assoc 8-term chain of LUT lookups; code_m is
+      // a narrow argmin over the subvector — all codegen, no shuffle
+      val adc = (0 until PqM).map { m =>
+        element_at(lit(lut(m)),
+          (cellOf(codebooks(m), expr(s"slice(v, ${m * PqSubDim + 1}, $PqSubDim)")) + lit(1L))
+            .cast("int"))
+      }.reduceLeft(_ + _)
+      e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), adc.as("adc_dot"),
+          (call_function("vec_dot", col("v"), lit(qv)) / (col("nrm") * lit(qnrm)))
+            .as("cos_sim"))
+        .orderBy(col("adc_dot").desc, col("vec_id"))
+        .limit(20)
+        .orderBy(col("adc_dot").desc, col("vec_id"))
     }
   }
 

@@ -116,6 +116,29 @@ class SimilaritySpec extends SparkSpec {
       s"expected exactly one shuffle (probe side only), got $nShuffles:\n${plan.take(1500)}")
   }
 
+  test("s07 PQ: shuffle-free ADC scoring, deterministic, useful recall") {
+    val df = Similarity.s07.fn(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // scoring is a narrow projection into the fused top-k: no shuffle
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"ADC scoring must not shuffle:\n${plan.take(900)}")
+    assert(plan.contains("TakeOrderedAndProject"))
+    val rows = df.collect()
+    assert(rows.length == 20)
+    val adc = rows.map(_.getDouble(1)).toSeq
+    assert(adc == adc.sorted.reverse) // ordered by the approximate score
+    // deterministic across runs (trained codebooks memoized + replayable)
+    val again = Similarity.s07.fn(spark, dir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // recall sanity vs the exact brute-force top-20 (s01 includes the
+    // query itself, so 19 is the ceiling): aggressive 8x3-bit codes
+    // without re-rank measured 7/19 here — pin a conservative floor,
+    // the point of the emitted exact cos_sim being the re-rank input
+    val exact = Similarity.s01.fn(spark, dir).collect().map(_.getLong(0)).toSet
+    val overlap = rows.map(_.getLong(0)).count(exact)
+    assert(overlap >= 4, s"PQ recall collapsed: $overlap/19 of exact top-20")
+  }
+
   test("s05 memo: unchanged dir reuses the index; a rewritten dir rebuilds it") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val work = Files.createTempDirectory("graft-s05-memo").toString
