@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object Relational {
 
   def queries: Seq[QueryDef] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q33, q37, q39, q42)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q33, q37, q39, q42, q43)
 
   /** FULL OUTER join with all three match classes live: customers are
     * filtered to positive balances so orders from excluded customers
@@ -159,6 +159,82 @@ object Relational {
       .agg(big(count(lit(1))).as("n"),
         coalesce(xsum2(col("l_quantity")), lit(0.0)).as("sum_qty"),
         big(coalesce(sum("l_partkey"), lit(0L))).as("sum_pk"))
+  }
+
+  /** Changelog APPLY (CDC upsert / SCD-1 MERGE) — the apply-side
+    * counterpart of q41's compaction, and the core incremental-refresh
+    * operation of any snapshot+CDC pipeline: compact a keyed changelog
+    * to its latest operation per key (q41's `max_by` partial aggregate
+    * — no window sort), then merge onto the snapshot with upsert /
+    * delete / insert semantics in ONE full-outer join:
+    *
+    *   - key only in snapshot           → kept
+    *   - latest op 'U', key in snapshot → updated (new price)
+    *   - latest op 'U', key absent      → inserted
+    *   - latest op 'D'                  → dropped
+    *
+    * All four classes are live on this data (the snapshot excludes
+    * o_orderkey % 13 = 0, so changelog rows for those keys insert).
+    * The changelog is synthesized deterministically from lineitem
+    * (key = l_orderkey, seq = l_linenumber, op = 'D' iff
+    * (l_orderkey + l_linenumber) % 11 = 0) — the x10 synthesis
+    * pattern, replayed by the oracle. At 100 TB: one shuffle to
+    * compact (partial-agg), one shuffled outer join on the key — the
+    * same cost as q39; Spark-only MERGE without a table format, which
+    * is exactly what an engine-level CDC apply is.
+    */
+  val q43 = QueryDef(
+    "q43_changelog_apply",
+    Some("""WITH snap AS (SELECT o_orderkey AS key, o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey % 13 <> 0),
+      cl AS (SELECT l_orderkey AS key, l_linenumber AS seq,
+          CASE WHEN (l_orderkey + l_linenumber) % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+          l_extendedprice AS price
+        FROM lineitem),
+      comp AS (SELECT key, op, price FROM (
+          SELECT key, op, price,
+                 row_number() OVER (PARTITION BY key
+                   ORDER BY seq DESC, price DESC, op DESC) AS rn
+          FROM cl) WHERE rn = 1)
+      SELECT coalesce(s.key, c.key) AS key,
+        CASE WHEN s.key IS NULL THEN '(new)' ELSE s.o_orderpriority END AS priority,
+        CASE WHEN c.key IS NULL THEN s.o_totalprice ELSE c.price END AS price,
+        CASE WHEN c.key IS NULL THEN 'kept'
+             WHEN s.key IS NULL THEN 'inserted'
+             ELSE 'updated' END AS change
+      FROM snap s FULL OUTER JOIN comp c ON s.key = c.key
+      WHERE c.key IS NULL OR c.op <> 'D'
+      ORDER BY key""")) { (s, d) =>
+    val snap = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 13 =!= 0)
+      .select(col("o_orderkey").as("key"),
+        col("o_orderpriority"), col("o_totalprice"))
+    val cl = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("key"),
+        col("l_linenumber").as("seq"),
+        when((col("l_orderkey") + col("l_linenumber")) % 11 === 0, lit("D"))
+          .otherwise(lit("U")).as("op"),
+        col("l_extendedprice").as("price"))
+    // q41 discipline: latest-per-key as a partial-aggregating max_by,
+    // never a window sort over the changelog. The synthetic changelog
+    // has duplicate seq values per key (driver data), so the pick
+    // order is made TOTAL over the emitted values (seq, price, op) —
+    // full duplicates then agree on what they emit either way.
+    val comp = cl.groupBy("key")
+      .agg(max_by(struct(col("op"), col("price")),
+        struct(col("seq"), col("price"), col("op"))).as("m"))
+      .select(col("key"), col("m.op").as("op"), col("m.price").as("cprice"))
+    snap.join(comp, Seq("key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("key"),
+        when(col("o_orderpriority").isNull && col("op").isNotNull, lit("(new)"))
+          .otherwise(col("o_orderpriority")).as("priority"),
+        when(col("op").isNull, col("o_totalprice"))
+          .otherwise(col("cprice")).as("price"),
+        when(col("op").isNull, lit("kept"))
+          .when(col("o_orderpriority").isNull, lit("inserted"))
+          .otherwise(lit("updated")).as("change"))
+      .orderBy("key")
   }
 
   /** Runtime bloom-filter pre-filtering for a selective semi join —
