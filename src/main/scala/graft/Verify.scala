@@ -33,8 +33,14 @@ object Verify {
       // only entries named like registry queries ([qdsexm]NN_...) that
       // also LOOK like dumps (parquet commit marker or part files,
       // covering dumps interrupted before _SUCCESS) are eligible.
+      // Proof = oracle_sql.json (written at the END of a completed
+      // run) OR the .graft-verify marker (written at the START of
+      // every run, below) — the marker closes the hole where run A
+      // dies mid-dump before oracle_sql.json exists and run B would
+      // otherwise skip cleanup over A's stale directories.
       val provenVerifyDir =
-        new java.io.File(outDir, "oracle_sql.json").isFile
+        new java.io.File(outDir, "oracle_sql.json").isFile ||
+          new java.io.File(outDir, ".graft-verify").isFile
       val registryName = "^[a-z]\\d\\d_[a-z0-9_]+$".r
       def looksLikeDump(f: java.io.File): Boolean =
         f.isDirectory && registryName.matches(f.getName) &&
@@ -53,6 +59,8 @@ object Verify {
           rm(f)
         }
     }
+    // Claim the directory BEFORE dumping (see provenVerifyDir above).
+    Files.writeString(Paths.get(s"$outDir/.graft-verify"), "")
     selected.foreach { case (name, fn) =>
       // queries like d03/x07 cache() shingle tables; in this
       // long-lived loop distinct entries would otherwise accumulate

@@ -45,23 +45,33 @@ final class CatalogMemo[V] {
 
 object CatalogMemo {
   /** Content identity of a source directory: path plus a recursive
-    * (file count, max mtime, total bytes) fold. Not cryptographic —
-    * it catches the realistic rewrite (new part files, new timestamps,
-    * different sizes), and the listing cost is the same O(files) walk
-    * any Spark read of the directory performs. A same-millisecond
-    * same-size in-place overwrite can still alias; callers needing
-    * stronger guarantees should version their paths (the standard
-    * data-lake discipline).
+    * (file count, max mtime, total bytes) fold, through the HADOOP
+    * FileSystem API so any scheme the engine can read (file://,
+    * hdfs://, s3a://) gets real rewrite detection — a java.io walk
+    * would silently return zeros for remote URIs and the memo would
+    * never invalidate on exactly the deployments it exists for. Not
+    * cryptographic — it catches the realistic rewrite (new part
+    * files, new timestamps, different sizes), and the listing cost is
+    * the same O(files) walk any read of the directory performs. A
+    * same-millisecond same-size in-place overwrite can still alias;
+    * callers needing stronger guarantees should version their paths
+    * (the standard data-lake discipline).
     */
-  def contentKey(dir: String): String = {
-    def walk(f: java.io.File): (Long, Long, Long) =
-      if (f.isFile) (1L, f.lastModified, f.length)
-      else Option(f.listFiles).getOrElse(Array.empty[java.io.File])
-        .foldLeft((0L, 0L, 0L)) { case ((c, mt, b), child) =>
-          val (c2, mt2, b2) = walk(child)
-          (c + c2, math.max(mt, mt2), b + b2)
-        }
-    val (c, mt, b) = walk(new java.io.File(dir))
-    s"$dir|$c|$mt|$b"
+  def contentKey(dir: String,
+      conf: org.apache.hadoop.conf.Configuration): String = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(conf)
+    if (!fs.exists(path)) s"$dir|missing"
+    else {
+      var c = 0L; var mt = 0L; var b = 0L
+      val it = fs.listFiles(path, true)
+      while (it.hasNext) {
+        val f = it.next()
+        c += 1
+        mt = math.max(mt, f.getModificationTime)
+        b += f.getLen
+      }
+      s"$dir|$c|$mt|$b"
+    }
   }
 }

@@ -403,7 +403,28 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
       bloomCol: Option[String] = None): Unit = {
     require(rangePartitions > 0,
       s"graft: rangePartitions must be positive, got $rangePartitions")
-    val z = Engine.zOrder(df.col(colA), df.col(colB))
+    // Range-normalize each key to a 16-bit code BEFORE interleaving:
+    // interleaving raw low bits would alias values 2^16 apart into the
+    // same Z position and the pruning would collapse once a key domain
+    // exceeds 65535. The min/max pair per column is one tiny write-time
+    // aggregate (two driver scalars per column — the same class of
+    // stat the Parquet footer itself stores); the code is
+    // (v−min)·65535 / span with integral arithmetic, monotone per
+    // column, so row-group min/max stats stay faithful to the raw
+    // values. (span·65535 needs |span| < 2^47 — any realistic key.)
+    import org.apache.spark.sql.functions.{lit, max => fmax, min => fmin}
+    val st = df.agg(
+      fmin(df.col(colA).cast("long")), fmax(df.col(colA).cast("long")),
+      fmin(df.col(colB).cast("long")), fmax(df.col(colB).cast("long"))).collect()(0)
+    def bounds(i: Int): (Long, Long) =
+      if (st.isNullAt(i)) (0L, 1L) // empty input: any constant code
+      else (st.getLong(i), math.max(1L, st.getLong(i + 1) - st.getLong(i)))
+    val (aMin, aSpan) = bounds(0)
+    val (bMin, bSpan) = bounds(2)
+    def code(c: org.apache.spark.sql.Column, mn: Long, span: Long) =
+      (c.cast("long") - lit(mn)) * lit(65535L) / lit(span)
+    val z = Engine.zOrder(
+      code(df.col(colA), aMin, aSpan), code(df.col(colB), bMin, bSpan))
     stage("upload") {
       spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
       val loc = new Path(spark.sessionState.catalog.defaultTablePath(
@@ -472,11 +493,14 @@ object Engine {
     * long-castable columns — a(i) lands at bit 2i+1, b(i) at bit 2i.
     * Built as a 32-term OR chain of shift/mask Column ops: pure
     * codegen'd projection, evaluated once per row at WRITE time only.
-    * 16 bits/dimension distinguishes 65k positions per axis — more
-    * than the row-group count at any plausible table size, which is
-    * all a CLUSTERING key needs (ties within a row group cost
-    * nothing). Values must be non-negative (key columns: ids, days);
-    * negative values would need a sign-flip normalization first.
+    *
+    * This is the PRIMITIVE: inputs must already fit 16 bits and be
+    * non-negative — [[Engine.archiveClustered]] feeds it range-
+    * normalized (v−min)·65535/span codes, so any key domain maps onto
+    * the full 16-bit grid (raw values beyond 2^16 would alias). 65k
+    * positions per axis is more than the row-group count at any
+    * plausible table size, which is all a CLUSTERING key needs (ties
+    * within a row group cost nothing).
     */
   def zOrder(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}

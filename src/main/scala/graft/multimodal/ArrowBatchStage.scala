@@ -1,10 +1,10 @@
 package graft.multimodal
 
-import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.memory.{ArrowBuf, RootAllocator}
 import org.apache.arrow.vector.{BigIntVector, VarBinaryVector, VarCharVector, VectorSchemaRoot}
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
 
 /** Columnar (Arrow-batch) stage for binary payloads — the Scala-native
   * equivalent of PySpark's `mapInArrow`.
@@ -19,24 +19,24 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   *   rows ─(batch fill)→ VectorSchemaRoot[asset_id, data]
   *        ─(kernel: one pass over the contiguous value buffer,
   *          row boundaries from the offset buffer)→
-  *        VectorSchemaRoot[asset_id, byte_len, ws_count, checksum]
+  *        VectorSchemaRoot[out columns]
   *        ─(drain)→ rows
   *
   * Why bother with Arrow at all in-JVM? The batch hand-off point is
   * exactly where a native media codec plugs in: a real decoder
   * (libjpeg/ffmpeg behind JNI or the Arrow C Data Interface) consumes
-  * an Arrow batch pointer without copying. This stage keeps that seam
-  * real — schema, batch shape, buffer layout — while the kernel itself
-  * is codec-free byte arithmetic (this container ships no codecs),
+  * an Arrow batch pointer without copying — and [[decodeImages]] runs
+  * a REAL codec (the JDK's javax.imageio) at exactly that seam, while
+  * [[byteStats]] keeps the codec-free byte-arithmetic kernel,
   * oracle-checkable against DuckDB recomputing the same features from
   * the source text (ASCII corpus: codepoints = bytes, proven by m01).
   *
   * Design for 100 TB:
   *   - one allocator + two roots per PARTITION (not per batch), reused
   *     across batches; constant memory ∝ batch size, never ∝ partition.
-  *   - the kernel does ONE bulk copy of the batch's value region into a
-  *     reusable scratch array, then a single tight primitive-array pass
-  *     — no per-row `Array[Byte]` allocation, no per-byte JNI chatter.
+  *   - each batch does ONE bulk copy of its value region into a
+  *     reusable scratch array, then tight primitive-array passes —
+  *     no per-row `Array[Byte]` allocation, no per-byte JNI chatter.
   *   - stays a narrow map stage: no shuffle, pipelines with the scan.
   *
   * Reference: chiv treats every cell as an opaque byte string
@@ -55,24 +55,29 @@ object ArrowBatchStage {
 
   private val Mod = 1000000007L
 
-  /** Per-asset byte stats computed batch-at-a-time over Arrow buffers:
-    * byte_len from the offset buffer alone, ws_count (bytes ≤ 0x20) and
-    * a ×131 rolling checksum from one pass over the value buffer.
+  private def bigint(name: String): Field =
+    new Field(name, FieldType.notNullable(new ArrowType.Int(64, true)), null)
+
+  /** The ONE copy of the load-bearing Arrow lifecycle, shared by every
+    * kernel: allocator + two roots per partition (freed exactly once
+    * at task completion), per-batch input fill, offset-buffer walk,
+    * overflow-safe scratch growth and the single bulk value-region
+    * copy. The `kernel` sees (input ids, scratch bytes, offset buffer,
+    * first-offset, row count, output root) and must fill the output
+    * root's vectors for rows 0..n-1; `drain` materializes each batch's
+    * rows so the roots can be refilled.
     */
-  def byteStats(assets: Dataset[Asset]): DataFrame = {
-    import assets.sparkSession.implicits._
+  private def binaryBatchStage[T: Encoder](assets: Dataset[Asset], outFields: () => Seq[Field])(
+      kernel: (BigIntVector, Array[Byte], ArrowBuf, Int, Int, VectorSchemaRoot) => Unit)(
+      drain: (VectorSchemaRoot, Int) => Array[T]): Dataset[T] = {
     assets.mapPartitions { it =>
       if (it.isEmpty) Iterator.empty
       else {
         val allocator = new RootAllocator()
         val inSchema = new Schema(java.util.Arrays.asList(
-          new Field("asset_id", FieldType.notNullable(new ArrowType.Int(64, true)), null),
+          bigint("asset_id"),
           new Field("data", FieldType.notNullable(ArrowType.Binary.INSTANCE), null)))
-        val outSchema = new Schema(java.util.Arrays.asList(
-          new Field("asset_id", FieldType.notNullable(new ArrowType.Int(64, true)), null),
-          new Field("byte_len", FieldType.notNullable(new ArrowType.Int(64, true)), null),
-          new Field("ws_count", FieldType.notNullable(new ArrowType.Int(64, true)), null),
-          new Field("checksum", FieldType.notNullable(new ArrowType.Int(64, true)), null)))
+        val outSchema = new Schema(java.util.Arrays.asList(outFields(): _*))
         val inRoot = VectorSchemaRoot.create(inSchema, allocator)
         val outRoot = VectorSchemaRoot.create(outSchema, allocator)
         // Roots/allocator live for the whole task; freed exactly once at
@@ -97,57 +102,70 @@ object ArrowBatchStage {
           }
           inRoot.setRowCount(n)
 
-          // ---- vectorized kernel (Arrow buffers → Arrow buffers) ----
           // Row boundaries come from the offset buffer (4-byte ints,
           // n+1 entries); the value region [first, last) is copied ONCE
-          // into the reusable scratch array and scanned in one pass.
+          // into the reusable scratch array.
           val offBuf = dataVec.getOffsetBuffer
           val first = offBuf.getInt(0L)
-          val last = offBuf.getInt(n * 4L)
-          val total = last - first
+          val total = offBuf.getInt(n * 4L) - first
           // grow-to-fit without Int overflow (a doubling of
           // highestOneBit would go negative near 2^31)
           if (scratch.length < total)
             scratch = new Array[Byte](math.max(total, math.min(scratch.length * 2L, Int.MaxValue - 16).toInt))
           dataVec.getDataBuffer.getBytes(first.toLong, scratch, 0, total)
 
-          val outId = outRoot.getVector("asset_id").asInstanceOf[BigIntVector]
-          val outLen = outRoot.getVector("byte_len").asInstanceOf[BigIntVector]
-          val outWs = outRoot.getVector("ws_count").asInstanceOf[BigIntVector]
-          val outCk = outRoot.getVector("checksum").asInstanceOf[BigIntVector]
-          i = 0
-          while (i < n) {
-            val s = offBuf.getInt(i * 4L) - first
-            val e = offBuf.getInt((i + 1) * 4L) - first
-            var ws = 0L
-            var h = 0L
-            var j = s
-            while (j < e) {
-              val b = scratch(j) & 0xff
-              if (b <= 0x20) ws += 1
-              h = (h * 131 + b) % Mod
-              j += 1
-            }
-            outId.setSafe(i, idVec.get(i))
-            outLen.setSafe(i, (e - s).toLong)
-            outWs.setSafe(i, ws)
-            outCk.setSafe(i, h)
-            i += 1
-          }
+          // ---- vectorized kernel (Arrow buffers → Arrow buffers) ----
+          kernel(idVec, scratch, offBuf, first, n, outRoot)
           outRoot.setRowCount(n)
 
           // ---- drain the output batch (Arrow → row) ----
           // Materialized per batch (≤ BatchRows tuples) so the output
           // root can be safely refilled by the next batch.
-          val out = new Array[(Long, Long, Long, Long)](n)
-          i = 0
-          while (i < n) {
-            out(i) = (outId.get(i), outLen.get(i), outWs.get(i), outCk.get(i))
-            i += 1
-          }
-          out
+          drain(outRoot, n)
         }
       }
+    }
+  }
+
+  /** Per-asset byte stats computed batch-at-a-time over Arrow buffers:
+    * byte_len from the offset buffer alone, ws_count (bytes ≤ 0x20) and
+    * a ×131 rolling checksum from one pass over the value buffer.
+    */
+  def byteStats(assets: Dataset[Asset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    // schema built INSIDE the task (Arrow Field isn't serializable)
+    binaryBatchStage[(Long, Long, Long, Long)](assets,
+      () => Seq(bigint("asset_id"), bigint("byte_len"), bigint("ws_count"), bigint("checksum"))) {
+      (idVec, scratch, offBuf, first, n, outRoot) =>
+        val outId = outRoot.getVector("asset_id").asInstanceOf[BigIntVector]
+        val outLen = outRoot.getVector("byte_len").asInstanceOf[BigIntVector]
+        val outWs = outRoot.getVector("ws_count").asInstanceOf[BigIntVector]
+        val outCk = outRoot.getVector("checksum").asInstanceOf[BigIntVector]
+        var i = 0
+        while (i < n) {
+          val s = offBuf.getInt(i * 4L) - first
+          val e = offBuf.getInt((i + 1) * 4L) - first
+          var ws = 0L
+          var h = 0L
+          var j = s
+          while (j < e) {
+            val b = scratch(j) & 0xff
+            if (b <= 0x20) ws += 1
+            h = (h * 131 + b) % Mod
+            j += 1
+          }
+          outId.setSafe(i, idVec.get(i))
+          outLen.setSafe(i, (e - s).toLong)
+          outWs.setSafe(i, ws)
+          outCk.setSafe(i, h)
+          i += 1
+        }
+    } { (outRoot, n) =>
+      val outId = outRoot.getVector("asset_id").asInstanceOf[BigIntVector]
+      val outLen = outRoot.getVector("byte_len").asInstanceOf[BigIntVector]
+      val outWs = outRoot.getVector("ws_count").asInstanceOf[BigIntVector]
+      val outCk = outRoot.getVector("checksum").asInstanceOf[BigIntVector]
+      Array.tabulate(n)(i => (outId.get(i), outLen.get(i), outWs.get(i), outCk.get(i)))
     }.toDF("asset_id", "byte_len", "ws_count", "checksum")
   }
 
@@ -163,96 +181,57 @@ object ArrowBatchStage {
     * dependencies.
     *
     * Quarantine policy: undecodable payloads (no registered reader,
-    * truncated stream) emit a `codec='undecodable'` sentinel row with
-    * width/height −1 — rows stay accountable (a corrupt shard is
-    * visible downstream, countable, and filterable) and one bad asset
-    * cannot kill a 100 TB job. Pinned in ArrowBatchSpec.
+    * truncated stream, malformed header, absurd declared canvas) emit
+    * a `codec='undecodable'` sentinel row with width/height −1 — rows
+    * stay accountable (a corrupt shard is visible downstream,
+    * countable, and filterable) and one bad asset cannot kill a
+    * 100 TB job. Pinned in ArrowBatchSpec.
     */
   def decodeImages(assets: Dataset[Asset]): DataFrame = {
     import assets.sparkSession.implicits._
-    assets.mapPartitions { it =>
-      if (it.isEmpty) Iterator.empty
-      else {
-        val allocator = new RootAllocator()
-        val inSchema = new Schema(java.util.Arrays.asList(
-          new Field("asset_id", FieldType.notNullable(new ArrowType.Int(64, true)), null),
-          new Field("data", FieldType.notNullable(ArrowType.Binary.INSTANCE), null)))
-        val outSchema = new Schema(java.util.Arrays.asList(
-          new Field("asset_id", FieldType.notNullable(new ArrowType.Int(64, true)), null),
-          new Field("codec", FieldType.notNullable(ArrowType.Utf8.INSTANCE), null),
-          new Field("width", FieldType.notNullable(new ArrowType.Int(64, true)), null),
-          new Field("height", FieldType.notNullable(new ArrowType.Int(64, true)), null),
-          new Field("r_sum", FieldType.notNullable(new ArrowType.Int(64, true)), null),
-          new Field("g_sum", FieldType.notNullable(new ArrowType.Int(64, true)), null),
-          new Field("b_sum", FieldType.notNullable(new ArrowType.Int(64, true)), null),
-          new Field("px_checksum", FieldType.notNullable(new ArrowType.Int(64, true)), null)))
-        val inRoot = VectorSchemaRoot.create(inSchema, allocator)
-        val outRoot = VectorSchemaRoot.create(outSchema, allocator)
-        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
-          inRoot.close(); outRoot.close(); allocator.close()
-        })
-        var scratch = new Array[Byte](64 * 1024)
-
-        it.grouped(BatchRows).flatMap { batch =>
-          val n = batch.size
-          val idVec = inRoot.getVector("asset_id").asInstanceOf[BigIntVector]
-          val dataVec = inRoot.getVector("data").asInstanceOf[VarBinaryVector]
-          idVec.reset(); dataVec.reset()
-          var i = 0
-          batch.foreach { a =>
-            idVec.setSafe(i, a.asset_id)
-            dataVec.setSafe(i, a.data)
-            i += 1
-          }
-          inRoot.setRowCount(n)
-
-          // batch value region → scratch once (as in byteStats); each
-          // row's image decodes from its [s, e) range of scratch
-          val offBuf = dataVec.getOffsetBuffer
-          val first = offBuf.getInt(0L)
-          val total = offBuf.getInt(n * 4L) - first
-          if (scratch.length < total)
-            scratch = new Array[Byte](math.max(total, math.min(scratch.length * 2L, Int.MaxValue - 16).toInt))
-          dataVec.getDataBuffer.getBytes(first.toLong, scratch, 0, total)
-
-          val outId = outRoot.getVector("asset_id").asInstanceOf[BigIntVector]
-          val outCodec = outRoot.getVector("codec").asInstanceOf[VarCharVector]
-          val outW = outRoot.getVector("width").asInstanceOf[BigIntVector]
-          val outH = outRoot.getVector("height").asInstanceOf[BigIntVector]
-          val outR = outRoot.getVector("r_sum").asInstanceOf[BigIntVector]
-          val outG = outRoot.getVector("g_sum").asInstanceOf[BigIntVector]
-          val outB = outRoot.getVector("b_sum").asInstanceOf[BigIntVector]
-          val outCk = outRoot.getVector("px_checksum").asInstanceOf[BigIntVector]
-          outCodec.reset()
-          i = 0
-          while (i < n) {
-            val s = offBuf.getInt(i * 4L) - first
-            val e = offBuf.getInt((i + 1) * 4L) - first
-            val dec = ImageCodecs.decode(scratch, s, e - s)
-              .getOrElse(ImageCodecs.Decoded("undecodable", -1, -1, 0L, 0L, 0L, 0L))
-            outId.setSafe(i, idVec.get(i))
-            outCodec.setSafe(i, dec.codec.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            outW.setSafe(i, dec.width.toLong)
-            outH.setSafe(i, dec.height.toLong)
-            outR.setSafe(i, dec.rSum)
-            outG.setSafe(i, dec.gSum)
-            outB.setSafe(i, dec.bSum)
-            outCk.setSafe(i, dec.pxChecksum)
-            i += 1
-          }
-          outRoot.setRowCount(n)
-
-          val out = new Array[(Long, String, Long, Long, Long, Long, Long, Long)](n)
-          i = 0
-          while (i < n) {
-            out(i) = (outId.get(i),
-              new String(outCodec.get(i), java.nio.charset.StandardCharsets.UTF_8),
-              outW.get(i), outH.get(i), outR.get(i), outG.get(i), outB.get(i), outCk.get(i))
-            i += 1
-          }
-          out
+    binaryBatchStage[(Long, String, Long, Long, Long, Long, Long, Long)](assets,
+      () => Seq(bigint("asset_id"),
+        new Field("codec", FieldType.notNullable(ArrowType.Utf8.INSTANCE), null),
+        bigint("width"), bigint("height"),
+        bigint("r_sum"), bigint("g_sum"), bigint("b_sum"), bigint("px_checksum"))) {
+      (idVec, scratch, offBuf, first, n, outRoot) =>
+        val outId = outRoot.getVector("asset_id").asInstanceOf[BigIntVector]
+        val outCodec = outRoot.getVector("codec").asInstanceOf[VarCharVector]
+        val outW = outRoot.getVector("width").asInstanceOf[BigIntVector]
+        val outH = outRoot.getVector("height").asInstanceOf[BigIntVector]
+        val outR = outRoot.getVector("r_sum").asInstanceOf[BigIntVector]
+        val outG = outRoot.getVector("g_sum").asInstanceOf[BigIntVector]
+        val outB = outRoot.getVector("b_sum").asInstanceOf[BigIntVector]
+        val outCk = outRoot.getVector("px_checksum").asInstanceOf[BigIntVector]
+        outCodec.reset()
+        var i = 0
+        while (i < n) {
+          val s = offBuf.getInt(i * 4L) - first
+          val e = offBuf.getInt((i + 1) * 4L) - first
+          val dec = ImageCodecs.decode(scratch, s, e - s)
+            .getOrElse(ImageCodecs.Decoded("undecodable", -1, -1, 0L, 0L, 0L, 0L))
+          outId.setSafe(i, idVec.get(i))
+          outCodec.setSafe(i, dec.codec.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          outW.setSafe(i, dec.width.toLong)
+          outH.setSafe(i, dec.height.toLong)
+          outR.setSafe(i, dec.rSum)
+          outG.setSafe(i, dec.gSum)
+          outB.setSafe(i, dec.bSum)
+          outCk.setSafe(i, dec.pxChecksum)
+          i += 1
         }
-      }
+    } { (outRoot, n) =>
+      val outId = outRoot.getVector("asset_id").asInstanceOf[BigIntVector]
+      val outCodec = outRoot.getVector("codec").asInstanceOf[VarCharVector]
+      val outW = outRoot.getVector("width").asInstanceOf[BigIntVector]
+      val outH = outRoot.getVector("height").asInstanceOf[BigIntVector]
+      val outR = outRoot.getVector("r_sum").asInstanceOf[BigIntVector]
+      val outG = outRoot.getVector("g_sum").asInstanceOf[BigIntVector]
+      val outB = outRoot.getVector("b_sum").asInstanceOf[BigIntVector]
+      val outCk = outRoot.getVector("px_checksum").asInstanceOf[BigIntVector]
+      Array.tabulate(n)(i => (outId.get(i),
+        new String(outCodec.get(i), java.nio.charset.StandardCharsets.UTF_8),
+        outW.get(i), outH.get(i), outR.get(i), outG.get(i), outB.get(i), outCk.get(i)))
     }.toDF("asset_id", "codec", "width", "height", "r_sum", "g_sum", "b_sum", "px_checksum")
   }
 }

@@ -34,6 +34,21 @@ import javax.imageio.ImageIO
   */
 object ImageCodecs {
 
+  // ImageIO's default ImageInputStream/ImageOutputStream cache is a
+  // TEMP FILE per stream — two disk round-trips per image in a kernel
+  // that never re-seeks. Disable once per JVM: streams then buffer in
+  // memory (MemoryCache*Stream), and a read-only/full java.io.tmpdir
+  // can no longer fail the job.
+  ImageIO.setUseCache(false)
+
+  /** Decode ceiling: reject images whose HEADER declares more pixels
+    * than this before allocating anything (64 MPix ≈ a 256 MB ARGB
+    * buffer). A crafted 60-byte BMP can declare a 2³¹-pixel canvas;
+    * without the cap the reader's allocation — not the data — kills
+    * the executor.
+    */
+  val MaxPixels: Long = 64L * 1024 * 1024
+
   /** The synthetic channel value at (x, y), channel c ∈ {0=R,1=G,2=B}. */
   def px(id: Long, x: Int, y: Int, c: Int): Int =
     ((id * 7 + x * 3 + y * 5 + c * 11) % 256).toInt
@@ -126,6 +141,12 @@ object ImageCodecs {
         val codec = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
         reader.setInput(iis)
         try {
+          // header-only dimension probe BEFORE decode: a malformed-but-
+          // sniffable payload can declare an absurd canvas
+          val hw = reader.getWidth(0).toLong
+          val hh = reader.getHeight(0).toLong
+          if (hw <= 0 || hh <= 0 || hw * hh > MaxPixels)
+            throw new java.io.IOException(s"graft: declared canvas ${hw}x$hh exceeds cap")
           val img = reader.read(0)
           val w = img.getWidth
           val h = img.getHeight
@@ -148,7 +169,12 @@ object ImageCodecs {
           }
           Some(Decoded(codec, w, h, rs, gs, bs, ck))
         } catch {
-          case _: java.io.IOException => None // truncated/corrupt stream
+          // quarantine ANY decode failure, not just IOException:
+          // javax.imageio readers throw RuntimeExceptions
+          // (IllegalArgument, NegativeArraySize, IndexOutOfBounds…) on
+          // malformed-but-sniffable payloads, and the one-bad-asset-
+          // cannot-kill-the-job contract must hold for those too
+          case scala.util.control.NonFatal(_) => None
         } finally reader.dispose()
       }
     } finally iis.close()

@@ -94,7 +94,7 @@ object Relational {
     // data). The memo records success only AFTER both writes land — a
     // partial layout (second write throws) must retry next call, not
     // silently join a fresh lineitem against stale orders.
-    val ck = graft.engine.CatalogMemo.contentKey(d)
+    val ck = graft.engine.CatalogMemo.contentKey(d, s.sparkContext.hadoopConfiguration)
     if (bucketedLaidOut.get(s.sharedState, ck).isEmpty) {
       bucketedLaidOut.invalidate(s.sharedState)
       engine.archiveBucketed(
@@ -143,7 +143,7 @@ object Relational {
       CAST(coalesce(sum(l_partkey), 0) AS BIGINT) AS sum_pk
       FROM lineitem
       WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 40""")) { (s, d) =>
-    val ck = graft.engine.CatalogMemo.contentKey(d)
+    val ck = graft.engine.CatalogMemo.contentKey(d, s.sparkContext.hadoopConfiguration)
     if (zorderLaidOut.get(s.sharedState, ck).isEmpty) {
       zorderLaidOut.invalidate(s.sharedState)
       new graft.engine.Engine(s).archiveClustered(

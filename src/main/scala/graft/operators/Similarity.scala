@@ -132,7 +132,7 @@ object Similarity {
     */
   private[operators] def ensureIvfIndex(s: org.apache.spark.sql.SparkSession,
       d: String, e: org.apache.spark.sql.DataFrame): Seq[(Long, Array[Double], Double)] = {
-    val ck = graft.engine.CatalogMemo.contentKey(d)
+    val ck = graft.engine.CatalogMemo.contentKey(d, s.sparkContext.hadoopConfiguration)
     val cached = ivfBuilt.get(s.sharedState, ck)
     val centroids = cached.getOrElse(trainQuantizer(e, 8, 3))
     if (centroids.nonEmpty && cached.isEmpty) {
@@ -509,7 +509,7 @@ object Similarity {
       ORDER BY adc_dot DESC, n.vec_id LIMIT 20"""
     }) { (s, d) =>
     val e = Vec.withNorm(Tables.embeddings(s, d)).cache()
-    val ck = graft.engine.CatalogMemo.contentKey(d)
+    val ck = graft.engine.CatalogMemo.contentKey(d, s.sparkContext.hadoopConfiguration)
     val codebooks = pqBuilt.get(s.sharedState, ck).getOrElse {
       val trained = (0 until PqM).map { m =>
         trainQuantizer(

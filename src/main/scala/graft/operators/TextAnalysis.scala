@@ -675,11 +675,11 @@ object TextAnalysis {
     val sb = new StringBuilder
     sb.append("""WITH seq1 AS MATERIALIZED (
       SELECT doc_id * 100000 + wp AS wid,
-             list_transform(range(1, strlen(w) + 1), i -> w[i]) AS ts
+             list_transform(range(1, length(w) + 1), i -> w[i]) AS ts
       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
                    unnest(range(1, len(string_split(text, ' ')) + 1)) AS wp
             FROM documents)
-      WHERE strlen(w) >= 1)""")
+      WHERE length(w) >= 1)""")
     for (i <- 1 to n) {
       sb.append(s""",
       e$i AS MATERIALIZED (SELECT wid, j, tok, lead(tok) OVER (PARTITION BY wid ORDER BY j) AS nxt
@@ -743,7 +743,7 @@ object TextAnalysis {
     */
   private[operators] def learnBpe(
       s: org.apache.spark.sql.SparkSession, d: String): Seq[(Long, String, String, Long)] = {
-    val ck = graft.engine.CatalogMemo.contentKey(d)
+    val ck = graft.engine.CatalogMemo.contentKey(d, s.sparkContext.hadoopConfiguration)
     bpeLearned.get(s.sharedState, ck).getOrElse {
       val learned = trainBpe(s, d)
       bpeLearned.put(s.sharedState, ck, learned)
@@ -768,7 +768,7 @@ object TextAnalysis {
       .groupBy("w").agg(count(lit(1)).as("n"))
       // char-split via transform+substring: sequence(1, 0) would be the
       // DESCENDING [1,0] trap, hence the length >= 1 filter above
-      // (mirrored in the oracle's strlen(w) >= 1)
+      // (mirrored in the oracle's length(w) >= 1)
       .select(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("ts"),
         col("n"))
       .as[(Array[String], Long)]
@@ -865,7 +865,7 @@ object TextAnalysis {
       .filter(length(col("w")) >= 1)
     // tokenize the DISTINCT vocabulary once (narrow, vocab-sized)…
     val dictTok = words.select("w").distinct().as[String]
-      .map(w => (w, BpeKernel.applyAll(w.map(_.toString).toArray, rules).length.toLong))
+      .map(w => (w, BpeKernel.applyAll(BpeKernel.codePoints(w), rules).length.toLong))
       .toDF("w", "nt")
     // …then count per doc via the unhinted instance×vocab join
     val agg = words.join(dictTok, "w")
@@ -903,4 +903,19 @@ object BpeKernel {
 
   def applyAll(ts: Array[String], merges: List[(String, String)]): Array[String] =
     merges.foldLeft(ts) { case (cur, (a, b)) => applyMerge(cur, a, b) }
+
+  /** Split by Unicode CODE POINT — the unit Spark's `substring(w,i,1)`
+    * (training) and DuckDB's `w[i]` (oracle) both use; a UTF-16 char
+    * split would shear surrogate pairs and diverge from both.
+    */
+  def codePoints(w: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toArray
+  }
 }

@@ -47,7 +47,10 @@ class ZorderSpec extends SparkSpec {
     assert(df((65535L, 65535L)) == (1L << 32) - 1)
   }
 
-  test("clustered layout prunes a 2-D range scan that an unsorted layout cannot") {
+  /** Both layouts built once, on demand, so every test (and any
+    * subset run in isolation) can depend on them.
+    */
+  private lazy val layoutsReady: Unit = {
     val dir = "/root/testdata/sf0.01"
     val li = graft.Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
@@ -58,6 +61,10 @@ class ZorderSpec extends SparkSpec {
     li.write.format("parquet").mode("overwrite")
       .option("parquet.block.size", 128 * 1024)
       .saveAsTable("graft_zspec_unsorted")
+  }
+
+  test("clustered layout prunes a 2-D range scan that an unsorted layout cannot") {
+    layoutsReady
     def q(t: String): DataFrame = spark.table(t)
       .filter(col("l_partkey").between(100, 300) && col("l_suppkey").between(10, 40))
     // identical answers…
@@ -71,7 +78,25 @@ class ZorderSpec extends SparkSpec {
       s"row-group pruning should read <1/4 of the unsorted scan: clustered=$clustered unsorted=$unsorted total=$total")
   }
 
+  test("pruning survives key domains beyond 2^16 (range-normalized codes)") {
+    import spark.implicits._
+    // keys up to ~4M: raw low-16-bit interleaving would alias values
+    // 65536 apart into identical Z positions and pruning would collapse
+    val big = spark.range(200000L)
+      .select((col("id") * 21L).as("a"), pmod(col("id") * 977L, lit(4000000L)).as("b"),
+        col("id").as("payload"))
+    new Engine(spark).archiveClustered(big, "graft_zspec_bigdomain", "a", "b",
+      rangePartitions = 4)
+    val q = spark.table("graft_zspec_bigdomain")
+      .filter(col("a").between(1000000L, 1200000L) && col("b").between(0L, 200000L))
+    val read = scanRows(q)
+    val total = 200000L
+    assert(read * 4 < total,
+      s"pruning should survive a 4M-wide domain: read=$read of $total")
+  }
+
   test("bloom-filtered point probe reads fewer rows than the full table") {
+    layoutsReady
     // the probe key (l_orderkey) is uncorrelated with the Z-order sort,
     // so min/max stats barely help — the bloom filter does the pruning
     val probe = spark.table("graft_zspec_clustered").select("l_orderkey")

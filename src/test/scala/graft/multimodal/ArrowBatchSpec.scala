@@ -78,9 +78,17 @@ class ArrowBatchSpec extends SparkSpec {
     // partitions → root-reuse across refills, sentinel contract pinned
     val good = (0 until ArrowBatchStage.BatchRows + 23).map(i =>
       Asset(i.toLong, "image", ImageCodecs.encode(i.toLong), 0, 0))
+    // sniffable-but-malformed: a real BMP whose header declares a
+    // 2^31-pixel canvas (reader throws a RuntimeException or would
+    // allocate GBs — the MaxPixels probe must quarantine it first)
+    val hugeCanvas = ImageCodecs.encodeBmp(2L)
+    val bb = java.nio.ByteBuffer.wrap(hugeCanvas).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(18, Int.MaxValue) // width
+    bb.putInt(22, Int.MaxValue) // height
     val bad = Seq(
       Asset(90001L, "image", "not an image at all".getBytes("UTF-8"), 0, 0),
-      Asset(90002L, "image", ImageCodecs.encodePng(7L).take(20), 0, 0)) // truncated PNG
+      Asset(90002L, "image", ImageCodecs.encodePng(7L).take(20), 0, 0), // truncated PNG
+      Asset(90003L, "image", hugeCanvas, 0, 0))
     val got = ArrowBatchStage.decodeImages((good ++ bad).toDS().repartition(2))
       .collect().map(r => r.getLong(0) ->
         ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(7)))).toMap
@@ -90,6 +98,7 @@ class ArrowBatchSpec extends SparkSpec {
     }
     assert(got(90001L) == (("undecodable", -1L, -1L, 0L)))
     assert(got(90002L) == (("undecodable", -1L, -1L, 0L)))
+    assert(got(90003L) == (("undecodable", -1L, -1L, 0L)))
   }
 
   test("m04 over sf0.001 equals a non-Arrow recomputation from the text") {

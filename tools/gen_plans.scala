@@ -33,9 +33,12 @@ of the (partkey, suppkey) space, so footer stats exclude 98% of row
 groups for the 2-D predicate; a single-column sort would leave the
 second column's min/max spanning the full domain in every group. The
 bloom filter prunes the point probe on a column the sort order cannot
-help with. The fractions are scale-free: at 100 TB the same layout
-skips the same share of ~128 MB row groups (ZorderSpec pins both
-effects; measured numbers from that A/B at sf0.1).
+help with. Keys are range-normalized to 16-bit codes before the
+interleave ((v-min)*65535/span, monotone per column), so the pruning
+survives ANY key domain — raw low-bit interleaving would alias values
+2^16 apart (ZorderSpec pins a 4M-wide-domain case). The fractions are
+scale-free: at 100 TB the same layout skips the same share of ~128 MB
+row groups (ZorderSpec pins both effects; measured numbers from that A/B at sf0.1).
 """)
 Files.createDirectories(Paths.get("/root/repo/docs"))
 Files.writeString(Paths.get("/root/repo/docs/PLANS.md"), sb.toString)
