@@ -247,6 +247,55 @@ object StreamingOps {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(dim, Seq(key), "left")
 
+  /** Continuous CDC apply — q43's streaming face: maintain a parquet
+    * snapshot at `snapshotDir` from a stream of changelog rows
+    * (key, seq, op 'U'/'D', value). Every micro-batch is compacted to
+    * its latest operation per key (q41's partial-aggregating `max_by`,
+    * pick order total over the emitted values) and merged onto the
+    * current snapshot with q43's upsert/delete/insert semantics in one
+    * full-outer join; the new snapshot is then committed by
+    * write-temp → swap (materialized BEFORE the old snapshot is
+    * touched — the join reads it lazily).
+    *
+    * Exactly-once: foreachBatch replays a failed batch from the
+    * checkpoint, and latest-per-key merge is IDEMPOTENT — re-applying
+    * the same compacted batch to the post-swap snapshot upserts the
+    * same values and re-deletes absent keys, converging to the same
+    * state. (The swap itself has the Engine single-object caveat: a
+    * delete+rename window a concurrent reader can observe; a table
+    * format with atomic commit closes it in production.)
+    */
+  def applyChangelog(changes: DataFrame, snapshotDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val comp = batch.groupBy("key")
+            .agg(max_by(struct(col("op"), col("value")),
+              struct(col("seq"), col("value"), col("op"))).as("m"))
+            .select(col("key"), col("m.op").as("op"), col("m.value").as("cvalue"))
+          val hasSnap = new java.io.File(snapshotDir).exists()
+          val cur =
+            if (hasSnap) s.read.parquet(snapshotDir)
+            else batch.sparkSession.emptyDataFrame
+              .select(lit(0L).as("key"), lit(0.0).as("value")).limit(0)
+          val next = cur.join(comp, Seq("key"), "full_outer")
+            .filter(col("op").isNull || col("op") =!= "D")
+            .select(col("key"),
+              when(col("op").isNull, col("value")).otherwise(col("cvalue")).as("value"))
+          val tmp = s"$snapshotDir.tmp-$batchId"
+          next.write.mode("overwrite").parquet(tmp) // materialize FIRST
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+          }
+          if (hasSnap) rm(new java.io.File(snapshotDir))
+          if (!new java.io.File(tmp).renameTo(new java.io.File(snapshotDir)))
+            throw new IllegalStateException(s"graft: snapshot swap failed for $snapshotDir")
+          ()
+        }
+      }
+      .start()
+
   /** Continuous archiving: the reference's whole purpose (archive
     * query results to object storage) lifted to a stream — every
     * micro-batch becomes one archived object

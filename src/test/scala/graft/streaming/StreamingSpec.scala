@@ -279,6 +279,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("applyChangelog maintains a parquet snapshot with upsert/delete/insert semantics") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc").toString + "/snap"
+    val input = MemoryStream[(Long, Long, String, Double)]
+    val q = StreamingOps.applyChangelog(
+      input.toDS().toDF("key", "seq", "op", "value"), dir)
+    try {
+      // batch 1: three inserts, one of them updated within the batch
+      // (seq 2 must win over seq 1 for key 10)
+      input.addData((10L, 1L, "U", 1.0), (10L, 2L, "U", 1.5), (20L, 1L, "U", 2.0), (30L, 1L, "U", 3.0))
+      q.processAllAvailable()
+      val s1 = spark.read.parquet(dir).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(s1 == Map(10L -> 1.5, 20L -> 2.0, 30L -> 3.0))
+      // batch 2: update 10, delete 20, insert 40; 30 untouched (kept)
+      input.addData((10L, 3L, "U", 9.0), (20L, 3L, "D", 0.0), (40L, 1L, "U", 4.0))
+      q.processAllAvailable()
+      val s2 = spark.read.parquet(dir).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(s2 == Map(10L -> 9.0, 30L -> 3.0, 40L -> 4.0))
+    } finally q.stop()
+  }
+
   test("enrich broadcasts a small static dimension on batch (plan-asserted)") {
     import spark.implicits._
     val dim = Seq((10L, "gold")).toDF("user_id", "tier")
