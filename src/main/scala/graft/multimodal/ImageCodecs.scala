@@ -129,9 +129,38 @@ object ImageCodecs {
   def decode(data: Array[Byte]): Option[Decoded] = decode(data, 0, data.length)
 
   /** Range variant so the Arrow stage can decode straight from its
-    * batch scratch buffer without per-row slice copies.
+    * batch scratch buffer without per-row slice copies; stats fold
+    * over the pixels of [[decodeImage]]'s result.
     */
-  def decode(data: Array[Byte], off: Int, len: Int): Option[Decoded] = {
+  def decode(data: Array[Byte], off: Int, len: Int): Option[Decoded] =
+    decodeImage(data, off, len).map { case (codec, img) =>
+      val w = img.getWidth
+      val h = img.getHeight
+      var rs = 0L; var gs = 0L; var bs = 0L; var ck = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          rs += r; gs += g; bs += b
+          ck = (ck * 131 + r) % Mod
+          ck = (ck * 131 + g) % Mod
+          ck = (ck * 131 + b) % Mod
+          x += 1
+        }
+        y += 1
+      }
+      Decoded(codec, w, h, rs, gs, bs, ck)
+    }
+
+  /** The raw decode: sniff → header-probe → parse, returning the
+    * detected codec and the decoded image. None for undecodable
+    * payloads — the caller decides quarantine policy.
+    */
+  def decodeImage(data: Array[Byte], off: Int, len: Int): Option[(String, BufferedImage)] = {
     val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(data, off, len))
     try {
       val readers = ImageIO.getImageReaders(iis)
@@ -147,27 +176,7 @@ object ImageCodecs {
           val hh = reader.getHeight(0).toLong
           if (hw <= 0 || hh <= 0 || hw * hh > MaxPixels)
             throw new java.io.IOException(s"graft: declared canvas ${hw}x$hh exceeds cap")
-          val img = reader.read(0)
-          val w = img.getWidth
-          val h = img.getHeight
-          var rs = 0L; var gs = 0L; var bs = 0L; var ck = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              val r = (rgb >> 16) & 0xff
-              val g = (rgb >> 8) & 0xff
-              val b = rgb & 0xff
-              rs += r; gs += g; bs += b
-              ck = (ck * 131 + r) % Mod
-              ck = (ck * 131 + g) % Mod
-              ck = (ck * 131 + b) % Mod
-              x += 1
-            }
-            y += 1
-          }
-          Some(Decoded(codec, w, h, rs, gs, bs, ck))
+          Some((codec, reader.read(0)))
         } catch {
           // quarantine ANY decode failure, not just IOException:
           // javax.imageio readers throw RuntimeExceptions
@@ -178,5 +187,34 @@ object ImageCodecs {
         } finally reader.dispose()
       }
     } finally iis.close()
+  }
+
+  /** 60-bit perceptual difference hash (dHash) over a decoded image:
+    * a 10×6 grid of luma samples (integer nearest-neighbor, no
+    * resampling kernel — exactly replayable arithmetic), bit k set
+    * when the right neighbor of grid cell (k%10, k/10) is brighter.
+    * 60 bits keeps the value positive in a BIGINT on both engines
+    * (the d04 discipline); luma = (299r + 587g + 114b)/1000 integer.
+    * Robust to the perturbations that break exact byte hashes
+    * (re-encoding, scaling) because only gradient SIGNS survive into
+    * the fingerprint.
+    */
+  def pHash60(img: BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    def luma(x: Int, y: Int): Int = {
+      val rgb = img.getRGB(x, y)
+      (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+    }
+    var hash = 0L
+    var k = 0
+    while (k < 60) {
+      val i = k % 10
+      val j = k / 10
+      val sy = j * h / 6
+      if (luma((i + 1) * w / 11, sy) > luma(i * w / 11, sy)) hash |= 1L << k
+      k += 1
+    }
+    hash
   }
 }

@@ -9,7 +9,16 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalOps {
 
-  def queries: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05)
+  def queries: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06)
+
+  /** DuckDB luma at synthetic sample point (gx, gy): replays the
+    * m05 pixel arithmetic through the same integer (299r+587g+114b)/
+    * 1000 luma the Spark side computes from DECODED pixels.
+    */
+  private def duckLuma(gx: String, gy: String): String = {
+    val base = s"(doc_id*7+($gx)*3+($gy)*5)"
+    s"((299*(($base)%256) + 587*(($base+11)%256) + 114*(($base+22)%256)) // 1000)"
+  }
 
   /** Binary payload features computed relationally: byte length, head
     * bytes as hex, and an additive codepoint checksum — all
@@ -144,5 +153,78 @@ object MultimodalOps {
     graft.multimodal.ArrowBatchStage.decodeImages(
       graft.multimodal.MultimodalPipeline.imageAssets(s, d))
       .orderBy("asset_id")
+  }
+
+  /** Image near-duplicate detection over DECODED pixels — the
+    * multimodal pipeline capstone, chaining m05's real codec path into
+    * the dedup discipline: each image is decoded (javax.imageio) and
+    * perceptually hashed ([[graft.multimodal.ImageCodecs.pHash60]] —
+    * 60-bit dHash of luma gradient signs on a 10×6 grid), exact-phash
+    * groups collapse in ONE shuffle (the d01 shape: min-id
+    * representative + member count), and NEAR groups (hamming ≤ 3)
+    * are found by the d04 pigeonhole banding — 4×15-bit bands, ≤ 3
+    * differing bits leave ≥ 1 band intact, so the bucket-local join
+    * over DISTINCT phashes is EXACT, never all-pairs, and runs on the
+    * group table (541 rows at sf0.1), not the corpus. Emits per group:
+    * representative, phash, member count, near-group count. The oracle
+    * replays luma sampling, hash, banding, and hamming from the
+    * synthetic pixel arithmetic — the Spark side computes them from
+    * genuinely decoded bytes, so codec fidelity is load-bearing.
+    */
+  val m06 = QueryDef(
+    "m06_phash_neardup",
+    Some {
+      val bit = s"CASE WHEN ${duckLuma("(((k%10)+1)*w)//11", "((k//10)*h)//6")}" +
+        s" > ${duckLuma("((k%10)*w)//11", "((k//10)*h)//6")} THEN (1::BIGINT << k) ELSE 0 END"
+      s"""WITH g AS (SELECT doc_id, doc_id % 5 + 4 AS w, doc_id % 3 + 3 AS h FROM documents),
+      ph AS (SELECT doc_id,
+          CAST(list_sum(list_transform(range(0, 60), k -> $bit)) AS BIGINT) AS phash
+        FROM g),
+      grp AS (SELECT phash, min(doc_id) AS rep, count(*) AS members FROM ph GROUP BY phash),
+      b AS (SELECT phash, rep, unnest(range(0, 4)) AS band FROM grp),
+      bb AS (SELECT phash, rep, band,
+          (phash >> CAST(band * 15 AS INT)) & 32767 AS bv FROM b),
+      cp AS (SELECT DISTINCT least(a.rep, x.rep) AS ra, greatest(a.rep, x.rep) AS rb
+        FROM bb a JOIN bb x ON a.band = x.band AND a.bv = x.bv AND a.phash <> x.phash
+        WHERE bit_count(xor(a.phash, x.phash)) <= 3),
+      nr AS (SELECT r, count(*) AS n_near FROM
+               (SELECT ra AS r FROM cp UNION ALL SELECT rb AS r FROM cp) GROUP BY r)
+      SELECT grp.rep, grp.phash, CAST(grp.members AS BIGINT) AS members,
+        CAST(coalesce(nr.n_near, 0) AS BIGINT) AS n_near
+      FROM grp LEFT JOIN nr ON grp.rep = nr.r
+      ORDER BY rep"""
+    }) { (s, d) =>
+    import org.apache.spark.sql.Encoders
+    val ph = graft.multimodal.MultimodalPipeline.imageAssets(s, d)
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          // undecodable assets quarantine out of the fingerprint space
+          // (none in the synthetic corpus; the oracle sees all rows)
+          graft.multimodal.ImageCodecs.decodeImage(a.data, 0, a.data.length)
+            .map { case (_, img) =>
+              (a.asset_id, graft.multimodal.ImageCodecs.pHash60(img))
+            }
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("doc_id", "phash")
+    val grp = ph.groupBy("phash")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("members"))
+    val bands = grp.select(col("phash"), col("rep"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bv", expr("shiftright(phash, CAST(band * 15 AS INT)) & 32767"))
+    val pairs = bands.as("a").join(bands.as("x"),
+        col("a.band") === col("x.band") && col("a.bv") === col("x.bv") &&
+          col("a.phash") =!= col("x.phash"))
+      .filter(bit_count(col("a.phash").bitwiseXOR(col("x.phash"))) <= 3)
+      .select(least(col("a.rep"), col("x.rep")).as("ra"),
+        greatest(col("a.rep"), col("x.rep")).as("rb"))
+      .distinct()
+    val near = pairs.select(col("ra").as("r"))
+      .unionAll(pairs.select(col("rb").as("r")))
+      .groupBy("r").agg(count(lit(1)).as("n_near"))
+    grp.join(near, col("rep") === col("r"), "left")
+      .select(col("rep"), col("phash"), big(col("members")).as("members"),
+        big(coalesce(col("n_near"), lit(0L))).as("n_near"))
+      .orderBy("rep")
   }
 }

@@ -51,4 +51,15 @@ class MultimodalSpec extends SparkSpec {
     assert(first.getLong(0) == 0L)
     assert(df.count() > 0)
   }
+
+  test("pHash60 is codec-stable and bounded: same pixels, same hash via BMP and PNG") {
+    Seq(0L, 5L, 42L, 101L, 256L).foreach { id =>
+      val viaBmp = ImageCodecs.decodeImage(ImageCodecs.encodeBmp(id), 0,
+        ImageCodecs.encodeBmp(id).length).map { case (_, i) => ImageCodecs.pHash60(i) }
+      val viaPng = ImageCodecs.decodeImage(ImageCodecs.encodePng(id), 0,
+        ImageCodecs.encodePng(id).length).map { case (_, i) => ImageCodecs.pHash60(i) }
+      assert(viaBmp.isDefined && viaBmp == viaPng, s"id $id: $viaBmp vs $viaPng")
+      assert(viaBmp.get >= 0L && viaBmp.get < (1L << 60))
+    }
+  }
 }
