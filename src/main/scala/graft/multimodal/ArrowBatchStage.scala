@@ -234,4 +234,70 @@ object ArrowBatchStage {
         outW.get(i), outH.get(i), outR.get(i), outG.get(i), outB.get(i), outCk.get(i)))
     }.toDF("asset_id", "codec", "width", "height", "r_sum", "g_sum", "b_sum", "px_checksum")
   }
+
+  /** REAL audio decode at the same Arrow batch seam — the second
+    * modality's codec plugged into the m04 scaffolding: each row's
+    * range of the contiguous value buffer is sniffed and frame-parsed
+    * by `javax.sound.sampled` (RIFF/WAV little-endian vs AIFF
+    * big-endian resolved from the detected format), emitting per-clip
+    * signal statistics (sample count, rate, amplitude/energy sums,
+    * peak, zero crossings, a ×131 rolling checksum over unsigned
+    * sample values) into the output batch. Quarantine mirrors
+    * [[decodeImages]]: undecodable payloads emit a
+    * `codec='undecodable'` sentinel row with n_samples −1 —
+    * accountable, never job-fatal.
+    */
+  def decodeAudio(assets: Dataset[Asset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    binaryBatchStage[(Long, String, Long, Long, Long, Long, Long, Long, Long)](assets,
+      () => Seq(bigint("asset_id"),
+        new Field("codec", FieldType.notNullable(ArrowType.Utf8.INSTANCE), null),
+        bigint("n_samples"), bigint("sample_rate"),
+        bigint("amp_sum"), bigint("abs_sum"), bigint("peak"),
+        bigint("zero_crossings"), bigint("checksum"))) {
+      (idVec, scratch, offBuf, first, n, outRoot) =>
+        val outId = outRoot.getVector("asset_id").asInstanceOf[BigIntVector]
+        val outCodec = outRoot.getVector("codec").asInstanceOf[VarCharVector]
+        val outN = outRoot.getVector("n_samples").asInstanceOf[BigIntVector]
+        val outRate = outRoot.getVector("sample_rate").asInstanceOf[BigIntVector]
+        val outAmp = outRoot.getVector("amp_sum").asInstanceOf[BigIntVector]
+        val outAbs = outRoot.getVector("abs_sum").asInstanceOf[BigIntVector]
+        val outPeak = outRoot.getVector("peak").asInstanceOf[BigIntVector]
+        val outZc = outRoot.getVector("zero_crossings").asInstanceOf[BigIntVector]
+        val outCk = outRoot.getVector("checksum").asInstanceOf[BigIntVector]
+        outCodec.reset()
+        var i = 0
+        while (i < n) {
+          val s = offBuf.getInt(i * 4L) - first
+          val e = offBuf.getInt((i + 1) * 4L) - first
+          val dec = AudioCodecs.decode(scratch, s, e - s)
+            .getOrElse(AudioCodecs.DecodedAudio("undecodable", -1L, -1L, 0L, 0L, 0L, 0L, 0L))
+          outId.setSafe(i, idVec.get(i))
+          outCodec.setSafe(i, dec.codec.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          outN.setSafe(i, dec.nSamples)
+          outRate.setSafe(i, dec.sampleRate)
+          outAmp.setSafe(i, dec.ampSum)
+          outAbs.setSafe(i, dec.absSum)
+          outPeak.setSafe(i, dec.peak)
+          outZc.setSafe(i, dec.zeroCrossings)
+          outCk.setSafe(i, dec.checksum)
+          i += 1
+        }
+    } { (outRoot, n) =>
+      val outId = outRoot.getVector("asset_id").asInstanceOf[BigIntVector]
+      val outCodec = outRoot.getVector("codec").asInstanceOf[VarCharVector]
+      val outN = outRoot.getVector("n_samples").asInstanceOf[BigIntVector]
+      val outRate = outRoot.getVector("sample_rate").asInstanceOf[BigIntVector]
+      val outAmp = outRoot.getVector("amp_sum").asInstanceOf[BigIntVector]
+      val outAbs = outRoot.getVector("abs_sum").asInstanceOf[BigIntVector]
+      val outPeak = outRoot.getVector("peak").asInstanceOf[BigIntVector]
+      val outZc = outRoot.getVector("zero_crossings").asInstanceOf[BigIntVector]
+      val outCk = outRoot.getVector("checksum").asInstanceOf[BigIntVector]
+      Array.tabulate(n)(i => (outId.get(i),
+        new String(outCodec.get(i), java.nio.charset.StandardCharsets.UTF_8),
+        outN.get(i), outRate.get(i), outAmp.get(i), outAbs.get(i),
+        outPeak.get(i), outZc.get(i), outCk.get(i)))
+    }.toDF("asset_id", "codec", "n_samples", "sample_rate",
+      "amp_sum", "abs_sum", "peak", "zero_crossings", "checksum")
+  }
 }

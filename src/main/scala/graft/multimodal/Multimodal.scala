@@ -17,11 +17,14 @@ import org.apache.spark.sql.functions._
   *     shaped and pipeline inside a single stage (no shuffle).
   *   - image decode is REAL: [[ImageCodecs]] + m05 run the JDK's own
   *     `javax.imageio` codecs (PNG/BMP/JPEG/GIF/TIFF) at the Arrow
-  *     batch seam ([[ArrowBatchStage.decodeImages]]). The byte-level
-  *     features below ([[ByteFeatures.byteHistogram]]) remain as the
+  *     batch seam ([[ArrowBatchStage.decodeImages]]).
+  *   - audio decode is REAL too: [[AudioCodecs]] + m07 run the JDK's
+  *     `javax.sound.sampled` codecs (WAV/AIFF/AU) at the same seam
+  *     ([[ArrowBatchStage.decodeAudio]]). The byte-level features
+  *     below ([[ByteFeatures.byteHistogram]]) remain as the
   *     codec-FREE path — the features a pipeline computes without
-  *     decoding (audio/video have no JDK codec; a production system
-  *     plugs ffmpeg into the same batch seam).
+  *     decoding (video has no JDK codec; a production system plugs
+  *     ffmpeg into the same batch seam).
   */
 final case class Asset(
     asset_id: Long,
@@ -42,10 +45,10 @@ object ByteFeatures {
 
   /** Byte-level (no-decode) feature: 16-bucket histogram of the raw
     * payload bytes. This is NOT a decoder stand-in — real image decode
-    * lives in [[ImageCodecs.decode]]/m05 — it is the codec-free
-    * feature path for modalities without a JDK codec (audio/video),
-    * where production plugs a native decoder into the same
-    * [[ArrowBatchStage]] seam.
+    * lives in [[ImageCodecs.decode]]/m05 and real audio decode in
+    * [[AudioCodecs.decode]]/m07 — it is the codec-free feature path
+    * for modalities without a JDK codec (video), where production
+    * plugs a native decoder into the same [[ArrowBatchStage]] seam.
     */
   def byteHistogram(data: Array[Byte]): Array[Long] = {
     val hist = new Array[Long](16)
@@ -108,6 +111,24 @@ object MultimodalPipeline {
       .map { id =>
         val (w, h) = ImageCodecs.dims(id)
         Asset(id, "image", ImageCodecs.encode(id), w, h)
+      }
+  }
+
+  /** Synthesized AUDIO assets: one real encoded clip per document id
+    * (even ids hand-built RIFF/WAV, odd ids JDK-encoded AIFF —
+    * [[AudioCodecs.encode]]), generated executor-side in a narrow map.
+    * Every sample is a pure function of (id, i), so the m07 oracle can
+    * replay the decoded signal statistics without ever seeing the
+    * bytes. width/height carry (n_samples, sample_rate) for the Asset
+    * shape.
+    */
+  def audioAssets(spark: SparkSession, dir: String): Dataset[Asset] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        Asset(id, "audio", AudioCodecs.encode(id),
+          AudioCodecs.nSamples(id), AudioCodecs.SampleRate)
       }
   }
 

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalOps {
 
-  def queries: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06)
+  def queries: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07)
 
   /** DuckDB luma at synthetic sample point (gx, gy): replays the
     * m05 pixel arithmetic through the same integer (299r+587g+114b)/
@@ -226,5 +226,42 @@ object MultimodalOps {
       .select(col("rep"), col("phash"), big(col("members")).as("members"),
         big(coalesce(col("n_near"), lit(0L))).as("n_near"))
       .orderBy("rep")
+  }
+
+  /** REAL audio decode — the second modality through the m04 Arrow
+    * seam, completing the m05 story: per document, a genuine encoded
+    * audio clip (hand-built RIFF/WAV with little-endian PCM for even
+    * ids, JDK-encoded AIFF with big-endian frames for odd ids; every
+    * sample the pure function (id·31 + i²·13 + i·17) mod 65536 − 32768)
+    * travels as a binary column and is decoded by `javax.sound.sampled`
+    * — container sniff, frame parse, endianness resolution — inside
+    * [[graft.multimodal.ArrowBatchStage.decodeAudio]]. The oracle
+    * replays the ARITHMETIC, never the bytes: detected container,
+    * sample count, rate, amplitude/energy sums, peak, zero crossings,
+    * and a ×131 rolling checksum over unsigned sample values must all
+    * survive the encode→decode round trip bit-for-bit, so any
+    * endianness/sign/header-offset mistake in the decode path breaks
+    * the hash.
+    */
+  val m07 = QueryDef(
+    "m07_audio_decode",
+    Some("""WITH g AS (SELECT doc_id, doc_id % 50 + 20 AS n FROM documents),
+      s AS (SELECT doc_id, n,
+        list_transform(range(0, n), i -> (doc_id*31 + i*i*13 + i*17) % 65536) AS raw FROM g)
+      SELECT doc_id AS asset_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'wave' ELSE 'aiff' END AS codec,
+        CAST(n AS BIGINT) AS n_samples,
+        CAST(8000 AS BIGINT) AS sample_rate,
+        CAST(list_sum(list_transform(raw, v -> v - 32768)) AS BIGINT) AS amp_sum,
+        CAST(list_sum(list_transform(raw, v -> abs(v - 32768))) AS BIGINT) AS abs_sum,
+        CAST(list_max(list_transform(raw, v -> abs(v - 32768))) AS BIGINT) AS peak,
+        CAST(len(list_filter(range(1, n),
+          i -> ((raw[i+1] - 32768) >= 0) <> ((raw[i] - 32768) >= 0))) AS BIGINT) AS zero_crossings,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(raw, v -> CAST(v AS BIGINT))),
+          (acc, v) -> (acc * 131 + v) % 1000000007) AS checksum
+      FROM s ORDER BY asset_id""")) { (s, d) =>
+    graft.multimodal.ArrowBatchStage.decodeAudio(
+      graft.multimodal.MultimodalPipeline.audioAssets(s, d))
+      .orderBy("asset_id")
   }
 }
