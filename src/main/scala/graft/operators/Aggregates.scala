@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 object Aggregates {
 
   def queries: Seq[QueryDef] =
-    Seq(q09, q10, q11, q12, q21, q26, q27, q28, q29, q35, q36, q38, q40, q41)
+    Seq(q09, q10, q11, q12, q21, q26, q27, q28, q29, q35, q36, q38, q40, q41, q45)
 
   /** Changelog compaction / latest-wins upsert: the newest event per
     * key via `max_by(payload, (ts, id))` — ONE partial-aggregating
@@ -473,5 +473,53 @@ object Aggregates {
         col("l_returnflag"), col("l_linestatus"))
       .agg(xsum2(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** The graft-native Count-Min sketch (custom typed Aggregator,
+    * [[graft.functions.CountMinAgg]]) — frequency estimation joining
+    * the sketch family (q35 cardinality, q36/q38 quantiles): one
+    * fixed 192-counter sketch summarizes every key's frequency, and
+    * per-key estimates (min over the d rows of the key's counter)
+    * ride next to the exact counts so the collision over-count is
+    * visible. Counters are plain sums → order-independent → the
+    * oracle replays every counter (bucket sums over the exact
+    * frequency table) and the estimate exactly; `est ≥ true` for
+    * every row by construction. Scale: the sketch aggregation
+    * shuffles ONE 1.5 KiB buffer per partition (vs the exact
+    * groupBy's every-distinct-key shuffle — which is run here only
+    * as the comparison column); the estimate projection is a narrow
+    * map against the driver-collected sketch (bounded metadata, the
+    * s04 centroid-collect precedent).
+    */
+  val q45 = QueryDef(
+    "q45_cms_heavy_hitters",
+    Some {
+      import graft.functions.CountMinAgg.{A, B, P, W}
+      def bkt(j: Int, k: String) = s"(($k*${A(j)}+${B(j)})%$P)%$W"
+      s"""WITH c AS (SELECT l_partkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1),
+      b0 AS (SELECT ${bkt(0, "key")} AS bkt, sum(cnt) AS s FROM c GROUP BY 1),
+      b1 AS (SELECT ${bkt(1, "key")} AS bkt, sum(cnt) AS s FROM c GROUP BY 1),
+      b2 AS (SELECT ${bkt(2, "key")} AS bkt, sum(cnt) AS s FROM c GROUP BY 1)
+      SELECT CAST(c.key AS BIGINT) AS key, CAST(c.cnt AS BIGINT) AS true_cnt,
+        CAST(least(b0.s, b1.s, b2.s) AS BIGINT) AS est_cnt
+      FROM c JOIN b0 ON ${bkt(0, "c.key")} = b0.bkt
+        JOIN b1 ON ${bkt(1, "c.key")} = b1.bkt
+        JOIN b2 ON ${bkt(2, "c.key")} = b2.bkt
+      ORDER BY key"""
+    }) { (s, d) =>
+    import graft.functions.CountMinAgg
+    val keys = Tables.lineitem(s, d).select(col("l_partkey").cast("long").as("key"))
+    val sk = keys.agg(CountMinAgg.cms(col("key")).as("sk"))
+      .head.getSeq[Long](0).toArray
+    val ests = (0 until CountMinAgg.D).map { j =>
+      element_at(
+        typedLit(sk.slice(j * CountMinAgg.W, (j + 1) * CountMinAgg.W).toSeq),
+        (((col("key") * CountMinAgg.A(j) + CountMinAgg.B(j)) % CountMinAgg.P)
+          % CountMinAgg.W).cast("int") + 1)
+    }
+    keys.groupBy("key").agg(big(count(lit(1))).as("true_cnt"))
+      .select(col("key"), col("true_cnt"),
+        big(least(ests: _*)).as("est_cnt"))
+      .orderBy("key")
   }
 }

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object Relational {
 
   def queries: Seq[QueryDef] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q33, q37, q39, q42, q43)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q33, q37, q39, q42, q43, q44)
 
   /** FULL OUTER join with all three match classes live: customers are
     * filtered to positive balances so orders from excluded customers
@@ -235,6 +235,65 @@ object Relational {
           .when(col("o_orderpriority").isNull, lit("inserted"))
           .otherwise(lit("updated")).as("change"))
       .orderBy("key")
+  }
+
+  /** SCD-2 history build — the TYPE-2 counterpart of q43's SCD-1
+    * apply, and the standard way a warehouse keeps every version of a
+    * changing dimension row: the keyed changelog becomes one row per
+    * VERSION carrying its validity interval
+    * [valid_from_seq, valid_to_seq) — `lead(seq)` closes each version
+    * when the next one opens; the last version stays open
+    * (valid_to NULL) and is `is_current` unless it was a delete.
+    *
+    * The driver's changelog has duplicate (key, seq) pairs (a real
+    * CDC-data lesson — q41/q43 hit the same), so versions are defined
+    * on the DEDUPLICATED series: a per-(key, seq) pre-aggregation
+    * picks max(price)/max(op) — deterministic, total, replayed
+    * identically by the oracle — and the window then sees a strict
+    * seq order per key.
+    *
+    * At 100 TB: shuffle 1 is the (key, seq) pre-agg with map-side
+    * combine (collapses same-batch duplicates before the exchange);
+    * shuffle 2 is the per-key window — per-key history is bounded (a
+    * dimension row has bounded churn), so the sort-based window
+    * never holds more than one key's versions in memory.
+    */
+  val q44 = QueryDef(
+    "q44_scd2_history",
+    Some("""WITH cl AS (SELECT l_orderkey AS key, l_linenumber AS seq,
+          CASE WHEN (l_orderkey + l_linenumber) % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+          l_extendedprice AS price
+        FROM lineitem),
+      v AS (SELECT key, seq, max(price) AS price, max(op) AS op
+        FROM cl GROUP BY key, seq),
+      h AS (SELECT key, seq, price, op,
+          row_number() OVER (PARTITION BY key ORDER BY seq) AS version_no,
+          lead(seq) OVER (PARTITION BY key ORDER BY seq) AS valid_to
+        FROM v)
+      SELECT key, CAST(version_no AS BIGINT) AS version_no,
+        CAST(seq AS BIGINT) AS valid_from_seq,
+        CAST(valid_to AS BIGINT) AS valid_to_seq,
+        price, op,
+        (valid_to IS NULL AND op <> 'D') AS is_current
+      FROM h ORDER BY key, version_no""")) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val cl = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("key"),
+        col("l_linenumber").as("seq"),
+        when((col("l_orderkey") + col("l_linenumber")) % 11 === 0, lit("D"))
+          .otherwise(lit("U")).as("op"),
+        col("l_extendedprice").as("price"))
+    val versions = cl.groupBy("key", "seq")
+      .agg(max("price").as("price"), max("op").as("op"))
+    val w = Window.partitionBy("key").orderBy("seq")
+    versions
+      .select(col("key"),
+        big(row_number().over(w)).as("version_no"),
+        big(col("seq")).as("valid_from_seq"),
+        big(lead(col("seq"), 1).over(w)).as("valid_to_seq"),
+        col("price"), col("op"))
+      .withColumn("is_current", col("valid_to_seq").isNull && col("op") =!= "D")
+      .orderBy("key", "version_no")
   }
 
   /** Runtime bloom-filter pre-filtering for a selective semi join —

@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   def queries: Seq[QueryDef] =
-    Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15)
+    Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15,
+      x16)
 
   /** x13's ln lookup table: round(ln(n)·10⁹) for n = 1..4094, computed
     * ONCE here and embedded as a literal in BOTH the Spark plan and
@@ -388,6 +389,88 @@ object TextAnalysis {
         when(col("lang") === "en", 500).otherwise(1000))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_sampled"))
+      .orderBy("lang")
+  }
+
+  /** Temperature-based domain mixture resampling — the data-MIXING
+    * operator between x06's fixed per-stratum fractions and a learned
+    * mixture (DoReMi-style): per-domain sampling weights ∝ n_d^α with
+    * α = 0.5, so large domains are downweighted relative to their
+    * size and small domains upweighted — the standard multilingual/
+    * multi-domain rebalancing temperature. Everything stays EXACT
+    * integer arithmetic so the oracle replays it bit-for-bit:
+    * weight_d = ⌊√n_d⌋ (IEEE sqrt is correctly rounded — unlike ln
+    * (x13) it IS bit-stable across engines, and ⌊√n⌋ is exact for any
+    * n ≪ 2⁵³), quota_d = ⌊(N/2)·w_d / Σw⌋ by BIGINT division, and the
+    * quota is filled content-addressed — each domain keeps its
+    * lowest-(fingerprint, doc_id) documents, the x05/x06 discipline —
+    * so the selected SET is a pure function of the corpus (pinned
+    * here by per-domain count + id-sum + first-id of the selection).
+    * Quotas above n_d keep the whole domain (no upsampling; the
+    * repetition factor is quota/n_d if a trainer wants epochs).
+    *
+    * At 100 TB: the doc-level work is one fingerprint map + one
+    * per-domain window rank (single shuffle on domain; domain count
+    * is small, so skew is the window's real hazard — the rank could
+    * be replaced by the x06 threshold form `fp % M < quota·M/n_d`
+    * for a shuffle-free approximation, traded here for exact quota
+    * fill). The domain table is DOMAIN-COUNT-sized, so its
+    * unpartitioned total-weight window and its broadcast back to the
+    * corpus are bounded metadata by construction — the x12 "window
+    * over ()" hazard does not apply to a bounded dimension table.
+    */
+  val x16 = QueryDef(
+    "x16_temperature_mix",
+    Some("""WITH f AS (SELECT doc_id, lang,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, length(text) + 1), i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))),
+          (h, c) -> (h * 31 + c) % 1000000007) AS fp
+        FROM documents),
+      c AS (SELECT lang, count(*) AS n_docs FROM f GROUP BY lang),
+      w AS (SELECT lang, n_docs, CAST(floor(sqrt(n_docs)) AS BIGINT) AS wt FROM c),
+      t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total, CAST(sum(wt) AS BIGINT) AS wsum FROM w),
+      q AS (SELECT lang, n_docs, wt, ((total // 2) * wt) // wsum AS quota FROM w, t),
+      r AS (SELECT doc_id, lang,
+          row_number() OVER (PARTITION BY lang ORDER BY fp, doc_id) AS rn FROM f),
+      sel AS (SELECT r.lang, count(*) AS n_sampled, sum(r.doc_id) AS id_sum,
+          min(r.doc_id) AS first_id
+        FROM r JOIN q ON r.lang = q.lang WHERE r.rn <= q.quota GROUP BY r.lang)
+      SELECT q.lang AS lang, CAST(q.n_docs AS BIGINT) AS n_docs, q.wt AS weight,
+        CAST(q.quota AS BIGINT) AS quota,
+        CAST(coalesce(sel.n_sampled, 0) AS BIGINT) AS n_sampled,
+        CAST(coalesce(sel.id_sum, 0) AS BIGINT) AS sampled_id_sum,
+        CAST(coalesce(sel.first_id, -1) AS BIGINT) AS first_sampled
+      FROM q LEFT JOIN sel ON q.lang = sel.lang ORDER BY lang""")) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val f = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        expr("rolling_hash(text, 31L, 1000000007L)").as("fp"))
+    val counts = f.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("wt", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+    // unpartitioned window over the DOMAIN table (bounded rows — see
+    // scaladoc), not over the corpus
+    val wTot = Window.partitionBy()
+    val quotas = counts
+      .withColumn("total", sum("n_docs").over(wTot))
+      .withColumn("wsum", sum("wt").over(wTot))
+      // integer division end-to-end (Spark's `/` is double division;
+      // `div` is the BIGINT `//` the oracle uses)
+      .withColumn("quota", expr("((total div 2) * wt) div wsum"))
+      .select("lang", "n_docs", "wt", "quota")
+    val ranked = f.withColumn("rn",
+      row_number().over(Window.partitionBy("lang").orderBy("fp", "doc_id")))
+    val sel = ranked.join(broadcast(quotas.select("lang", "quota")), Seq("lang"))
+      .where(col("rn") <= col("quota"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"), sum("doc_id").as("id_sum"),
+        min("doc_id").as("first_id"))
+    quotas.join(sel, Seq("lang"), "left")
+      .select(col("lang"), big(col("n_docs")).as("n_docs"),
+        col("wt").as("weight"), col("quota"),
+        big(coalesce(col("n_sampled"), lit(0L))).as("n_sampled"),
+        big(coalesce(col("id_sum"), lit(0L))).as("sampled_id_sum"),
+        big(coalesce(col("first_id"), lit(-1L))).as("first_sampled"))
       .orderBy("lang")
   }
 
