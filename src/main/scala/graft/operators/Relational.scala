@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
 object Relational {
 
   def queries: Seq[QueryDef] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q33, q37, q39, q42, q43, q44)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q33, q37, q39, q42, q43, q44,
+      q46)
 
   /** FULL OUTER join with all three match classes live: customers are
     * filtered to positive balances so orders from excluded customers
@@ -529,5 +530,70 @@ object Relational {
       .select("o_orderstatus", "o_orderpriority")
       .distinct()
       .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  /** Recursive-hierarchy closure — the `WITH RECURSIVE` surface
+    * (org charts, BOM explosion, thread ancestry) expressed in the
+    * form that actually scales: POINTER DOUBLING. A synthetic forest
+    * is derived from `part` (nodes ≤ 5 are roots; every other node's
+    * parent is the deterministic hash 1 + (k·2654435761) mod (k−1),
+    * strictly < k, so the edge set is acyclic by construction and
+    * both engines derive it from the same arithmetic — no edge table
+    * ships between them). Each node resolves (root, depth).
+    *
+    * Scale design: the naive recursive walk — what the oracle's
+    * RECURSIVE CTE does — takes one join PER LEVEL (O(depth)
+    * shuffles; a 30-deep hierarchy is 30 shuffles over the full node
+    * set). Pointer doubling instead composes the ancestor map with
+    * itself each round — after i rounds every node points 2^i hops
+    * up — so the loop ends in ceil(log₂ depth) shuffles (~5 here,
+    * measured) over a state of exactly ONE row per node. Each round
+    * is `localCheckpoint`ed: lineage stays flat (the x14 lesson —
+    * unchecked iterative plans double Catalyst analysis cost per
+    * round) and the convergence test is a cheap count over
+    * materialized rows. Settled rows keep joining (their ancestor is
+    * a root whose self-edge contributes dist 0), so no row ever
+    * leaves the loop — there is no growing "done" union to re-merge.
+    */
+  val q46 = QueryDef(
+    "q46_tree_closure",
+    Some("""WITH RECURSIVE r AS (
+        SELECT CAST(p_partkey AS BIGINT) AS node,
+               CAST(p_partkey AS BIGINT) AS root,
+               CAST(0 AS BIGINT) AS depth
+        FROM part WHERE p_partkey <= 5
+        UNION ALL
+        SELECT CAST(p.p_partkey AS BIGINT), r.root, r.depth + 1
+        FROM part p JOIN r
+          ON 1 + (CAST(p.p_partkey AS BIGINT) * 2654435761) % (CAST(p.p_partkey AS BIGINT) - 1) = r.node
+        WHERE p.p_partkey > 5)
+      SELECT node, root, depth FROM r ORDER BY node""")) { (s, d) =>
+    val roots = 5L
+    val nodes = Tables.part(s, d).select(col("p_partkey").cast("long").as("node"))
+    val init = nodes.select(
+      col("node"),
+      when(col("node") <= roots, col("node"))
+        .otherwise(lit(1L) + (col("node") * lit(2654435761L)) % (col("node") - 1))
+        .as("anc"),
+      when(col("node") <= roots, lit(0L)).otherwise(lit(1L)).as("dist"))
+      // settled ⇔ anc is a root ⇔ (anc, dist) = (root(node), depth(node))
+      .withColumn("settled", col("anc") <= roots)
+    var state = init.localCheckpoint()
+    var pending = state.filter(!col("settled")).count()
+    var iter = 0
+    while (pending > 0 && iter < 40) { // 40 ⇒ depths to 2^40 — unreachable
+      val m = state.select(col("node").as("m_node"), col("anc").as("m_anc"),
+        col("dist").as("m_dist"), col("settled").as("m_settled"))
+      state = state.join(m, col("anc") === col("m_node"))
+        .select(col("node"),
+          when(col("settled"), col("anc")).otherwise(col("m_anc")).as("anc"),
+          when(col("settled"), col("dist")).otherwise(col("dist") + col("m_dist")).as("dist"),
+          (col("settled") || col("m_settled")).as("settled"))
+        .localCheckpoint()
+      pending = state.filter(!col("settled")).count()
+      iter += 1
+    }
+    state.select(col("node"), col("anc").as("root"), col("dist").as("depth"))
+      .orderBy("node")
   }
 }
