@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
   */
 object EventWindows {
 
-  def queries: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09)
+  def queries: Seq[QueryDef] =
+    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10)
 
   /** Windowed sketch quantiles: q38's KLL-style sampler aggregated per
     * (1-day tumbling window × event_type) — sketches and time windows
@@ -299,5 +300,79 @@ object EventWindows {
       .agg(big(sum("k")).as("sum_k"), big(max("k")).as("max_k"),
         count(lit(1)).as("n"))
       .orderBy("event_type")
+  }
+
+  /** Gap fill with LINEAR INTERPOLATION — e08's zero-fill upgraded to
+    * the estimate a monitoring/feature pipeline actually wants: the
+    * 10-minute purchase-count series is densified onto its full grid,
+    * and each empty window takes the straight line between its nearest
+    * non-empty neighbors (leading/trailing gaps clamp to the nearest
+    * real value). The interpolation is EXACT integer arithmetic until
+    * one final IEEE division — numerator pv·(nw−win) + nv·(win−pw)
+    * and denominator (nw−pw) are BIGINT on both engines, so the
+    * emitted double is bit-identical.
+    *
+    * Scale design: the corpus-sized work is the count aggregation
+    * (ordinary partial+final). The neighbor window functions run over
+    * the DENSIFIED series, whose length is proportional to TIME
+    * RANGE, not corpus size (4 320 rows per month at 10-minute grain
+    * — driver-sized by construction, the e08 grid argument), so the
+    * unpartitioned sort they imply is a non-issue at any corpus
+    * scale; a multi-series variant would partition by series key and
+    * never see a global sort at all.
+    */
+  val e10 = QueryDef(
+    "e10_interp_gapfill",
+    Some("""WITH w AS (SELECT epoch_us(ts) - epoch_us(ts) % 600000000 AS win
+          FROM events WHERE event_type = 'purchase'),
+      b AS (SELECT min(win) AS lo, max(win) AS hi FROM w),
+      grid AS (SELECT unnest(range(b.lo, b.hi + 600000000, 600000000)) AS win FROM b),
+      c AS (SELECT win, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1),
+      j AS (SELECT g.win, c.n FROM grid g LEFT JOIN c ON g.win = c.win),
+      f AS (SELECT win, n,
+         last_value(n IGNORE NULLS) OVER (ORDER BY win ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+         last_value(CASE WHEN n IS NOT NULL THEN win END IGNORE NULLS) OVER (ORDER BY win ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pw,
+         first_value(n IGNORE NULLS) OVER (ORDER BY win ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN n IS NOT NULL THEN win END IGNORE NULLS) OVER (ORDER BY win ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nw
+       FROM j)
+      SELECT win AS win_start_us,
+        CASE WHEN n IS NOT NULL THEN 'actual'
+             WHEN pv IS NULL OR nv IS NULL THEN 'edge'
+             ELSE 'interp' END AS src,
+        CASE WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
+             WHEN pv IS NULL AND nv IS NULL THEN 0.0
+             WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+             WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+             ELSE CAST(pv * (nw - win) + nv * (win - pw) AS DOUBLE)
+                  / CAST(nw - pw AS DOUBLE) END AS n_filled
+      FROM f ORDER BY win_start_us""")) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select((col("ts_us") - col("ts_us") % 600000000L).as("win"))
+    val bounds = w.agg(min("win").as("lo"), max("win").as("hi"))
+    val grid = bounds
+      .select(explode(expr("sequence(lo, hi, 600000000)")).as("win"))
+    val counts = w.groupBy("win").agg(count(lit(1)).as("n"))
+    val back = Window.orderBy("win").rowsBetween(Window.unboundedPreceding, -1)
+    val fwd = Window.orderBy("win").rowsBetween(1, Window.unboundedFollowing)
+    val f = grid.join(counts, Seq("win"), "left")
+      .select(col("win"), col("n"),
+        last(col("n"), ignoreNulls = true).over(back).as("pv"),
+        last(when(col("n").isNotNull, col("win")), ignoreNulls = true).over(back).as("pw"),
+        first(col("n"), ignoreNulls = true).over(fwd).as("nv"),
+        first(when(col("n").isNotNull, col("win")), ignoreNulls = true).over(fwd).as("nw"))
+    f.select(col("win").as("win_start_us"),
+        when(col("n").isNotNull, "actual")
+          .when(col("pv").isNull || col("nv").isNull, "edge")
+          .otherwise("interp").as("src"),
+        when(col("n").isNotNull, col("n").cast("double"))
+          .when(col("pv").isNull && col("nv").isNull, lit(0.0))
+          .when(col("pv").isNull, col("nv").cast("double"))
+          .when(col("nv").isNull, col("pv").cast("double"))
+          .otherwise(
+            (col("pv") * (col("nw") - col("win")) + col("nv") * (col("win") - col("pw")))
+              .cast("double") / (col("nw") - col("pw")).cast("double"))
+          .as("n_filled"))
+      .orderBy("win_start_us")
   }
 }
