@@ -17,7 +17,7 @@ object TextAnalysis {
 
   def queries: Seq[QueryDef] =
     Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15,
-      x16)
+      x16, x17)
 
   /** x13's ln lookup table: round(ln(n)·10⁹) for n = 1..4094, computed
     * ONCE here and embedded as a literal in BOTH the Spark plan and
@@ -966,6 +966,67 @@ object TextAnalysis {
           .otherwise(col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
           .as("chars_per_token"))
       .orderBy("doc_id")
+  }
+
+  /** TF-IDF keyword extraction — top-3 terms per document by
+    * tf·ln(N/df), the classic relevance score between x03's surface
+    * heuristics and x13's LM. All scoring is EXACT integer
+    * arithmetic: the idf ln goes through the shared [[LnNano]]
+    * literal table (the x13 transcendental discipline — neither
+    * engine calls its own ln), so score = tf·(lnN − ln df) in nano
+    * units is BIGINT on both sides; N and df cap at the table bound
+    * 4094 as part of the model definition, which usefully zeroes the
+    * idf of corpus-saturating stopwords. Ties (this corpus has ~31
+    * distinct words, so they are common) break on term text — a
+    * total order, the determinism contract every top-k here obeys.
+    *
+    * Scale design: tf is ONE shuffle on (doc, term); df is a partial
+    * re-aggregation OF TF, never a second corpus pass; the scoring
+    * join on term is UNHINTED (d03 policy — AQE broadcasts a vocab
+    * that fits, shuffles one that doesn't); top-k is a per-document
+    * window — millions of tiny partitions, no global sort. N is one
+    * metadata-only parquet count.
+    */
+  val x17 = QueryDef(
+    "x17_tfidf_keywords",
+    Some(s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+      df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      nd AS (SELECT count(*) AS n FROM documents),
+      lt AS (SELECT ${LnNano.mkString("[", ", ", "]")} AS a),
+      sc AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+          tf.tf * (lt.a[CAST(least(nd.n, 4094) AS INT)]
+                 - lt.a[CAST(least(df.df, 4094) AS INT)]) AS score_nano
+        FROM tf JOIN df USING (tok) CROSS JOIN nd CROSS JOIN lt),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY score_nano DESC, tok) AS rank FROM sc)
+      SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok AS term,
+        CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        CAST(score_nano AS BIGINT) AS score_nano
+      FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""")) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = Tables.documents(s, d).count() // parquet footer metadata only
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val lnArr = lit(LnNano)
+    val scored = tf.join(df, Seq("tok"))
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        // greatest(…, 1): constant-folding would evaluate index 0 on an
+        // EMPTY corpus (ANSI error) even though no row ever flows
+        (col("tf") * (element_at(lnArr, greatest(least(lit(nDocs), lit(4094L)), lit(1L)).cast("int"))
+          - element_at(lnArr, least(col("df"), lit(4094L)).cast("int"))))
+          .as("score_nano"))
+    scored
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("score_nano").desc, col("tok"))))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), big(col("rank")).as("rank"), col("tok").as("term"),
+        big(col("tf")).as("tf"), big(col("df")).as("df"),
+        big(col("score_nano")).as("score_nano"))
+      .orderBy("doc_id", "rank")
   }
 }
 
