@@ -132,6 +132,20 @@ object MultimodalPipeline {
       }
   }
 
+  /** Synthesized VIDEO assets: one GVID frame container per document
+    * id, each frame a real BMP/PNG image of the derived id 97·id + f
+    * ([[VideoCodecs.encode]]), generated executor-side in a narrow
+    * map. width carries the frame count for the Asset shape.
+    */
+  def videoAssets(spark: SparkSession, dir: String): Dataset[Asset] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        Asset(id, "video", VideoCodecs.encode(id), VideoCodecs.nFrames(id), 0)
+      }
+  }
+
   /** Partition-local decode + feature extraction. One iterator pass
     * per partition, constant memory, no shuffle — the plan stays a
     * single map stage whatever the corpus size.

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalOps {
 
-  def queries: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07)
+  def queries: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07, m08)
 
   /** DuckDB luma at synthetic sample point (gx, gy): replays the
     * m05 pixel arithmetic through the same integer (299r+587g+114b)/
@@ -243,6 +243,57 @@ object MultimodalOps {
     * endianness/sign/header-offset mistake in the decode path breaks
     * the hash.
     */
+  /** REAL video decode — the third modality, closing the family:
+    * per document, a GVID frame container ([[graft.multimodal
+    * .VideoCodecs]] — 'GVID' magic, u32 LE count, length-prefixed
+    * frames) whose 2–5 frames are REAL encoded images of the derived
+    * id 97·id + f (even derived ids hand-built BMP, odd JDK PNG, so
+    * codecs alternate WITHIN one video). The operator walks the
+    * framing (bounds-checked, zero-copy slices), decodes every frame
+    * through the genuine `javax.imageio` path, and explodes to one
+    * row per frame — the asset→frames generator shape of m03 with a
+    * real demux + codec underneath. Malformed containers and frames
+    * quarantine as sentinel rows (VideoContainerSpec pins junk,
+    * truncation, lying lengths, trailing bytes, corrupt payloads);
+    * the oracle replays codec/dims/checksum arithmetically from the
+    * derived-id pixel function.
+    */
+  val m08 = QueryDef(
+    "m08_video_decode",
+    Some("""WITH f AS (SELECT doc_id, unnest(range(0, doc_id % 4 + 2)) AS k FROM documents),
+      d AS (SELECT doc_id, k, doc_id*97 + k AS fid FROM f),
+      g AS (SELECT doc_id, k, fid, fid % 5 + 4 AS w, fid % 3 + 3 AS h FROM d)
+      SELECT doc_id AS asset_id, CAST(k AS BIGINT) AS frame_no,
+        CASE WHEN fid % 2 = 0 THEN 'bmp' ELSE 'png' END AS codec,
+        CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(0, w*h*3), j -> (fid*7 + ((j//3) % w)*3 + ((j//3) // w)*5 + (j%3)*11) % 256)),
+          (acc, v) -> (acc * 131 + v) % 1000000007) AS px_checksum
+      FROM g ORDER BY asset_id, frame_no""")) { (s, d) =>
+    import s.implicits._
+    graft.multimodal.MultimodalPipeline.videoAssets(s, d)
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          graft.multimodal.VideoCodecs.decodeFrames(a.data) match {
+            case None => // container-level quarantine: one sentinel row
+              Iterator.single((a.asset_id, -1L, "quarantine", -1L, -1L, -1L))
+            case Some(frames) =>
+              frames.iterator.zipWithIndex.map { case ((off, len), f) =>
+                graft.multimodal.ImageCodecs.decode(a.data, off, len) match {
+                  case Some(dec) =>
+                    (a.asset_id, f.toLong, dec.codec, dec.width.toLong,
+                      dec.height.toLong, dec.pxChecksum)
+                  case None => // frame-level quarantine
+                    (a.asset_id, f.toLong, "quarantine", -1L, -1L, -1L)
+                }
+              }
+          }
+        }
+      }
+      .toDF("asset_id", "frame_no", "codec", "width", "height", "px_checksum")
+      .orderBy("asset_id", "frame_no")
+  }
+
   val m07 = QueryDef(
     "m07_audio_decode",
     Some("""WITH g AS (SELECT doc_id, doc_id % 50 + 20 AS n FROM documents),
