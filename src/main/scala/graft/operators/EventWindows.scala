@@ -20,7 +20,76 @@ import org.apache.spark.sql.functions._
 object EventWindows {
 
   def queries: Seq[QueryDef] =
-    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10)
+    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11)
+
+  /** Funnel analysis: the ordered-sequence conversion query every
+    * event-analytics engine ships (signup → click → purchase, each
+    * later step strictly after the previous and within 7 days of the
+    * funnel start). Three CHAINED conditional min-windows over the
+    * same `user_id` partitioning compute the step-completion times —
+    * step k's condition reads step k−1's column, which an aggregation
+    * can't express in one pass but chained whole-partition windows
+    * can, and because every window (and the per-user collapse after
+    * them) shares one partitioning, Catalyst plans ONE exchange on
+    * user_id for the entire funnel: the per-user event history never
+    * moves twice, which is the property that matters when the history
+    * is 100 TB. The per-user step times then explode into one row per
+    * step and a tiny 3-group aggregate emits reached-user counts and
+    * exact integer total signup→step lag (the conversion-latency
+    * numerator). The oracle replays the chain as three dependent
+    * grouped joins — a formulation that would re-shuffle the corpus
+    * per step, which is exactly why the engine uses windows instead.
+    */
+  val e11 = QueryDef(
+    "e11_funnel",
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      u1 AS (SELECT user_id, min(ts_us) FILTER (WHERE event_type = 'signup') AS t1
+        FROM e GROUP BY 1),
+      u2 AS (SELECT e.user_id, min(u1.t1) AS t1,
+          min(e.ts_us) FILTER (WHERE e.event_type = 'click'
+            AND e.ts_us > u1.t1 AND e.ts_us <= u1.t1 + 604800000000) AS t2
+        FROM e JOIN u1 ON e.user_id = u1.user_id GROUP BY e.user_id),
+      u3 AS (SELECT e.user_id, min(u2.t1) AS t1, min(u2.t2) AS t2,
+          min(e.ts_us) FILTER (WHERE e.event_type = 'purchase'
+            AND e.ts_us > u2.t2 AND e.ts_us <= u2.t1 + 604800000000) AS t3
+        FROM e JOIN u2 ON e.user_id = u2.user_id GROUP BY e.user_id)
+      SELECT step, step_name, users, total_lag_us FROM (
+        SELECT 1 AS step, 'signup' AS step_name, count(t1) AS users,
+          CAST(0 AS BIGINT) AS total_lag_us FROM u3
+        UNION ALL SELECT 2, 'click', count(t2), CAST(coalesce(sum(t2 - t1), 0) AS BIGINT) FROM u3
+        UNION ALL SELECT 3, 'purchase', count(t3), CAST(coalesce(sum(t3 - t1), 0) AS BIGINT) FROM u3)
+      ORDER BY step""")) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val weekUs = 604800000000L // 7 days in µs, exact
+    val w = Window.partitionBy("user_id")
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts_us"))
+    val steps = ev
+      .withColumn("t1",
+        min(when(col("event_type") === "signup", col("ts_us"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click"
+          && col("ts_us") > col("t1")
+          && col("ts_us") <= col("t1") + weekUs, col("ts_us"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase"
+          && col("ts_us") > col("t2")
+          && col("ts_us") <= col("t1") + weekUs, col("ts_us"))).over(w))
+      .groupBy("user_id") // same key as the windows — no second exchange
+      .agg(min("t1").as("t1"), min("t2").as("t2"), min("t3").as("t3"))
+    steps
+      .select(explode(array(
+        struct(lit(1L).as("step"), lit("signup").as("step_name"),
+          col("t1").as("t"), lit(0L).as("lag")),
+        struct(lit(2L).as("step"), lit("click").as("step_name"),
+          col("t2").as("t"), (col("t2") - col("t1")).as("lag")),
+        struct(lit(3L).as("step"), lit("purchase").as("step_name"),
+          col("t3").as("t"), (col("t3") - col("t1")).as("lag")))).as("x"))
+      .groupBy(col("x.step").as("step"), col("x.step_name").as("step_name"))
+      .agg(count(col("x.t")).as("users"),
+        coalesce(sum(when(col("x.t").isNotNull, col("x.lag"))), lit(0L))
+          .as("total_lag_us"))
+      .orderBy("step")
+  }
 
   /** Windowed sketch quantiles: q38's KLL-style sampler aggregated per
     * (1-day tumbling window × event_type) — sketches and time windows
