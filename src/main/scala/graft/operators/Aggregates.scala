@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
 object Aggregates {
 
   def queries: Seq[QueryDef] =
-    Seq(q09, q10, q11, q12, q21, q26, q27, q28, q29, q35, q36, q38, q40, q41, q45)
+    Seq(q09, q10, q11, q12, q21, q26, q27, q28, q29, q35, q36, q38, q40, q41,
+      q45, q47)
 
   /** Changelog compaction / latest-wins upsert: the newest event per
     * key via `max_by(payload, (ts, id))` — ONE partial-aggregating
@@ -521,5 +522,86 @@ object Aggregates {
       .select(col("key"), col("true_cnt"),
         big(least(ests: _*)).as("est_cnt"))
       .orderBy("key")
+  }
+
+  /** Audience-overlap set algebra via the KMV theta-family sketch
+    * ([[graft.functions.KmvAgg]]): per event-type segment, the K
+    * smallest distinct user-id hashes; per segment PAIR, exact-integer
+    * estimates of |A|, |B|, |A∩B|, |A∪B|. Intersection is the
+    * capability q35's HLL structurally lacks, and at 100 TB the only
+    * alternative — a distinct-pair join per segment combination — is
+    * quadratic in segments and shuffles the corpus each time. Here the
+    * corpus is read ONCE: the sketch aggregation absorbs duplicate
+    * (segment, user) rows during partial aggregation (no pre-distinct
+    * shuffle — insertion dedups), ships ≤ 520 bytes per
+    * (segment × partition), and the pair algebra is plain column
+    * expressions over 5 sketch rows (the pair join is a
+    * broadcast-bounded NLJ over ONE ROW PER SEGMENT, whitelisted in
+    * PlanLintSpec). All estimator arithmetic is overflow-safe integer
+    * division replayed bit-for-bit by the oracle (KmvAgg doc); below
+    * K distinct members the estimates are EXACT, and K = 64 keeps the
+    * true estimation path live from sf0.01 up.
+    */
+  val q47 = QueryDef(
+    "q47_kmv_overlap",
+    Some {
+      import graft.functions.HllAgg.{A1, A2, A3, F}
+      import graft.functions.KmvAgg.{Dom, K, Shrink}
+      def est(m: String, th: String) =
+        s"CASE WHEN $m < $K THEN $m ELSE ($Dom // $th) * ${K - 1} + (($Dom % $th) * ${K - 1}) // $th END"
+      s"""WITH mem AS (SELECT DISTINCT event_type AS seg, user_id AS key FROM events),
+      h0 AS (SELECT seg, $A1 * (((key % $F) + $F) % $F) AS t1 FROM mem),
+      h1 AS (SELECT seg, $A2 * (xor(t1 % $F, t1 // $F) % $F) AS t2 FROM h0),
+      h2 AS (SELECT seg, xor(t2 % $F, t2 // $F) % $F AS x2 FROM h1),
+      hh AS (SELECT DISTINCT seg,
+          (x2 * $F + xor(($A3 * x2) % $F, ($A3 * x2) // $F) % $F) // $Shrink AS h FROM h2),
+      rk AS (SELECT seg, h, row_number() OVER (PARTITION BY seg ORDER BY h) AS r FROM hh),
+      ret AS (SELECT seg, h FROM rk WHERE r <= $K),
+      sk AS (SELECT seg, count(*) AS m, greatest(max(h), 1) AS xk FROM ret GROUP BY 1),
+      pr AS (SELECT a.seg AS seg_a, b.seg AS seg_b, a.m AS m_a, b.m AS m_b,
+          CASE WHEN a.m < $K THEN $Dom ELSE a.xk END AS th_a,
+          CASE WHEN b.m < $K THEN $Dom ELSE b.xk END AS th_b
+        FROM sk a JOIN sk b ON a.seg < b.seg),
+      pt AS (SELECT *, least(th_a, th_b) AS th FROM pr),
+      cm AS (SELECT pt.seg_a, pt.seg_b, count(rb.h) AS c
+        FROM pt LEFT JOIN ret ra ON ra.seg = pt.seg_a AND ra.h < pt.th
+                LEFT JOIN ret rb ON rb.seg = pt.seg_b AND rb.h = ra.h
+        GROUP BY 1, 2)
+      SELECT seg_a, seg_b, est_a, est_b, est_common,
+        est_a + est_b - est_common AS est_union
+      FROM (SELECT pt.seg_a, pt.seg_b,
+          CAST(${est("m_a", "th_a")} AS BIGINT) AS est_a,
+          CAST(${est("m_b", "th_b")} AS BIGINT) AS est_b,
+          CAST(($Dom // th) * c + (($Dom % th) * c) // th AS BIGINT) AS est_common
+        FROM pt JOIN cm ON pt.seg_a = cm.seg_a AND pt.seg_b = cm.seg_b)
+      ORDER BY seg_a, seg_b"""
+    }) { (s, d) =>
+    import graft.functions.KmvAgg
+    import graft.functions.KmvAgg.{Dom, K}
+    val sk = Tables.events(s, d)
+      .select(col("event_type").as("seg"), col("user_id"))
+      .groupBy("seg").agg(KmvAgg.kmv(col("user_id")).as("ret"))
+    def theta(ret: org.apache.spark.sql.Column) =
+      when(size(ret) < K, lit(Dom))
+        .otherwise(greatest(element_at(ret, -1), lit(1L)))
+    def est(ret: String, th: String) = expr(
+      s"CASE WHEN size($ret) < $K THEN CAST(size($ret) AS BIGINT) " +
+        s"ELSE ($Dom div $th) * ${K - 1} + (($Dom % $th) * ${K - 1}) div $th END")
+    sk.select(col("seg").as("seg_a"), col("ret").as("ret_a"))
+      .join(sk.select(col("seg").as("seg_b"), col("ret").as("ret_b")),
+        col("seg_a") < col("seg_b")) // one row per segment: bounded NLJ
+      .withColumn("th_a", theta(col("ret_a")))
+      .withColumn("th_b", theta(col("ret_b")))
+      .withColumn("th", least(col("th_a"), col("th_b")))
+      .withColumn("c", size(filter(array_intersect(col("ret_a"), col("ret_b")),
+        _ < col("th"))).cast("long"))
+      .withColumn("est_a", est("ret_a", "th_a"))
+      .withColumn("est_b", est("ret_b", "th_b"))
+      .withColumn("est_common",
+        expr(s"($Dom div th) * c + (($Dom % th) * c) div th"))
+      .select(col("seg_a"), col("seg_b"), col("est_a"), col("est_b"),
+        col("est_common"),
+        (col("est_a") + col("est_b") - col("est_common")).as("est_union"))
+      .orderBy("seg_a", "seg_b")
   }
 }

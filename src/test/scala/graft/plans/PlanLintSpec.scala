@@ -21,7 +21,8 @@ class PlanLintSpec extends SparkSpec {
     "d05_embedding_neardup" -> "all-pairs exactness baseline (s02/s04 are the scale paths)",
     "q07_join_nonequi" -> "theta join; small side broadcast by design",
     "x11_oov_rate" -> "crossJoin of a ONE-row count aggregate (vocab threshold)",
-    "e08_gapfill" -> "crossJoin of a ONE-row min/max bounds aggregate")
+    "e08_gapfill" -> "crossJoin of a ONE-row min/max bounds aggregate",
+    "q47_kmv_overlap" -> "pair join of ONE sketch row per segment (bounded by segment count)")
 
   test("no registry query plans a cartesian product or unlisted nested-loop join") {
     val offenders = scala.collection.mutable.ListBuffer[String]()
