@@ -21,7 +21,7 @@ object Relational {
 
   def queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q33, q37, q39, q42, q43, q44,
-      q46, q48)
+      q46, q48, q49)
 
   /** FULL OUTER join with all three match classes live: customers are
     * filtered to positive balances so orders from excluded customers
@@ -649,5 +649,61 @@ object Relational {
         sum("n_s").as("n_rows"),
         (sum("sum_price_s").cast("double") / sum("n_s")).as("avg_price"))
       .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** The star-schema capstone: a TPC-H Q5-shaped six-table join
+    * (region → nation → customer/supplier → orders → lineitem with
+    * the local-supplier correlation c_nationkey = s_nationkey). Most
+    * registry entries isolate ONE operator; this one is the
+    * composition the optimizer exists for, and the plan is the point:
+    * the three dimension legs (region, nation, and the filtered
+    * customer/supplier sides once the region filter has cut them)
+    * broadcast, the date filter pushes into the orders scan, and the
+    * only corpus-sized shuffle left is lineitem⋈orders on the order
+    * key — at 100 TB exactly one fact-sized exchange (or zero over
+    * the q37 bucketed layout). Broadcast hints go ONLY on the truly
+    * fixed-size dims (nation, region); customer and supplier are
+    * scale-proportional, so their joins stay UNHINTED and AQE picks
+    * broadcast vs shuffle from measured sizes (the d03 count-lookup
+    * policy — at these SFs they broadcast, at 100 TB they shuffle on
+    * the key). Exact decimal revenue; DESC revenue order with a name
+    * tiebreak so the sort is total.
+    */
+  val q49 = QueryDef(
+    "q49_star_join",
+    Some("""SELECT n_name,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      count(*) AS n_items
+      FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY n_name ORDER BY revenue DESC, n_name""")) { (s, d) =>
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val nat = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+    val reg = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      .select("r_regionkey")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(col("l_extendedprice").cast(m2)
+        * (lit(1) - col("l_discount").cast(r2))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
   }
 }
