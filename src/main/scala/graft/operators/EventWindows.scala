@@ -20,7 +20,43 @@ import org.apache.spark.sql.functions._
 object EventWindows {
 
   def queries: Seq[QueryDef] =
-    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11)
+    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12)
+
+  /** Cohort retention — e11's companion and the other half of every
+    * product-analytics suite: users cohorted by their FIRST-ever
+    * event week, then counted distinct per (cohort week × weeks-since
+    * offset) — the retention triangle. One whole-partition min-window
+    * over user_id pins each row's cohort (the same
+    * single-partitioning discipline as e11 — the history moves once),
+    * the week math is exact integer floor-division of epoch-µs, and
+    * the per-cell distinct collapses (user, cohort, offset) with
+    * partial aggregation before the cell count. At 100 TB the
+    * distinct's shuffle carries one row per (user × active week) —
+    * already the information-theoretic minimum for exact retention;
+    * the approximate path at that scale is q47's KMV per cell.
+    */
+  val e12 = QueryDef(
+    "e12_cohort_retention",
+    Some("""WITH f AS (SELECT user_id,
+          min(epoch_us(ts)) // 604800000000 AS cw FROM events GROUP BY 1),
+      a AS (SELECT DISTINCT e.user_id, f.cw,
+          epoch_us(e.ts) // 604800000000 - f.cw AS k
+        FROM events e JOIN f ON e.user_id = f.user_id)
+      SELECT cw AS cohort_week, k AS week_offset, count(*) AS active_users
+      FROM a GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val weekUs = 604800000000L
+    val w = Window.partitionBy("user_id")
+    Tables.events(s, d).select(col("user_id"), col("ts_us"))
+      .withColumn("cohort_week",
+        expr(s"min(ts_us) over (partition by user_id) div $weekUs"))
+      .withColumn("week_offset",
+        expr(s"ts_us div $weekUs") - col("cohort_week"))
+      .select("user_id", "cohort_week", "week_offset").distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("active_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
 
   /** Funnel analysis: the ordered-sequence conversion query every
     * event-analytics engine ships (signup → click → purchase, each

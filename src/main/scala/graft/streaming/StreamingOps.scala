@@ -209,6 +209,95 @@ object StreamingOps {
       .dropDuplicates("doc_id", "dup_of")
   }
 
+  final case class FunnelState(t1: Long, clicks: List[Long], purchases: List[Long])
+  final case class FunnelProgress(user_id: Long, step: Int, t_us: Long)
+
+  /** Streaming funnel — e11's streaming face: per-user
+    * `flatMapGroupsWithState` tracking the earliest completion of
+    * signup → click → purchase (each strictly after the previous,
+    * within 7 days of funnel start) and emitting an updated
+    * (user, step, time) row whenever a step completes or its
+    * completion time improves (Update mode; latest row per
+    * (user, step) is current).
+    *
+    * The state is ORDER-INDEPENDENT by construction — the same
+    * property that makes streaming KLL equal its batch sketch: t1 is
+    * a running min, and enough click/purchase candidates are retained
+    * to re-derive (t2, t3) exactly when a LATE EARLIER signup shifts
+    * the funnel start left. The retention rule is the pruning
+    * fixed point: t1 only ever decreases, so the feasibility window
+    * (t1', t1'+7d] for any future t1' ≤ t1 never admits an event
+    * above t1+7d — candidates beyond the current horizon are dropped,
+    * and the rest are bounded by the 7-day funnel window per user
+    * (before the first signup arrives nothing can be pruned; a
+    * production deployment adds a watermark TTL exactly like
+    * streamingNearDup's note). StreamingSpec pins arrival-order
+    * invariance: any batch split/permutation converges to the batch
+    * e11 fixed point.
+    */
+  def funnelSteps(events: Dataset[Event]): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    val weekUs = 604800000000L
+    def us(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    // (t1, t2, t3) from a state — the e11 definition, recomputed from
+    // retained candidates (cheap: candidates live within one window)
+    def resolve(st: FunnelState): (Long, Long, Long) = {
+      val t1 = st.t1
+      if (t1 == Long.MaxValue) (Long.MaxValue, Long.MaxValue, Long.MaxValue)
+      else {
+        val t2 = st.clicks.filter(c => c > t1 && c <= t1 + weekUs)
+          .foldLeft(Long.MaxValue)(math.min)
+        val t3 =
+          if (t2 == Long.MaxValue) Long.MaxValue
+          else st.purchases.filter(p => p > t2 && p <= t1 + weekUs)
+            .foldLeft(Long.MaxValue)(math.min)
+        (t1, t2, t3)
+      }
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) { (user, rows, state) =>
+        val prev = state.getOption.getOrElse(FunnelState(Long.MaxValue, Nil, Nil))
+        val before = resolve(prev)
+        var st = prev
+        rows.foreach { e =>
+          val t = us(e.ts)
+          e.event_type match {
+            case "signup" if t < st.t1 => st = st.copy(t1 = t)
+            case "click" => st = st.copy(clicks = t :: st.clicks)
+            case "purchase" => st = st.copy(purchases = t :: st.purchases)
+            case _ => ()
+          }
+        }
+        // prune to the horizon of the CURRENT t1 (safe for any future
+        // smaller t1 — see scaladoc), dedup candidate lists
+        if (st.t1 != Long.MaxValue) {
+          val hi = st.t1 + weekUs
+          st = FunnelState(st.t1,
+            st.clicks.filter(_ <= hi).distinct,
+            st.purchases.filter(_ <= hi).distinct)
+        }
+        state.update(st)
+        val after = resolve(st)
+        Seq(1, 2, 3).iterator.flatMap { k =>
+          val (b, a) = (k match {
+            case 1 => (before._1, after._1)
+            case 2 => (before._2, after._2)
+            case 3 => (before._3, after._3)
+          })
+          // t_us = −1 RETRACTS a previously emitted step: a late
+          // earlier signup can shift the window so a step completed
+          // under the old t1 is incomplete under the new one — the
+          // latest row per (user, step) is always the current truth
+          if (a != b) Some(FunnelProgress(user, k,
+            if (a == Long.MaxValue) -1L else a))
+          else None
+        }
+      }
+  }
+
   /** Stream-stream interval join — e07's streaming twin: click →
     * purchase by the same user within [0, 10 min). Both sides carry
     * watermarks and the join condition time-bounds the match, which is

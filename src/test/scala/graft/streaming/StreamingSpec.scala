@@ -340,4 +340,64 @@ class StreamingSpec extends SparkSpec {
     assert(streamShaped == e07Pairs)
     assert(streamShaped > 0)
   }
+
+  test("funnelSteps converges to the batch e11 fixed point in any arrival order") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val weekUs = 604800000000L
+    // synthetic per-user histories covering every funnel corner:
+    //  u1 full funnel in order; u2 click before signup (never counts);
+    //  u3 purchase before click (never counts); u4 click past the
+    //  7-day horizon; u5 LATE EARLIER signup arriving last — shifts
+    //  the window left and RETRACTS the previously completed click
+    def e(id: Long, u: Long, tpe: String, minute: Int) =
+      Event(id, ts(minute), u, tpe, 1.0)
+    val history = Seq(
+      e(1, 1, "signup", 1), e(2, 1, "click", 5), e(3, 1, "purchase", 9),
+      e(4, 2, "click", 1), e(5, 2, "signup", 5), e(6, 2, "purchase", 9),
+      e(7, 3, "signup", 1), e(8, 3, "purchase", 5), e(9, 3, "click", 9),
+      e(10, 4, "signup", 1), e(11, 5, "click", 30), e(12, 5, "signup", 40))
+    val lateSignup = e(13, 5, "signup", 10) // 30 - 10 min ≪ 7 d: u5 click VALID after this
+    // plain-Scala e11 reference (the batch fixed point)
+    def ref(evs: Seq[Event]): Map[(Long, Int), Long] = {
+      evs.groupBy(_.user_id).flatMap { case (u, es) =>
+        def us(t: Timestamp) = (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+        val t1 = es.filter(_.event_type == "signup").map(e => us(e.ts))
+          .minOption.getOrElse(Long.MaxValue)
+        val t2 = es.filter(e => e.event_type == "click" && us(e.ts) > t1
+          && us(e.ts) <= t1 + weekUs).map(e => us(e.ts))
+          .minOption.getOrElse(Long.MaxValue)
+        val t3 = es.filter(e => e.event_type == "purchase" && us(e.ts) > t2
+          && us(e.ts) <= t1 + weekUs).map(e => us(e.ts))
+          .minOption.getOrElse(Long.MaxValue)
+        Seq((u, 1) -> t1, (u, 2) -> t2, (u, 3) -> t3)
+          .filter(_._2 != Long.MaxValue)
+      }
+    }
+    val orders = Seq(
+      history :+ lateSignup, // in order
+      (history :+ lateSignup).reverse, // fully reversed
+      scala.util.Random.shuffle(history :+ lateSignup)) // arbitrary
+    orders.zipWithIndex.foreach { case (evs, i) =>
+      val input = MemoryStream[Event]
+      val q = StreamingOps.funnelSteps(input.toDS())
+        .writeStream.format("memory").queryName(s"funnel$i")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        evs.grouped(4).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        // latest row per (user, step) is current; -1 retracts
+        val got = spark.table(s"funnel$i")
+          .as[StreamingOps.FunnelProgress].collect().zipWithIndex
+          .groupBy(r => (r._1.user_id, r._1.step))
+          .map { case (k, rs) => k -> rs.maxBy(_._2)._1.t_us }
+          .filter(_._2 != -1L)
+        assert(got == ref(evs), s"order $i")
+      } finally q.stop()
+    }
+    // the retraction path itself: without the late signup u5's click
+    // is invalid (signup at minute 40 is AFTER the click at 30), with
+    // it the click completes — reversed order exercises complete →
+    // retract inside one run (spot-checked above via the fixed point)
+    assert(!ref(history).contains((5L, 2)) && ref(history :+ lateSignup).contains((5L, 2)))
+  }
 }
