@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  def queries: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08)
+  def queries: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09)
 
   /** DuckDB CTE for distinct 3-token shingles per document — the
     * oracle-side counterpart of the Spark-side native
@@ -478,5 +478,75 @@ object Dedup {
       .where(col("df") > DfCap).select("g")
     jaccardFrom(g.join(broadcast(hot), Seq("g"), "left_anti"))
       .orderBy("da", "db")
+  }
+
+  /** Incremental dedup — the PRODUCTION arrival shape none of d01–d08
+    * covers: d01 dedups a corpus against itself, but a live pipeline
+    * dedups each incoming BATCH against the corpus it already
+    * accepted. The accepted corpus's fingerprint index (min doc id
+    * per distinct text) is stored BUCKETED on the join key via the
+    * q37/q48 machinery (built once, content-memoized): at 100 TB the
+    * index never re-shuffles — each arriving batch shuffles only
+    * ITSELF into the index's bucketing, the q48 asymmetry applied to
+    * dedup. Every delta doc is classified: duplicate of the base
+    * corpus, duplicate within its own batch (first-arrival-wins,
+    * keyed by min delta doc id — the d01 survivor rule), or novel;
+    * `keep_id` names the surviving representative in all three
+    * cases. Join policy is d03's: UNHINTED, so AQE broadcasts the
+    * index while it is small and bucket-shuffles only the delta once
+    * it is not. The oracle replays base/delta classification over the
+    * full table.
+    */
+  private val dedupIndexBuilt = new graft.engine.CatalogMemo[String]
+
+  val d09 = QueryDef(
+    "d09_incremental_dedup",
+    Some("""WITH base AS (SELECT text, min(doc_id) AS bkeep
+        FROM documents WHERE doc_id % 8 <> 0 GROUP BY 1),
+      delta AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 8 = 0
+        UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 8 = 1
+        UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 16 = 0),
+      dmin AS (SELECT text, min(doc_id) AS dkeep FROM delta GROUP BY 1)
+      SELECT d.doc_id,
+        CASE WHEN b.text IS NOT NULL THEN 'dup_of_base'
+             WHEN d.doc_id <> m.dkeep THEN 'dup_in_delta'
+             ELSE 'novel' END AS status,
+        CASE WHEN b.text IS NOT NULL THEN b.bkeep
+             WHEN d.doc_id <> m.dkeep THEN m.dkeep
+             ELSE d.doc_id END AS keep_id
+      FROM delta d LEFT JOIN base b ON d.text = b.text
+        JOIN dmin m ON d.text = m.text
+      ORDER BY d.doc_id""")) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val ck = graft.engine.CatalogMemo.contentKey(d, s.sparkContext.hadoopConfiguration)
+    if (dedupIndexBuilt.get(s.sharedState, ck).isEmpty) {
+      dedupIndexBuilt.invalidate(s.sharedState)
+      new graft.engine.Engine(s).archiveBucketed(
+        docs.filter(col("doc_id") % 8 =!= 0)
+          .groupBy("text").agg(min("doc_id").as("bkeep")),
+        "graft_dedup_index", "text", 8)
+      dedupIndexBuilt.put(s.sharedState, ck, d)
+    }
+    // the arrival batch: genuinely novel docs, RE-CRAWLS of already-
+    // accepted docs (same text, fresh id — the realistic duplicate
+    // source, since the corpus itself has no repeated text), and a
+    // within-batch resubmission of each %16 doc
+    val delta = docs.filter(col("doc_id") % 8 === 0)
+      .unionByName(docs.filter(col("doc_id") % 8 === 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 16 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    val dmin = delta.groupBy("text").agg(min("doc_id").as("dkeep"))
+    delta.join(s.table("graft_dedup_index"), Seq("text"), "left")
+      .join(dmin, Seq("text"))
+      .select(col("doc_id"),
+        when(col("bkeep").isNotNull, "dup_of_base")
+          .when(col("doc_id") =!= col("dkeep"), "dup_in_delta")
+          .otherwise("novel").as("status"),
+        coalesce(col("bkeep"),
+          when(col("doc_id") =!= col("dkeep"), col("dkeep"))
+            .otherwise(col("doc_id"))).as("keep_id"))
+      .orderBy("doc_id")
   }
 }
