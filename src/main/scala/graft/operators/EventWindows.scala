@@ -20,7 +20,42 @@ import org.apache.spark.sql.functions._
 object EventWindows {
 
   def queries: Seq[QueryDef] =
-    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12)
+    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13)
+
+  /** Semi-structured XML — e05/e06's third format, on Spark 4's
+    * native XML support (the merged spark-xml): each order is
+    * RENDERED as an XML document and parsed back with `from_xml` into
+    * a typed struct, so the operator proves the full encode → parse →
+    * extract path (attribute + nested element + text node). DuckDB
+    * has no XML functions, so the oracle replays what the round trip
+    * must preserve — the original columns; any parser drift (entity
+    * handling, whitespace, numeric coercion) breaks the match. The
+    * parse is a narrow codegen-adjacent projection: no shuffle until
+    * the final order-by, same shape as e05.
+    */
+  val e13 = QueryDef(
+    "e13_xml_extract",
+    Some("""SELECT o_orderkey AS order_id, o_orderstatus AS status,
+      o_orderpriority AS priority, epoch_us(o_orderdate) AS odate_us
+      FROM orders WHERE o_orderkey % 20 = 0 ORDER BY order_id""")) { (s, d) =>
+    val xml = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 20 === 0)
+      .select(concat(
+        lit("<order id=\""), col("o_orderkey"), lit("\"><meta status=\""),
+        col("o_orderstatus"), lit("\"><priority>"), col("o_orderpriority"),
+        lit("</priority></meta><ts>"),
+        // o_orderdate is TIMESTAMP_NTZ; session TZ is pinned UTC, so
+        // the cast is the exact epoch-µs the oracle's epoch_us gives
+        expr("unix_micros(cast(o_orderdate as timestamp))"),
+        lit("</ts></order>")).as("doc"))
+    xml.select(from_xml(col("doc"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "_id BIGINT, meta STRUCT<_status: STRING, priority: STRING>, ts BIGINT"))
+        .as("p"))
+      .select(col("p._id").as("order_id"), col("p.meta._status").as("status"),
+        col("p.meta.priority").as("priority"), col("p.ts").as("odate_us"))
+      .orderBy("order_id")
+  }
 
   /** Cohort retention — e11's companion and the other half of every
     * product-analytics suite: users cohorted by their FIRST-ever

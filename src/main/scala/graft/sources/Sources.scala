@@ -78,6 +78,18 @@ object Sources {
     schemaDDL.fold(r)(s => r.schema(s)).json(path)
   }
 
+  /** XML file source (native in Spark 4 — the merged spark-xml): one
+    * row per `rowTag` element, schema inferred or supplied. Scale
+    * note: XML files split per top-level record like JSON lines, so
+    * the scan parallelizes; prefer columnar for anything hot — this
+    * exists because lakes ingest what they're given.
+    */
+  def xml(spark: SparkSession, path: String, rowTag: String = "row",
+      schemaDDL: Option[String] = None): DataFrame = {
+    val r = spark.read.option("rowTag", rowTag)
+    schemaDDL.fold(r)(s => r.schema(s)).format("xml").load(path)
+  }
+
   private def toProps(m: Map[String, String]): Properties = {
     val p = new Properties()
     m.foreach { case (k, v) => p.setProperty(k, v) }

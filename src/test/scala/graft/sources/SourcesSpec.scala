@@ -43,6 +43,20 @@ class SourcesSpec extends SparkSpec {
     assert(byId == Map(1L -> None, 2L -> Some("new"))) // old files null-fill
   }
 
+  test("xml source round-trip (native Spark 4 XML), attributes and nesting") {
+    val dir = Files.createTempDirectory("graft-sources").toString
+    val path = s"$dir/t.xml"
+    Files.writeString(java.nio.file.Paths.get(path),
+      """<rows><row id="1"><name>alpha</name><m><k>7</k></m></row>""" +
+        """<row id="2"><name>beta &amp; co</name><m><k>9</k></m></row></rows>""")
+    val df = Sources.xml(spark, path, "row",
+      Some("_id BIGINT, name STRING, m STRUCT<k: BIGINT>"))
+    assert(df.count() == 2)
+    val beta = df.where("_id = 2").selectExpr("name", "m.k").head()
+    assert(beta.getString(0) == "beta & co") // entity decoded by the parser
+    assert(beta.getLong(1) == 9L)
+  }
+
   test("jdbc builders construct without a live database") {
     // No DB in this container: assert the reader wiring fails only at
     // connect time with the JDBC stage's error, not a plan error.
