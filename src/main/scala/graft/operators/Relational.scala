@@ -21,7 +21,7 @@ object Relational {
 
   def queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q33, q37, q39, q42, q43, q44,
-      q46, q48, q49)
+      q46, q48, q49, q50)
 
   /** FULL OUTER join with all three match classes live: customers are
     * filtered to positive balances so orders from excluded customers
@@ -705,5 +705,86 @@ object Relational {
         * (lit(1) - col("l_discount").cast(r2))).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Data-quality audit — the Deequ/dbt-test capability a training
+    * pipeline runs before anything else ships: declarative constraint
+    * checks evaluated with ONE scan per table. Five checks over
+    * lineitem (+ referential integrity against orders): primary-key
+    * uniqueness, foreign-key containment, value-domain membership,
+    * range sanity, and a fixed-horizon staleness bound. All
+    * single-table checks fold into one aggregate over one scan
+    * (conditional sums + an exact distinct-pair count); the FK check
+    * is a left-anti count against the parent key set — at 100 TB
+    * that's the same single fact shuffle any fact-dim join pays, and
+    * the whole audit is two jobs regardless of how many checks are
+    * declared. The driver testdata REALLY fails pk_unique (duplicate
+    * (l_orderkey, l_linenumber) pairs — the round-5 lesson that
+    * motivated q41/q43's total pick orders), so the operator's
+    * violation path is live, not decorative.
+    */
+  val q50 = QueryDef(
+    "q50_quality_audit",
+    Some("""SELECT check_name, total, violations, violations = 0 AS passed
+      FROM (
+        SELECT 'domain_returnflag' AS check_name,
+          (SELECT count(*) FROM lineitem) AS total,
+          (SELECT count(*) FROM lineitem
+            WHERE l_returnflag NOT IN ('A', 'N', 'R')) AS violations
+        UNION ALL SELECT 'fk_orders',
+          (SELECT count(*) FROM lineitem),
+          (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        UNION ALL SELECT 'not_null_shipdate',
+          (SELECT count(*) FROM lineitem),
+          (SELECT count(*) FROM lineitem WHERE l_shipdate IS NULL)
+        UNION ALL SELECT 'pk_unique',
+          (SELECT count(*) FROM lineitem),
+          (SELECT count(*) FROM lineitem) - (SELECT count(*) FROM
+            (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+        UNION ALL SELECT 'range_quantity',
+          (SELECT count(*) FROM lineitem),
+          (SELECT count(*) FROM lineitem
+            WHERE l_quantity <= 0 OR l_quantity > 100)
+        UNION ALL SELECT 'staleness_shipdate',
+          (SELECT count(*) FROM lineitem),
+          (SELECT count(*) FROM lineitem
+            WHERE l_shipdate > TIMESTAMP '2002-01-01'))
+      ORDER BY check_name""")) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    // all single-table checks in ONE aggregate over ONE scan
+    val one = li.agg(
+      count(lit(1)).as("total"),
+      sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L)
+        .otherwise(0L)).as("v_domain"),
+      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("v_null"),
+      (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber")))
+        .as("v_pk"),
+      sum(when(col("l_quantity") <= 0 || col("l_quantity") > 100, 1L)
+        .otherwise(0L)).as("v_range"),
+      sum(when(col("l_shipdate") > lit("2002-01-01").cast("timestamp_ntz"), 1L)
+        .otherwise(0L)).as("v_stale"))
+    val vFk = li.select("l_orderkey")
+      .join(Tables.orders(s, d).select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v_fk"))
+    one.crossJoin(vFk) // two one-row aggregates
+      .select(explode(array(
+        struct(lit("domain_returnflag").as("check_name"), col("total"),
+          col("v_domain").as("violations")),
+        struct(lit("fk_orders").as("check_name"), col("total"),
+          col("v_fk").as("violations")),
+        struct(lit("not_null_shipdate").as("check_name"), col("total"),
+          col("v_null").as("violations")),
+        struct(lit("pk_unique").as("check_name"), col("total"),
+          col("v_pk").as("violations")),
+        struct(lit("range_quantity").as("check_name"), col("total"),
+          col("v_range").as("violations")),
+        struct(lit("staleness_shipdate").as("check_name"), col("total"),
+          col("v_stale").as("violations")))).as("c"))
+      .select(col("c.check_name").as("check_name"), col("c.total").as("total"),
+        col("c.violations").as("violations"),
+        (col("c.violations") === 0L).as("passed"))
+      .orderBy("check_name")
   }
 }
