@@ -22,7 +22,8 @@ class PlanLintSpec extends SparkSpec {
     "q07_join_nonequi" -> "theta join; small side broadcast by design",
     "x11_oov_rate" -> "crossJoin of a ONE-row count aggregate (vocab threshold)",
     "e08_gapfill" -> "crossJoin of a ONE-row min/max bounds aggregate",
-    "q47_kmv_overlap" -> "pair join of ONE sketch row per segment (bounded by segment count)")
+    "q47_kmv_overlap" -> "pair join of ONE sketch row per segment (bounded by segment count)",
+    "q50_quality_audit" -> "crossJoin of TWO one-row audit aggregates (single-table checks x fk anti-join count)")
 
   test("no registry query plans a cartesian product or unlisted nested-loop join") {
     val offenders = scala.collection.mutable.ListBuffer[String]()
