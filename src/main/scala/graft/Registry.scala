@@ -13,7 +13,8 @@ object Registry {
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++
       operators.EventWindows.queries ++
-      operators.MultimodalOps.queries
+      operators.MultimodalOps.queries ++
+      operators.Graph.queries
 
   def byName(name: String): QueryDef =
     all.find(_.name == name)

@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Link-graph analysis — the crawl-quality capability of a training-
+  * data pipeline (CommonCrawl-style corpora rank domains by link
+  * centrality before filtering; cf. the harmonic-centrality /
+  * PageRank gates in public web-corpus pipelines). The reference has
+  * no graph surface (chiv delegates everything relational to its
+  * RDBMS, chiv.go:96–140); this extends the d06/d07 iterative-graph
+  * machinery from connectivity to *centrality*.
+  *
+  * Determinism discipline: classic PageRank iterates on doubles, and
+  * float sums are order-dependent across engines — so this is
+  * FIXED-POINT PageRank. Ranks live in integer units of 10⁻¹² (one
+  * "mass unit" = 1e12), contributions are integer divisions by
+  * degree, damping is (85·s) div 100: every operation is exact BIGINT
+  * arithmetic, order-independent, and replayed bit-for-bit by the
+  * DuckDB oracle's unrolled-CTE iterations (the x16/s03 exact-integer
+  * discipline applied to an iterative fixpoint). The deliberate
+  * rounding loss (≤ deg units per node per round) is part of the
+  * operator's CONTRACT, identical in both engines.
+  */
+object Graph {
+
+  def queries: Seq[QueryDef] = Seq(g01)
+
+  /** Offset that moves supplier ids into their own node-id space;
+    * must exceed every custkey at any SF this runs at locally. At
+    * cluster scale the node id would be a (type, key) struct — the
+    * flat offset keeps the oracle SQL readable.
+    */
+  private val SuppBase = 10000000L
+
+  /** One mass unit = 1e12: with N graph nodes the per-node damped sum
+    * is < N·1e12, and 85·(N·1e12) must stay under 2^63 — safe to
+    * N ≈ 10⁸ nodes. At larger N shrink the unit (the estimate is
+    * relative, only ratios matter); overflow-free by construction,
+    * never checked at runtime.
+    */
+  private val Unit = 1000000000000L
+
+  private val Iters = 6
+
+  /** g01: fixed-point PageRank over the customer↔supplier fulfilment
+    * graph (edge ⇔ supplier shipped a line of the customer's order,
+    * deduplicated; undirected so there are no dangling sinks and the
+    * stationary mass stays on the graph). Six damped iterations
+    * (d=0.85), top-50 nodes by rank under a TOTAL order.
+    *
+    * Scale shape: the edge list is built once — ONE fact-sized
+    * shuffle (orders⋈lineitem then DISTINCT) — and persisted with its
+    * precomputed out-degrees; each iteration is then one
+    * partial+final aggregation of `ued ⋈ ranks` on the destination
+    * key. Rank state is 16 bytes/node. Lineage is truncated per round
+    * (localCheckpoint, the q46/x14 lesson) so Catalyst analysis cost
+    * stays flat. d07 shows the same loop on GraphX Pregel; this form
+    * keeps the whole iteration inside Tungsten rows and needs no
+    * vertex-program serialization.
+    */
+  val g01 = QueryDef(
+    "g01_pagerank",
+    Some(s"""WITH e AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS src, $SuppBase + l_suppkey AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    ue AS MATERIALIZED (
+      SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+    ued AS MATERIALIZED (
+      SELECT ue.src, ue.dst, d.d FROM ue JOIN (
+        SELECT src AS id, count(*) AS d FROM ue GROUP BY 1) d ON ue.src = d.id),
+    r0 AS MATERIALIZED (
+      SELECT DISTINCT src AS id, CAST($Unit AS BIGINT) AS r FROM ue),
+    ${(1 to Iters).map(i => s"""r$i AS MATERIALIZED (
+      SELECT dst AS id, ${Unit * 15 / 100} + (85 * CAST(SUM(r.r // ued.d) AS BIGINT)) // 100 AS r
+      FROM ued JOIN r${i - 1} r ON ued.src = r.id GROUP BY dst)""").mkString(",\n    ")}
+    SELECT id AS node_id,
+      CASE WHEN id >= $SuppBase THEN 'supplier' ELSE 'customer' END AS node_type,
+      r AS rank_fp
+    FROM r$Iters ORDER BY rank_fp DESC, node_id LIMIT 50""")) { (s, d) =>
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+    val e = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(SuppBase)).as("dst"))
+      .distinct()
+    val ue = e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = ue.groupBy("src").agg(count(lit(1)).as("d"))
+      .withColumnRenamed("src", "id")
+    // edges + out-degree: the loop-invariant operand, built once and
+    // persisted — every iteration joins against these same blocks
+    val ued = ue.join(deg, ue("src") === deg("id"))
+      .select(col("src"), col("dst"), col("d"))
+      .persist()
+    var r = deg.select(col("id"), lit(Unit).as("r")).localCheckpoint()
+    for (_ <- 1 to Iters) {
+      r = ued.join(r, ued("src") === r("id"))
+        .groupBy(col("dst"))
+        .agg(expr(
+          s"CAST(${Unit * 15 / 100} AS BIGINT) + (CAST(85 AS BIGINT) * sum(r div d)) div 100")
+          .as("r"))
+        .withColumnRenamed("dst", "id")
+        .localCheckpoint() // flat lineage per round (q46/x14 lesson)
+    }
+    r.select(col("id").as("node_id"),
+        when(col("id") >= SuppBase, lit("supplier"))
+          .otherwise(lit("customer")).as("node_type"),
+        col("r").as("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("node_id"))
+      .limit(50)
+  }
+}
