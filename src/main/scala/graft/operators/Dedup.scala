@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  def queries: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09)
+  def queries: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10)
 
   /** DuckDB CTE for distinct 3-token shingles per document — the
     * oracle-side counterpart of the Spark-side native
@@ -548,5 +548,96 @@ object Dedup {
           when(col("doc_id") =!= col("dkeep"), col("dkeep"))
             .otherwise(col("doc_id"))).as("keep_id"))
       .orderBy("doc_id")
+  }
+
+  /** d10: entity resolution (record linkage) — the OTHER dedup: d01–d09
+    * collapse identical/near-identical *content*; this collapses noisy
+    * references to the same *entity* (the master-data step every
+    * ingestion pipeline runs on names/addresses before joining feeds).
+    * Classic blocking-based ER: (1) synthesize a dirty feed — the
+    * customer file plus deterministic typo'd re-registrations (a
+    * deleted character for every 5th key, an appended character for
+    * every 10th) the oracle replays with the same string surgery, the
+    * x10 synthesized-PII discipline; (2) BLOCK on (nation, last-4
+    * digits of the name's digit string) — typos touch letters, so true
+    * duplicates never cross blocks and candidate pairs are bounded by
+    * block size, never all-pairs; (3) MATCH within a block by
+    * levenshtein ≤ 2 (exact integer distance — both engines agree to
+    * the bit, no float similarity); (4) CLUSTER matched pairs by
+    * connected components (GraphX, the d07 machinery — transitivity is
+    * real here: a base, its two variants, and a cross-key collision
+    * chain into one entity) and elect the min-id record canonical.
+    *
+    * The match rule's precision limit is kept visible, not hidden: keys
+    * 10000 apart share their last-4 block and sit at edit distance 1
+    * ("Customer#000000123" ~ "Customer#000010123"), so some clusters
+    * merge distinct source keys — exactly the trade-off a real ER rule
+    * makes, deterministic, and identical in the oracle (cluster sizes
+    * up to 6 at sf0.1 exercise the closure path). At 100 TB: blocking
+    * keys bound the self-join (the d08 hot-key story applies — cap
+    * oversized blocks before the pairwise stage); the edge set is
+    * duplicate-sized, so CC runs on a graph ≪ the corpus.
+    */
+  val d10 = QueryDef(
+    "d10_entity_resolution",
+    Some("""WITH recs AS MATERIALIZED (
+      SELECT c_custkey AS rec_id, c_name AS name, c_nationkey AS nat FROM customer
+      UNION ALL
+      SELECT c_custkey + 2000000, concat(substr(c_name, 1, 3), substr(c_name, 5)), c_nationkey
+      FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey + 4000000, c_name || 'x', c_nationkey
+      FROM customer WHERE c_custkey % 10 = 0),
+    blocked AS MATERIALIZED (
+      SELECT rec_id, name, nat,
+        right(regexp_replace(name, '[^0-9]', '', 'g'), 4) AS bk FROM recs),
+    pairs AS MATERIALIZED (
+      SELECT a.rec_id AS ra, b.rec_id AS rb
+      FROM blocked a JOIN blocked b
+        ON a.nat = b.nat AND a.bk = b.bk AND a.rec_id < b.rec_id
+      WHERE levenshtein(a.name, b.name) <= 2),
+    e AS (SELECT ra AS a, rb AS b FROM pairs UNION SELECT rb, ra FROM pairs),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
+      SELECT * FROM r),
+    lab AS (SELECT a AS rec_id, least(a, min(b)) AS entity_id FROM reach GROUP BY a)
+    SELECT l.entity_id, l.rec_id, b.name, l.rec_id = l.entity_id AS is_canonical
+    FROM lab l JOIN blocked b ON l.rec_id = b.rec_id
+    ORDER BY l.rec_id""")) { (s, d) =>
+    val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_nationkey")
+    val recs = c.select(col("c_custkey").as("rec_id"),
+        col("c_name").as("name"), col("c_nationkey").as("nat"))
+      .unionByName(c.filter(col("c_custkey") % 5 === 0)
+        .select((col("c_custkey") + 2000000L).as("rec_id"),
+          expr("concat(substr(c_name, 1, 3), substr(c_name, 5))").as("name"),
+          col("c_nationkey").as("nat")))
+      .unionByName(c.filter(col("c_custkey") % 10 === 0)
+        .select((col("c_custkey") + 4000000L).as("rec_id"),
+          concat(col("c_name"), lit("x")).as("name"),
+          col("c_nationkey").as("nat")))
+    // Spark regexp_replace is replace-ALL by default (DuckDB needs 'g')
+    val blocked = recs
+      .withColumn("bk", expr("right(regexp_replace(name, '[^0-9]', ''), 4)"))
+    val pairs = blocked.as("a").join(blocked.as("b"),
+        col("a.nat") === col("b.nat") && col("a.bk") === col("b.bk")
+          && col("a.rec_id") < col("b.rec_id"))
+      .where(levenshtein(col("a.name"), col("b.name")) <= 2)
+      .select(col("a.rec_id").as("ra"), col("b.rec_id").as("rb"))
+    // components via GraphX (d07 idiom; edge volume ≈ duplicate count,
+    // so 1 partition — size to edge volume at scale)
+    import org.apache.spark.graphx.{Edge, Graph => XGraph}
+    val edgeRdd = pairs.repartition(1).rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val cc = XGraph.fromEdges(edgeRdd, defaultValue = ())
+      .connectedComponents()
+      .vertices // (rec_id, min rec_id in component)
+    s.createDataFrame(cc).toDF("rec_id", "entity_id")
+      .join(blocked.select("rec_id", "name"), Seq("rec_id"))
+      .select(col("entity_id"), col("rec_id"), col("name"),
+        (col("rec_id") === col("entity_id")).as("is_canonical"))
+      .orderBy("rec_id")
   }
 }

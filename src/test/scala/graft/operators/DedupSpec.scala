@@ -55,4 +55,27 @@ class DedupSpec extends SparkSpec {
       s"expected AQE to convert the tiny count-lookup joins:\n${plan.take(2000)}")
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("d10 entity resolution: clusters are closed, canonical-elected, and variant-complete") {
+    val out = Dedup.d10.fn(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3)))
+    assert(out.nonEmpty)
+    val byEntity = out.groupBy(_._1)
+    // every emitted cluster has >= 2 members (singletons never match)
+    assert(byEntity.values.forall(_.length >= 2))
+    // exactly one canonical per cluster, and it is the min rec_id
+    byEntity.foreach { case (eid, ms) =>
+      assert(ms.count(_._4) == 1)
+      assert(ms.filter(_._4).head._2 == ms.map(_._2).min)
+      assert(eid == ms.map(_._2).min)
+    }
+    // recall on the synthesized truth: every typo'd variant resolves
+    // into the same entity as its base record
+    val entityOf = out.map(m => m._2 -> m._1).toMap
+    out.map(_._2).filter(_ >= 2000000L).foreach { vid =>
+      val base = vid % 2000000L
+      assert(entityOf.get(base).exists(_ == entityOf(vid)),
+        s"variant $vid not clustered with base $base")
+    }
+  }
 }
