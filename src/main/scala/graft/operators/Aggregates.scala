@@ -11,7 +11,78 @@ object Aggregates {
 
   def queries: Seq[QueryDef] =
     Seq(q09, q10, q11, q12, q21, q26, q27, q28, q29, q35, q36, q38, q40, q41,
-      q45, q47)
+      q45, q47, q51)
+
+  /** q51: exact equi-depth binning (feature discretization) — assign
+    * every row its decile of `l_extendedprice`, then summarize each
+    * bin. The quantile-binning step of a feature pipeline, exact: bin
+    * of a row = floor(rank·10 / N) over the TOTAL order (price, order
+    * key, line number), so bucket sizes differ by at most one with
+    * larger buckets first — ntile semantics, but written as an
+    * explicit rank formula so both engines share one definition
+    * instead of two ntile implementations.
+    *
+    * Scale shape: a global rank is a sequential prefix — the naive
+    * form (one window over ()) is a single-task sort. This is the
+    * x12/e14 two-phase technique again: range-partition on the full
+    * sort key, per-partition COUNTS prefix-summed on the driver
+    * (P longs), then a narrow pass assigns rank = partition offset +
+    * local position. No global sort, no single-task stage. The
+    * sketch alternative when exactness isn't required is q36/q38
+    * (mergeable quantiles); this is the exact baseline, the same
+    * relationship d03 bears to d02.
+    *
+    * Duplicate full sort keys (the testdata's duplicated (orderkey,
+    * linenumber) pairs — memory lesson) are harmless here: identical
+    * keys may swap ranks across runs, but they carry identical
+    * emitted values, so the (bin, price) multiset is deterministic.
+    */
+  val q51 = QueryDef(
+    "q51_equidepth_bins",
+    Some("""WITH t AS MATERIALIZED (
+      SELECT l_extendedprice AS p,
+        row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) - 1 AS rn,
+        count(*) OVER () AS n
+      FROM lineitem)
+    SELECT CAST((rn * 10) // n AS BIGINT) AS bin, count(*) AS n_rows,
+      min(p) AS lo, max(p) AS hi
+    FROM t GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+    import org.apache.spark.sql.Encoders
+    val li = Tables.lineitem(s, d)
+      .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val n = li.count()
+    val parts = math.max(s.sparkContext.defaultParallelism,
+      (n / 1000000L).toInt + 1)
+    val tEnc = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong,
+      Encoders.scalaLong)
+    // persist() pins one range partitioning across both passes (the
+    // x12 re-sampling hazard)
+    val ordered = li
+      .repartitionByRange(parts, col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber"))
+      .sortWithinPartitions("l_extendedprice", "l_orderkey", "l_linenumber")
+      .as[(Double, Long, Long)](tEnc)
+      .persist()
+    val partCounts = ordered.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      Iterator.single((pid.toLong, it.size.toLong))
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .collect().sortBy(_._1)
+    val offsets = partCounts.map(_._2).scanLeft(0L)(_ + _)
+    val byPid = partCounts.map(_._1.toInt).zip(offsets).toMap
+    ordered.mapPartitions { it =>
+      var rn = byPid(org.apache.spark.TaskContext.getPartitionId())
+      it.map { case (p, _, _) =>
+        val bin = rn * 10L / n
+        rn += 1L
+        (bin, p)
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+      .toDF("bin", "p")
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_rows"), min("p").as("lo"), max("p").as("hi"))
+      .orderBy("bin")
+  }
 
   /** Changelog compaction / latest-wins upsert: the newest event per
     * key via `max_by(payload, (ts, id))` — ONE partial-aggregating

@@ -20,7 +20,109 @@ import org.apache.spark.sql.functions._
 object EventWindows {
 
   def queries: Seq[QueryDef] =
-    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13)
+    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14)
+
+  /** e14: watermark / late-event accounting — the batch twin of the
+    * bookkeeping every Structured Streaming job does implicitly
+    * (`withWatermark` + allowed lateness), surfaced as an auditable
+    * query: for each event, the watermark AT ITS ARRIVAL is
+    * (max event-time seen so far) − 5 min, and the event is on-time
+    * (ts ≥ wm), late-but-accepted (within a further 10 min), or
+    * dropped. Counts per 1-hour event-time window quantify how much
+    * data a given watermark policy would discard — the tuning query
+    * you run BEFORE picking the production lag.
+    *
+    * The driver's events table is perfectly id-ordered, so arrival
+    * disorder is synthesized deterministically (the x10/d09/d10
+    * discipline): every 23rd event arrives 30 min after its event
+    * time (→ dropped), every remaining 11th 10 min (→ late); the
+    * oracle replays the same perturbation, and all three classes are
+    * live at every SF.
+    *
+    * Scale shape: "max over all earlier arrivals" is a sequential
+    * prefix — the naive form is a single-partition window sort. This
+    * uses the x12 two-phase technique instead: range-partition by
+    * arrival, per-partition maxima (P driver-sized values) prefix-
+    * combined on the driver, then one NARROW second pass carries the
+    * running max — no global sort, no single-task stage, exactly how
+    * a per-partition watermark is maintained on a real cluster.
+    */
+  val e14 = QueryDef(
+    "e14_watermark_audit",
+    Some("""WITH t AS MATERIALIZED (
+      SELECT event_id, epoch_us(ts) AS ts_us,
+        epoch_us(ts) + CASE WHEN event_id % 23 = 0 THEN 1800000000
+                            WHEN event_id % 11 = 0 THEN 600000000
+                            ELSE 0 END AS arr_us
+      FROM events),
+    w AS MATERIALIZED (
+      SELECT ts_us,
+        max(ts_us) OVER (ORDER BY arr_us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hi
+      FROM t)
+    SELECT (ts_us - ts_us % 3600000000) AS win_start_us,
+      CAST(sum(CASE WHEN hi IS NULL OR ts_us >= hi - 300000000
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_ontime,
+      CAST(sum(CASE WHEN hi IS NOT NULL AND ts_us < hi - 300000000
+        AND ts_us >= hi - 900000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      CAST(sum(CASE WHEN hi IS NOT NULL AND ts_us < hi - 900000000
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM w GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+    import org.apache.spark.sql.Encoders
+    val WmLagUs = 300000000L     // watermark = max ts seen − 5 min
+    val LatenessUs = 600000000L  // accepted up to 10 min past the wm
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts_us"),
+        (col("ts_us") + when(col("event_id") % 23 === 0, 1800000000L)
+          .when(col("event_id") % 11 === 0, 600000000L)
+          .otherwise(0L)).as("arr_us"))
+    // x12 sizing discipline: ~1M events per range partition with a
+    // parallelism floor; P stays driver-sized
+    val parts = math.max(s.sparkContext.defaultParallelism,
+      (ev.count() / 1000000L).toInt + 1)
+    val t3 = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong)
+    // persist() pins ONE range partitioning across both passes (the
+    // x12 re-sampling hazard: unpersisted repartitionByRange re-draws
+    // its bounds per job and the offsets would misalign)
+    val ordered = ev
+      .repartitionByRange(parts, col("arr_us"), col("event_id"))
+      .sortWithinPartitions("arr_us", "event_id")
+      .select("arr_us", "event_id", "ts_us").as[(Long, Long, Long)](t3)
+      .persist()
+    // phase 1: per-partition max event time (P longs on the driver)
+    val partMax = ordered.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var mx = Long.MinValue
+      it.foreach(r => mx = math.max(mx, r._3))
+      Iterator.single((pid.toLong, mx))
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .collect().sortBy(_._1)
+    val prefix = partMax.map(_._2).scanLeft(Long.MinValue)(math.max)
+    val byPid = partMax.map(_._1.toInt).zip(prefix).toMap
+    // phase 2: narrow pass — running max seeded with the prefix; the
+    // sentinel (no earlier arrival anywhere) is on-time by definition
+    val t4 = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.scalaLong)
+    ordered.mapPartitions { it =>
+      var hi = byPid(org.apache.spark.TaskContext.getPartitionId())
+      it.map { case (_, _, ts) =>
+        val cls =
+          if (hi == Long.MinValue || ts >= hi - WmLagUs) 0
+          else if (ts >= hi - WmLagUs - LatenessUs) 1
+          else 2
+        hi = math.max(hi, ts)
+        (ts - ts % 3600000000L,
+          if (cls == 0) 1L else 0L, if (cls == 1) 1L else 0L,
+          if (cls == 2) 1L else 0L)
+      }
+    }(t4)
+      .toDF("win_start_us", "on_t", "late_t", "drop_t")
+      .groupBy("win_start_us")
+      .agg(sum("on_t").as("n_ontime"), sum("late_t").as("n_late"),
+        sum("drop_t").as("n_dropped"))
+      .orderBy("win_start_us")
+  }
 
   /** Semi-structured XML — e05/e06's third format, on Spark 4's
     * native XML support (the merged spark-xml): each order is
