@@ -400,4 +400,66 @@ class StreamingSpec extends SparkSpec {
     // retract inside one run (spot-checked above via the fixed point)
     assert(!ref(history).contains((5L, 2)) && ref(history :+ lateSignup).contains((5L, 2)))
   }
+
+  test("withWatermark drops sit exactly inside e14's audit classes") {
+    // e14's batch audit (wm lag 5 min + allowed lateness 10 min) maps
+    // to Structured Streaming's single knob withWatermark(15 min):
+    // Spark drops a row iff its WINDOW END ≤ wm-at-arrival-batch, and
+    // since the batch wm lags e14's per-row wm, the stream's kept set
+    // is sandwiched between e14's classes — per window:
+    //   n_ontime + n_late  ≤  stream count  ≤  total.
+    // The crafted arrival order makes the sandwich tight on both ends
+    // (real drops AND a fully-kept window).
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, window => win}
+    implicit val sql = spark.sqlContext
+    def tm(minute: Int): Timestamp =
+      Timestamp.from(Instant.parse("2024-01-01T00:00:00Z")
+        .plusSeconds(minute * 60L))
+    def e(id: Long, minute: Int): Event =
+      Event(id, tm(minute), 1L, "click", 1.0)
+    // arrival batches: on-time opening, wm advance, two genuinely-late
+    // rows whose 1-hour window has closed, then a flush
+    val batches = Seq(
+      Seq(e(1, 1), e(2, 5), e(3, 62), e(4, 70)),
+      Seq(e(5, 80)),        // wm after this batch: 80 − 15 = 65 > 60
+      Seq(e(6, 3), e(7, 58)), // window [0,60) closed → Spark drops both
+      Seq(e(8, 600)))       // flush: finalizes every real window
+    val input = MemoryStream[Event]
+    val q = input.toDF()
+      .withWatermark("ts", "15 minutes")
+      .groupBy(win(col("ts"), "1 hour")).count()
+      .writeStream.format("memory").queryName("wmaudit")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val streamCounts = spark.table("wmaudit").collect()
+        .map(r => (r.getStruct(0).getTimestamp(0).toInstant.toString,
+          r.getLong(1))).toMap
+      // inline e14 audit over the same arrival order (per-row wm)
+      val lagUs = 300000000L; val latenessUs = 600000000L
+      var hi = Long.MinValue
+      val classed = batches.flatten.dropRight(1).map { ev =>
+        val ts = ev.ts.getTime * 1000L
+        val cls =
+          if (hi == Long.MinValue || ts >= hi - lagUs) 0
+          else if (ts >= hi - lagUs - latenessUs) 1 else 2
+        hi = math.max(hi, ts)
+        (Instant.ofEpochMilli(ev.ts.getTime)
+          .truncatedTo(java.time.temporal.ChronoUnit.HOURS).toString, cls)
+      }
+      val byWin = classed.groupBy(_._1)
+      byWin.foreach { case (w, cs) =>
+        val kept = cs.count(_._2 != 2); val total = cs.size
+        val got = streamCounts.getOrElse(w, 0L)
+        assert(got >= kept && got <= total,
+          s"window $w: stream=$got outside audit sandwich [$kept, $total]")
+      }
+      // both ends are live: window 0 really dropped its two late rows,
+      // window 1 kept everything
+      assert(streamCounts("2024-01-01T00:00:00Z") == 2L)
+      assert(streamCounts("2024-01-01T01:00:00Z") == 3L)
+      assert(byWin("2024-01-01T00:00:00Z").count(_._2 == 2) == 2)
+    } finally q.stop()
+  }
 }
