@@ -51,25 +51,17 @@ object Aggregates {
     val li = Tables.lineitem(s, d)
       .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
     val n = li.count()
-    val parts = math.max(s.sparkContext.defaultParallelism,
-      (n / 1000000L).toInt + 1)
     val tEnc = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong,
       Encoders.scalaLong)
-    // persist() pins one range partitioning across both passes (the
-    // x12 re-sampling hazard)
+    // TwoPhase invariants: range-partitioned + sorted + persisted
     val ordered = li
-      .repartitionByRange(parts, col("l_extendedprice"), col("l_orderkey"),
-        col("l_linenumber"))
+      .repartitionByRange(TwoPhase.sizedParts(s, n), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
       .sortWithinPartitions("l_extendedprice", "l_orderkey", "l_linenumber")
       .as[(Double, Long, Long)](tEnc)
       .persist()
-    val partCounts = ordered.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      Iterator.single((pid.toLong, it.size.toLong))
-    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
-      .collect().sortBy(_._1)
-    val offsets = partCounts.map(_._2).scanLeft(0L)(_ + _)
-    val byPid = partCounts.map(_._1.toInt).zip(offsets).toMap
+    val byPid = TwoPhase.partitionPrefix[(Double, Long, Long)](
+      ordered, 0L, (c, _) => c + 1L, _ + _)
     ordered.mapPartitions { it =>
       var rn = byPid(org.apache.spark.TaskContext.getPartitionId())
       it.map { case (p, _, _) =>

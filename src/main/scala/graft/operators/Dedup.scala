@@ -577,6 +577,15 @@ object Dedup {
     * keys bound the self-join (the d08 hot-key story applies — cap
     * oversized blocks before the pairwise stage); the edge set is
     * duplicate-sized, so CC runs on a graph ≪ the corpus.
+    *
+    * Variant-id headroom: the +2000000/+4000000 offsets assume
+    * custkey < 2000000 (true through sf ≈ 13 of the driver data; the
+    * g01 SuppBase note is the same contract). At cluster scale the
+    * record id would be a (source, key) struct — the flat offsets
+    * keep the oracle SQL readable, and a collision would corrupt
+    * clusters IDENTICALLY in both engines, so the parity gate cannot
+    * catch it: the bound is the operator's documented precondition,
+    * not an oracle-checked one.
     */
   val d10 = QueryDef(
     "d10_entity_resolution",
@@ -618,9 +627,13 @@ object Dedup {
         .select((col("c_custkey") + 4000000L).as("rec_id"),
           concat(col("c_name"), lit("x")).as("name"),
           col("c_nationkey").as("nat")))
-    // Spark regexp_replace is replace-ALL by default (DuckDB needs 'g')
+    // Spark regexp_replace is replace-ALL by default (DuckDB needs 'g').
+    // persist(): consumed three times (both self-join sides + the
+    // final name join) — the oracle's MATERIALIZED mirror; lifetime
+    // owned by the harness clearCache, as with q51/e14
     val blocked = recs
       .withColumn("bk", expr("right(regexp_replace(name, '[^0-9]', ''), 4)"))
+      .persist()
     val pairs = blocked.as("a").join(blocked.as("b"),
         col("a.nat") === col("b.nat") && col("a.bk") === col("b.bk")
           && col("a.rec_id") < col("b.rec_id"))

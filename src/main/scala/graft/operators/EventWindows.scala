@@ -76,30 +76,19 @@ object EventWindows {
         (col("ts_us") + when(col("event_id") % 23 === 0, 1800000000L)
           .when(col("event_id") % 11 === 0, 600000000L)
           .otherwise(0L)).as("arr_us"))
-    // x12 sizing discipline: ~1M events per range partition with a
-    // parallelism floor; P stays driver-sized
-    val parts = math.max(s.sparkContext.defaultParallelism,
-      (ev.count() / 1000000L).toInt + 1)
     val t3 = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
       Encoders.scalaLong)
-    // persist() pins ONE range partitioning across both passes (the
-    // x12 re-sampling hazard: unpersisted repartitionByRange re-draws
-    // its bounds per job and the offsets would misalign)
+    // TwoPhase invariants: range-partitioned + sorted + persisted
     val ordered = ev
-      .repartitionByRange(parts, col("arr_us"), col("event_id"))
+      .repartitionByRange(TwoPhase.sizedParts(s, ev.count()),
+        col("arr_us"), col("event_id"))
       .sortWithinPartitions("arr_us", "event_id")
       .select("arr_us", "event_id", "ts_us").as[(Long, Long, Long)](t3)
       .persist()
-    // phase 1: per-partition max event time (P longs on the driver)
-    val partMax = ordered.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var mx = Long.MinValue
-      it.foreach(r => mx = math.max(mx, r._3))
-      Iterator.single((pid.toLong, mx))
-    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
-      .collect().sortBy(_._1)
-    val prefix = partMax.map(_._2).scanLeft(Long.MinValue)(math.max)
-    val byPid = partMax.map(_._1.toInt).zip(prefix).toMap
+    // per-partition max event time, prefix-combined (exclusive) on
+    // the driver: byPid(p) = max ts over all earlier partitions
+    val byPid = TwoPhase.partitionPrefix[(Long, Long, Long)](
+      ordered, Long.MinValue, (m, r) => math.max(m, r._3), math.max)
     // phase 2: narrow pass — running max seeded with the prefix; the
     // sentinel (no earlier arrival anywhere) is on-time by definition
     val t4 = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,

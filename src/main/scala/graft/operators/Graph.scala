@@ -39,7 +39,7 @@ object Graph {
     * relative, only ratios matter); overflow-free by construction,
     * never checked at runtime.
     */
-  private val Unit = 1000000000000L
+  private[operators] val MassUnit = 1000000000000L
 
   private val Iters = 6
 
@@ -70,14 +70,31 @@ object Graph {
       SELECT ue.src, ue.dst, d.d FROM ue JOIN (
         SELECT src AS id, count(*) AS d FROM ue GROUP BY 1) d ON ue.src = d.id),
     r0 AS MATERIALIZED (
-      SELECT DISTINCT src AS id, CAST($Unit AS BIGINT) AS r FROM ue),
+      SELECT DISTINCT src AS id, CAST($MassUnit AS BIGINT) AS r FROM ue),
     ${(1 to Iters).map(i => s"""r$i AS MATERIALIZED (
-      SELECT dst AS id, ${Unit * 15 / 100} + (85 * CAST(SUM(r.r // ued.d) AS BIGINT)) // 100 AS r
+      SELECT dst AS id, ${MassUnit * 15 / 100} + (85 * CAST(SUM(r.r // ued.d) AS BIGINT)) // 100 AS r
       FROM ued JOIN r${i - 1} r ON ued.src = r.id GROUP BY dst)""").mkString(",\n    ")}
     SELECT id AS node_id,
       CASE WHEN id >= $SuppBase THEN 'supplier' ELSE 'customer' END AS node_type,
       r AS rank_fp
     FROM r$Iters ORDER BY rank_fp DESC, node_id LIMIT 50""")) { (s, d) =>
+    fulfilmentRanks(s, d)
+      .select(col("id").as("node_id"),
+        when(col("id") >= SuppBase, lit("supplier"))
+          .otherwise(lit("customer")).as("node_type"),
+        col("r").as("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("node_id"))
+      .limit(50)
+  }
+
+  /** The full (id, r) rank table after [[Iters]] damped rounds —
+    * g01's body before the top-50 slice; package-visible so GraphSpec
+    * can assert mass conservation over EVERY node, which the sliced
+    * registry output cannot show.
+    */
+  private[operators] def fulfilmentRanks(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
     val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
     val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
     val e = li.join(o, col("l_orderkey") === col("o_orderkey"))
@@ -93,21 +110,16 @@ object Graph {
     val ued = ue.join(deg, ue("src") === deg("id"))
       .select(col("src"), col("dst"), col("d"))
       .persist()
-    var r = deg.select(col("id"), lit(Unit).as("r")).localCheckpoint()
+    var r = deg.select(col("id"), lit(MassUnit).as("r")).localCheckpoint()
     for (_ <- 1 to Iters) {
       r = ued.join(r, ued("src") === r("id"))
         .groupBy(col("dst"))
         .agg(expr(
-          s"CAST(${Unit * 15 / 100} AS BIGINT) + (CAST(85 AS BIGINT) * sum(r div d)) div 100")
+          s"CAST(${MassUnit * 15 / 100} AS BIGINT) + (CAST(85 AS BIGINT) * sum(r div d)) div 100")
           .as("r"))
         .withColumnRenamed("dst", "id")
         .localCheckpoint() // flat lineage per round (q46/x14 lesson)
     }
-    r.select(col("id").as("node_id"),
-        when(col("id") >= SuppBase, lit("supplier"))
-          .otherwise(lit("customer")).as("node_type"),
-        col("r").as("rank_fp"))
-      .orderBy(col("rank_fp").desc, col("node_id"))
-      .limit(50)
+    r
   }
 }

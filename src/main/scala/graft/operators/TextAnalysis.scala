@@ -61,43 +61,27 @@ object TextAnalysis {
           AS BIGINT) AS shard_id
       FROM t ORDER BY doc_id""")) { (s, d) =>
     val budget = 2000L
-    // Size range partitions to the DATA, not a constant (the d06
-    // sizing discipline): target ~1M docs per range partition — a few
-    // tens of MB of (doc_id, n_tokens) pairs, comfortably in-memory —
-    // with a floor of the session's parallelism so small inputs still
-    // use every core. P stays driver-sized by construction (P partial
-    // sums ≈ rows/1M; at 100 TB / ~100B docs that is ~1e5 longs). The
-    // row count comes from parquet footer metadata (a metadata-only
-    // count(*), no data scan).
+    // TwoPhase (shared with q51/e14): range partitions sized to the
+    // data (the d06 discipline; the row count is a metadata-only
+    // parquet-footer count(*)), the persist() pinning ONE range
+    // sampling across both jobs — see TwoPhase.scala for why that is
+    // correctness, not economy. Cache lifetime: Bench/Verify
+    // clearCache between entries; a direct library caller owns it, as
+    // with q33.
     val rows = Tables.documents(s, d).count()
-    val parts = math.max(s.sparkContext.defaultParallelism,
-      (rows / 1000000L).toInt + 1)
-    // persist() is CORRECTNESS here, not just economy: phase 1 and
-    // phase 2 are separate jobs, and an unpersisted repartitionByRange
-    // re-SAMPLES its range bounds per job (rdd.id-seeded) — beyond
-    // fully-sampled toy sizes the two jobs could disagree on which
-    // partition a boundary row lands in, misaligning every offset.
-    // The cache pins one partitioning for both passes (and halves the
-    // scan+shuffle work). Lifetime: Bench/Verify clearCache between
-    // entries; a direct library caller owns it, as with q33.
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), big(size(split(col("text"), " "))).as("n_tokens"))
-      .repartitionByRange(parts, col("doc_id"))
+      .repartitionByRange(TwoPhase.sizedParts(s, rows), col("doc_id"))
       .sortWithinPartitions("doc_id")
       .persist()
     import org.apache.spark.sql.Encoders
     val tupEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
     val typed = docs.as[(Long, Long)](tupEnc)
-    // phase 1: per-partition token sums (P rows — driver-side by
-    // definition, like s04's centroids); also materializes the cache
-    val partSums = typed.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var sum = 0L
-      it.foreach(sum += _._2)
-      Iterator.single((pid.toLong, sum))
-    }(tupEnc).collect().sortBy(_._1)
-    val offsets = partSums.map(_._2).scanLeft(0L)(_ + _)
-    val byPid = partSums.map(_._1.toInt).zip(offsets).toMap
+    // per-partition token sums prefix-combined (exclusive) on the
+    // driver: byPid(p) = tokens in all earlier partitions; phase 1
+    // also materializes the cache
+    val byPid = TwoPhase.partitionPrefix[(Long, Long)](
+      typed, 0L, (acc, t) => acc + t._2, _ + _)
     // phase 2: narrow map — local running sum + this partition's offset
     typed.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()

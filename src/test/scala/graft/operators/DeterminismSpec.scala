@@ -31,7 +31,13 @@ class DeterminismSpec extends SparkSpec {
       "d06_dedup_survivors", "x05_train_test_split", "q32_topk_per_key",
       "q01_agg", "q14_window_frames", "e01_tumbling_window", "s01_cosine_topk",
       "s04_ivf_ann", "q35_custom_hll", "q36_custom_quantile",
-      "d08_dfcap_jaccard", "x09_corpus_pipeline")) {
+      "d08_dfcap_jaccard", "x09_corpus_pipeline",
+      // round 5: the iterative integer fixpoint (g01), the two-phase
+      // prefix operators whose range partition count tracks
+      // parallelism (q51/e14), and the blocked ER self-join +
+      // GraphX closure (d10)
+      "g01_pagerank", "q51_equidepth_bins", "e14_watermark_audit",
+      "d10_entity_resolution")) {
     test(s"$name is invariant to shuffle partition count (3 vs 17)") {
       assert(collectWith(3, name) == collectWith(17, name))
     }

@@ -21,20 +21,29 @@ class GraphSpec extends SparkSpec {
   }
 
   test("g01 conserves total mass up to the documented rounding loss") {
-    // drop the LIMIT: rerun the same fixpoint over the full node set
-    // by re-deriving from the registry plan's parent (cheap at sf0.001)
-    val full = Graph.g01.fn(spark, dir) // top-50 slice
-    val top = full.agg(sum("rank_fp")).head.getLong(0)
-    // the suppliers hold most of the mass (high-degree hubs): the
-    // top-50 slice must strictly exceed a uniform 50-node share
+    // the FULL rank table (no top-50 slice): total mass must equal
+    // N·MassUnit minus only the documented truncation losses. Per
+    // round the loss is < E_directed (one sub-degree remainder per
+    // source node, spread over its edges) + 100·N (the damping
+    // division); the 0.85 factor geometric-sums that to < ~7×, so
+    // 10·(E + 100·N) is a safely conservative envelope. Anything
+    // outside it means a broken damping constant, an overflow, or a
+    // leak — exactly the regressions this pin exists to catch.
+    val full = Graph.fulfilmentRanks(spark, dir)
+    val total = full.agg(sum("r")).head.getLong(0)
+    val n = full.count()
     val li = graft.Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_suppkey")
     val o = graft.Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
-    val nNodes = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
-      .agg(countDistinct("src") + countDistinct("dst")).head.getLong(0)
-    assert(top > 50L * 1000000000000L,
-      s"top-50 of $nNodes nodes should exceed uniform mass share")
+    val eDirected = 2L * li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().count()
+    val bound = 10L * (eDirected + 100L * n)
+    val dev = math.abs(total - n * Graph.MassUnit)
+    assert(dev <= bound,
+      s"total mass $total deviates from ${n * Graph.MassUnit} by $dev > $bound")
+    // the truncation loss is real (degrees are non-uniform, so the
+    // integer divisions genuinely discard remainders)
+    assert(total < n * Graph.MassUnit)
   }
 
   test("g01 supplier hubs outrank customers on the fulfilment graph") {
