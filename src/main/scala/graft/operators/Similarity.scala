@@ -24,7 +24,109 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def queries: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07)
+  def queries: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08)
+
+  /** MMR selection rounds (picks after the pure-relevance first). */
+  private val MmrK = 5
+
+  /** s08: MMR (maximal-marginal-relevance) diversity re-rank — the
+    * dedup-aware top-k of retrieval and training-data curation:
+    * retrieve a candidate pool by relevance, then greedily pick items
+    * that are relevant BUT NOT REDUNDANT with what's already picked
+    * (score = λ·rel − (1−λ)·max cos to the selected set, λ = 0.5).
+    * Plain top-k (s01) returns near-duplicate neighbors; MMR is the
+    * standard fix (Carbonell & Goldstein 1998).
+    *
+    * Execution shape = the production rerank shape: retrieval is the
+    * DISTRIBUTED stage (full-corpus relevance scan + top-20, s01's
+    * audited plan; at 100 TB it would be an s05/s06 bucket-pruned
+    * probe), and the greedy rerank runs on the bounded candidate set
+    * driver-side — O(k·|C|) arithmetic on 20 rows, the same bounded-
+    * metadata collect discipline as s04's centroids. The greedy loop
+    * is inherently sequential (each pick conditions the next), so
+    * distributing it would only add latency.
+    *
+    * Determinism: every cosine is the strict-fold dot (bit-identical
+    * across engines); λ = 0.5 is an exact binary fraction, so
+    * 0.5·rel − 0.5·maxsim is correctly rounded identically in both
+    * engines and the oracle's five unrolled argmax rounds replay the
+    * selection exactly (total tiebreak: score DESC, vec_id).
+    */
+  val s08 = QueryDef(
+    "s08_mmr_rerank",
+    Some(s"""${Vec.duckNormCte},
+      cand AS MATERIALIZED (
+        SELECT a.vec_id, a.v, a.nrm,
+          ${Vec.duckDot("a.v", "q.v")} / (a.nrm * q.nrm) AS rel
+        FROM n a CROSS JOIN (SELECT v, nrm FROM n WHERE vec_id = 0) q
+        WHERE a.vec_id <> 0
+        ORDER BY rel DESC, a.vec_id LIMIT 20),
+      sel1 AS MATERIALIZED (
+        SELECT vec_id, v, nrm, rel, 0.5 * rel - 0.5 * 0.0 AS score
+        FROM cand ORDER BY rel DESC, vec_id LIMIT 1)${(2 to MmrK).map { i =>
+        val selU = (1 until i).map(j => s"SELECT vec_id, v, nrm FROM sel$j")
+          .mkString(" UNION ALL ")
+        val selIds = (1 until i).map(j => s"SELECT vec_id FROM sel$j")
+          .mkString(" UNION ALL ")
+        s""",
+      ms$i AS MATERIALIZED (
+        SELECT c.vec_id, max(${Vec.duckDot("c.v", "s.v")} / (c.nrm * s.nrm)) AS m
+        FROM cand c, ($selU) s GROUP BY c.vec_id),
+      sel$i AS MATERIALIZED (
+        SELECT c.vec_id, c.v, c.nrm, c.rel, 0.5 * c.rel - 0.5 * ms$i.m AS score
+        FROM cand c JOIN ms$i ON c.vec_id = ms$i.vec_id
+        WHERE c.vec_id NOT IN ($selIds)
+        ORDER BY score DESC, c.vec_id LIMIT 1)"""
+      }.mkString}
+      ${(1 to MmrK).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS pick_rank, vec_id, rel, score FROM sel$i")
+        .mkString("\n      UNION ALL ")}
+      ORDER BY pick_rank""")) { (s, d) =>
+    import s.implicits._
+    val e = Vec.withNorm(Tables.embeddings(s, d))
+    val q = e.where(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    // DISTRIBUTED retrieval: s01's audited shape (1-row broadcast,
+    // corpus-linear scan, fused top-k); the collect is the bounded
+    // 20-row candidate pool, not data
+    val cand = e.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        (expr(Vec.dot("v", "qv")) / (col("nrm") * col("qn"))).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(20)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2),
+        r.getDouble(3)))
+    // the same strict left fold as vec_dot / duckDot — bit-identical
+    def fdot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    // greedy MMR over the bounded pool
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double, Double)] // (rank, id, rel, score)
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Array[Double], Double)] // (v, nrm)
+    for (rank <- 1L to MmrK.toLong) {
+      val best = cand.iterator
+        .filter(c => !picked.exists(_._2 == c._1))
+        .map { case (id, v, nrm, rel) =>
+          val ms =
+            if (selected.isEmpty) 0.0
+            else selected.map { case (sv, sn) => fdot(v, sv) / (nrm * sn) }.max
+          (id, v, nrm, rel, 0.5 * rel - 0.5 * ms)
+        }
+        .reduceOption((a, b) =>
+          if (b._5 > a._5 || (b._5 == a._5 && b._1 < a._1)) b else a)
+      best.foreach { case (id, v, nrm, rel, score) =>
+        picked += ((rank, id, rel, score))
+        selected += ((v, nrm))
+      }
+    }
+    picked.toSeq.toDF("pick_rank", "vec_id", "rel", "score")
+      .orderBy("pick_rank")
+  }
 
   /** s05's build memo: catalog → (source content key, trained
     * centroids). Same success-only discipline as q37's layout memo;

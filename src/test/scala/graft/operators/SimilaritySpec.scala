@@ -165,4 +165,32 @@ class SimilaritySpec extends SparkSpec {
     assert(indexFiles() != builtOnce, "rewritten dir must rebuild the index")
     assert(again.map(_.toSeq) == first.map(_.toSeq))
   }
+
+  test("s08 MMR: relevance-anchored first pick, then genuine diversification") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val picks = Similarity.s08.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(picks.map(_._1).toSeq == (1L to 5L))
+    assert(picks.map(_._2).distinct.length == 5)
+    // the pure-relevance ranking over the same corpus
+    val e = graft.Vec.withNorm(graft.Tables.embeddings(spark, dir))
+    val q = e.where(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val byRel = e.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (expr(graft.Vec.dot("v", "qv")) / (col("nrm") * col("qn"))).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(20).collect().map(_.getLong(0)).toSeq
+    // pick 1 is the pure-relevance argmax; every pick is from the pool
+    assert(picks.head._2 == byRel.head)
+    assert(picks.forall(p => byRel.contains(p._2)))
+    // diversity is real: MMR must diverge from plain top-5 (the corpus
+    // has near-dup embeddings, so redundancy penalties bite)
+    assert(picks.map(_._2).toSet != byRel.take(5).toSet)
+    // pick 1's score is exactly the undiscounted λ·rel (empty selected
+    // set → maxsim 0); later picks' penalties are bounded by |cos| ≤ 1
+    assert(picks.head._4 == 0.5 * picks.head._3)
+    assert(picks.forall(p => math.abs(p._4 - 0.5 * p._3) <= 0.5 + 1e-12))
+  }
 }
