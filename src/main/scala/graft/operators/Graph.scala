@@ -110,6 +110,14 @@ object Graph {
     val ued = ue.join(deg, ue("src") === deg("id"))
       .select(col("src"), col("dst"), col("d"))
       .persist()
+    // Measured note: d06's private-session shuffle.partitions=1 trick
+    // was tried here and is a net LOSS (4.2 s → 5.9 s standalone at
+    // sf0.1): moving ued into another session needs
+    // createDataFrame(ued.rdd, …), and that Tungsten→Row re-encoding
+    // boundary on the 2×-per-round edge operand costs more than the
+    // saved small-task scheduling. d06's edge set is dozens of rows;
+    // g01's is fact-shaped — the trick only pays when the looped data
+    // is tiny relative to task overhead.
     var r = deg.select(col("id"), lit(MassUnit).as("r")).localCheckpoint()
     for (_ <- 1 to Iters) {
       r = ued.join(r, ued("src") === r("id"))
