@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  def queries: Seq[QueryDef] = Seq(g01)
+  def queries: Seq[QueryDef] = Seq(g01, g02)
 
   /** Offset that moves supplier ids into their own node-id space;
     * must exceed every custkey at any SF this runs at locally. At
@@ -92,9 +92,13 @@ object Graph {
     * can assert mass conservation over EVERY node, which the sliced
     * registry output cannot show.
     */
-  private[operators] def fulfilmentRanks(
+  /** The symmetrized fulfilment graph: (edges-with-degree persisted,
+    * node-degree table) — the loop-invariant operand shared by
+    * g01/g02.
+    */
+  private def fulfilmentGraph(
       s: org.apache.spark.sql.SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = {
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
     val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
     val e = li.join(o, col("l_orderkey") === col("o_orderkey"))
@@ -110,6 +114,13 @@ object Graph {
     val ued = ue.join(deg, ue("src") === deg("id"))
       .select(col("src"), col("dst"), col("d"))
       .persist()
+    (ued, deg)
+  }
+
+  private[operators] def fulfilmentRanks(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val (ued, deg) = fulfilmentGraph(s, d)
     // Measured note: d06's private-session shuffle.partitions=1 trick
     // was tried here and is a net LOSS (4.2 s → 5.9 s standalone at
     // sf0.1): moving ued into another session needs
@@ -129,5 +140,78 @@ object Graph {
         .localCheckpoint() // flat lineage per round (q46/x14 lesson)
     }
     r
+  }
+
+  /** g02: PERSONALIZED PageRank — the seed-biased variant ("how
+    * important is every node *relative to this query set*"), the form
+    * recommendation and related-entity pipelines actually run. Same
+    * fixed-point discipline and fulfilment graph as g01; the single
+    * change is the teleport: instead of every node receiving the
+    * 15% restart mass, the entire budget (15% of N mass units per
+    * round) is split equally over the SEED set — here the every-5th
+    * suppliers, chosen by pure arithmetic so both engines share one
+    * membership predicate (an arbitrary seed set would instead
+    * broadcast-join a seed table; the loop shape is unchanged).
+    * Rank mass then concentrates around the seeds and decays with
+    * graph distance — the top-30 is dominated by seeds and their
+    * direct customers, which GraphSpec pins.
+    */
+  val g02 = QueryDef(
+    "g02_personalized_pagerank",
+    Some(s"""WITH e AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS src, $SuppBase + l_suppkey AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    ue AS MATERIALIZED (
+      SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+    ued AS MATERIALIZED (
+      SELECT ue.src, ue.dst, d.d FROM ue JOIN (
+        SELECT src AS id, count(*) AS d FROM ue GROUP BY 1) d ON ue.src = d.id),
+    p0 AS MATERIALIZED (
+      SELECT DISTINCT src AS id, CAST($MassUnit AS BIGINT) AS r FROM ue),
+    tp AS MATERIALIZED (
+      SELECT ((15 * (SELECT count(*) FROM p0) * $MassUnit) // 100)
+        // (SELECT count(*) FROM supplier WHERE s_suppkey % 5 = 0) AS t),
+    ${(1 to Iters).map(i => s"""p$i AS MATERIALIZED (
+      SELECT dst AS id,
+        (CASE WHEN dst >= $SuppBase AND (dst - $SuppBase) % 5 = 0
+          THEN (SELECT t FROM tp) ELSE 0 END)
+        + (85 * CAST(SUM(r.r // ued.d) AS BIGINT)) // 100 AS r
+      FROM ued JOIN p${i - 1} r ON ued.src = r.id GROUP BY dst)""")
+      .mkString(",\n    ")}
+    SELECT id AS node_id,
+      CASE WHEN id >= $SuppBase THEN 'supplier' ELSE 'customer' END AS node_type,
+      (id >= $SuppBase AND (id - $SuppBase) % 5 = 0) AS is_seed,
+      r AS rank_fp
+    FROM p$Iters ORDER BY rank_fp DESC, node_id LIMIT 30""")) { (s, d) =>
+    val (ued, deg) = fulfilmentGraph(s, d)
+    // driver-side scalars, bounded metadata: node count and seed
+    // count fix the per-seed teleport share — the SAME Long integer
+    // division chain as the oracle's tp CTE
+    val n = deg.count()
+    val nSeeds = Tables.supplier(s, d)
+      .filter(col("s_suppkey") % 5 === 0).count()
+    // empty seed set (empty supplier table) ⇒ no teleport mass; the
+    // graph is empty too in that case and the result has zero rows
+    val t = if (nSeeds == 0) 0L else ((15L * n * MassUnit) / 100L) / nSeeds
+    val seedCase = when(
+      col("dst") >= SuppBase && (col("dst") - SuppBase) % 5 === 0, lit(t))
+      .otherwise(lit(0L))
+    var r = deg.select(col("id"), lit(MassUnit).as("r")).localCheckpoint()
+    for (_ <- 1 to Iters) {
+      r = ued.join(r, ued("src") === r("id"))
+        .groupBy(col("dst"))
+        .agg(expr("(CAST(85 AS BIGINT) * sum(r div d)) div 100").as("flow"))
+        .select(col("dst").as("id"),
+          (seedCase.alias("tpv") + col("flow")).as("r"))
+        .localCheckpoint()
+    }
+    r.select(col("id").as("node_id"),
+        when(col("id") >= SuppBase, lit("supplier"))
+          .otherwise(lit("customer")).as("node_type"),
+        (col("id") >= SuppBase && (col("id") - SuppBase) % 5 === 0)
+          .as("is_seed"),
+        col("r").as("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("node_id"))
+      .limit(30)
   }
 }

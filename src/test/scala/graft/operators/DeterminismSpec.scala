@@ -36,8 +36,8 @@ class DeterminismSpec extends SparkSpec {
       // prefix operators whose range partition count tracks
       // parallelism (q51/e14), and the blocked ER self-join +
       // GraphX closure (d10)
-      "g01_pagerank", "q51_equidepth_bins", "e14_watermark_audit",
-      "d10_entity_resolution")) {
+      "g01_pagerank", "g02_personalized_pagerank", "q51_equidepth_bins",
+      "e14_watermark_audit", "d10_entity_resolution")) {
     test(s"$name is invariant to shuffle partition count (3 vs 17)") {
       assert(collectWith(3, name) == collectWith(17, name))
     }

@@ -46,6 +46,20 @@ class GraphSpec extends SparkSpec {
     assert(total < n * Graph.MassUnit)
   }
 
+  test("g02 personalization concentrates mass on the seed set") {
+    val out = Graph.g02.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getLong(3)))
+    assert(out.length == 30)
+    // sf0.001 has two seed suppliers (suppkey 0 and 5): they must own
+    // the head of the personalized ranking, far above every non-seed
+    val (seeds, rest) = out.partition(_._3)
+    assert(seeds.map(_._1).toSet == Set(10000000L, 10000005L))
+    assert(seeds.map(_._4).min > 3L * rest.map(_._4).max,
+      "teleport mass must separate seeds from the damped-flow tail")
+    // and the flag is consistent with the arithmetic membership rule
+    assert(out.forall(r => r._3 == (r._1 >= 10000000L && (r._1 - 10000000L) % 5 == 0)))
+  }
+
   test("g01 supplier hubs outrank customers on the fulfilment graph") {
     val out = Graph.g01.fn(spark, dir).collect()
     // the graph is bipartite with ~10x more customers than suppliers:
