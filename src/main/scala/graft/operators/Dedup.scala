@@ -179,7 +179,7 @@ object Dedup {
     * must not pay d03's final total sort (a range exchange plus its
     * partition-bound sampling job per invocation).
     */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+  private[operators] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     jaccardFrom(Tables.documents(s, d)
       .select(col("doc_id"), explode(expr("shingle_hashes(text, 3)")).as("g"))

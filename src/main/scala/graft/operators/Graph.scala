@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  def queries: Seq[QueryDef] = Seq(g01, g02)
+  def queries: Seq[QueryDef] = Seq(g01, g02, g03)
 
   /** Offset that moves supplier ids into their own node-id space;
     * must exceed every custkey at any SF this runs at locally. At
@@ -213,5 +213,97 @@ object Graph {
         col("r").as("rank_fp"))
       .orderBy(col("rank_fp").desc, col("node_id"))
       .limit(30)
+  }
+
+  /** g03: TRIANGLE COUNTING over the d03 document-similarity graph
+    * (nodes = docs, edge ⇔ exact 3-gram Jaccard ≥ 0.1 — the d03
+    * output consumed as edges, the same reuse d06/d07 make of it).
+    * Per-node triangle counts measure near-dup CLUSTER COHESION: a
+    * doc in many triangles sits inside a tight duplicate clique
+    * (safe to collapse), one with high degree but few triangles is a
+    * hub stitching unrelated texts (a template/boilerplate smell) —
+    * the classic clustering-coefficient signal, counted exactly.
+    *
+    * Scale shape — degree-ordered orientation: each undirected edge
+    * is directed from its lower-(degree, id) endpoint to the higher,
+    * which makes the orientation acyclic and gives every triangle
+    * EXACTLY one wedge source, so no post-dedup; out-degrees are
+    * bounded by O(√m), so the wedge self-join enumerates O(m^{3/2})
+    * candidates worst-case instead of Σdeg² (the MapReduce
+    * triangle-counting bound of Suri & Vassilvitskii, WWW'11 — the
+    * standard trick for power-law graphs where a few hub nodes would
+    * otherwise explode the wedge set). All three legs are equi-joins
+    * on node/edge keys: hash-shuffled, AQE-broadcast when the edge
+    * set is small, never all-pairs. The reference has no graph
+    * surface (chiv.go:96–140 delegates relational work to its RDBMS);
+    * this is pipeline capability beyond it.
+    */
+  val g03 = QueryDef(
+    "g03_triangle_count",
+    Some(s"""${Dedup.gramCte},
+      cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+      inter AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS i
+                FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+                GROUP BY 1, 2),
+      e AS MATERIALIZED (SELECT da, db FROM (
+        SELECT da, db, i::DOUBLE / (ca.n + cb.n - i) AS jaccard
+        FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db)
+        WHERE jaccard >= 0.1),
+      deg AS MATERIALIZED (SELECT id, count(*) AS degree FROM (
+        SELECT da AS id FROM e UNION ALL SELECT db AS id FROM e) GROUP BY 1),
+      oe AS MATERIALIZED (
+        SELECT CASE WHEN va.degree < vb.degree
+                      OR (va.degree = vb.degree AND da < db)
+               THEN da ELSE db END AS src,
+               CASE WHEN va.degree < vb.degree
+                      OR (va.degree = vb.degree AND da < db)
+               THEN db ELSE da END AS dst
+        FROM e JOIN deg va ON va.id = da JOIN deg vb ON vb.id = db),
+      tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+              FROM oe e1 JOIN oe e2 ON e1.dst = e2.src
+                   JOIN oe e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+      pern AS (SELECT id, count(*) AS n_triangles FROM (
+        SELECT a AS id FROM tri UNION ALL SELECT b AS id FROM tri
+        UNION ALL SELECT c AS id FROM tri) GROUP BY 1)
+      SELECT pern.id AS doc_id, deg.degree, pern.n_triangles
+      FROM pern JOIN deg ON deg.id = pern.id
+      ORDER BY n_triangles DESC, doc_id""")) { (s, d) =>
+    triangleCounts(Dedup.jaccardPairs(s, d).select(col("da"), col("db")))
+      .orderBy(col("n_triangles").desc, col("doc_id"))
+  }
+
+  /** Per-node triangle counts over ANY undirected edge list held as
+    * (da, db) with da < db per row, no duplicates — factored off g03
+    * so GraphSpec can pin exact counts on hand-built graphs (K4, a
+    * path) where the answer is closed-form. Output: one row per node
+    * in ≥ 1 triangle — (doc_id, degree, n_triangles), unsorted.
+    */
+  private[operators] def triangleCounts(
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val deg = e.select(col("da").as("id"))
+      .unionByName(e.select(col("db").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    // orient low-(degree, id) → high: acyclic, one wedge per triangle
+    val fwd = col("ga") < col("gb") ||
+      (col("ga") === col("gb") && col("da") < col("db"))
+    val oe = e.join(deg.as("va"), col("da") === col("va.id"))
+      .join(deg.as("vb"), col("db") === col("vb.id"))
+      .select(col("da"), col("db"),
+        col("va.degree").as("ga"), col("vb.degree").as("gb"))
+      .select(when(fwd, col("da")).otherwise(col("db")).as("src"),
+        when(fwd, col("db")).otherwise(col("da")).as("dst"))
+      .cache() // three join legs over one tiny oriented-edge table
+    val tri = oe.as("e1")
+      .join(oe.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(oe.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+    val pern = tri.select(col("a").as("id"))
+      .unionByName(tri.select(col("b").as("id")))
+      .unionByName(tri.select(col("c").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+    pern.join(deg, Seq("id"))
+      .select(col("id").as("doc_id"), col("degree"), col("n_triangles"))
   }
 }

@@ -60,6 +60,40 @@ class GraphSpec extends SparkSpec {
     assert(out.forall(r => r._3 == (r._1 >= 10000000L && (r._1 - 10000000L) % 5 == 0)))
   }
 
+  test("g03 triangle counts are closed-form exact on K4 and a path") {
+    import spark.implicits._
+    // K4: every node has degree 3 and sits in C(3,2) = 3 triangles
+    val k4 = (for { a <- 0L to 3L; b <- (a + 1) to 3L } yield (a, b))
+      .toDF("da", "db")
+    val outK4 = Graph.triangleCounts(k4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(outK4.toSeq == Seq((0L, 3L, 3L), (1L, 3L, 3L),
+      (2L, 3L, 3L), (3L, 3L, 3L)))
+    // a path has wedges but zero triangles — the closing-edge join
+    // must prune every wedge, not count them
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("da", "db")
+    assert(Graph.triangleCounts(path).count() == 0L)
+    // K4 plus a pendant vertex: the pendant joins no triangle and
+    // must be absent from the output (not present with a zero count)
+    val pendant = k4.union(Seq((3L, 9L)).toDF("da", "db"))
+    val outP = Graph.triangleCounts(pendant).collect()
+    assert(!outP.map(_.getLong(0)).contains(9L))
+    assert(outP.length == 4)
+  }
+
+  test("g03 per-node counts triple-count each triangle on the corpus") {
+    val out = Graph.g03.fn(spark, dir).collect()
+    assert(out.nonEmpty)
+    // Σ per-node counts = 3 × (total triangles): every triangle lands
+    // on exactly its three corners, no more, no fewer
+    assert(out.map(_.getLong(2)).sum % 3 == 0)
+    // membership in a triangle needs degree ≥ 2
+    assert(out.forall(_.getLong(1) >= 2L))
+    // declared total order
+    val pairs = out.map(r => (r.getLong(2), r.getLong(0)))
+    assert(pairs.sameElements(pairs.sortBy(p => (-p._1, p._2))))
+  }
+
   test("g01 supplier hubs outrank customers on the fulfilment graph") {
     val out = Graph.g01.fn(spark, dir).collect()
     // the graph is bipartite with ~10x more customers than suppliers:
