@@ -11,7 +11,7 @@ object Aggregates {
 
   def queries: Seq[QueryDef] =
     Seq(q09, q10, q11, q12, q21, q26, q27, q28, q29, q35, q36, q38, q40, q41,
-      q45, q47, q51)
+      q45, q47, q51, q52)
 
   /** q51: exact equi-depth binning (feature discretization) — assign
     * every row its decile of `l_extendedprice`, then summarize each
@@ -74,6 +74,80 @@ object Aggregates {
       .groupBy("bin")
       .agg(count(lit(1)).as("n_rows"), min("p").as("lo"), max("p").as("hi"))
       .orderBy("bin")
+  }
+
+  /** q52: sweep-line interval concurrency — peak simultaneous
+    * in-flight intervals per hour. Each event opens an interval of
+    * 1–7 minutes (duration = 1 + event_id % 7, synthesized
+    * deterministically since the source has no duration column — the
+    * e14 perturbation discipline); the classic sweep turns each
+    * interval into a +1/−1 point pair, and the RUNNING SUM of deltas
+    * over the total point order (t, delta, id — ends sort before
+    * starts at the same instant, so back-to-back intervals never
+    * overlap) is the live concurrency at every boundary. The
+    * capacity-planning / peak-load primitive (concurrent sessions,
+    * GPU-slot demand, connection-pool sizing).
+    *
+    * Scale shape: a global running sum is the same sequential-prefix
+    * problem as q51's global rank — a window over () would be a
+    * single-task sort. TwoPhase again, with a SUM fold this time:
+    * range-partition on the full point order, per-partition delta
+    * totals prefix-summed on the driver (P longs), then one narrow
+    * pass seeds each partition with its opening concurrency. Peaks
+    * are then a plain per-hour max — partial+final aggregation.
+    * Contract note: a window with no interval BOUNDARY inside it does
+    * not appear in the output (both engines share the rule); the max
+    * is over post-delta values, which is exact because a peak is
+    * always attained immediately after some +1 point.
+    */
+  val q52 = QueryDef(
+    "q52_sweepline_concurrency",
+    Some("""WITH iv AS MATERIALIZED (
+      SELECT event_id, epoch_us(ts) AS s_us,
+        epoch_us(ts) + (1 + event_id % 7) * 60000000 AS e_us
+      FROM events),
+    pts AS MATERIALIZED (
+      SELECT s_us AS t_us, CAST(1 AS BIGINT) AS delta, event_id FROM iv
+      UNION ALL
+      SELECT e_us AS t_us, CAST(-1 AS BIGINT) AS delta, event_id FROM iv),
+    run AS MATERIALIZED (
+      SELECT t_us, CAST(sum(delta) OVER (ORDER BY t_us, delta, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+      FROM pts)
+    SELECT (t_us - t_us % 3600000000) AS win_start_us,
+      max(conc) AS max_concurrency
+    FROM run GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+    import org.apache.spark.sql.Encoders
+    val iv = Tables.events(s, d).select(col("event_id"),
+      col("ts_us").as("s_us"),
+      (col("ts_us") + (lit(1L) + col("event_id") % 7L) * 60000000L)
+        .as("e_us"))
+    val pts = iv.select(col("s_us").as("t_us"), lit(1L).as("delta"),
+        col("event_id"))
+      .unionByName(iv.select(col("e_us").as("t_us"), lit(-1L).as("delta"),
+        col("event_id")))
+    val tEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong)
+    // TwoPhase invariants: range-partitioned + sorted + persisted
+    val ordered = pts
+      .repartitionByRange(TwoPhase.sizedParts(s, pts.count()),
+        col("t_us"), col("delta"), col("event_id"))
+      .sortWithinPartitions("t_us", "delta", "event_id")
+      .as[(Long, Long, Long)](tEnc)
+      .persist()
+    val byPid = TwoPhase.partitionPrefix[(Long, Long, Long)](
+      ordered, 0L, (c, r) => c + r._2, _ + _)
+    ordered.mapPartitions { it =>
+      var conc = byPid(org.apache.spark.TaskContext.getPartitionId())
+      it.map { case (t, dl, _) =>
+        conc += dl
+        (t - t % 3600000000L, conc)
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("win_start_us", "conc")
+      .groupBy("win_start_us")
+      .agg(max("conc").as("max_concurrency"))
+      .orderBy("win_start_us")
   }
 
   /** Changelog compaction / latest-wins upsert: the newest event per
