@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   * its "streaming" is an io.Pipe, chiv.go:127–143), so this surface
   * is part of the engine's extension mandate.
   *
-  * Timestamps: events.parquet carries TIMESTAMP(NANOS); Tables.events
-  * normalizes to exact integer microseconds (ts_us) so both engines
-  * agree bit-for-bit. All window arithmetic below is integral.
+  * Timestamps: Tables.events normalizes events.parquet's ts (either
+  * vintage — TIMESTAMP(NANOS) or timestamp[us]) to exact integer
+  * microseconds (ts_us) so both engines agree bit-for-bit. All window
+  * arithmetic below is integral.
   */
 object EventWindows {
 

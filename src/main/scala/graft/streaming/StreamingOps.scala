@@ -102,17 +102,22 @@ object StreamingOps {
 
   /** File-source entry: tail a parquet events directory as a stream
     * (the production pattern for continuous ingest of landed files).
-    * Normalizes the driver testdata's TIMESTAMP(NANOS) column the
-    * same way as [[graft.Tables.events]] (nanos as long → µs
-    * timestamp), so batch and stream read identical values.
+    * Normalizes `ts` the same way as [[graft.Tables.events]] — both
+    * vintages (BIGINT nanos under the legacy flag, timestamp[us]) —
+    * so batch and stream read identical values. File streams need an
+    * explicit schema, so the landed files' ts vintage is sniffed with
+    * one batch footer read (metadata only, no data scan); an empty
+    * directory defaults to the current timestamp[us] vintage.
     */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-      .parquet(dir)
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val tsDdl =
+      try spark.read.parquet(dir).schema("ts").dataType.sql
+      catch { case scala.util.control.NonFatal(_) => "TIMESTAMP_NTZ" }
+    graft.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(s"event_id BIGINT, ts $tsDdl, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+        .parquet(dir))
   }
 
   final case class QuantileEstimate(event_type: String,

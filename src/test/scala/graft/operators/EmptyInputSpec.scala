@@ -13,10 +13,10 @@ import org.apache.spark.sql.functions.lit
 class EmptyInputSpec extends SparkSpec {
 
   private lazy val emptyDir: String = {
-    // events.parquet is TIMESTAMP(NANOS) — unreadable without the
-    // legacy flag (same normalization Tables.events applies); the
-    // mirror then carries the ts column as BIGINT nanos, which
-    // Tables.events' `ts div 1000` handles identically
+    // the legacy flag keeps a TIMESTAMP(NANOS)-vintage events file
+    // readable (mirrored as BIGINT nanos); the current timestamp[us]
+    // vintage mirrors as TIMESTAMP_NTZ — Tables.normalizeEventTs
+    // handles both
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dst = java.nio.file.Files.createTempDirectory("graft-empty").toString
     Seq("region", "nation", "customer", "supplier", "part", "orders",

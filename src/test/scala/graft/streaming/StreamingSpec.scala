@@ -160,7 +160,7 @@ class StreamingSpec extends SparkSpec {
     assert(batch == stream)
   }
 
-  test("readEventsStream normalizes the TIMESTAMP(NANOS) events source") {
+  test("readEventsStream normalizes the events source ts to µs like the batch loader") {
     // the file stream source needs a directory of landed files
     val dir = java.nio.file.Files.createTempDirectory("graft-events-stream")
     java.nio.file.Files.copy(
