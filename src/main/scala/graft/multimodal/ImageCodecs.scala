@@ -134,27 +134,36 @@ object ImageCodecs {
     */
   def decode(data: Array[Byte], off: Int, len: Int): Option[Decoded] =
     decodeImage(data, off, len).map { case (codec, img) =>
-      val w = img.getWidth
-      val h = img.getHeight
-      var rs = 0L; var gs = 0L; var bs = 0L; var ck = 0L
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val r = (rgb >> 16) & 0xff
-          val g = (rgb >> 8) & 0xff
-          val b = rgb & 0xff
-          rs += r; gs += g; bs += b
-          ck = (ck * 131 + r) % Mod
-          ck = (ck * 131 + g) % Mod
-          ck = (ck * 131 + b) % Mod
-          x += 1
-        }
-        y += 1
-      }
-      Decoded(codec, w, h, rs, gs, bs, ck)
+      val (rs, gs, bs, ck) = pixelStats(img)
+      Decoded(codec, img.getWidth, img.getHeight, rs, gs, bs, ck)
     }
+
+  /** Per-channel sums + ×131 rolling checksum over row-major (R,G,B)
+    * channel values — the shared stat fold of m05 (original pixels)
+    * and m09 (resampled pixels).
+    */
+  def pixelStats(img: BufferedImage): (Long, Long, Long, Long) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var rs = 0L; var gs = 0L; var bs = 0L; var ck = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        rs += r; gs += g; bs += b
+        ck = (ck * 131 + r) % Mod
+        ck = (ck * 131 + g) % Mod
+        ck = (ck * 131 + b) % Mod
+        x += 1
+      }
+      y += 1
+    }
+    (rs, gs, bs, ck)
+  }
 
   /** The raw decode: sniff → header-probe → parse, returning the
     * detected codec and the decoded image. None for undecodable
@@ -187,6 +196,32 @@ object ImageCodecs {
         } finally reader.dispose()
       }
     } finally iis.close()
+  }
+
+  /** Nearest-neighbor resample to (ow × oh): out(x, y) = in(⌊x·w/ow⌋,
+    * ⌊y·h/oh⌋) — pure integer index arithmetic, bit-reproducible on
+    * any JVM and replayable by a SQL oracle, which Java2D's
+    * `Graphics2D.drawImage` scaling is NOT (its filtering pipeline is
+    * implementation-dependent). Works both directions (up- and
+    * down-scale); NN is the resize every deterministic data pipeline
+    * starts from — smoother kernels (bilinear &c.) would follow the
+    * same decoded-pixel seam with a fixed-point weight table.
+    */
+  def resizeNearest(img: BufferedImage, ow: Int, oh: Int): BufferedImage = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new BufferedImage(ow, oh, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < oh) {
+      val sy = y * h / oh
+      var x = 0
+      while (x < ow) {
+        out.setRGB(x, y, img.getRGB(x * w / ow, sy))
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   /** 60-bit perceptual difference hash (dHash) over a decoded image:

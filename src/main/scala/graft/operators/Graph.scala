@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  def queries: Seq[QueryDef] = Seq(g01, g02, g03)
+  def queries: Seq[QueryDef] = Seq(g01, g02, g03, g04)
 
   /** Offset that moves supplier ids into their own node-id space;
     * must exceed every custkey at any SF this runs at locally. At
@@ -270,6 +270,86 @@ object Graph {
       ORDER BY n_triangles DESC, doc_id""")) { (s, d) =>
     triangleCounts(Dedup.jaccardPairs(s, d).select(col("da"), col("db")))
       .orderBy(col("n_triangles").desc, col("doc_id"))
+  }
+
+  /** g04: K-CORE PEELING over the d03 similarity graph — the third
+    * graph lens on near-dup structure, complementing g03's triangle
+    * counts: the k-core (maximal subgraph where every node keeps
+    * degree ≥ k) is the standard "dense cluster extraction" — nodes
+    * surviving the 2-core sit inside CYCLES of near-duplicates
+    * (template families, mirror sets), while tree-like chains of
+    * pairwise matches peel away. Iterative peeling: each round drops
+    * nodes whose CURRENT degree < k and their incident edges, which
+    * can push neighbors below k next round.
+    *
+    * Contract: a FIXED number of peel rounds ([[KcoreRounds]]), the
+    * g01 fixed-iteration discipline, so the oracle unrolls the exact
+    * same rounds — the result equals the true k-core whenever peeling
+    * converges within the budget (GraphSpec pins converged cases and
+    * the documented non-converged long-path case). All arithmetic is
+    * integer counting — no floats anywhere.
+    *
+    * Scale shape: per round ONE degree aggregation + two semi joins
+    * against the survivor set (AQE broadcasts it when small); state
+    * is the edge list alone, partitions sized to edge volume (the d06
+    * sizing argument), lineage truncated per round. A production
+    * fixpoint loop would add a cheap `count()` convergence check per
+    * round; the registry entry pins rounds for oracle replay.
+    */
+  private[operators] val KcoreK = 2
+  private[operators] val KcoreRounds = 4
+
+  val g04 = QueryDef(
+    "g04_kcore",
+    Some {
+      val peels = (1 to KcoreRounds).map { i =>
+        s"""d$i AS (SELECT id, count(*) AS c FROM (
+             SELECT da AS id FROM e${i - 1} UNION ALL SELECT db AS id FROM e${i - 1}) GROUP BY 1),
+           k$i AS (SELECT id FROM d$i WHERE c >= $KcoreK),
+           e$i AS MATERIALIZED (SELECT da, db FROM e${i - 1}
+             WHERE da IN (SELECT id FROM k$i) AND db IN (SELECT id FROM k$i))"""
+      }.mkString(",\n      ")
+      s"""${Dedup.gramCte},
+      cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+      inter AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS i
+                FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+                GROUP BY 1, 2),
+      e0 AS MATERIALIZED (SELECT da, db FROM (
+        SELECT da, db, i::DOUBLE / (ca.n + cb.n - i) AS jaccard
+        FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db)
+        WHERE jaccard >= 0.1),
+      $peels
+      SELECT id AS doc_id, CAST(c AS BIGINT) AS core_degree FROM (
+        SELECT id, count(*) AS c FROM (
+          SELECT da AS id FROM e$KcoreRounds UNION ALL SELECT db AS id FROM e$KcoreRounds)
+        GROUP BY 1)
+      ORDER BY doc_id"""
+    }) { (s, d) =>
+    kcorePeel(Dedup.jaccardPairs(s, d).select(col("da"), col("db")),
+      KcoreK, KcoreRounds)
+      .orderBy("doc_id")
+  }
+
+  /** [[KcoreRounds]]-round peel of ANY undirected edge list (da, db)
+    * toward the k-core; returns surviving (doc_id, core_degree) —
+    * factored off g04 so GraphSpec can pin closed-form cores (K4 +
+    * pendant path, a cycle, a fully-peeling path).
+    */
+  private[operators] def kcorePeel(
+      e0: org.apache.spark.sql.DataFrame, k: Int, rounds: Int)
+      : org.apache.spark.sql.DataFrame = {
+    def degrees(e: org.apache.spark.sql.DataFrame) =
+      e.select(col("da").as("id"))
+        .unionByName(e.select(col("db").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("c"))
+    var e = e0.localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).filter(col("c") >= k).select("id")
+      e = e.join(keep, e("da") === keep("id"), "left_semi")
+        .join(keep, e("db") === keep("id"), "left_semi")
+        .localCheckpoint() // flat lineage per round (g01/q46 lesson)
+    }
+    degrees(e).select(col("id").as("doc_id"), col("c").cast("long").as("core_degree"))
   }
 
   /** Per-node triangle counts over ANY undirected edge list held as

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalOps {
 
-  def queries: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07, m08)
+  def queries: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09)
 
   /** DuckDB luma at synthetic sample point (gx, gy): replays the
     * m05 pixel arithmetic through the same integer (299r+587g+114b)/
@@ -313,6 +313,56 @@ object MultimodalOps {
       FROM s ORDER BY asset_id""")) { (s, d) =>
     graft.multimodal.ArrowBatchStage.decodeAudio(
       graft.multimodal.MultimodalPipeline.audioAssets(s, d))
+      .orderBy("asset_id")
+  }
+
+  /** m09: decode → RESIZE → featurize — the geometric-transform stage
+    * missing between m05 (decode) and m06 (fingerprint): every image
+    * is decoded through the genuine `javax.imageio` path, resampled
+    * to a fixed 8×8 thumbnail by integer nearest-neighbor
+    * ([[graft.multimodal.ImageCodecs.resizeNearest]] — out(x,y) =
+    * in(⌊x·w/8⌋, ⌊y·h/8⌋); Java2D's own scaler is implementation-
+    * dependent and therefore banned here), and reduced to channel
+    * sums + the m05 rolling checksum over the RESIZED pixels. This is
+    * the normalize-resolution step every vision training pipeline
+    * runs before batching; the oracle replays the sample-index
+    * arithmetic from the synthetic pixel function, so a half-pixel
+    * offset, a transposed axis, or a codec mis-decode all break the
+    * hash. Narrow partition-local kernel — no shuffle but the final
+    * presentation sort.
+    */
+  val m09 = QueryDef(
+    "m09_resize_stats",
+    Some {
+      def srcIdx(k: String) =
+        s"(doc_id*7 + (((($k) % 8) * w) // 8)*3 + (((($k) // 8) * h) // 8)*5"
+      s"""WITH g AS (SELECT doc_id, doc_id % 5 + 4 AS w, doc_id % 3 + 3 AS h FROM documents)
+      SELECT doc_id AS asset_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS codec,
+        CAST(w AS BIGINT) AS src_width, CAST(h AS BIGINT) AS src_height,
+        CAST(list_sum(list_transform(range(0, 64), k -> ${srcIdx("k")}) % 256)) AS BIGINT) AS r_sum,
+        CAST(list_sum(list_transform(range(0, 64), k -> ${srcIdx("k")} + 11) % 256)) AS BIGINT) AS g_sum,
+        CAST(list_sum(list_transform(range(0, 64), k -> ${srcIdx("k")} + 22) % 256)) AS BIGINT) AS b_sum,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(0, 192), k -> ${srcIdx("k//3")} + (k%3)*11) % 256)),
+          (acc, v) -> (acc * 131 + v) % 1000000007) AS px_checksum
+      FROM g ORDER BY asset_id"""
+    }) { (s, d) =>
+    import s.implicits._
+    graft.multimodal.MultimodalPipeline.imageAssets(s, d)
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          graft.multimodal.ImageCodecs.decodeImage(a.data, 0, a.data.length)
+            .map { case (codec, img) =>
+              val thumb = graft.multimodal.ImageCodecs.resizeNearest(img, 8, 8)
+              val (rs, gs, bs, ck) = graft.multimodal.ImageCodecs.pixelStats(thumb)
+              (a.asset_id, codec, img.getWidth.toLong, img.getHeight.toLong,
+                rs, gs, bs, ck)
+            }
+        }
+      }
+      .toDF("asset_id", "codec", "src_width", "src_height",
+        "r_sum", "g_sum", "b_sum", "px_checksum")
       .orderBy("asset_id")
   }
 }

@@ -17,7 +17,7 @@ object TextAnalysis {
 
   def queries: Seq[QueryDef] =
     Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15,
-      x16, x17)
+      x16, x17, x18)
 
   /** x13's ln lookup table: round(ln(n)·10⁹) for n = 1..4094, computed
     * ONCE here and embedded as a literal in BOTH the Spark plan and
@@ -1011,6 +1011,69 @@ object TextAnalysis {
         big(col("tf")).as("tf"), big(col("df")).as("df"),
         big(col("score_nano")).as("score_nano"))
       .orderBy("doc_id", "rank")
+  }
+
+  /** x18: bigram COLLOCATION extraction — the corpus-statistics
+    * complement to x17's per-document tf-idf: which adjacent word
+    * pairs co-occur far more than their unigram frequencies predict
+    * (phrase mining / tokenizer-vocabulary seeding; the observed/
+    * expected "lift" form of PMI). lift = c(w1,w2)·N / (c(w1)·c(w2))
+    * — exactly exp(PMI) under token-window normalization — computed
+    * as ONE IEEE division of two exact BIGINT products, so both
+    * engines emit the identical double (the q35/x13 discipline:
+    * never let either engine near a transcendental). Contract bound:
+    * products stay exact below 2^53 — c_xy·N < 2^53 holds to ~10⁸
+    * tokens with the busiest bigram at 10⁷; a corpus beyond that
+    * shifts to the x13 nano-log table and sums ln-counts instead.
+    *
+    * Scale shape: bigram counting is ONE shuffle keyed on the pair
+    * (map-side partial agg absorbs the explode fan-out); the two
+    * unigram lookups ride the post-aggregation pair table and are
+    * deliberately UNHINTED — AQE measures the vocabulary's actual
+    * bytes and picks broadcast vs shuffle (the d03/x11 policy). N is
+    * one driver-side scalar (bounded metadata, the g02 pattern).
+    * Nothing is ever all-pairs; state is vocabulary-sized.
+    */
+  val x18 = QueryDef(
+    "x18_collocations",
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      uni AS (SELECT t AS w, count(*) AS c FROM toks, unnest(ts) AS u(t) GROUP BY 1),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+      bg AS (SELECT ts[i] AS w1, ts[i+1] AS w2, count(*) AS c
+             FROM toks, unnest(range(1, len(ts))) AS r(i) GROUP BY 1, 2)
+      SELECT w1, w2, CAST(bg.c AS BIGINT) AS n_pair,
+        CAST(u1.c AS BIGINT) AS n_w1, CAST(u2.c AS BIGINT) AS n_w2,
+        CAST(bg.c * tot.n AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE) AS lift
+      FROM bg JOIN uni u1 ON u1.w = bg.w1 JOIN uni u2 ON u2.w = bg.w2
+        CROSS JOIN tot
+      WHERE bg.c >= 5
+      ORDER BY lift DESC, w1, w2 LIMIT 100""")) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+    val uni = toks.select(explode(col("ts")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    // N: one driver-side Long (bounded metadata, the g02/s07 pattern);
+    // None on an empty corpus — no bigram row flows, emit 0
+    val n = uni.agg(sum("c")).head.get(0) match {
+      case l: java.lang.Long => l.longValue(); case _ => 0L
+    }
+    // guard size ≥ 2 BEFORE sequence(0, size-2): Spark's sequence
+    // DESCENDS when start > stop, so a 1-token doc would fabricate
+    // the pair (ts[0], ts[-1]) instead of nothing
+    val bg = toks.where(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i+1] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("np"))
+      .where(col("np") >= 5)
+    bg.join(uni.as("u1"), col("w1") === col("u1.w"))
+      .join(uni.as("u2"), col("w2") === col("u2.w"))
+      .select(col("w1"), col("w2"), big(col("np")).as("n_pair"),
+        big(col("u1.c")).as("n_w1"), big(col("u2.c")).as("n_w2"),
+        ((col("np") * lit(n)).cast("double") /
+          (col("u1.c") * col("u2.c")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(100)
   }
 }
 

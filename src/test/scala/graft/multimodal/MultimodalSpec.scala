@@ -62,4 +62,34 @@ class MultimodalSpec extends SparkSpec {
       assert(viaBmp.get >= 0L && viaBmp.get < (1L << 60))
     }
   }
+
+  test("resizeNearest: identity at same dims, exact index map both directions") {
+    Seq(0L, 7L, 42L).foreach { id =>
+      val bytes = ImageCodecs.encode(id)
+      val (_, img) = ImageCodecs.decodeImage(bytes, 0, bytes.length).get
+      val w = img.getWidth
+      val h = img.getHeight
+      // identity resize must reproduce every source pixel verbatim
+      val same = ImageCodecs.resizeNearest(img, w, h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(same.getRGB(x, y) == img.getRGB(x, y))
+      // up- and down-scale both follow out(x,y) = in(⌊x·w/ow⌋,⌊y·h/oh⌋)
+      for ((ow, oh) <- Seq((8, 8), (2, 2), (11, 3))) {
+        val t = ImageCodecs.resizeNearest(img, ow, oh)
+        for (y <- 0 until oh; x <- 0 until ow)
+          assert(t.getRGB(x, y) == img.getRGB(x * w / ow, y * h / oh),
+            s"id $id out ($ow x $oh) at ($x,$y)")
+      }
+    }
+  }
+
+  test("m09 thumbnail stats are codec-stable: BMP and PNG of one id agree") {
+    Seq(4L, 9L).foreach { id =>
+      val stats = Seq(ImageCodecs.encodeBmp(id), ImageCodecs.encodePng(id)).map { b =>
+        val (_, img) = ImageCodecs.decodeImage(b, 0, b.length).get
+        ImageCodecs.pixelStats(ImageCodecs.resizeNearest(img, 8, 8))
+      }
+      assert(stats.head == stats.last)
+    }
+  }
 }

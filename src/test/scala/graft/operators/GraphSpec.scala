@@ -94,6 +94,49 @@ class GraphSpec extends SparkSpec {
     assert(pairs.sameElements(pairs.sortBy(p => (-p._1, p._2))))
   }
 
+  test("g04 peeling is closed-form exact on K4+path, a cycle, and a path") {
+    import spark.implicits._
+    // K4 with a pendant path 3–9–10: the path peels away (9 and 10
+    // never reach degree 2 once the tail is gone), leaving exactly K4
+    // with all degrees 3 — converged well within the round budget
+    val k4 = (for { a <- 0L to 3L; b <- (a + 1) to 3L } yield (a, b))
+      .toDF("da", "db")
+    val g = k4.union(Seq((3L, 9L), (9L, 10L)).toDF("da", "db"))
+    val out = Graph.kcorePeel(g, 2, Graph.KcoreRounds).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 3L)))
+    // a cycle IS its own 2-core: nothing peels, degrees stay 2
+    val c5 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 4L))
+      .toDF("da", "db")
+    val outC = Graph.kcorePeel(c5, 2, Graph.KcoreRounds).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(outC.toSeq == (0L to 4L).map(i => (i, 2L)))
+    // a 5-path fully peels within the budget (2 rounds from each end)
+    val p5 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("da", "db")
+    assert(Graph.kcorePeel(p5, 2, Graph.KcoreRounds).count() == 0L)
+    // the documented NON-converged case: a path longer than 2·rounds
+    // still has its middle intact after the budget — the fixed-round
+    // contract, not a bug; a fixpoint loop would finish the job
+    val long = (0L until 12L).map(i => (i, i + 1)).toDF("da", "db")
+    assert(Graph.kcorePeel(long, 2, Graph.KcoreRounds).count() > 0L)
+  }
+
+  test("g04 corpus core keeps only nodes of degree ≥ k with cycles") {
+    val out = Graph.g04.fn(spark, dir).collect()
+    assert(out.nonEmpty, "sf0.001 near-dup cliques must survive the 2-core")
+    // converged on this corpus: every survivor holds core degree ≥ 2
+    assert(out.forall(_.getLong(1) >= 2L))
+    // the 2-core is a subgraph of the triangle-bearing node set's
+    // closure: every g03 triangle corner survives 2-core peeling
+    // (a triangle is itself a 2-core)
+    val tri = Graph.g03.fn(spark, dir).collect().map(_.getLong(0)).toSet
+    val core = out.map(_.getLong(0)).toSet
+    assert(tri.subsetOf(core))
+    // declared total order
+    val ids = out.map(_.getLong(0))
+    assert(ids.sameElements(ids.sorted))
+  }
+
   test("g01 supplier hubs outrank customers on the fulfilment graph") {
     val out = Graph.g01.fn(spark, dir).collect()
     // the graph is bipartite with ~10x more customers than suppliers:
