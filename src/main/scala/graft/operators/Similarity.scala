@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def queries: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08)
+  def queries: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
 
   /** MMR selection rounds (picks after the pure-relevance first). */
   private val MmrK = 5
@@ -747,5 +747,83 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         (expr(graft.Vec.dot("v", "c")) / (col("nrm") * col("cnrm"))).as("cos_to_centroid"))
       .orderBy("vec_id")
+  }
+
+  /** s09: INT8 SCALAR QUANTIZATION ANN — the simple half of the
+    * compression family, complementing s07's PQ: each dimension is
+    * linearly mapped to an 8-bit code against the corpus's per-dim
+    * [min, max] (the Faiss SQ8 scheme), an 8× memory cut (512 B of
+    * doubles → 64 B of codes) with NO training loop and NO codebook —
+    * the variant a pipeline reaches for before PQ's 64×. Scoring
+    * reconstructs each code to its cell CENTER (min + (code+½)·span/
+    * 255) and takes the query·center dot — like s07's ADC, candidates
+    * are ranked without touching raw vectors; the exact cos_sim rides
+    * along for the re-rank contract.
+    *
+    * Determinism: min/max are exact SELECTIONS (any aggregation order
+    * → the same double), the quantize/reconstruct chains are fixed
+    * left-associated IEEE sequences on identical operands in both
+    * engines, and the ADC dot is the [[graft.Vec]] strict fold — so
+    * codes AND scores replay bit-for-bit in DuckDB, clamps included.
+    *
+    * Scale shape: one partial+final aggregation of 128 scalars (the
+    * per-dim extrema — driver-bounded metadata, the g02 pattern),
+    * then encode/score as narrow codegen projections feeding ONE
+    * TakeOrderedAndProject: no joins, no shuffles, nothing
+    * corpus-sized on the driver or the broadcast plane.
+    */
+  val s09 = QueryDef(
+    "s09_sq_adc",
+    Some(s"""${graft.Vec.duckNormCte},
+      mm AS (SELECT list(mn ORDER BY d) AS mins, list(mx ORDER BY d) AS maxs FROM (
+        SELECT d, min(v[d]) AS mn, max(v[d]) AS mx
+        FROM n, unnest(range(1, 65)) AS r(d) GROUP BY d)),
+      c AS (SELECT vec_id, list_transform(range(1, 65), d ->
+          CASE WHEN mm.maxs[d] - mm.mins[d] = 0 THEN 0
+               ELSE least(255, greatest(0, CAST(floor((v[d] - mm.mins[d]) * 255.0 / (mm.maxs[d] - mm.mins[d])) AS BIGINT))) END) AS codes
+        FROM n CROSS JOIN mm),
+      dq AS (SELECT vec_id, list_transform(range(1, 65), d ->
+          (CAST(codes[d] AS DOUBLE) + 0.5) * (mm.maxs[d] - mm.mins[d]) / 255.0 + mm.mins[d]) AS dqv
+        FROM c CROSS JOIN mm),
+      qq AS (SELECT v, nrm FROM n WHERE vec_id = 0)
+      SELECT n.vec_id, ${duckDotN("qq.v", "dq.dqv", 64)} AS adc_dot,
+        ${graft.Vec.duckDot("n.v", "qq.v")} / (n.nrm * qq.nrm) AS cos_sim
+      FROM n JOIN dq ON dq.vec_id = n.vec_id CROSS JOIN qq
+      WHERE n.vec_id <> 0
+      ORDER BY adc_dot DESC, n.vec_id LIMIT 20""")) { (s, d) =>
+    val e = Vec.withNorm(Tables.embeddings(s, d)).cache()
+    // per-dim extrema: ONE aggregation, 128 scalars to the driver
+    val aggs = (0 until 64).flatMap(i =>
+      Seq(min(expr(s"v[$i]")).as(s"mn$i"), max(expr(s"v[$i]")).as(s"mx$i")))
+    val row = e.agg(aggs.head, aggs.tail: _*).head()
+    val qRowOpt = e.filter(col("vec_id") === 0)
+      .select(col("v"), col("nrm")).collect().headOption
+    if (row.isNullAt(0) || qRowOpt.isEmpty)
+      e.limit(0).select(col("vec_id"), lit(0.0).as("adc_dot"), lit(0.0).as("cos_sim"))
+    else {
+      val mins = Array.tabulate(64)(i => row.getDouble(2 * i))
+      val spans = Array.tabulate(64)(i => row.getDouble(2 * i + 1) - mins(i))
+      val qv = qRowOpt.get.getSeq[Double](0).toArray
+      val qnrm = qRowOpt.get.getDouble(1)
+      val minsL = lit(mins)
+      val spansL = lit(spans)
+      def at(a: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+        element_at(a, (i + 1).cast("int"))
+      val codes = transform(sequence(lit(0), lit(63)), i =>
+        when(at(spansL, i) === 0.0, lit(0L)).otherwise(
+          least(lit(255L), greatest(lit(0L),
+            floor((at(col("v"), i) - at(minsL, i)) * 255.0 / at(spansL, i))))))
+      val dq = transform(sequence(lit(0), lit(63)), i =>
+        (at(col("codes"), i).cast("double") + 0.5) * at(spansL, i) / 255.0
+          + at(minsL, i))
+      e.filter(col("vec_id") =!= 0)
+        .withColumn("codes", codes)
+        .select(col("vec_id"),
+          call_function("vec_dot", lit(qv), dq).as("adc_dot"),
+          (call_function("vec_dot", col("v"), lit(qv)) / (col("nrm") * lit(qnrm)))
+            .as("cos_sim"))
+        .orderBy(col("adc_dot").desc, col("vec_id"))
+        .limit(20)
+    }
   }
 }

@@ -17,7 +17,7 @@ object TextAnalysis {
 
   def queries: Seq[QueryDef] =
     Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15,
-      x16, x17, x18)
+      x16, x17, x18, x19)
 
   /** x13's ln lookup table: round(ln(n)·10⁹) for n = 1..4094, computed
     * ONCE here and embedded as a literal in BOTH the Spark plan and
@@ -1074,6 +1074,57 @@ object TextAnalysis {
           (col("u1.c") * col("u2.c")).cast("double")).as("lift"))
       .orderBy(col("lift").desc, col("w1"), col("w2"))
       .limit(100)
+  }
+
+  /** x19: document CHUNKING — the doc → overlapping-window generator
+    * between cleaning and training/retrieval: each document splits
+    * into [[ChunkTokens]]-token windows advancing by [[ChunkStride]]
+    * (16-token overlap, the standard long-context-continuity trick),
+    * each chunk content-addressed by the x04 rolling hash so
+    * downstream dedup/provenance work on chunks exactly as they do on
+    * documents. x12 packs whole documents into shards; this is the
+    * complementary intra-document split the pipeline runs FIRST when
+    * documents exceed the sequence budget.
+    *
+    * Scale shape: a pure narrow generator — split, one `explode` over
+    * the per-doc start offsets, slice + join + codegen'd rolling
+    * hash; no shuffle but the presentation sort. Fan-out is bounded
+    * by ⌈n/stride⌉ per document, and the hash keeps rows narrow (the
+    * chunk TEXT never needs to leave the stage that consumes it).
+    */
+  private val ChunkTokens = 64
+  private val ChunkStride = 48
+
+  val x19 = QueryDef(
+    "x19_chunking",
+    Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      st AS (SELECT doc_id, ts, CAST(s AS BIGINT) AS start_tok
+             FROM toks, unnest(range(0, len(ts), $ChunkStride)) AS r(s)),
+      ch AS (SELECT doc_id, start_tok,
+               array_to_string(ts[start_tok + 1 : least(start_tok + $ChunkTokens, len(ts))], ' ') AS t,
+               CAST(least(start_tok + $ChunkTokens, len(ts)) - start_tok AS BIGINT) AS n_tok
+             FROM st)
+      SELECT doc_id, CAST(start_tok // $ChunkStride AS BIGINT) AS chunk_no,
+        start_tok, n_tok,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, length(t) + 1), i -> CAST(unicode(substr(t, i, 1)) AS BIGINT))),
+          (h, c) -> (h * 31 + c) % 1000000007) AS chunk_hash
+      FROM ch ORDER BY doc_id, chunk_no""")) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0), size(col("ts")) - 1, lit(ChunkStride)))
+          .as("start_tok"))
+      .select(col("doc_id"),
+        (col("start_tok") / ChunkStride).cast("long").as("chunk_no"),
+        col("start_tok").cast("long").as("start_tok"),
+        expr(s"slice(ts, start_tok + 1, $ChunkTokens)").as("chunk"))
+      .select(col("doc_id"), col("chunk_no"), col("start_tok"),
+        size(col("chunk")).cast("long").as("n_tok"),
+        expr("rolling_hash(array_join(chunk, ' '), 31L, 1000000007L)")
+          .as("chunk_hash"))
+      .orderBy("doc_id", "chunk_no")
   }
 }
 
