@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  def queries: Seq[QueryDef] = Seq(g01, g02, g03, g04)
+  def queries: Seq[QueryDef] = Seq(g01, g02, g03, g04, g05)
 
   /** Offset that moves supplier ids into their own node-id space;
     * must exceed every custkey at any SF this runs at locally. At
@@ -328,6 +328,68 @@ object Graph {
     kcorePeel(Dedup.jaccardPairs(s, d).select(col("da"), col("db")),
       KcoreK, KcoreRounds)
       .orderBy("doc_id")
+  }
+
+  /** g05: BFS HOP DISTANCE from a seed set — the exact-reachability
+    * complement to g02's personalized PageRank: instead of damped
+    * mass, every node gets its MINIMUM hop count from the every-5th
+    * supplier seeds (the g02 membership predicate, shared with the
+    * oracle) — the crawl-depth / trust-propagation gate ("keep
+    * documents within k hops of a whitelisted set") of web-corpus
+    * pipelines. [[BfsRounds]] min-propagation rounds (the g01 fixed-
+    * iteration discipline): each round joins the frontier TABLE (all
+    * best-so-far distances) to the edge operand and takes the
+    * per-node min of (existing, neighbor+1) — pure integer BFS, no
+    * floats. Nodes unreached within the budget are absent, the
+    * documented fixed-round contract.
+    *
+    * Scale shape: per round ONE join of the persisted edge operand
+    * against node-sized state (16 B/node) + one min-aggregation —
+    * the g01 loop shape with min instead of sum; lineage truncated
+    * per round. Distances are monotone non-increasing per node, so
+    * at a fixpoint extra rounds are no-ops (the g04 microbench
+    * "over-provisioning is safe" argument applies verbatim).
+    */
+  private[operators] val BfsRounds = 4
+
+  val g05 = QueryDef(
+    "g05_hop_distance",
+    Some(s"""WITH e AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS src, $SuppBase + l_suppkey AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    ue AS MATERIALIZED (
+      SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+    h0 AS MATERIALIZED (
+      SELECT DISTINCT src AS id, CAST(0 AS BIGINT) AS dist FROM ue
+      WHERE src >= $SuppBase AND (src - $SuppBase) % 5 = 0),
+    ${(1 to BfsRounds).map(i => s"""h$i AS MATERIALIZED (
+      SELECT id, min(dist) AS dist FROM (
+        SELECT id, dist FROM h${i - 1}
+        UNION ALL
+        SELECT ue.dst AS id, h${i - 1}.dist + 1 AS dist
+        FROM ue JOIN h${i - 1} ON ue.src = h${i - 1}.id) GROUP BY id)""")
+      .mkString(",\n    ")}
+    SELECT id AS node_id,
+      CASE WHEN id >= $SuppBase THEN 'supplier' ELSE 'customer' END AS node_type,
+      dist
+    FROM h$BfsRounds ORDER BY dist, node_id""")) { (s, d) =>
+    val (ued, deg) = fulfilmentGraph(s, d)
+    var dist = deg
+      .filter(col("id") >= SuppBase && (col("id") - SuppBase) % 5 === 0)
+      .select(col("id"), lit(0L).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to BfsRounds) {
+      val prop = ued.join(dist, ued("src") === dist("id"))
+        .select(ued("dst").as("id"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionByName(prop)
+        .groupBy("id").agg(min("dist").as("dist"))
+        .localCheckpoint() // flat lineage per round (g01/q46 lesson)
+    }
+    dist.select(col("id").as("node_id"),
+        when(col("id") >= SuppBase, lit("supplier"))
+          .otherwise(lit("customer")).as("node_type"),
+        col("dist"))
+      .orderBy("dist", "node_id")
   }
 
   /** [[KcoreRounds]]-round peel of ANY undirected edge list (da, db)

@@ -137,6 +137,25 @@ class GraphSpec extends SparkSpec {
     assert(ids.sameElements(ids.sorted))
   }
 
+  test("g05 hop distances respect bipartite parity and the seed set") {
+    val out = Graph.g05.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // distance 0 ⇔ exactly the every-5th suppliers (the g02 seed rule)
+    val seeds = out.filter(_._3 == 0L).map(_._1).toSet
+    assert(seeds == Set(10000000L, 10000005L))
+    // the fulfilment graph is bipartite: customers sit at ODD hops
+    // from any supplier seed, suppliers at EVEN — a wrong edge
+    // direction or an off-by-one in the propagation breaks parity
+    assert(out.forall { case (_, tpe, d) =>
+      if (tpe == "supplier") d % 2 == 0 else d % 2 == 1
+    })
+    // nothing beyond the round budget; order is the declared total
+    assert(out.forall(_._3 <= Graph.BfsRounds))
+    val keys = out.map(r => (r._3, r._1))
+    assert(keys.sameElements(keys.sortBy(identity)))
+  }
+
   test("g01 supplier hubs outrank customers on the fulfilment graph") {
     val out = Graph.g01.fn(spark, dir).collect()
     // the graph is bipartite with ~10x more customers than suppliers:
