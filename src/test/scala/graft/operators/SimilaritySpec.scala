@@ -193,4 +193,36 @@ class SimilaritySpec extends SparkSpec {
     assert(picks.head._4 == 0.5 * picks.head._3)
     assert(picks.forall(p => math.abs(p._4 - 0.5 * p._3) <= 0.5 + 1e-12))
   }
+
+  test("s09 SQ8: ADC tracks the exact dot within the quantization bound") {
+    val dir = "/root/testdata/sf0.001"
+    val vecs = graft.Vec.withNorm(graft.Tables.embeddings(spark, dir))
+      .select("vec_id", "v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val dims = vecs.head._2.length
+    val mins = Array.tabulate(dims)(i => vecs.values.map(_(i)).min)
+    val spans = Array.tabulate(dims)(i => vecs.values.map(_(i)).max - mins(i))
+    val q = vecs(0L)
+    // per-coordinate reconstruction error ≤ one cell width, so the
+    // ADC dot deviates from the exact dot by ≤ Σ|q_i|·span_i/255
+    val bound = (0 until dims).map(i => math.abs(q(i)) * spans(i) / 255).sum
+    val out = Similarity.s09.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.length == 20)
+    out.foreach { case (id, adc) =>
+      val exact = (0 until dims).map(i => q(i) * vecs(id)(i)).sum
+      assert(math.abs(adc - exact) <= bound + 1e-9,
+        s"vec $id: adc $adc vs exact $exact exceeds $bound")
+    }
+    // recall sanity: the exact best neighbor survives into the SQ8
+    // top-20 (8× compression must not lose the head of the ranking)
+    val best = vecs.collect { case (id, v) if id != 0L =>
+      id -> (0 until dims).map(i => q(i) * v(i)).sum }.maxBy(_._2)._1
+    assert(out.map(_._1).contains(best))
+    // deterministic across runs (fresh aggregation, same extrema)
+    spark.sharedState.cacheManager.clearCache()
+    val again = Similarity.s09.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == again.toSeq)
+  }
 }

@@ -92,4 +92,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a.map(_.toSeq) == b.map(_.toSeq))
     assert(a.nonEmpty)
   }
+
+  test("x19 chunks tile each document: strided starts, clamped tails, known hash") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = TextAnalysis.x19.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.keySet == docs.keySet, "every document chunks")
+    byDoc.foreach { case (id, chunks) =>
+      val n = docs(id).toLong
+      // chunk_no consecutive from 0; start = chunk_no·stride; exactly
+      // ⌊(n−1)/stride⌋+1 chunks — starts strictly below n
+      val sorted = chunks.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(0L until sorted.length))
+      assert(sorted.forall(c => c._3 == c._2 * 48 && c._3 < n))
+      assert(sorted.length == (n - 1) / 48 + 1)
+      // every chunk holds min(64, n − start) tokens — full windows
+      // inside, a clamped tail at the end
+      assert(sorted.forall(c => c._4 == math.min(64L, n - c._3)))
+    }
+    // hash contract on a hand corpus: one 3-token doc, one chunk,
+    // hash = fold (h·31 + codepoint) mod 1e9+7 over "aa b c"
+    import spark.implicits._
+    val dst = java.nio.file.Files.createTempDirectory("graft-chunk").toString
+    Seq((7L, "aa b c", "en", "t", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    val one = TextAnalysis.x19.fn(spark, dst).collect()
+    val expect = "aa b c".foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
+    assert(one.length == 1 && one.head.getLong(4) == expect)
+  }
 }
