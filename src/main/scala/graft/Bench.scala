@@ -121,10 +121,8 @@ object Bench {
     // full names + full precision for MICROBENCH/verdict work; the
     // archive entries keep full names — they are the reference's own
     // flagship workload and there are only two of them.
-    val shortKey: String => String = { n =>
-      val s = if (n.startsWith("archive_")) n else n.takeWhile(_ != '_')
-      s
-    }
+    val shortKey: String => String = n =>
+      if (n.startsWith("archive_")) n else n.takeWhile(_ != '_')
     val shortCounts = results.keys.toSeq.groupBy(shortKey).map { case (k, v) => (k, v.size) }
     val key: String => String = n => {
       val s = shortKey(n); if (shortCounts(s) == 1) s else n

@@ -213,10 +213,13 @@ object ImageCodecs {
     val out = new BufferedImage(ow, oh, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < oh) {
-      val sy = y * h / oh
+      // Long index products: a MaxPixels-legal 2^26-wide source times
+      // a large target x overflows Int and getRGB would see a
+      // negative index
+      val sy = (y.toLong * h / oh).toInt
       var x = 0
       while (x < ow) {
-        out.setRGB(x, y, img.getRGB(x * w / ow, sy))
+        out.setRGB(x, y, img.getRGB((x.toLong * w / ow).toInt, sy))
         x += 1
       }
       y += 1

@@ -1050,8 +1050,13 @@ object TextAnalysis {
       ORDER BY lift DESC, w1, w2 LIMIT 100""")) { (s, d) =>
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
+    // vocabulary-sized; cached because BOTH the driver-side N scalar
+    // and the main plan's two lookup legs consume it (the d03 shared-
+    // leg discipline — without the cache the corpus tokenize+count
+    // runs twice)
     val uni = toks.select(explode(col("ts")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+      .cache()
     // N: one driver-side Long (bounded metadata, the g02/s07 pattern);
     // None on an empty corpus — no bigram row flows, emit 0
     val n = uni.agg(sum("c")).head.get(0) match {

@@ -111,9 +111,15 @@ object StreamingOps {
     */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // default only on the documented empty-directory case (schema
+    // inference fails with AnalysisException); any OTHER sniff
+    // failure (corrupt file, IO error) must surface here, not
+    // reappear later as a baffling per-microbatch type mismatch
     val tsDdl =
       try spark.read.parquet(dir).schema("ts").dataType.sql
-      catch { case scala.util.control.NonFatal(_) => "TIMESTAMP_NTZ" }
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => "TIMESTAMP_NTZ"
+      }
     graft.Tables.normalizeEventTs(
       spark.readStream
         .schema(s"event_id BIGINT, ts $tsDdl, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
