@@ -17,7 +17,7 @@ object TextAnalysis {
 
   def queries: Seq[QueryDef] =
     Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15,
-      x16, x17, x18, x19)
+      x16, x17, x18, x19, x20)
 
   /** x13's ln lookup table: round(ln(n)·10⁹) for n = 1..4094, computed
     * ONCE here and embedded as a literal in BOTH the Spark plan and
@@ -1130,6 +1130,81 @@ object TextAnalysis {
         expr("rolling_hash(array_join(chunk, ' '), 31L, 1000000007L)")
           .as("chunk_hash"))
       .orderBy("doc_id", "chunk_no")
+  }
+
+  /** x20: DUPLICATE-SPAN detection — exact substring-level dedup, the
+    * operator document-level dedup (d01–d08) cannot express: a span
+    * duplicated across (or within) documents is flagged even when the
+    * documents as a whole are unique. This is the distributed
+    * equivalent of the suffix-array substring dedup of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better" (ACL
+    * 2022), specialized to a fixed minimum span of [[SpanTokens]]
+    * tokens: a token position is covered iff some [[SpanTokens]]-gram
+    * through it occurs ≥ 2 times in the corpus, and the union of
+    * covered windows — merged per document by a gaps-and-islands
+    * window — is EXACTLY the set of maximal duplicated runs of length
+    * ≥ [[SpanTokens]] that a suffix array would report. Emits one row
+    * per maximal span: (doc_id, span_start, span_end, dup_tok); the
+    * cleaning pass that excises `[span_start, span_end)` is a narrow
+    * map over this table joined back to the corpus.
+    *
+    * Scale shape: three key-partitioned shuffles, never all-pairs —
+    * (1) count by 8-gram, (2) join duplicated grams back to positions
+    * (AQE decides broadcast vs shuffle from the measured dup-set size,
+    * the d03/x11 policy), (3) one per-doc window for the island merge.
+    * The join key is the gram STRING (~40 B) — at 100 TB substitute
+    * the 62-bit PolyPair hash to narrow the shuffle (the d02 trick;
+    * collision odds ~n²/2⁶² are a documented contract change, which is
+    * why the registry entry keeps the exact form). The window-position
+    * table is cached: it feeds both the counting leg and the join-back
+    * leg, and recomputing it would double the split/slice work
+    * (Bench/Verify clear caches between entries).
+    */
+  private val SpanTokens = 8
+
+  val x20 = QueryDef(
+    "x20_dupspan",
+    Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      pos AS (SELECT doc_id, CAST(i AS BIGINT) AS p,
+                array_to_string(ts[i + 1 : i + $SpanTokens], ' ') AS g
+              FROM toks, unnest(range(0, len(ts) - ${SpanTokens - 1})) AS r(i)
+              WHERE len(ts) >= $SpanTokens),
+      dup AS (SELECT g FROM pos GROUP BY g HAVING count(*) > 1),
+      hit AS (SELECT doc_id, p FROM pos JOIN dup USING (g)),
+      isl AS (SELECT doc_id, p,
+                sum(CASE WHEN lp IS NULL OR p > lp + $SpanTokens THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY p) AS island
+              FROM (SELECT doc_id, p,
+                      lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS lp FROM hit))
+      SELECT doc_id, span_start, span_end, span_end - span_start AS dup_tok FROM (
+        SELECT doc_id, min(p) AS span_start, max(p) + $SpanTokens AS span_end
+        FROM isl GROUP BY doc_id, island)
+      ORDER BY doc_id, span_start""")) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val pos = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .where(size(col("ts")) >= SpanTokens)
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0), size(col("ts")) - SpanTokens)).as("i"))
+      .select(col("doc_id"), col("i").cast("long").as("p"),
+        array_join(expr(s"slice(ts, i + 1, $SpanTokens)"), " ").as("g"))
+      .cache()
+    val dup = pos.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1).select("g")
+    // UNHINTED: AQE picks broadcast when the duplicated-gram set is
+    // small (typical) and falls back to a shuffle join when it isn't
+    val hit = pos.join(dup, "g").select("doc_id", "p")
+    val byP = Window.partitionBy("doc_id").orderBy("p")
+    val isl = hit
+      .withColumn("lp", lag("p", 1).over(byP))
+      .withColumn("flag",
+        when(col("lp").isNull || col("p") > col("lp") + SpanTokens, 1L).otherwise(0L))
+      .withColumn("island", sum("flag").over(byP))
+    isl.groupBy("doc_id", "island")
+      .agg(min("p").as("span_start"), (max("p") + SpanTokens).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("dup_tok"))
+      .orderBy("doc_id", "span_start")
   }
 }
 

@@ -126,4 +126,33 @@ class TextAnalysisSpec extends SparkSpec {
     val expect = "aa b c".foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
     assert(one.length == 1 && one.head.getLong(4) == expect)
   }
+
+  test("x20 reports exactly the maximal duplicated runs: cross-doc, adjacent, split") {
+    import spark.implicits._
+    val dst = java.nio.file.Files.createTempDirectory("graft-dupspan").toString
+    def words(pfx: String, n: Int): Seq[String] = (1 to n).map(i => s"$pfx$i")
+    val docs = Seq(
+      // all-unique doc: contributes no spans
+      (1L, words("u", 30).mkString(" ")),
+      // docs 2 and 3 share a 12-token phrase at offset 5: the merged
+      // dup windows must recover EXACTLY the phrase, [5, 17)
+      (2L, (words("a", 5) ++ words("p", 12) ++ words("b", 5)).mkString(" ")),
+      (3L, (words("c", 5) ++ words("p", 12) ++ words("d", 5)).mkString(" ")),
+      // within-doc ADJACENT repeat: dup windows at p=0 and p=8 touch,
+      // so the island merge yields ONE span covering the whole doc
+      (4L, (words("r", 8) ++ words("r", 8)).mkString(" ")),
+      // one separating token breaks adjacency: TWO spans, [0,8) and [9,17)
+      (5L, (words("s", 8) ++ Seq("gap") ++ words("s", 8)).mkString(" ")))
+      .map { case (id, t) => (id, t, "en", "t", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    val spans = TextAnalysis.x20.fn(spark, dst).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSeq == Seq(
+      (2L, 5L, 17L, 12L),
+      (3L, 5L, 17L, 12L),
+      (4L, 0L, 16L, 16L),
+      (5L, 0L, 8L, 8L),
+      (5L, 9L, 17L, 8L)))
+  }
 }
