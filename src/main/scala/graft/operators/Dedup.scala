@@ -28,7 +28,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  def queries: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10)
+  def queries: Seq[QueryDef] =
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11)
 
   /** DuckDB CTE for distinct 3-token shingles per document — the
     * oracle-side counterpart of the Spark-side native
@@ -652,5 +653,55 @@ object Dedup {
       .select(col("entity_id"), col("rec_id"), col("name"),
         (col("rec_id") === col("entity_id")).as("is_canonical"))
       .orderBy("rec_id")
+  }
+
+  /** d11: SEMANTIC dedup, cluster-bucketed — SemDeDup (Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", 2023) with the greedy min-id keeper rule: train
+    * the s04 coarse quantizer (k-means, k=8, 3 rounds — the IDENTICAL
+    * training, shared [[Similarity.trainQuantizer]] /
+    * [[Similarity.duckTrainedCells]]), then flag a vector as a
+    * duplicate iff some LOWER-id vector in its OWN cluster has cosine
+    * ≥ 0.4. This is TO d05 (all-pairs, exact) what d02 is to d03: the
+    * pair search runs CLUSTER-LOCAL — one shuffle on the cell key,
+    * candidate volume Σ|cell|² instead of N² — and misses cross-cluster
+    * duplicates BY CONTRACT (the approximation the paper accepts;
+    * quantified for this corpus in DedupSpec against d05's exact pair
+    * set). Emits the full per-vector verdict: (vec_id, cell, is_kept,
+    * n_dup_lower), the survivor table a pipeline filters against.
+    */
+  val d11 = QueryDef(
+    "d11_semdedup",
+    Some(s"""${Vec.duckNormCte},
+      ${Similarity.duckTrainedCells},
+      pr AS (
+        SELECT a.vec_id AS lo, b.vec_id AS hi
+        FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE ${Vec.duckDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4),
+      m AS (SELECT hi, count(*) AS nd FROM pr GROUP BY hi)
+      SELECT c.vec_id, c.cell, m.hi IS NULL AS is_kept,
+             coalesce(m.nd, 0) AS n_dup_lower
+      FROM cells c LEFT JOIN m ON c.vec_id = m.hi
+      ORDER BY c.vec_id""")) { (s, d) =>
+    val e = Vec.withNorm(Tables.embeddings(s, d)).cache()
+    val centroids = Similarity.trainQuantizer(e, 8, 3)
+    if (centroids.isEmpty)
+      e.limit(0).select(col("vec_id"), lit(0L).as("cell"),
+        lit(true).as("is_kept"), lit(0L).as("n_dup_lower"))
+    else {
+      // narrow zero-exchange assignment (s04's literal-centroid argmin)
+      val cells = e.withColumn("cell", Similarity.cellOf(centroids))
+        .select(col("vec_id"), col("cell"), col("v"), col("nrm"))
+      val dups = cells.as("a").join(cells.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .where((expr(Vec.dot("a.v", "b.v")) / (col("a.nrm") * col("b.nrm"))) >= 0.4)
+        .groupBy(col("b.vec_id").as("vec_id"))
+        .agg(count(lit(1)).as("nd"))
+      cells.join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          col("nd").isNull.as("is_kept"),
+          coalesce(col("nd"), lit(0L)).as("n_dup_lower"))
+        .orderBy("vec_id")
+    }
   }
 }

@@ -154,19 +154,7 @@ object Similarity {
   val s05 = QueryDef(
     "s05_ivf_index_probe",
     Some(s"""${Vec.duckNormCte},
-      init AS (
-        SELECT cell, list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT)) AS c FROM (
-          SELECT vec_id % 8 AS cell, v,
-                 row_number() OVER (PARTITION BY vec_id % 8 ORDER BY vec_id) AS rn
-          FROM n)
-        WHERE rn = 1),
-      ${duckAssign("init", "a1")},
-      ${duckCentroids("a1", "c1")},
-      ${duckAssign("c1", "a2")},
-      ${duckCentroids("a2", "c2")},
-      ${duckAssign("c2", "a3")},
-      ${duckCentroids("a3", "c3")},
-      ${duckAssign("c3", "cells")},
+      $duckTrainedCells,
       q AS (SELECT v, nrm FROM n WHERE vec_id = 0),
       cs AS (SELECT cc.cell, (cc.cn2 - 2 * ${Vec.duckDot("q.v", "cc.cd")}) AS sc
         FROM (SELECT cell, cd, ${Vec.duckDot("cd", "cd")} AS cn2
@@ -290,6 +278,28 @@ object Similarity {
        |    GROUP BY cell, pos)
        |  GROUP BY cell)""".stripMargin
 
+  /** The full trained-quantizer oracle chain — seed + 3 unrolled
+    * k-means rounds + final assignment `cells` — shared by s04/s05/s06
+    * and [[Dedup.d11]] so every consumer provably replays the IDENTICAL
+    * training ([[trainQuantizer]]'s DuckDB twin). Leaves `c3` (the
+    * final centroids) in scope for probe-selection CTEs. Assumes `n`
+    * from [[Vec.duckNormCte]] precedes it.
+    */
+  private[operators] def duckTrainedCells: String =
+    s"""init AS (
+       |  SELECT cell, list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT)) AS c FROM (
+       |    SELECT vec_id % 8 AS cell, v,
+       |           row_number() OVER (PARTITION BY vec_id % 8 ORDER BY vec_id) AS rn
+       |    FROM n)
+       |  WHERE rn = 1),
+       |${duckAssign("init", "a1")},
+       |${duckCentroids("a1", "c1")},
+       |${duckAssign("c1", "a2")},
+       |${duckCentroids("a2", "c2")},
+       |${duckAssign("c2", "a3")},
+       |${duckCentroids("a3", "c3")},
+       |${duckAssign("c3", "cells")}""".stripMargin
+
   /** s04/s05-shared quantizer machinery: deterministic k-means over
     * fixed-point BIGINT sums, centroids collected (k rows — driver
     * data by definition) and baked into a zero-exchange narrow argmin
@@ -361,19 +371,7 @@ object Similarity {
   val s04 = QueryDef(
     "s04_ivf_ann",
     Some(s"""${Vec.duckNormCte},
-      init AS (
-        SELECT cell, list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT)) AS c FROM (
-          SELECT vec_id % 8 AS cell, v,
-                 row_number() OVER (PARTITION BY vec_id % 8 ORDER BY vec_id) AS rn
-          FROM n)
-        WHERE rn = 1),
-      ${duckAssign("init", "a1")},
-      ${duckCentroids("a1", "c1")},
-      ${duckAssign("c1", "a2")},
-      ${duckCentroids("a2", "c2")},
-      ${duckAssign("c2", "a3")},
-      ${duckCentroids("a3", "c3")},
-      ${duckAssign("c3", "cells")}
+      $duckTrainedCells
       SELECT va, cell, nn, cos_sim FROM (
         SELECT a.vec_id AS va, a.cell AS cell, b.vec_id AS nn,
                ${Vec.duckDot("a.v", "b.v")} / (a.nrm * b.nrm) AS cos_sim,
@@ -442,19 +440,7 @@ object Similarity {
   val s06 = QueryDef(
     "s06_ivf_batch_probe",
     Some(s"""${Vec.duckNormCte},
-      init AS (
-        SELECT cell, list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT)) AS c FROM (
-          SELECT vec_id % 8 AS cell, v,
-                 row_number() OVER (PARTITION BY vec_id % 8 ORDER BY vec_id) AS rn
-          FROM n)
-        WHERE rn = 1),
-      ${duckAssign("init", "a1")},
-      ${duckCentroids("a1", "c1")},
-      ${duckAssign("c1", "a2")},
-      ${duckCentroids("a2", "c2")},
-      ${duckAssign("c2", "a3")},
-      ${duckCentroids("a3", "c3")},
-      ${duckAssign("c3", "cells")},
+      $duckTrainedCells,
       ${duckProbes("c3", "pr", 2)},
       cand AS (
         SELECT a.vec_id AS va, x.vec_id AS nn, x.cell AS nn_cell,

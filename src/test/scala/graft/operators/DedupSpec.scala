@@ -78,4 +78,33 @@ class DedupSpec extends SparkSpec {
         s"variant $vid not clustered with base $base")
     }
   }
+
+  test("d11 SemDeDup ≡ d05 restricted to within-cluster pairs; misses are cross-cluster only") {
+    import org.apache.spark.sql.functions.col
+    // d05 = the exact all-pairs ≥ 0.4 ground truth
+    val exactPairs = Dedup.d05.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the same quantizer d11 trains (shared machinery), as a lookup
+    val e = graft.Vec.withNorm(graft.Tables.embeddings(spark, sf)).cache()
+    val cents = Similarity.trainQuantizer(e, 8, 3)
+    val cellOfVec = e.withColumn("cell", Similarity.cellOf(cents))
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = Dedup.d11.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+    // full per-vector verdict table, assignment consistent
+    assert(out.map(_._1).toSet == cellOfVec.keySet)
+    out.foreach { case (v, c, _, _) => assert(c == cellOfVec(v)) }
+    // flagged ⟺ some exact pair with a lower id lands in the SAME cell
+    val expectDup = exactPairs.filter { case (lo, hi) => cellOfVec(lo) == cellOfVec(hi) }
+    out.foreach { case (v, _, kept, nd) =>
+      val lows = expectDup.filter(_._2 == v)
+      assert(kept == lows.isEmpty && nd == lows.size, s"vec $v: kept=$kept nd=$nd")
+    }
+    // the approximation is real on this corpus: some exact pairs cross
+    // clusters (otherwise the test proves nothing about the miss set)
+    val missed = exactPairs -- expectDup
+    assert(expectDup.nonEmpty, "no within-cluster duplicates — corpus degenerate")
+    assert((expectDup.size + missed.size) == exactPairs.size)
+  }
 }
