@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  def queries: Seq[QueryDef] = Seq(g01, g02, g03, g04, g05)
+  def queries: Seq[QueryDef] = Seq(g01, g02, g03, g04, g05, g06)
 
   /** Offset that moves supplier ids into their own node-id space;
     * must exceed every custkey at any SF this runs at locally. At
@@ -390,6 +390,98 @@ object Graph {
           .otherwise(lit("customer")).as("node_type"),
         col("dist"))
       .orderBy("dist", "node_id")
+  }
+
+  /** g06's hub cap: only common neighbors of bipartite degree in
+    * [2, AaMaxDeg] generate wedges. Standard Adamic–Adar practice
+    * taken as part of the MODEL's contract (the x13 count-capping
+    * discipline): high-degree commons carry near-zero 1/ln(d) signal
+    * anyway, and the cap bounds wedge volume at Σ_{d≤C} d² ≤ C·|E| —
+    * linear in the edge list instead of quadratic in hub degree. On
+    * this corpus the cap binds hard (20 of 200 parts at sf0.001, 710
+    * of 20 000 at sf0.1 qualify), which is exactly the production
+    * shape: rare co-occurrences are the informative ones.
+    */
+  private val AaMaxDeg = 20
+
+  /** round(10¹²/ln(d)) for d = 2..AaMaxDeg, computed ONCE here and
+    * interpolated into BOTH engines as one CASE expression — the
+    * x13/x17 shared-literal-transcendental discipline: per-pair scores
+    * are exact BIGINT sums of table values, order-independent under
+    * partial aggregation; no engine ever calls its own ln.
+    */
+  private val AaInvLnNano: IndexedSeq[Long] =
+    (2 to AaMaxDeg).map(d => math.round(1e12 / math.log(d.toDouble)))
+
+  private def aaWeightCase: String =
+    "CASE dp " + (2 to AaMaxDeg).map(d => s"WHEN $d THEN ${AaInvLnNano(d - 2)}")
+      .mkString(" ") + " ELSE 0 END"
+
+  /** Adamic–Adar scoring of ANY bipartite edge list (c, p), distinct
+    * rows: for each pair of c-side nodes, Σ 1/ln(deg(p)) over common
+    * p-neighbors within the hub cap — factored off g06 so GraphSpec
+    * can pin closed-form scores on hand graphs. Output: (ca, cb,
+    * n_common, score_nano), unsorted.
+    */
+  private[operators] def adamicAdar(
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val rare = e.groupBy("p").agg(count(lit(1)).as("dp"))
+      .where(col("dp").between(2, AaMaxDeg))
+      .select(col("p"), expr(aaWeightCase).as("w"))
+    // UNHINTED (the d03 policy): the capped part table is tiny by
+    // construction, so AQE broadcasts it; the wedge self-join then
+    // shuffles only the rare-part edge subset on p
+    val le = e.join(rare, Seq("p"))
+    le.as("a").join(le.as("b"),
+        col("a.p") === col("b.p") && col("a.c") < col("b.c"))
+      .select(col("a.c").as("ca"), col("b.c").as("cb"), col("a.w").as("w"))
+      .groupBy("ca", "cb")
+      .agg(count(lit(1)).as("n_common"), sum("w").as("score_nano"))
+  }
+
+  /** g06: LINK PREDICTION by Adamic–Adar over the customer↔part
+    * co-purchase graph — rank unlinked customer pairs by Σ 1/ln(d) of
+    * their common rare parts (Adamic & Adar, "Friends and neighbors on
+    * the Web", 2003; the standard link-prediction/recommendation
+    * baseline). Extends the g-series from centrality (g01/g02),
+    * structure (g03/g04), and reach (g05) to PREDICTION. The emitted
+    * aa_score is one IEEE division of the exact nano score by 10¹² on
+    * identical operands (the x18 discipline).
+    *
+    * Scale shape: one fact-sized shuffle builds the distinct edge
+    * list; the degree agg is partial+final; the hub cap (see
+    * [[AaMaxDeg]]) bounds the wedge join; top-50 is a
+    * TakeOrderedAndProject under a total order, no global sort.
+    */
+  val g06 = QueryDef(
+    "g06_adamic_adar",
+    Some(s"""WITH e AS (
+        SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      rare AS (
+        SELECT p, $aaWeightCase AS w FROM (
+          SELECT p, count(*) AS dp FROM e GROUP BY p)
+        WHERE dp BETWEEN 2 AND $AaMaxDeg),
+      wedge AS (
+        SELECT a.c AS ca, b.c AS cb, r.w
+        FROM e a JOIN rare r ON a.p = r.p
+        JOIN e b ON b.p = r.p AND a.c < b.c)
+      SELECT ca, cb, n_common, score_nano,
+             CAST(score_nano AS DOUBLE) / 1e12 AS aa_score FROM (
+        SELECT ca, cb, CAST(count(*) AS BIGINT) AS n_common,
+               CAST(sum(w) AS BIGINT) AS score_nano
+        FROM wedge GROUP BY ca, cb)
+      ORDER BY score_nano DESC, ca, cb LIMIT 50""")) { (s, d) =>
+    val e = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(s, d).select("l_orderkey", "l_partkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+    adamicAdar(e)
+      .select(col("ca"), col("cb"), col("n_common"), col("score_nano"),
+        (col("score_nano").cast("double") / lit(1e12)).as("aa_score"))
+      .orderBy(col("score_nano").desc, col("ca"), col("cb"))
+      .limit(50)
   }
 
   /** [[KcoreRounds]]-round peel of ANY undirected edge list (da, db)

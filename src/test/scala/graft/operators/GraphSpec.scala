@@ -163,4 +163,23 @@ class GraphSpec extends SparkSpec {
     // must be all suppliers (degree dominates a damped walk)
     assert(out.take(10).forall(_.getString(1) == "supplier"))
   }
+
+  test("g06 Adamic–Adar is closed-form exact and the hub cap binds") {
+    import spark.implicits._
+    val w2 = math.round(1e12 / math.log(2.0))
+    val w3 = math.round(1e12 / math.log(3.0))
+    // part 100: {1,2} (d=2); part 200: {1,2,3} (d=3); part 300: a hub
+    // with 21 customers (over the cap — contributes NOTHING); part
+    // 400: degree 1 (below the band)
+    val e = (Seq((1L, 100L), (2L, 100L), (1L, 200L), (2L, 200L), (3L, 200L), (4L, 400L))
+      ++ (1L to 21L).map(c => (c, 300L)))
+      .toDF("c", "p")
+    val out = Graph.adamicAdar(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      (1L, 2L) -> ((2L, w2 + w3)),
+      (1L, 3L) -> ((1L, w3)),
+      (2L, 3L) -> ((1L, w3))),
+      s"got $out")
+  }
 }
