@@ -44,6 +44,22 @@ final class CatalogMemo[V] {
 }
 
 object CatalogMemo {
+  /** Content-scoped PHYSICAL table name: `<base>_<8 hex chars>` of the
+    * content key's hash. The in-process memo protects one session from
+    * rebuilding, but a FIXED physical name is still a cross-process
+    * hazard: two jobs sharing a warehouse (or one warehouse dir
+    * surviving across JVMs) but reading different source data would
+    * overwrite each other's layout under one name — observed live as
+    * an sf0.001 bench rebuilding `graft_ivf_assign` mid-flight under
+    * an sf0.01 verify, which then probed sf0.001 data with sf0.01
+    * centroids. Deriving the name from the content key gives each
+    * source identity its own physical table; same-source processes
+    * still share (and idempotently rebuild) the same one.
+    * String.hashCode is specified arithmetic — stable across JVMs.
+    */
+  def tableName(base: String, contentKey: String): String =
+    f"${base}_${contentKey.hashCode.toLong & 0xffffffffL}%08x"
+
   /** Content identity of a source directory: path plus a recursive
     * (file count, max mtime, total bytes) fold, through the HADOOP
     * FileSystem API so any scheme the engine can read (file://,

@@ -521,12 +521,13 @@ object Dedup {
       ORDER BY d.doc_id""")) { (s, d) =>
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val ck = graft.engine.CatalogMemo.contentKey(d, s.sparkContext.hadoopConfiguration)
+    val idxTable = graft.engine.CatalogMemo.tableName("graft_dedup_index", ck)
     if (dedupIndexBuilt.get(s.sharedState, ck).isEmpty) {
       dedupIndexBuilt.invalidate(s.sharedState)
       new graft.engine.Engine(s).archiveBucketed(
         docs.filter(col("doc_id") % 8 =!= 0)
           .groupBy("text").agg(min("doc_id").as("bkeep")),
-        "graft_dedup_index", "text", 8)
+        idxTable, "text", 8)
       dedupIndexBuilt.put(s.sharedState, ck, d)
     }
     // the arrival batch: genuinely novel docs, RE-CRAWLS of already-
@@ -539,7 +540,7 @@ object Dedup {
       .unionByName(docs.filter(col("doc_id") % 16 === 0)
         .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
     val dmin = delta.groupBy("text").agg(min("doc_id").as("dkeep"))
-    delta.join(s.table("graft_dedup_index"), Seq("text"), "left")
+    delta.join(s.table(idxTable), Seq("text"), "left")
       .join(dmin, Seq("text"))
       .select(col("doc_id"),
         when(col("bkeep").isNotNull, "dup_of_base")

@@ -96,14 +96,19 @@ object Relational {
     // partial layout (second write throws) must retry next call, not
     // silently join a fresh lineitem against stale orders.
     val ck = graft.engine.CatalogMemo.contentKey(d, s.sparkContext.hadoopConfiguration)
+    // content-keyed physical names: concurrent processes sharing one
+    // warehouse but reading different sources cannot clobber each
+    // other's layout (CatalogMemo.tableName)
+    val bktLineitem = graft.engine.CatalogMemo.tableName("graft_bkt_lineitem", ck)
+    val bktOrders = graft.engine.CatalogMemo.tableName("graft_bkt_orders", ck)
     if (bucketedLaidOut.get(s.sharedState, ck).isEmpty) {
       bucketedLaidOut.invalidate(s.sharedState)
       engine.archiveBucketed(
         Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice"),
-        "graft_bkt_lineitem", "l_orderkey", 8)
+        bktLineitem, "l_orderkey", 8)
       engine.archiveBucketed(
         Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
-        "graft_bkt_orders", "o_orderkey", 8)
+        bktOrders, "o_orderkey", 8)
       bucketedLaidOut.put(s.sharedState, ck, d)
     }
     // private-session conf (the d06 pattern): disable broadcast for
@@ -112,8 +117,8 @@ object Relational {
     val co = s.newSession()
     co.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     co.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    co.table("graft_bkt_lineitem")
-      .join(co.table("graft_bkt_orders"),
+    co.table(bktLineitem)
+      .join(co.table(bktOrders),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"), xsum2(col("l_extendedprice")).as("revenue"))
@@ -634,15 +639,16 @@ object Relational {
       .select("l_returnflag", "l_linestatus", "l_quantity",
         "l_extendedprice", "l_orderkey")
     val ck = graft.engine.CatalogMemo.contentKey(d, s.sparkContext.hadoopConfiguration)
+    val mvTable = graft.engine.CatalogMemo.tableName("graft_mv_lineitem", ck)
     if (mvBuilt.get(s.sharedState, ck).isEmpty) {
       mvBuilt.invalidate(s.sharedState)
       new graft.engine.Engine(s).archiveBucketed(
         states(li.filter(col("l_orderkey") % 8 =!= 0)),
-        "graft_mv_lineitem", "l_returnflag", 4)
+        mvTable, "l_returnflag", 4)
       mvBuilt.put(s.sharedState, ck, d)
     }
     val delta = states(li.filter(col("l_orderkey") % 8 === 0))
-    s.table("graft_mv_lineitem").unionByName(delta)
+    s.table(mvTable).unionByName(delta)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(sum("sum_qty_s").cast("double").as("sum_qty"),
         sum("sum_price_s").cast("double").as("sum_price"),

@@ -167,7 +167,7 @@ object Similarity {
         WHERE a.cell = p.cell AND a.vec_id <> 0)
       ORDER BY cos_sim DESC, vec_id LIMIT 20""")) { (s, d) =>
     val e = Vec.withNorm(Tables.embeddings(s, d)).cache()
-    val centroids = ensureIvfIndex(s, d, e)
+    val (centroids, ivfTable) = ensureIvfIndex(s, d, e)
     val qRowOpt = e.filter(col("vec_id") === 0)
       .select(col("v"), col("nrm")).collect().headOption
     if (centroids.isEmpty || qRowOpt.isEmpty)
@@ -198,7 +198,7 @@ object Similarity {
       // sessions are plain, so register vec_dot explicitly
       graft.functions.GraftFunctions.register(co)
       co.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-      co.table("graft_ivf_assign")
+      co.table(ivfTable)
         .filter(col("cell").isin(probed: _*) && col("vec_id") =!= 0)
         .select(col("vec_id"), col("cell"),
           (call_function("vec_dot", col("v"), lit(qv)) / (col("nrm") * lit(qnrm)))
@@ -217,12 +217,17 @@ object Similarity {
     * index with fresh centroids); it records success only AFTER the
     * write lands, and is content-keyed so a dataset REWRITTEN at the
     * same path misses and rebuilds ([[graft.engine.CatalogMemo]]).
-    * Returns the trained centroids; empty corpus → empty Seq, nothing
-    * written.
+    * Returns the trained centroids and the index table's PHYSICAL
+    * name — content-keyed ([[graft.engine.CatalogMemo.tableName]]) so
+    * concurrent processes sharing one warehouse but reading different
+    * source data cannot clobber each other's index; empty corpus →
+    * empty Seq, nothing written.
     */
   private[operators] def ensureIvfIndex(s: org.apache.spark.sql.SparkSession,
-      d: String, e: org.apache.spark.sql.DataFrame): Seq[(Long, Array[Double], Double)] = {
+      d: String, e: org.apache.spark.sql.DataFrame)
+      : (Seq[(Long, Array[Double], Double)], String) = {
     val ck = graft.engine.CatalogMemo.contentKey(d, s.sparkContext.hadoopConfiguration)
+    val tbl = graft.engine.CatalogMemo.tableName("graft_ivf_assign", ck)
     val cached = ivfBuilt.get(s.sharedState, ck)
     val centroids = cached.getOrElse(trainQuantizer(e, 8, 3))
     if (centroids.nonEmpty && cached.isEmpty) {
@@ -230,10 +235,10 @@ object Similarity {
       new graft.engine.Engine(s).archiveBucketed(
         e.withColumn("cell", cellOf(centroids))
           .select(col("vec_id"), col("cell"), col("v"), col("nrm")),
-        "graft_ivf_assign", "cell", 8)
+        tbl, "cell", 8)
       ivfBuilt.put(s.sharedState, ck, centroids)
     }
-    centroids
+    (centroids, tbl)
   }
 
   /** DuckDB twins of the s04 k-means legs, composed per unrolled
@@ -458,7 +463,7 @@ object Similarity {
     val co = s.newSession()
     graft.functions.GraftFunctions.register(co)
     val e = Vec.withNorm(Tables.embeddings(co, d)).cache()
-    val centroids = ensureIvfIndex(co, d, e)
+    val (centroids, ivfTable) = ensureIvfIndex(co, d, e)
     if (centroids.isEmpty)
       e.limit(0).select(col("vec_id").as("va"), col("vec_id").as("nn"),
         lit(0L).as("nn_cell"), lit(0.0).as("cos_sim"))
@@ -478,7 +483,7 @@ object Similarity {
           col("nrm").as("qn"),
           explode(slice(array_sort(array(probeEntries: _*)), 1, 2)).as("p"))
         .select(col("va"), col("qv"), col("qn"), col("p.cell").as("pcell"))
-      probes.join(co.table("graft_ivf_assign"),
+      probes.join(co.table(ivfTable),
           col("pcell") === col("cell") && col("vec_id") =!= col("va"))
         .select(col("va"), col("vec_id").as("nn"), col("cell").as("nn_cell"),
           (call_function("vec_dot", col("qv"), col("v")) / (col("qn") * col("nrm"))).as("c"))

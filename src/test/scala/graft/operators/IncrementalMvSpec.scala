@@ -17,7 +17,9 @@ class IncrementalMvSpec extends SparkSpec {
     val plan = q48.fn(spark, dir).queryExecution.executedPlan.toString
     val liScans = "lineitem\\.parquet".r.findAllIn(plan).length
     assert(liScans == 1, s"exactly one (delta) base scan expected:\n${plan.take(2000)}")
-    assert(plan.contains("graft_mv_lineitem"), "stored MV must be read")
+    val mvTable = graft.engine.CatalogMemo.tableName("graft_mv_lineitem",
+      graft.engine.CatalogMemo.contentKey(dir, spark.sparkContext.hadoopConfiguration))
+    assert(plan.contains(mvTable), "stored MV must be read")
   }
 
   test("incremental merge equals full recompute") {

@@ -104,11 +104,13 @@ class SimilaritySpec extends SparkSpec {
     co.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     val probes = graft.Vec.withNorm(graft.Tables.embeddings(co, dir))
       .select(col("vec_id").as("va"), pmod(col("vec_id"), lit(8)).as("pcell"))
-    val plan = probes.join(co.table("graft_ivf_assign"),
+    val ivfTable = graft.engine.CatalogMemo.tableName("graft_ivf_assign",
+      graft.engine.CatalogMemo.contentKey(dir, co.sparkContext.hadoopConfiguration))
+    val plan = probes.join(co.table(ivfTable),
         col("pcell") === col("cell") && col("vec_id") =!= col("va"))
       .queryExecution.executedPlan.toString
     assert(plan.contains("SortMergeJoin"), s"expected SMJ; got:\n${plan.take(900)}")
-    assert(plan.contains("graft_ivf_assign"))
+    assert(plan.contains(ivfTable))
     // exactly ONE shuffle — the probe side; the bucketed index side
     // joins with no Exchange (the shuffle-once payoff)
     val nShuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
@@ -145,24 +147,34 @@ class SimilaritySpec extends SparkSpec {
     val src = Paths.get(dir, "embeddings.parquet")
     val dst = Paths.get(work, "embeddings.parquet")
     Files.copy(src, dst, StandardCopyOption.COPY_ATTRIBUTES)
-    def indexFiles(): Set[(String, Long)] = {
+    // the index table's physical name is content-keyed, so resolve it
+    // for the dir's CURRENT content
+    def ivfName(): String = graft.engine.CatalogMemo.tableName("graft_ivf_assign",
+      graft.engine.CatalogMemo.contentKey(work, spark.sparkContext.hadoopConfiguration))
+    def indexFiles(tbl: String): Set[(String, Long)] = {
       val loc = new java.io.File(spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier("graft_ivf_assign")).getPath)
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl)).getPath)
       Option(loc.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.startsWith("part-"))
         .map(f => (f.getName, f.lastModified)).toSet
     }
     val first = Similarity.s05.fn(spark, work).collect().toSeq
-    val builtOnce = indexFiles()
+    val name1 = ivfName()
+    val builtOnce = indexFiles(name1)
     assert(builtOnce.nonEmpty)
     // unchanged dir → memo HIT: the on-disk index is untouched
     Similarity.s05.fn(spark, work).collect()
-    assert(indexFiles() == builtOnce, "memo hit must not rewrite the index")
-    // rewrite the dataset at the SAME path (new mtime) → memo MISS:
-    // the index is rebuilt, and results over identical data are equal
+    assert(indexFiles(name1) == builtOnce, "memo hit must not rewrite the index")
+    // rewrite the dataset at the SAME path (new mtime) → memo MISS: a
+    // NEW content-keyed physical table is built (cross-process
+    // isolation — the old identity's table is never clobbered), and
+    // results over identical data are equal
     dst.toFile.setLastModified(dst.toFile.lastModified() + 60000)
     val again = Similarity.s05.fn(spark, work).collect().toSeq
-    assert(indexFiles() != builtOnce, "rewritten dir must rebuild the index")
+    val name2 = ivfName()
+    assert(name2 != name1, "content change must re-key the physical table")
+    assert(indexFiles(name2).nonEmpty, "rewritten dir must rebuild the index")
+    assert(indexFiles(name1) == builtOnce, "the old identity's table is untouched")
     assert(again.map(_.toSeq) == first.map(_.toSeq))
   }
 
