@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
 object EventWindows {
 
   def queries: Seq[QueryDef] =
-    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14)
+    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
+      e15)
 
   /** e14: watermark / late-event accounting — the batch twin of the
     * bookkeeping every Structured Streaming job does implicitly
@@ -606,5 +607,53 @@ object EventWindows {
               .cast("double") / (col("nw") - col("pw")).cast("double"))
           .as("n_filled"))
       .orderBy("win_start_us")
+  }
+
+  /** e15: OHLC BAR downsampling — the time-series compaction every
+    * metrics/market pipeline runs: per (event_type × 1-hour tumbling
+    * window), the chronologically first value (open), extremes
+    * (high/low), last value (close), and count. First/last are
+    * min_by/max_by over the TOTAL key (ts_us, event_id) — event_id
+    * breaks same-microsecond ties, so the bars are deterministic under
+    * any partitioning, and the aggregate stays a partial+final
+    * hash agg (Spark's declarative Max_by/Min_by), NOT a window sort
+    * over the raw series. The oracle replays the same lexicographic
+    * choice with row_number windows (its arg_min lacks composite
+    * keys). Values are per-row doubles passed through untouched —
+    * bit-identical by construction.
+    *
+    * Scale shape: one shuffle on (type, window), fixed-size state per
+    * group; the streaming twin is the same aggregate under a
+    * watermark. Downsampling 100 TB of raw ticks to hourly bars is
+    * exactly this plan.
+    */
+  val e15 = QueryDef(
+    "e15_ohlc_bars",
+    Some("""WITH b AS (
+        SELECT (epoch_us(ts) - epoch_us(ts) % 3600000000) AS w, event_type AS t,
+               value AS v, epoch_us(ts) AS tu, event_id AS eid
+        FROM events),
+      r AS (
+        SELECT w, t, v,
+          row_number() OVER (PARTITION BY w, t ORDER BY tu, eid) AS rn_a,
+          row_number() OVER (PARTITION BY w, t ORDER BY tu DESC, eid DESC) AS rn_d
+        FROM b)
+      SELECT w AS win_start_us, t AS event_type,
+        max(CASE WHEN rn_a = 1 THEN v END) AS open,
+        max(v) AS high, min(v) AS low,
+        max(CASE WHEN rn_d = 1 THEN v END) AS close,
+        count(*) AS n_events
+      FROM r GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts_us"), col("event_id"))).as("open"),
+        max("value").as("high"), min("value").as("low"),
+        max_by(col("value"), struct(col("ts_us"), col("event_id"))).as("close"),
+        count(lit(1)).as("n_events"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("open"), col("high"), col("low"), col("close"),
+        col("n_events"))
+      .orderBy("win_start_us", "event_type")
   }
 }

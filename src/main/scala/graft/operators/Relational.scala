@@ -21,7 +21,7 @@ object Relational {
 
   def queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q33, q37, q39, q42, q43, q44,
-      q46, q48, q49, q50)
+      q46, q48, q49, q50, q53)
 
   /** FULL OUTER join with all three match classes live: customers are
     * filtered to positive balances so orders from excluded customers
@@ -792,5 +792,35 @@ object Relational {
         col("c.violations").as("violations"),
         (col("c.violations") === 0L).as("passed"))
       .orderBy("check_name")
+  }
+
+  /** q53: CORRELATED SCALAR SUBQUERY — the TPC-H Q17 shape
+    * ("small-quantity-order revenue": lines under 20% of their part's
+    * average quantity). ONE SQL text, shared verbatim by Spark and the
+    * oracle, exercises Catalyst's decorrelation
+    * (RewriteCorrelatedScalarSubquery): the per-part correlated
+    * aggregate rewrites into an aggregate + join, so the plan is two
+    * scans + one shuffle agg + one join — NOT a per-row re-execution
+    * (plan pinned in PlanSpec). l_quantity is DOUBLE in the lake, so
+    * the threshold goes through the exact decimal-domain sum before
+    * ONE double division and ONE multiply (the Qdsl.xsum2 discipline
+    * inlined in SQL) — bit-identical across engines; a float sum
+    * would be order-dependent.
+    */
+  private val q53Sql =
+    """SELECT count(*) AS n_small,
+      CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#1'
+        AND l.l_quantity < (
+          SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*))
+          FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)"""
+
+  val q53 = QueryDef(
+    "q53_correlated_subquery",
+    Some(q53Sql)) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.part(s, d).createOrReplaceTempView("part")
+    s.sql(q53Sql)
   }
 }

@@ -51,4 +51,16 @@ class PlanSpec extends SparkSpec {
     assert(names.distinct.size == names.size)
     assert(graft.SparkEntry.queries.keySet == names.toSet)
   }
+
+  test("q53: the correlated scalar subquery decorrelates into an aggregate-join") {
+    val plan = Registry.byName("q53_correlated_subquery").fn(spark, dir)
+      .queryExecution.executedPlan.toString
+    // no per-row subquery re-execution survives decorrelation
+    assert(!plan.contains("Subquery"), s"subquery not decorrelated:\n${plan.take(900)}")
+    // the per-part threshold is a partial+final aggregate feeding a join
+    assert(plan.contains("partial_sum"))
+    assert(plan.contains("Join"))
+    // the brand filter reaches the part scan
+    assert(plan.contains("PushedFilters: [IsNotNull(p_brand), EqualTo(p_brand,Brand#1)"))
+  }
 }
