@@ -21,7 +21,7 @@ object Relational {
 
   def queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q33, q37, q39, q42, q43, q44,
-      q46, q48, q49, q50, q53)
+      q46, q48, q49, q50, q53, q54)
 
   /** FULL OUTER join with all three match classes live: customers are
     * filtered to positive balances so orders from excluded customers
@@ -822,5 +822,35 @@ object Relational {
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
     Tables.part(s, d).createOrReplaceTempView("part")
     s.sql(q53Sql)
+  }
+
+  /** q54: LATERAL correlated subquery — top-3 customers by balance per
+    * nation, written as the user writes it (`, LATERAL (... ORDER BY
+    * ... LIMIT 3)`) rather than as the q32 window idiom. ONE SQL text
+    * shared verbatim with the oracle (the q53 discipline). Catalyst's
+    * DecorrelateInnerQuery rewrites the correlated ORDER BY + LIMIT
+    * into a row_number window over customer partitioned by the
+    * correlation key plus one join with nation — so the plan is one
+    * shuffle on c_nationkey and a broadcast of the 5-row nation side,
+    * NOT a per-nation re-scan (plan pinned in PlanSpec). At 100 TB the
+    * window shuffle is the floor any per-group top-k pays; the LIMIT
+    * prunes inside the window operator, never materializing more than
+    * k rows per group downstream. Ties in c_acctbal break on c_name so
+    * the top-3 set is deterministic under any partitioning.
+    */
+  private val q54Sql =
+    """SELECT n.n_name, t.c_name, t.c_acctbal
+      FROM nation n, LATERAL (
+        SELECT c.c_name, c.c_acctbal FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c.c_acctbal DESC, c.c_name LIMIT 3) t
+      ORDER BY n.n_name, t.c_acctbal DESC, t.c_name"""
+
+  val q54 = QueryDef(
+    "q54_lateral_topk",
+    Some(q54Sql)) { (s, d) =>
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql(q54Sql)
   }
 }

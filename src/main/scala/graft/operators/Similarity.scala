@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def queries: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
+  def queries: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10)
 
   /** MMR selection rounds (picks after the pure-relevance first). */
   private val MmrK = 5
@@ -442,6 +442,18 @@ object Similarity {
     * VECTOR probe selection (duckProbes: same score, same ties), the
     * candidate join, and the top-3 window.
     */
+  /** Per-vector nprobe cell selection, NARROWLY: centroid scores as
+    * literal columns, natural struct ordering = the oracle's ORDER BY
+    * (score, cell). Shared by s06 (batch probe) and s10 (recall eval)
+    * so both provably select the identical cells.
+    */
+  private def probeStructs(centroids: Seq[(Long, Array[Double], Double)])
+      : Seq[org.apache.spark.sql.Column] =
+    centroids.map { case (cell, cd, cn2) =>
+      struct((lit(cn2) - lit(2.0) * call_function("vec_dot", col("v"), lit(cd))).as("sc"),
+        lit(cell).as("cell"))
+    }
+
   val s06 = QueryDef(
     "s06_ivf_batch_probe",
     Some(s"""${Vec.duckNormCte},
@@ -472,16 +484,9 @@ object Similarity {
       // layout when it judges the scan cheaper unbucketed; force it so
       // the index side joins exchange-free (the s05 discipline)
       co.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-      // per-vector nprobe=2 nearest cells, selected NARROWLY: centroid
-      // scores as literal columns, natural struct ordering = the
-      // oracle's ORDER BY (score, cell)
-      val probeEntries = centroids.map { case (cell, cd, cn2) =>
-        struct((lit(cn2) - lit(2.0) * call_function("vec_dot", col("v"), lit(cd))).as("sc"),
-          lit(cell).as("cell"))
-      }
       val probes = e.select(col("vec_id").as("va"), col("v").as("qv"),
           col("nrm").as("qn"),
-          explode(slice(array_sort(array(probeEntries: _*)), 1, 2)).as("p"))
+          explode(slice(array_sort(array(probeStructs(centroids): _*)), 1, 2)).as("p"))
         .select(col("va"), col("qv"), col("qn"), col("p.cell").as("pcell"))
       probes.join(co.table(ivfTable),
           col("pcell") === col("cell") && col("vec_id") =!= col("va"))
@@ -492,6 +497,94 @@ object Similarity {
         .where(col("rn") <= 3)
         .select(col("va"), col("nn"), col("nn_cell"), col("c").as("cos_sim"))
         .orderBy(col("va"), col("cos_sim").desc, col("nn"))
+    }
+  }
+
+  /** s10: recall@3 EVALUATION of the IVF probe (s06's nprobe=2 path)
+    * against exact ground truth — the accuracy-measurement operator
+    * every production ANN deployment runs before trusting an index.
+    * Ground truth is computed on a FIXED QUERY SAMPLE (vec_id ≡ 0
+    * mod 37, ~2.7%): recall is a corpus statistic, so a sample
+    * estimates it with the exact leg costing |Q|·N dots — LINEAR in
+    * the corpus for a fixed sample, never all-pairs (the standard
+    * ann-benchmarks protocol, and the difference between an
+    * evaluation you can afford at 100 TB and one you can't). The
+    * sampled queries broadcast (|Q| rows); the approx leg reuses the
+    * s06 probe machinery verbatim ([[probeStructs]], the persistent
+    * bucketed index), so the measured recall is the recall OF THE
+    * SHIPPED OPERATOR, not of a reimplementation.
+    *
+    * Output: per-query overlap count and recall@3 ∈ {0, ⅓, ⅔, 1}
+    * (n/3.0 is one IEEE division — bit-identical cross-engine).
+    */
+  val s10 = QueryDef(
+    "s10_recall_eval",
+    Some(s"""${Vec.duckNormCte},
+      $duckTrainedCells,
+      ${duckProbes("c3", "pr", 2)},
+      q AS (SELECT vec_id AS va, v, nrm FROM n WHERE vec_id % 37 = 0),
+      ex AS (SELECT va, nn FROM (
+        SELECT q.va, x.vec_id AS nn,
+               row_number() OVER (PARTITION BY q.va
+                 ORDER BY ${Vec.duckDot("x.v", "q.v")} / (x.nrm * q.nrm) DESC, x.vec_id) AS rn
+        FROM q JOIN n x ON x.vec_id <> q.va) WHERE rn <= 3),
+      ap AS (SELECT va, nn FROM (
+        SELECT a.va, x.vec_id AS nn,
+               row_number() OVER (PARTITION BY a.va
+                 ORDER BY ${Vec.duckDot("x.v", "a.v")} / (x.nrm * a.nrm) DESC, x.vec_id) AS rn
+        FROM q a JOIN pr ON pr.vec_id = a.va
+        JOIN cells x ON x.cell = pr.cell AND x.vec_id <> a.va) WHERE rn <= 3)
+      SELECT q.va, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        CAST(coalesce(h.n_hit, 0) AS BIGINT) / 3.0 AS recall
+      FROM q LEFT JOIN (
+        SELECT ex.va, count(*) AS n_hit
+        FROM ex JOIN ap ON ap.va = ex.va AND ap.nn = ex.nn
+        GROUP BY ex.va) h ON h.va = q.va
+      ORDER BY q.va""")) { (s, d) =>
+    val co = s.newSession()
+    graft.functions.GraftFunctions.register(co)
+    val e = Vec.withNorm(Tables.embeddings(co, d)).cache()
+    val (centroids, ivfTable) = ensureIvfIndex(co, d, e)
+    if (centroids.isEmpty)
+      e.limit(0).select(col("vec_id").as("va"), lit(0L).as("n_hit"),
+        lit(0.0).as("recall"))
+    else {
+      co.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      // keep the vector column named `v` through the probe-selection
+      // select: probeStructs' score expressions reference it by name
+      val q = e.where(pmod(col("vec_id"), lit(37)) === 0)
+        .select(col("vec_id").as("va"), col("v"), col("nrm").as("qn"))
+      // exact leg: broadcast the sample, scan the corpus once — a
+      // BroadcastNestedLoopJoin whose broadcast side is the |Q|-row
+      // sample by construction (PlanLintSpec whitelist carries this)
+      val exact = e.crossJoin(broadcast(q.select(col("va"), col("v").as("qv"), col("qn"))))
+        .where(col("vec_id") =!= col("va"))
+        .select(col("va"), col("vec_id").as("nn"),
+          (call_function("vec_dot", col("v"), col("qv")) / (col("nrm") * col("qn"))).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("va").orderBy(col("c").desc, col("nn"))))
+        .where(col("rn") <= 3)
+        .select(col("va"), col("nn"))
+      // approx leg: the s06 probe path verbatim, restricted to the sample
+      val approx = q
+        .select(col("va"), col("v").as("qv"), col("qn"),
+          explode(slice(array_sort(array(probeStructs(centroids): _*)), 1, 2)).as("p"))
+        .select(col("va"), col("qv"), col("qn"), col("p.cell").as("pcell"))
+        .join(co.table(ivfTable),
+          col("pcell") === col("cell") && col("vec_id") =!= col("va"))
+        .select(col("va"), col("vec_id").as("nn"),
+          (call_function("vec_dot", col("qv"), col("v")) / (col("qn") * col("nrm"))).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("va").orderBy(col("c").desc, col("nn"))))
+        .where(col("rn") <= 3)
+        .select(col("va"), col("nn"))
+      val hits = exact.join(approx, Seq("va", "nn"))
+        .groupBy("va").agg(count(lit(1)).as("n_hit"))
+      q.select("va")
+        .join(hits, Seq("va"), "left")
+        .select(col("va"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)) / lit(3.0)).as("recall"))
+        .orderBy("va")
     }
   }
 

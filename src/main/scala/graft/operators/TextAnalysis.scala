@@ -17,7 +17,7 @@ object TextAnalysis {
 
   def queries: Seq[QueryDef] =
     Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15,
-      x16, x17, x18, x19, x20)
+      x16, x17, x18, x19, x20, x21)
 
   /** x13's ln lookup table: round(ln(n)·10⁹) for n = 1..4094, computed
     * ONCE here and embedded as a literal in BOTH the Spark plan and
@@ -1205,6 +1205,93 @@ object TextAnalysis {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("dup_tok"))
       .orderBy("doc_id", "span_start")
+  }
+
+  /** x21: span-excise CLEANING pass — the corpus REWRITE that x20 only
+    * flags: every token covered by a duplicated [[SpanTokens]]-gram
+    * whose occurrence is NOT the first in the corpus is cut, and the
+    * surviving tokens are re-joined into the cleaned text. Keep-first
+    * semantics (Lee et al. 2022 §3.2 — "remove all but one"): the
+    * first occurrence of each gram in global (doc_id, p) order anchors
+    * nothing; every later occurrence marks its window `[p, p+8)`
+    * covered. Coverage is resolved WITHOUT exploding each hit into 8
+    * rows: hits are a subset of token positions, so one running
+    * `max(p + 8)` window per document over the token sequence gives
+    * each position its covering end, and `t < ce` decides the cut —
+    * O(tokens) state, one window sort.
+    *
+    * Scale shape: two key-partitioned shuffles — (1) row_number over
+    * grams (partition key = the gram; a hot gram's partition is
+    * bounded by its occurrence count, and the d08 df-cap is the skew
+    * valve if a gram goes viral), (2) one per-doc sort shared by the
+    * coverage window and the ordered re-join. The rebuilt text never
+    * moves twice: the same doc-keyed exchange feeds both the window
+    * and the final groupBy.
+    */
+  val x21 = QueryDef(
+    "x21_dedup_clean",
+    Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      tok AS (SELECT doc_id, CAST(i AS BIGINT) AS t, ts[i + 1] AS w
+              FROM toks, unnest(range(0, len(ts))) AS r(i)),
+      pos AS (SELECT doc_id, CAST(i AS BIGINT) AS p,
+                array_to_string(ts[i + 1 : i + $SpanTokens], ' ') AS g
+              FROM toks, unnest(range(0, len(ts) - ${SpanTokens - 1})) AS r(i)
+              WHERE len(ts) >= $SpanTokens),
+      hit AS (SELECT doc_id, p FROM (
+                SELECT doc_id, p,
+                  row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+                FROM pos) WHERE rn > 1),
+      cov AS (SELECT k.doc_id, k.t, k.w,
+                max(CASE WHEN h.p IS NOT NULL THEN k.t + $SpanTokens END) OVER
+                  (PARTITION BY k.doc_id ORDER BY k.t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ce
+              FROM tok k LEFT JOIN hit h ON h.doc_id = k.doc_id AND h.p = k.t)
+      SELECT doc_id,
+        coalesce(string_agg(w, ' ' ORDER BY t)
+          FILTER (WHERE ce IS NULL OR ce <= t), '') AS clean_text,
+        count(*) AS n_orig,
+        count(*) FILTER (WHERE ce IS NULL OR ce <= t) AS n_kept,
+        count(*) FILTER (WHERE ce IS NOT NULL AND ce > t) AS n_cut
+      FROM cov GROUP BY doc_id ORDER BY doc_id""")) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+    val tok = toks
+      .select(col("doc_id"), posexplode(col("ts")).as(Seq("i", "w")))
+      .select(col("doc_id"), col("i").cast("long").as("t"), col("w"))
+    val pos = toks.where(size(col("ts")) >= SpanTokens)
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0), size(col("ts")) - SpanTokens)).as("i"))
+      .select(col("doc_id"), col("i").cast("long").as("p"),
+        array_join(expr(s"slice(ts, i + 1, $SpanTokens)"), " ").as("g"))
+    // keep-first: rn = 1 in global (doc_id, p) order anchors the one
+    // surviving copy; rn > 1 exists only for grams occurring >= 2
+    // times, so no separate duplicated-gram filter is needed
+    val hit = pos
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("g").orderBy("doc_id", "p")))
+      .where(col("rn") > 1)
+      .select(col("doc_id").as("h_doc"), col("p"))
+    val byT = Window.partitionBy("doc_id").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cov = tok
+      .join(hit, tok("doc_id") === col("h_doc") && col("t") === col("p"), "left")
+      .select(tok("doc_id"), col("t"), col("w"), col("p"))
+      .withColumn("ce",
+        max(when(col("p").isNotNull, col("t") + SpanTokens)).over(byT))
+    val kept = col("ce").isNull || col("ce") <= col("t")
+    cov.groupBy("doc_id")
+      .agg(
+        // ordered string_agg: collect_list ignores the NULLs the
+        // `when` produces for cut tokens; array_sort on (t, w) structs
+        // restores document order under any partitioning (q30 idiom)
+        array_join(
+          transform(array_sort(collect_list(when(kept, struct(col("t"), col("w"))))),
+            x => x("w")), " ").as("clean_text"),
+        count(lit(1)).as("n_orig"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(kept, 0L).otherwise(1L)).as("n_cut"))
+      .orderBy("doc_id")
   }
 }
 

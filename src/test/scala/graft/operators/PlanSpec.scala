@@ -63,4 +63,18 @@ class PlanSpec extends SparkSpec {
     // the brand filter reaches the part scan
     assert(plan.contains("PushedFilters: [IsNotNull(p_brand), EqualTo(p_brand,Brand#1)"))
   }
+
+  test("q54: the LATERAL ORDER BY + LIMIT subquery rewrites to one window, not a per-nation re-scan") {
+    val plan = Registry.byName("q54_lateral_topk").fn(spark, dir)
+      .queryExecution.executedPlan.toString
+    // DecorrelateInnerQuery turns the correlated LIMIT into a
+    // row_number window over customer + one join with nation — and the
+    // repo's TopKRewrite then replaces that window with the partial+
+    // final TopKPerKey operator (map-side top-3 before the exchange)
+    assert(!plan.contains("Subquery"), s"lateral not decorrelated:\n${plan.take(900)}")
+    assert(plan.contains("TopKPerKey") || plan.contains("Window"),
+      "expected a window/top-k rewrite of the correlated LIMIT")
+    assert("Scan parquet".r.findAllIn(plan).size == 2,
+      "each table must be scanned exactly once")
+  }
 }

@@ -237,4 +237,22 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1)))
     assert(out.toSeq == again.toSeq)
   }
+
+  test("s10 recall eval: one row per sampled query, recall = hits/3, honest about misses") {
+    val sample = graft.Tables.embeddings(spark, dir)
+      .where("vec_id % 37 = 0").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val out = Similarity.s10.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exactly the fixed sample is evaluated — queries with zero
+    // approx hits still get their (honest) zero row
+    assert(out.map(_._1).toSet == sample && sample.nonEmpty)
+    out.foreach { case (va, h, rec) =>
+      assert(h >= 0L && h <= 3L, s"query $va: $h hits")
+      assert(rec == h / 3.0, s"query $va: recall must be hits/3")
+    }
+    // the index is useful at this SF: the probe finds at least one
+    // true neighbor somewhere in the sample (mean recall > 0)
+    assert(out.map(_._2).sum > 0L, "nprobe=2 of 8 cells found no true neighbor at all")
+  }
 }

@@ -155,4 +155,32 @@ class TextAnalysisSpec extends SparkSpec {
       (5L, 0L, 8L, 8L),
       (5L, 9L, 17L, 8L)))
   }
+
+  test("x21 excises every copy but the FIRST: the rewrite keeps one anchor per span") {
+    import spark.implicits._
+    val dst = java.nio.file.Files.createTempDirectory("graft-dedupclean").toString
+    def words(pfx: String, n: Int): Seq[String] = (1 to n).map(i => s"$pfx$i")
+    val docs = Seq(
+      (1L, words("u", 30).mkString(" ")),
+      (2L, (words("a", 5) ++ words("p", 12) ++ words("b", 5)).mkString(" ")),
+      (3L, (words("c", 5) ++ words("p", 12) ++ words("d", 5)).mkString(" ")),
+      (4L, (words("r", 8) ++ words("r", 8)).mkString(" ")),
+      (5L, (words("s", 8) ++ Seq("gap") ++ words("s", 8)).mkString(" ")))
+      .map { case (id, t) => (id, t, "en", "t", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    val out = TextAnalysis.x21.fn(spark, dst).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      // unique doc: untouched
+      (1L, words("u", 30).mkString(" "), 30L, 30L, 0L),
+      // doc 2 holds the FIRST occurrence of the shared phrase → kept whole
+      (2L, (words("a", 5) ++ words("p", 12) ++ words("b", 5)).mkString(" "), 22L, 22L, 0L),
+      // doc 3's copy is second in (doc_id, p) order → the phrase is cut
+      (3L, (words("c", 5) ++ words("d", 5)).mkString(" "), 22L, 10L, 12L),
+      // within-doc repeat: exactly ONE copy survives
+      (4L, words("r", 8).mkString(" "), 16L, 8L, 8L),
+      // separated repeat: first copy + separator survive
+      (5L, (words("s", 8) ++ Seq("gap")).mkString(" "), 17L, 9L, 8L)))
+  }
 }
