@@ -35,39 +35,43 @@ class HllAgg extends Aggregator[Long, Array[Byte], Double] {
   import HllAgg._
 
   override def zero: Array[Byte] = new Array[Byte](M)
+  override def reduce(buf: Array[Byte], key: Long): Array[Byte] = update(buf, key)
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = mergeRegs(a, b)
+  override def finish(buf: Array[Byte]): Double = estimate(buf)
+  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}
 
-  override def reduce(buf: Array[Byte], key: Long): Array[Byte] = {
-    val h = hash(key)
-    val bucket = (h % M).toInt
-    val v = (h / M) % W // the 50-bit window above the bucket bits
-    val rank = (51 - bitLength(v)).toByte // v = 0 → 51
-    if (rank > buf(bucket)) buf(bucket) = rank
-    buf
-  }
+/** The PARTIAL form of [[HllAgg]]: emits the 1024 registers themselves
+  * instead of the estimate — the sketch a rollup table PERSISTS so
+  * any window/superset of groups can later be answered by merging
+  * partials without re-reading the raw data (the e16 hierarchical
+  * rollup; max-merge of per-hour registers ≡ registers of the union,
+  * so the merged estimate is bit-identical to a direct pass).
+  */
+class HllSketchAgg extends Aggregator[Long, Array[Byte], Array[Byte]] {
+  import HllAgg._
 
-  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    var i = 0
-    while (i < M) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
-    a
-  }
+  override def zero: Array[Byte] = new Array[Byte](M)
+  override def reduce(buf: Array[Byte], key: Long): Array[Byte] = update(buf, key)
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = mergeRegs(a, b)
+  override def finish(buf: Array[Byte]): Array[Byte] = buf
+  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
 
-  override def finish(buf: Array[Byte]): Double = {
-    // exact integer Σ 2^(51 − reg); empty registers contribute 2^51
-    var s = 0L
-    var zeros = 0
-    var i = 0
-    while (i < M) {
-      s += (1L << (51 - buf(i)))
-      if (buf(i) == 0) zeros += 1
-      i += 1
-    }
-    val e = K / s.toDouble
-    // small-range (linear counting) correction, from the PRECOMPUTED
-    // table — both branch condition and value are bit-identical with
-    // the oracle's replay
-    if (e <= 2560.0 && zeros > 0) LnCorrection(zeros - 1) else e
-  }
+/** Merge side of the rollup: aggregates STORED register arrays (the
+  * [[HllSketchAgg]] output) by elementwise max and finishes with the
+  * shared estimator — `agg(hllMerge(col("sk")))` over any regrouping
+  * of the partials.
+  */
+class HllMergeAgg extends Aggregator[Array[Byte], Array[Byte], Double] {
+  import HllAgg._
 
+  override def zero: Array[Byte] = new Array[Byte](M)
+  override def reduce(buf: Array[Byte], sk: Array[Byte]): Array[Byte] = mergeRegs(buf, sk)
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = mergeRegs(a, b)
+  override def finish(buf: Array[Byte]): Double = estimate(buf)
   override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
@@ -109,6 +113,45 @@ object HllAgg {
 
   private def bitLength(v: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(v)
 
+  /** Observe one key into a register buffer (shared by the one-shot
+    * and partial aggregators).
+    */
+  def update(buf: Array[Byte], key: Long): Array[Byte] = {
+    val h = hash(key)
+    val bucket = (h % M).toInt
+    val v = (h / M) % W // the 50-bit window above the bucket bits
+    val rank = (51 - bitLength(v)).toByte // v = 0 → 51
+    if (rank > buf(bucket)) buf(bucket) = rank
+    buf
+  }
+
+  /** Elementwise-max register merge — associative, commutative,
+    * idempotent, so partials can be merged in any grouping.
+    */
+  def mergeRegs(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < M) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  /** The shared estimator: exact integer Σ 2^(51 − reg) (empty
+    * registers contribute 2^51), one double division, and the
+    * PRECOMPUTED linear-counting correction below 2.5·m — both branch
+    * condition and value bit-identical with the oracle's replay.
+    */
+  def estimate(buf: Array[Byte]): Double = {
+    var s = 0L
+    var zeros = 0
+    var i = 0
+    while (i < M) {
+      s += (1L << (51 - buf(i)))
+      if (buf(i) == 0) zeros += 1
+      i += 1
+    }
+    val e = K / s.toDouble
+    if (e <= 2560.0 && zeros > 0) LnCorrection(zeros - 1) else e
+  }
+
   /** α(1024)·m²·2⁵¹ folded to one double — the oracle SQL interpolates
     * THIS value, so both engines perform exactly one float op (the
     * division by the exact integer register sum).
@@ -128,4 +171,12 @@ object HllAgg {
   /** Untyped-groupBy handle: `df.groupBy(...).agg(hll(col("key")))`. */
   lazy val hll: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new HllAgg, Encoders.scalaLong)
+
+  /** Partial-sketch handle: emits the raw registers for persistence. */
+  lazy val hllSketch: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new HllSketchAgg, Encoders.scalaLong)
+
+  /** Rollup-merge handle over stored register arrays. */
+  lazy val hllMerge: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new HllMergeAgg, Encoders.BINARY)
 }

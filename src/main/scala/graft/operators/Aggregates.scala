@@ -366,6 +366,54 @@ object Aggregates {
     (0 until 50).map(k => s"WHEN v >= ${1L << (49 - k)} THEN ${k + 1}")
       .mkString("CASE ", " ", " ELSE 51 END")
 
+  /** The full q35 register chain, parametrized over (source CTE/table,
+    * key column, group expression) so e16's windowed rollup provably
+    * replays the IDENTICAL hash → bucket → rank → integer-sum pipeline
+    * (the s04 `duckTrainedCells` sharing discipline). Leaves `h`
+    * (hashed keys, for exact counts), `s` (S = Σ2^(51−reg), V = zero
+    * registers) in scope.
+    */
+  private[operators] def duckHllChain(src: String, key: String, grp: String): String = {
+    import graft.functions.HllAgg.{A1, A2, A3}
+    s"""h0 AS (SELECT $grp AS grp, $key,
+          $A1 * ((($key % 2147483648) + 2147483648) % 2147483648) AS t1 FROM $src),
+      h1 AS (SELECT grp, $key,
+          $A2 * (xor(t1 % 2147483648, t1 // 2147483648) % 2147483648) AS t2 FROM h0),
+      h2 AS (SELECT grp, $key,
+          xor(t2 % 2147483648, t2 // 2147483648) % 2147483648 AS x2 FROM h1),
+      h AS (SELECT grp, $key,
+          x2 * 2147483648
+        + xor(($A3 * x2) % 2147483648, ($A3 * x2) // 2147483648) % 2147483648 AS h
+        FROM h2),
+      hb AS (SELECT grp, h % 1024 AS bucket, (h // 1024) % 1125899906842624 AS v FROM h),
+      r AS (SELECT grp, bucket, max($hllRankCase) AS reg FROM hb GROUP BY grp, bucket),
+      s AS (SELECT grp,
+              CAST(1024 - count(*) AS BIGINT) * 2251799813685248
+            + CAST(sum(2251799813685248 // (1::BIGINT << CAST(reg AS INTEGER))) AS BIGINT) AS S,
+              CAST(1024 - count(*) AS BIGINT) AS V
+            FROM r GROUP BY grp)"""
+  }
+
+  /** The shared estimator expression over `s`'s (S, V) columns.
+    *
+    * The correction literals are rendered in EXPONENT form ("%.17e"):
+    * DuckDB lexes a plain decimal literal as DECIMAL, and an ARRAY of
+    * them unifies to one widened type (DECIMAL(23,19) here) whose
+    * double conversion is NOT correctly rounded — measured 1-ulp drift
+    * on ~24% of values (e16 found this; q35 never hit the correction
+    * branch at test SFs so the bug was latent there). An exponent
+    * makes the lexer produce DOUBLE directly, and 17 significant
+    * digits round-trip every IEEE double exactly.
+    */
+  private[operators] def duckHllEstimate: String = {
+    import graft.functions.HllAgg.K
+    val corr = graft.functions.HllAgg.LnCorrection
+      .map(v => f"$v%.17e").mkString("[", ", ", "]")
+    s"""CASE WHEN ($K / CAST(S AS DOUBLE)) <= 2560.0 AND V > 0
+          THEN $corr[CAST(V AS INTEGER)]
+          ELSE $K / CAST(S AS DOUBLE) END"""
+  }
+
   /** The graft-native HyperLogLog (custom typed Aggregator,
     * [[graft.functions.HllAgg]]): same scale story as q10 — fixed
     * 1024-byte sketches, associative merge, no per-key shuffle — but
@@ -380,29 +428,10 @@ object Aggregates {
   val q35 = QueryDef(
     "q35_custom_hll",
     Some {
-      import graft.functions.HllAgg.{A1, A2, A3, K}
-      s"""WITH h0 AS (SELECT o_orderpriority AS grp, o_custkey,
-          $A1 * (((o_custkey % 2147483648) + 2147483648) % 2147483648) AS t1 FROM orders),
-      h1 AS (SELECT grp, o_custkey,
-          $A2 * (xor(t1 % 2147483648, t1 // 2147483648) % 2147483648) AS t2 FROM h0),
-      h2 AS (SELECT grp, o_custkey,
-          xor(t2 % 2147483648, t2 // 2147483648) % 2147483648 AS x2 FROM h1),
-      h AS (SELECT grp, o_custkey,
-          x2 * 2147483648
-        + xor(($A3 * x2) % 2147483648, ($A3 * x2) // 2147483648) % 2147483648 AS h
-        FROM h2),
-      hb AS (SELECT grp, h % 1024 AS bucket, (h // 1024) % 1125899906842624 AS v FROM h),
-      r AS (SELECT grp, bucket, max($hllRankCase) AS reg FROM hb GROUP BY grp, bucket),
-      s AS (SELECT grp,
-              CAST(1024 - count(*) AS BIGINT) * 2251799813685248
-            + CAST(sum(2251799813685248 // (1::BIGINT << CAST(reg AS INTEGER))) AS BIGINT) AS S,
-              CAST(1024 - count(*) AS BIGINT) AS V
-            FROM r GROUP BY grp),
+      s"""WITH ${duckHllChain("orders", "o_custkey", "o_orderpriority")},
       e AS (SELECT grp, count(DISTINCT o_custkey) AS n_exact FROM h GROUP BY grp)
       SELECT e.grp AS o_orderpriority, CAST(e.n_exact AS BIGINT) AS n_exact,
-             CASE WHEN ($K / CAST(S AS DOUBLE)) <= 2560.0 AND V > 0
-                  THEN ${graft.functions.HllAgg.LnCorrection.mkString("[", ", ", "]")}[CAST(V AS INTEGER)]
-                  ELSE $K / CAST(S AS DOUBLE) END AS approx_nd
+             $duckHllEstimate AS approx_nd
       FROM s JOIN e ON s.grp = e.grp ORDER BY o_orderpriority"""
     }) { (s, d) =>
     Tables.orders(s, d)

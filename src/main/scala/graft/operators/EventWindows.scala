@@ -22,7 +22,7 @@ object EventWindows {
 
   def queries: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
-      e15)
+      e15, e16)
 
   /** e14: watermark / late-event accounting — the batch twin of the
     * bookkeeping every Structured Streaming job does implicitly
@@ -655,5 +655,62 @@ object EventWindows {
         col("event_type"), col("open"), col("high"), col("low"), col("close"),
         col("n_events"))
       .orderBy("win_start_us", "event_type")
+  }
+
+  /** e16: HIERARCHICAL SKETCH ROLLUP — distinct users per sliding
+    * 3-hour window computed by MERGING persisted per-hour HLL partials
+    * ([[graft.functions.HllSketchAgg]] → [[graft.functions
+    * .HllMergeAgg]]), never re-reading raw events per window. This is
+    * THE 100 TB count-distinct pattern: the hourly rollup table is
+    * built once in one pass (state = 1 KiB of registers per hour), and
+    * any window/day/month/segment union is answered by max-merging
+    * partials — the exact count can NOT be rolled up this way (distinct
+    * doesn't decompose), which is the operator's whole argument. Each
+    * hourly sketch feeds its 3 covering windows via one 3-way explode
+    * of SKETCHES (bounded: 3 rows/hour, not 3× the events, unlike
+    * e02's per-event expansion). Max-merge of per-hour registers is
+    * bit-identical to registers over the union, so the oracle replays
+    * the q35 chain directly per window ([[Aggregates.duckHllChain]] —
+    * the shared-fragment discipline) and the estimates match
+    * bit-for-bit. The exact count rides along (the q35 caveat: its
+    * per-window distinct expansion is exactly the cost the rollup
+    * avoids; production keeps only the merged sketch column).
+    */
+  val e16 = QueryDef(
+    "e16_sketch_rollup",
+    Some(s"""WITH ev AS (SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+                user_id FROM events),
+      wv AS (SELECT unnest([hour_us - 7200000000, hour_us - 3600000000, hour_us]) AS ws,
+                user_id FROM ev),
+      ${Aggregates.duckHllChain("wv", "user_id", "ws")},
+      e AS (SELECT grp, count(DISTINCT user_id) AS n_exact FROM h GROUP BY grp)
+      SELECT e.grp AS win_start_us, CAST(e.n_exact AS BIGINT) AS n_exact,
+             ${Aggregates.duckHllEstimate} AS approx_users
+      FROM s JOIN e ON s.grp = e.grp ORDER BY win_start_us""")) { (s, d) =>
+    val HourUs = 3600000000L
+    val hourly = Tables.events(s, d)
+      .select((col("ts_us") - pmod(col("ts_us"), lit(HourUs))).as("hour_us"),
+        col("user_id"))
+      .groupBy("hour_us")
+      .agg(graft.functions.HllAgg.hllSketch(col("user_id")).as("sk"))
+    // each hour's sketch serves the 3 sliding windows that cover it
+    val contrib = hourly.select(
+      explode(array(col("hour_us") - 2 * HourUs, col("hour_us") - HourUs,
+        col("hour_us"))).as("win_start_us"),
+      col("sk"))
+    val merged = contrib.groupBy("win_start_us")
+      .agg(graft.functions.HllAgg.hllMerge(col("sk")).as("approx_users"))
+    // exact ride-along for the accuracy contract (per-event expansion —
+    // the cost the sketch rollup exists to avoid)
+    val exact = Tables.events(s, d)
+      .select((col("ts_us") - pmod(col("ts_us"), lit(HourUs))).as("hour_us"),
+        col("user_id"))
+      .select(explode(array(col("hour_us") - 2 * HourUs, col("hour_us") - HourUs,
+        col("hour_us"))).as("win_start_us"), col("user_id"))
+      .groupBy("win_start_us")
+      .agg(big(countDistinct(col("user_id"))).as("n_exact"))
+    exact.join(merged, Seq("win_start_us"))
+      .select(col("win_start_us"), col("n_exact"), col("approx_users"))
+      .orderBy("win_start_us")
   }
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalOps {
 
-  def queries: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09)
+  def queries: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10)
 
   /** DuckDB luma at synthetic sample point (gx, gy): replays the
     * m05 pixel arithmetic through the same integer (299r+587g+114b)/
@@ -363,6 +363,98 @@ object MultimodalOps {
       }
       .toDF("asset_id", "codec", "src_width", "src_height",
         "r_sum", "g_sum", "b_sum", "px_checksum")
+      .orderBy("asset_id")
+  }
+
+  /** m10's ln lookup: round(ln(n)·10⁹) for n = 1..40 (max pixel count
+    * is 8×5) — the x13/x18 shared-literal-transcendental discipline at
+    * image scale: neither engine calls its own ln, so the entropy sum
+    * is an EXACT BIGINT in both.
+    */
+  private val M10LnNano: IndexedSeq[Long] =
+    (1 to 40).map(n => math.round(math.log(n.toDouble) * 1e9))
+
+  /** m10: image QUALITY filter over decoded pixels — the multimodal
+    * analog of x03's text-quality heuristics: per image, the 8-bucket
+    * luma-histogram Shannon entropy (flat/synthetic/banner images
+    * score low; natural images high) and the luma contrast span, with
+    * a low-information flag the curation pipeline drops on. Entropy in
+    * EXACT integer nats·10⁹: H·N·10⁹ = Σ_b n_b·(lnN − ln n_b) over the
+    * shared [[M10LnNano]] literals, so the only float op is one final
+    * IEEE division by N·10⁹ on identical operands, and the FLAG
+    * compares exact integers (s < N·10⁹ ⇔ H < 1 nat) — no float
+    * threshold anywhere. The Spark side computes everything from
+    * genuinely DECODED bytes (`javax.imageio` via
+    * [[graft.multimodal.ImageCodecs.decodeImage]]); the oracle replays
+    * the pixel arithmetic, so codec fidelity stays load-bearing
+    * (the m05 contract). Narrow partition-local kernel — no shuffle
+    * but the presentation sort; at 100 TB this is a pure map stage
+    * whose cost is decode-bound, exactly where a columnar batch codec
+    * (m04's Arrow seam) slots in.
+    */
+  val m10 = QueryDef(
+    "m10_image_quality",
+    Some {
+      val base = "(doc_id*7 + (k % w)*3 + (k // w)*5)"
+      val luma = s"((299*(($base) % 256) + 587*(($base + 11) % 256) + 114*(($base + 22) % 256)) // 1000)"
+      s"""WITH g AS (SELECT doc_id, doc_id % 5 + 4 AS w, doc_id % 3 + 3 AS h FROM documents),
+      lum AS (SELECT doc_id, w*h AS n, $luma AS y
+              FROM g, unnest(range(0, w*h)) AS r(k)),
+      hist AS (SELECT doc_id, n, y // 32 AS b, count(*) AS nb FROM lum GROUP BY 1, 2, 3),
+      lt AS (SELECT ${M10LnNano.mkString("[", ", ", "]")} AS a),
+      ent AS (SELECT doc_id, n,
+                CAST(sum(nb * (lt.a[CAST(n AS INT)] - lt.a[CAST(nb AS INT)])) AS BIGINT) AS s
+              FROM hist CROSS JOIN lt GROUP BY 1, 2),
+      rng AS (SELECT doc_id, count(DISTINCT y // 32) AS n_buckets,
+                max(y) - min(y) AS contrast FROM lum GROUP BY 1)
+      SELECT e.doc_id AS asset_id, CAST(e.n AS BIGINT) AS n_px,
+        CAST(r.n_buckets AS BIGINT) AS n_buckets,
+        CAST(r.contrast AS BIGINT) AS contrast,
+        e.s AS ent_nano,
+        CAST(e.s AS DOUBLE) / CAST(e.n * 1000000000 AS DOUBLE) AS entropy,
+        e.s < e.n * 1000000000 AS is_lowinfo
+      FROM ent e JOIN rng r USING (doc_id) ORDER BY asset_id"""
+    }) { (s, d) =>
+    import s.implicits._
+    val ln = M10LnNano.toArray
+    graft.multimodal.MultimodalPipeline.imageAssets(s, d)
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          graft.multimodal.ImageCodecs.decodeImage(a.data, 0, a.data.length)
+            .map { case (_, img) =>
+              val w = img.getWidth; val h = img.getHeight
+              val hist = new Array[Long](8)
+              var minY = Int.MaxValue; var maxY = Int.MinValue
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                    114 * (rgb & 0xff)) / 1000
+                  hist(lum / 32) += 1
+                  if (lum < minY) minY = lum
+                  if (lum > maxY) maxY = lum
+                  x += 1
+                }
+                y += 1
+              }
+              val n = w.toLong * h
+              var s = 0L; var nBuckets = 0L; var b = 0
+              while (b < 8) {
+                if (hist(b) > 0) {
+                  nBuckets += 1
+                  s += hist(b) * (ln(n.toInt - 1) - ln(hist(b).toInt - 1))
+                }
+                b += 1
+              }
+              (a.asset_id, n, nBuckets, (maxY - minY).toLong, s,
+                s.toDouble / (n * 1000000000L).toDouble, s < n * 1000000000L)
+            }
+        }
+      }
+      .toDF("asset_id", "n_px", "n_buckets", "contrast", "ent_nano",
+        "entropy", "is_lowinfo")
       .orderBy("asset_id")
   }
 }

@@ -42,6 +42,23 @@ class HllSpec extends AnyFunSuite {
     assert(whole.toSeq == merged.toSeq && merged.toSeq == mergedRev.toSeq)
   }
 
+  test("sketch/merge rollup equals the one-shot aggregate bit-for-bit (e16 contract)") {
+    // partition the keys into "hours", persist each hour's registers
+    // via HllSketchAgg, merge any union of hours via HllMergeAgg — the
+    // estimate must equal a direct HllAgg pass over the union exactly
+    val hours: Seq[Seq[Long]] =
+      Seq((1L to 500L).toSeq, (400L to 1100L).toSeq, (1000L to 1800L).toSeq)
+    val sk = new HllSketchAgg
+    val partials = hours.map(ks => ks.foldLeft(sk.zero)(sk.reduce).clone())
+    val mg = new HllMergeAgg
+    for (win <- Seq(Seq(0), Seq(0, 1), Seq(1, 2), Seq(0, 1, 2))) {
+      val merged = win.map(partials).map(_.clone())
+        .foldLeft(mg.zero)(mg.reduce)
+      val direct = estimate(win.map(hours).reduce(_ ++ _))
+      assert(mg.finish(merged) == direct, s"window $win diverged")
+    }
+  }
+
   test("mixer keeps every intermediate below 2^63 and output below 2^62") {
     // adversarial keys: extremes and values exercising the fold clamp
     for (k <- Seq(0L, 1L, Long.MaxValue, Long.MinValue, 2147483647L, 2147483648L, -1L)) {

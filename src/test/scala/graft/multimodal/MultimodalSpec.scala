@@ -92,4 +92,31 @@ class MultimodalSpec extends SparkSpec {
       assert(stats.head == stats.last)
     }
   }
+
+  test("m10 entropy: bounded, zero iff one bucket, flag matches the integer rule") {
+    val rows = graft.operators.MultimodalOps.m10.fn(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nPx, nBuckets, contrast, entNano, entropy, low) =>
+      assert(entropy >= 0.0 && entropy <= math.log(8.0) + 1e-9, s"asset $id")
+      assert((entropy == 0.0) == (nBuckets == 1L), s"asset $id")
+      assert((nBuckets == 1L) || contrast > 0L, s"asset $id")
+      assert(low == (entNano < nPx * 1000000000L), s"asset $id")
+      assert(entropy == entNano.toDouble / (nPx * 1000000000L).toDouble, s"asset $id")
+    }
+    // independent replay of one asset from the synthetic pixel function
+    val (id, nPx, _, contrast, entNano, _, _) = rows.head
+    val (w, h) = ImageCodecs.dims(id)
+    val lums = for (y <- 0 until h; x <- 0 until w) yield
+      (299 * ImageCodecs.px(id, x, y, 0) + 587 * ImageCodecs.px(id, x, y, 1) +
+        114 * ImageCodecs.px(id, x, y, 2)) / 1000
+    assert(nPx == w.toLong * h)
+    assert(contrast == (lums.max - lums.min).toLong)
+    val ln = (1 to 40).map(n => math.round(math.log(n.toDouble) * 1e9))
+    val s = lums.groupBy(_ / 32).values
+      .map(g => g.size.toLong * (ln(lums.size - 1) - ln(g.size - 1))).sum
+    assert(entNano == s, s"asset $id entropy sum diverged from pixel replay")
+  }
 }
