@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   def queries: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12)
 
   /** DuckDB CTE for distinct 3-token shingles per document — the
     * oracle-side counterpart of the Spark-side native
@@ -79,18 +79,13 @@ object Dedup {
       s"xor(($m * $x) % $F, ($m * $x) // $F) % $F"
   }
 
-  /** MinHash + LSH near-dup candidates. 32 permutations as affine
-    * transforms `(A(i)·(g mod P) + B(i)) mod P` over poly-hashed
-    * shingles — plain BIGINT arithmetic, so the ORACLE replays the
-    * exact signatures (round 2's xxhash64 chain was rows-only by
-    * necessity); 16 bands × 2 rows with an arithmetic band bucket;
-    * pairs sharing any band bucket are candidates; estimated Jaccard =
-    * matching-minhash fraction, kept at ≥ 0.5. Exact counterpart: d03.
+  /** d02's oracle banding chain — grams → candidate pairs with their
+    * signature-agreement estimate (`ce`). ONE definition shared by d02
+    * and d12's evaluation so the measured candidate set is provably
+    * the shipped one (the s04 `duckTrainedCells` discipline).
     */
-  val d02 = QueryDef(
-    "d02_minhash_lsh",
-    Some(s"""$gramCte,
-      gcps AS (SELECT doc_id, ${Oracle.cpList("g")} AS cs FROM grams),
+  private def duckMinhashChain: String =
+    s"""gcps AS (SELECT doc_id, ${Oracle.cpList("g")} AS cs FROM grams),
       gh AS (SELECT doc_id, ${Oracle.polyPair("cs")} AS gh FROM gcps),
       sigs AS (SELECT doc_id, i,
           min((${duckArr(graft.functions.MinHashAgg.A)}[CAST(i + 1 AS INTEGER)] * (gh % 1000000007)
@@ -101,12 +96,117 @@ object Dedup {
           sg[CAST(2 * b + 1 AS INTEGER)] * 2147483648 + sg[CAST(2 * b + 2 AS INTEGER)] AS bh
         FROM sig, unnest(range(0, 16)) AS r(b)),
       cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db, x.sg AS sa, y.sg AS sb
-               FROM bands x JOIN bands y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id)
-      SELECT da, db, est_jaccard FROM (
-        SELECT da, db,
+               FROM bands x JOIN bands y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
+      ce AS (SELECT da, db,
           CAST(list_sum(list_transform(range(1, 33), i -> CASE WHEN sa[CAST(i AS INTEGER)] = sb[CAST(i AS INTEGER)] THEN 1 ELSE 0 END)) AS DOUBLE) / 32 AS est_jaccard
-        FROM cand)
+        FROM cand)"""
+
+  /** d03's oracle exact-Jaccard chain (grams → `jac`), shared with
+    * d12's ground-truth leg.
+    */
+  private def duckJaccardChain: String =
+    s"""cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+      inter AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS i
+                FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+                GROUP BY 1, 2),
+      jac AS (SELECT da, db, i::DOUBLE / (ca.n + cb.n - i) AS jaccard
+              FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db)"""
+
+  /** MinHash + LSH near-dup candidates. 32 permutations as affine
+    * transforms `(A(i)·(g mod P) + B(i)) mod P` over poly-hashed
+    * shingles — plain BIGINT arithmetic, so the ORACLE replays the
+    * exact signatures (round 2's xxhash64 chain was rows-only by
+    * necessity); 16 bands × 2 rows with an arithmetic band bucket;
+    * pairs sharing any band bucket are candidates; estimated Jaccard =
+    * matching-minhash fraction, kept at ≥ 0.5. Exact counterpart: d03.
+    */
+  /** d12: LSH candidate-quality EVALUATION — the dedup analog of s10's
+    * ANN recall eval: measures d02's banding (16 bands × 2 rows, the
+    * SHIPPED [[minhashCandidates]] chain, not a reimplementation)
+    * against d03's exact-Jaccard ground truth at the J ≥ 0.5 working
+    * threshold. Emits one row: true/candidate/predicted pair counts
+    * with their overlaps, candidate recall (did banding SURFACE the
+    * true pair?), pair recall and precision after d02's estimate
+    * filter — the S-curve operating point that decides band geometry
+    * before a 100 TB dedup run. Ratios are single IEEE divisions of
+    * exact BIGINT counts. One full-outer join of the two bounded pair
+    * sets + one aggregate; the expensive legs ARE d02/d03's own plans
+    * (the exact leg is the documented quadratic oracle — an evaluation
+    * runs on a sample corpus by construction, the s10 protocol).
+    */
+  val d12 = QueryDef(
+    "d12_lsh_eval",
+    Some(s"""$gramCte,
+      $duckMinhashChain,
+      $duckJaccardChain,
+      tru AS (SELECT da, db FROM jac WHERE jaccard >= 0.5),
+      prd AS (SELECT da, db FROM ce WHERE est_jaccard >= 0.5),
+      m AS (SELECT
+        (SELECT count(*) FROM tru) AS n_true,
+        (SELECT count(*) FROM ce) AS n_cand,
+        (SELECT count(*) FROM ce JOIN tru USING (da, db)) AS n_cand_true,
+        (SELECT count(*) FROM prd) AS n_pred,
+        (SELECT count(*) FROM prd JOIN tru USING (da, db)) AS n_pred_true)
+      SELECT CAST(n_true AS BIGINT) AS n_true, CAST(n_cand AS BIGINT) AS n_cand,
+        CAST(n_cand_true AS BIGINT) AS n_cand_true,
+        CAST(n_pred AS BIGINT) AS n_pred,
+        CAST(n_pred_true AS BIGINT) AS n_pred_true,
+        CASE WHEN n_true = 0 THEN 0.0
+             ELSE CAST(n_cand_true AS DOUBLE) / CAST(n_true AS DOUBLE) END AS cand_recall,
+        CASE WHEN n_true = 0 THEN 0.0
+             ELSE CAST(n_pred_true AS DOUBLE) / CAST(n_true AS DOUBLE) END AS pair_recall,
+        CASE WHEN n_pred = 0 THEN 0.0
+             ELSE CAST(n_pred_true AS DOUBLE) / CAST(n_pred AS DOUBLE) END AS pair_precision
+      FROM m ORDER BY n_true""")) { (s, d) =>
+    val tru = jaccardPairs(s, d).where(col("jaccard") >= 0.5)
+      .select(col("da"), col("db"), lit(1L).as("t"))
+    val cand = minhashCandidates(s, d)
+      .select(col("da"), col("db"), col("est_jaccard"), lit(1L).as("c"))
+    cand.join(tru, Seq("da", "db"), "full")
+      .agg(
+        // coalesce the sums: an EMPTY corpus aggregates zero rows and
+        // must emit the oracle's zero counts, not NULLs
+        coalesce(sum(coalesce(col("t"), lit(0L))), lit(0L)).as("n_true"),
+        coalesce(sum(coalesce(col("c"), lit(0L))), lit(0L)).as("n_cand"),
+        coalesce(sum(when(col("c").isNotNull && col("t").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_cand_true"),
+        coalesce(sum(when(col("c").isNotNull && col("est_jaccard") >= 0.5, 1L)
+          .otherwise(0L)), lit(0L)).as("n_pred"),
+        coalesce(sum(when(col("c").isNotNull && col("est_jaccard") >= 0.5 &&
+          col("t").isNotNull, 1L).otherwise(0L)), lit(0L)).as("n_pred_true"))
+      .select(col("n_true"), col("n_cand"), col("n_cand_true"), col("n_pred"),
+        col("n_pred_true"),
+        when(col("n_true") === 0L, lit(0.0))
+          .otherwise(col("n_cand_true").cast("double") / col("n_true").cast("double"))
+          .as("cand_recall"),
+        when(col("n_true") === 0L, lit(0.0))
+          .otherwise(col("n_pred_true").cast("double") / col("n_true").cast("double"))
+          .as("pair_recall"),
+        when(col("n_pred") === 0L, lit(0.0))
+          .otherwise(col("n_pred_true").cast("double") / col("n_pred").cast("double"))
+          .as("pair_precision"))
+      .orderBy("n_true")
+  }
+
+  val d02 = QueryDef(
+    "d02_minhash_lsh",
+    Some(s"""$gramCte,
+      $duckMinhashChain
+      SELECT da, db, est_jaccard FROM ce
       WHERE est_jaccard >= 0.5 ORDER BY da, db""")) { (s, d) =>
+    minhashCandidates(s, d)
+      .where(col("est_jaccard") >= 0.5)
+      .select("da", "db", "est_jaccard")
+      .orderBy("da", "db")
+  }
+
+  /** d02's banding chain up to (but not including) the estimate
+    * threshold: every band-colliding pair with its 32-row signature
+    * agreement estimate. Shared with d12, which measures this exact
+    * candidate set against d03's ground truth — evaluating a
+    * REIMPLEMENTATION would prove nothing.
+    */
+  private[operators] def minhashCandidates(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     // native one-pass shingling (8-byte poly hashes into the signature
     // shuffle, not gram strings), then the one-pass typed MinHashAgg
@@ -130,9 +230,6 @@ object Dedup {
       .distinct()
       .withColumn("est_jaccard",
         expr("CAST(aggregate(zip_with(sa, sb, (a, b) -> IF(a = b, 1, 0)), 0, (acc, v) -> acc + v) AS DOUBLE) / 32"))
-      .where(col("est_jaccard") >= 0.5)
-      .select("da", "db", "est_jaccard")
-      .orderBy("da", "db")
   }
 
   /** Exact 3-gram Jaccard similarity join: pairs with J ≥ 0.1.
@@ -154,13 +251,8 @@ object Dedup {
   val d03 = QueryDef(
     "d03_ngram_jaccard",
     Some(s"""$gramCte,
-      cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
-      inter AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS i
-                FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
-                GROUP BY 1, 2)
-      SELECT da, db, jaccard FROM (
-        SELECT da, db, i::DOUBLE / (ca.n + cb.n - i) AS jaccard
-        FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db)
+      $duckJaccardChain
+      SELECT da, db, jaccard FROM jac
       WHERE jaccard >= 0.1 ORDER BY da, db""")) { (s, d) =>
     // join on the 64-bit hash of each shingle, not the shingle text:
     // same intersection counts (64-bit collisions are ~(n²/2⁶⁵) ≈

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  def queries: Seq[QueryDef] = Seq(g01, g02, g03, g04, g05, g06)
+  def queries: Seq[QueryDef] = Seq(g01, g02, g03, g04, g05, g06, g07)
 
   /** Offset that moves supplier ids into their own node-id space;
     * must exceed every custkey at any SF this runs at locally. At
@@ -382,6 +382,75 @@ object Graph {
       val prop = ued.join(dist, ued("src") === dist("id"))
         .select(ued("dst").as("id"), (col("dist") + 1L).as("dist"))
       dist = dist.unionByName(prop)
+        .groupBy("id").agg(min("dist").as("dist"))
+        .localCheckpoint() // flat lineage per round (g01/q46 lesson)
+    }
+    dist.select(col("id").as("node_id"),
+        when(col("id") >= SuppBase, lit("supplier"))
+          .otherwise(lit("customer")).as("node_type"),
+        col("dist"))
+      .orderBy("dist", "node_id")
+  }
+
+  /** g07: WEIGHTED single-source shortest paths — the cost-aware form
+    * of g05's hop BFS: edge weight = the cheapest fulfilment linking
+    * the pair (min l_quantity over the connecting lineitems — integral
+    * 1..50 in the lake, so the BIGINT cast is exact in both engines),
+    * relaxed from the g05 seed set by [[SsspRounds]] Bellman-Ford
+    * rounds (dist' = min(dist, min over in-edges (dist[src] + w)) —
+    * the g01 fixed-iteration discipline). K rounds yield the exact
+    * weighted distance over paths of ≤ K edges; the oracle unrolls the
+    * identical K relaxations, so the contract is exact-by-construction
+    * rather than convergence-dependent. Per round: one edge⋈frontier
+    * shuffle + one per-node min — the same loop shape, cost, and
+    * lineage truncation as g05; nothing about weights changes the
+    * plan, which is the point: weighted SSSP at 100 TB is hop BFS with
+    * a different combine expression.
+    */
+  private[operators] val SsspRounds = 4
+
+  val g07 = QueryDef(
+    "g07_weighted_sssp",
+    Some(s"""WITH e0 AS MATERIALIZED (
+      SELECT o_custkey AS src, $SuppBase + l_suppkey AS dst,
+             CAST(min(l_quantity) AS BIGINT) AS w
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY 1, 2),
+    ue AS MATERIALIZED (
+      SELECT src, dst, w FROM e0
+      UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
+    h0 AS MATERIALIZED (
+      SELECT DISTINCT src AS id, CAST(0 AS BIGINT) AS dist FROM ue
+      WHERE src >= $SuppBase AND (src - $SuppBase) % 5 = 0),
+    ${(1 to SsspRounds).map(i => s"""h$i AS MATERIALIZED (
+      SELECT id, min(dist) AS dist FROM (
+        SELECT id, dist FROM h${i - 1}
+        UNION ALL
+        SELECT ue.dst AS id, h${i - 1}.dist + ue.w AS dist
+        FROM ue JOIN h${i - 1} ON ue.src = h${i - 1}.id) GROUP BY id)""")
+      .mkString(",\n    ")}
+    SELECT id AS node_id,
+      CASE WHEN id >= $SuppBase THEN 'supplier' ELSE 'customer' END AS node_type,
+      dist
+    FROM h$SsspRounds ORDER BY dist, node_id""")) { (s, d) =>
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_quantity")
+    val e = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(SuppBase)).as("dst"))
+      .agg(min(col("l_quantity")).cast("long").as("w"))
+    val ue = e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .persist()
+    var dist = ue
+      .filter(col("src") >= SuppBase && (col("src") - SuppBase) % 5 === 0)
+      .select(col("src").as("id")).distinct()
+      .select(col("id"), lit(0L).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to SsspRounds) {
+      val relaxed = ue.join(dist, ue("src") === dist("id"))
+        .select(ue("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
         .groupBy("id").agg(min("dist").as("dist"))
         .localCheckpoint() // flat lineage per round (g01/q46 lesson)
     }

@@ -107,4 +107,24 @@ class DedupSpec extends SparkSpec {
     assert(expectDup.nonEmpty, "no within-cluster duplicates — corpus degenerate")
     assert((expectDup.size + missed.size) == exactPairs.size)
   }
+
+  test("d12 counts reconcile with d02/d03's own outputs and each other") {
+    val dir = "/root/testdata/sf0.001"
+    val r = Dedup.d12.fn(spark, dir).collect().head
+    val Seq(nTrue, nCand, nCandTrue, nPred, nPredTrue) =
+      (0 to 4).map(r.getLong)
+    // the eval must count exactly the pairs the shipped operators emit
+    val d03True = Dedup.d03.fn(spark, dir).collect()
+      .count(_.getDouble(2) >= 0.5).toLong
+    val d02Pred = Dedup.d02.fn(spark, dir).collect().length.toLong
+    assert(nTrue == d03True && nPred == d02Pred)
+    // lattice invariants
+    assert(nCandTrue <= math.min(nCand, nTrue))
+    assert(nPred <= nCand && nPredTrue <= math.min(nPred, nCandTrue))
+    // ratios are the advertised divisions
+    assert(r.getDouble(5) == (if (nTrue == 0) 0.0 else nCandTrue.toDouble / nTrue))
+    assert(r.getDouble(6) == (if (nTrue == 0) 0.0 else nPredTrue.toDouble / nTrue))
+    assert(r.getDouble(7) == (if (nPred == 0) 0.0 else nPredTrue.toDouble / nPred))
+    assert(nTrue > 0, "ground truth empty — corpus degenerate for the eval")
+  }
 }

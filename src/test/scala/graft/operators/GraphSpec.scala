@@ -182,4 +182,25 @@ class GraphSpec extends SparkSpec {
       (2L, 3L) -> ((1L, w3))),
       s"got $out")
   }
+
+  test("g07 weighted distances dominate hop counts and share g05's reachable set") {
+    val hops = Graph.g05.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val wd = Graph.g07.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(wd.nonEmpty)
+    // same rounds, same seeds, same graph → identical reachable set
+    assert(wd.map(_._1).toSet == hops.keySet)
+    wd.foreach { case (id, tpe, d) =>
+      // every edge weighs ≥ 1, so the weighted distance can never be
+      // below the hop count; seeds stay at exactly 0
+      assert(d >= hops(id), s"node $id: weighted $d < hops ${hops(id)}")
+      if (hops(id) == 0L) assert(d == 0L && tpe == "supplier")
+      // bipartite parity survives weighting: suppliers at even hops
+      assert((hops(id) % 2 == 0) == (tpe == "supplier"), s"node $id")
+    }
+    // the weights are not degenerate: some node is strictly farther
+    // in cost than in hops
+    assert(wd.exists { case (id, _, d) => d > hops(id) })
+  }
 }
