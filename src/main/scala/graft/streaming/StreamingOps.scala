@@ -100,6 +100,40 @@ object StreamingOps {
       }
   }
 
+  final case class WindowEstimate(win_start_us: Long, approx_users: Double)
+
+  /** The streaming face of e16's hierarchical sketch rollup: per
+    * sliding 3-hour window, an HLL register array held as
+    * `mapGroupsWithState` state keyed by window start, updated
+    * incrementally as events arrive — each event feeds its 3 covering
+    * windows (the same explode e16 applies to hourly partials; here
+    * the fan-out happens before keying, state stays one 1 KiB sketch
+    * per live window). [[HllAgg.update]]/[[HllAgg.mergeRegs]] are
+    * order-independent and idempotent-per-key, so the final estimate
+    * per window is bit-identical to e16's batch merge regardless of
+    * micro-batch boundaries (StreamingSpec pins this against the e16
+    * registry query itself).
+    */
+  def streamingSketchRollup(events: Dataset[Event]): Dataset[WindowEstimate] = {
+    import events.sparkSession.implicits._
+    val HourUs = 3600000000L
+    def us(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    events
+      .flatMap { e =>
+        val hour = { val u = us(e.ts); u - java.lang.Math.floorMod(u, HourUs) }
+        Seq(hour - 2 * HourUs, hour - HourUs, hour).map(ws => (ws, e.user_id))
+      }
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Byte], WindowEstimate](GroupStateTimeout.NoTimeout()) {
+        (ws, it, state) =>
+          val regs = state.getOption.getOrElse(new Array[Byte](graft.functions.HllAgg.M))
+          it.foreach(r => graft.functions.HllAgg.update(regs, r._2))
+          state.update(regs)
+          WindowEstimate(ws, graft.functions.HllAgg.estimate(regs))
+      }
+  }
+
   /** File-source entry: tail a parquet events directory as a stream
     * (the production pattern for continuous ingest of landed files).
     * Normalizes `ts` the same way as [[graft.Tables.events]] — both

@@ -137,6 +137,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingSketchRollup's final window estimates equal e16's batch merge bit-for-bit") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val evs = graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamingOps.Event].collect()
+    val input = MemoryStream[StreamingOps.Event]
+    val q = StreamingOps.streamingSketchRollup(input.toDS())
+      .writeStream.format("memory").queryName("sketchroll")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // arbitrary micro-batch split: order independence is the claim
+      val (a, b) = evs.splitAt(evs.length / 3)
+      input.addData(a.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(b.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sketchroll")
+        .as[StreamingOps.WindowEstimate].collect()
+        .groupBy(_.win_start_us)
+        .map { case (w, rows) => w -> rows.last.approx_users }
+      val batch = graft.Registry.byName("e16_sketch_rollup").fn(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(streamed.keySet == batch.keySet, "window sets diverged")
+      batch.foreach { case (w, v) =>
+        assert(streamed(w) == v, s"window $w: streaming ${streamed(w)} != batch $v")
+      }
+    } finally q.stop()
+  }
+
   test("streaming signature fold equals batch MinHashAgg over the same shingle kernel") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
