@@ -22,7 +22,7 @@ object EventWindows {
 
   def queries: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
-      e15, e16)
+      e15, e16, e17)
 
   /** e14: watermark / late-event accounting — the batch twin of the
     * bookkeeping every Structured Streaming job does implicitly
@@ -712,5 +712,75 @@ object EventWindows {
     exact.join(merged, Seq("win_start_us"))
       .select(col("win_start_us"), col("n_exact"), col("approx_users"))
       .orderBy("win_start_us")
+  }
+
+  /** e17: ROW-PATTERN detection — the SQL:2016 MATCH_RECOGNIZE shape
+    * (`PATTERN (V+ C P)`) expressed in window functions Spark has:
+    * per user, every CONTIGUOUS run of ≥ 1 `view` immediately followed
+    * by `click` then `purchase`. Contiguity is what separates this
+    * from e11's funnel (an ordered SUBSEQUENCE — other events may
+    * intervene); here an interposed event breaks the match, which is
+    * the MATCH_RECOGNIZE contract. The `V+` run length is recovered
+    * WITHOUT per-row pattern state: a running max over non-view
+    * positions gives each view row its consecutive-run length (rn −
+    * last-non-view-rn), and a match fires where the type triple
+    * (lag 2, lag 1, current) is (view, click, purchase) — so the
+    * variable-length quantifier costs two lags and one prefix max,
+    * all inside ONE per-user window sort. The start row is fetched by
+    * one equi-join on (user, rn) — same key, same partitioning, no
+    * second sort. Greedy/maximal semantics fall out: the run length
+    * is maximal by construction, and matches can't overlap (their
+    * click/purchase anchors are distinct).
+    */
+  val e17 = QueryDef(
+    "e17_pattern_match",
+    Some("""WITH o AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type AS t,
+        row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events),
+    v AS (SELECT user_id, event_id, ts_us, t, rn,
+        rn - coalesce(max(CASE WHEN t <> 'view' THEN rn END) OVER (
+          PARTITION BY user_id ORDER BY rn
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS vrun
+      FROM o),
+    m AS (SELECT user_id, ts_us AS end_ts_us, rn, n_views
+      FROM (SELECT user_id, ts_us, t, rn,
+              lag(t, 1) OVER (PARTITION BY user_id ORDER BY rn) AS t1,
+              lag(t, 2) OVER (PARTITION BY user_id ORDER BY rn) AS t2,
+              lag(vrun, 2) OVER (PARTITION BY user_id ORDER BY rn) AS n_views
+            FROM v)
+      WHERE t = 'purchase' AND t1 = 'click' AND t2 = 'view')
+    SELECT m.user_id, s.ts_us AS start_ts_us, m.end_ts_us,
+      CAST(m.n_views AS BIGINT) AS n_views,
+      CAST(m.n_views + 2 AS BIGINT) AS match_len
+    FROM m JOIN o s ON s.user_id = m.user_id AND s.rn = m.rn - 2 - m.n_views + 1
+    ORDER BY m.user_id, start_ts_us""")) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val byRn = Window.partitionBy("user_id").orderBy("rn")
+    val o = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type").as("t"),
+        row_number().over(
+          Window.partitionBy("user_id").orderBy("ts_us", "event_id")).as("rn"))
+    val v = o.withColumn("vrun",
+      col("rn") - coalesce(
+        max(when(col("t") =!= "view", col("rn")))
+          .over(byRn.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        lit(0L)))
+    val m = v
+      .withColumn("t1", lag("t", 1).over(byRn))
+      .withColumn("t2", lag("t", 2).over(byRn))
+      .withColumn("n_views", lag("vrun", 2).over(byRn))
+      .where(col("t") === "purchase" && col("t1") === "click" && col("t2") === "view")
+      .select(col("user_id"), col("ts_us").as("end_ts_us"), col("rn"),
+        col("n_views"))
+    m.join(o.select(col("user_id").as("s_uid"), col("rn").as("s_rn"),
+        col("ts_us").as("start_ts_us")),
+        m("user_id") === col("s_uid") && col("s_rn") ===
+          m("rn") - lit(2) - col("n_views") + lit(1))
+      .select(m("user_id"), col("start_ts_us"), col("end_ts_us"),
+        col("n_views").cast("long").as("n_views"),
+        (col("n_views") + 2).cast("long").as("match_len"))
+      .orderBy("user_id", "start_ts_us")
   }
 }

@@ -11,7 +11,39 @@ import org.apache.spark.sql.functions._
   */
 object Windows {
 
-  def queries: Seq[QueryDef] = Seq(q13, q14, q15, q16, q22, q32, q34)
+  def queries: Seq[QueryDef] = Seq(q13, q14, q15, q16, q22, q32, q34, q55)
+
+  /** q55: time-interval RANGE frame — the frame mode q14's ROWS frames
+    * can't express: each event sees the trailing 30 MINUTES of its
+    * type's stream (however many rows that is), the per-event form of
+    * a moving time-window aggregate (rate limiting, rolling exposure,
+    * "activity in the last half hour" features). RANGE frames are
+    * PEER-INCLUSIVE: same-timestamp events share one frame regardless
+    * of intra-peer order, so the result is deterministic under any
+    * partitioning without an intra-timestamp tie-break — which is
+    * exactly why the frame bound is on the integral ts_us and the
+    * money sum rides the exact decimal domain (xsum2). Plan: one
+    * shuffle on event_type + one sort — identical cost to a ROWS
+    * frame; the frame arithmetic is a per-row pointer walk inside the
+    * window operator.
+    */
+  val q55 = QueryDef(
+    "q55_time_range_frame",
+    Some("""SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+      count(*) OVER w AS n_30m,
+      CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_30m
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+        RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""")) { (s, d) =>
+    val w = Window.partitionBy("event_type").orderBy("ts_us")
+      .rangeBetween(-1800000000L, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("ts_us"),
+        count(lit(1)).over(w).as("n_30m"),
+        sum(col("value").cast(m2)).over(w).cast("double").as("sum_30m"))
+      .orderBy("event_id")
+  }
 
   /** Per-key top-k through the custom whole-operator plan
     * ([[graft.plans.TopKPerKey]] + TopKStrategy): bounded heaps in a
