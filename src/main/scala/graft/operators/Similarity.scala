@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def queries: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10)
+  def queries: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11)
 
   /** MMR selection rounds (picks after the pure-relevance first). */
   private val MmrK = 5
@@ -585,6 +585,87 @@ object Similarity {
         .select(col("va"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
           (coalesce(col("n_hit"), lit(0L)) / lit(3.0)).as("recall"))
         .orderBy("va")
+    }
+  }
+
+  /** s11: CLUSTERING-QUALITY evaluation of the trained IVF quantizer —
+    * the fourth member of the eval family (s10 ANN recall, d12 LSH
+    * quality, x22 classifier confusion): per cell, the k-means
+    * objective itself (inertia = Σ‖x − c‖²) plus the cell's nearest
+    * other-centroid separation — cohesion vs separation, the readout
+    * that decides whether k/rounds are adequate before committing an
+    * index build. All distances are EXACT BIGINTs in µ²-fixed-point
+    * (xi = round(x·10⁶), centroids are already integral in the same
+    * units from training): squared diffs ≤ 4·10¹²·64 per vector and
+    * corpus-bounded sums stay far under 2⁶³ at any tested SF; the only
+    * float ops are one division (mean) and one IEEE-exact sqrt — both
+    * bit-identical cross-engine. Assignment is the SHIPPED argmin
+    * ([[cellOf]]; oracle replays `cells`), so the graded clustering is
+    * the one s04–s06/d11 actually use. Plan: one broadcast join of 8
+    * centroid rows + one partial+final aggregate — evaluation cost is
+    * one corpus pass.
+    */
+  val s11 = QueryDef(
+    "s11_cluster_quality",
+    Some {
+      val d2 = (a: String, b: String) =>
+        s"list_sum(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+      s"""${Vec.duckNormCte},
+      $duckTrainedCells,
+      xi AS (SELECT cell, vec_id,
+               list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+             FROM cells),
+      dd AS (SELECT x.cell, x.vec_id, ${d2("x.q", "t.c")} AS d2
+             FROM xi x JOIN c3 t USING (cell)),
+      per AS (SELECT cell, count(*) AS n, CAST(sum(d2) AS BIGINT) AS inertia
+              FROM dd GROUP BY cell),
+      sep AS (SELECT a.cell, min(${d2("a.c", "b.c")}) AS minsep
+              FROM c3 a JOIN c3 b ON a.cell <> b.cell GROUP BY a.cell)
+      SELECT per.cell, CAST(per.n AS BIGINT) AS n, per.inertia,
+        CAST(per.inertia AS DOUBLE) / CAST(per.n AS DOUBLE) AS mean_d2,
+        sqrt(CAST(per.inertia AS DOUBLE) / CAST(per.n AS DOUBLE)) / 1000000.0 AS rms_dist,
+        CAST(coalesce(sep.minsep, 0) AS BIGINT) AS min_sep
+      FROM per LEFT JOIN sep USING (cell) ORDER BY per.cell"""
+    }) { (s, d) =>
+    import s.implicits._
+    val e = Vec.withNorm(Tables.embeddings(s, d))
+    val centroids = trainQuantizer(e, 8, 3)
+    if (centroids.isEmpty)
+      e.limit(0).select(col("vec_id").as("cell"), lit(0L).as("n"),
+        lit(0L).as("inertia"), lit(0.0).as("mean_d2"), lit(0.0).as("rms_dist"),
+        lit(0L).as("min_sep"))
+    else {
+      // integral centroid coordinates (µ units) — exact by training
+      val ints = centroids.map { case (cell, cd, _) =>
+        cell -> cd.map(x => math.round(x * 1e6))
+      }
+      // nearest-other-centroid separation, exact integer math on the
+      // driver (k rows by definition)
+      def d2i(a: Array[Long], b: Array[Long]): Long = {
+        var s = 0L; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+        s
+      }
+      val centDf = broadcast(ints.map { case (cell, ci) =>
+        val minsep =
+          if (ints.size < 2) 0L
+          else ints.collect { case (o, cj) if o != cell => d2i(ci, cj) }.min
+        (cell, ci.toSeq, minsep)
+      }.toDF("cell", "ci", "min_sep"))
+      e.withColumn("cell", cellOf(centroids))
+        .join(centDf, "cell")
+        .withColumn("d2", expr(
+          """aggregate(sequence(1, 64), 0L, (acc, i) ->
+             acc + (CAST(round(element_at(v, i) * 1000000) AS BIGINT) - element_at(ci, i))
+                 * (CAST(round(element_at(v, i) * 1000000) AS BIGINT) - element_at(ci, i)))"""))
+        .groupBy("cell", "min_sep")
+        .agg(count(lit(1)).as("n"), sum("d2").as("inertia"))
+        .select(col("cell"), col("n"), col("inertia"),
+          (col("inertia").cast("double") / col("n").cast("double")).as("mean_d2"),
+          (sqrt(col("inertia").cast("double") / col("n").cast("double")) / 1e6)
+            .as("rms_dist"),
+          col("min_sep"))
+        .orderBy("cell")
     }
   }
 

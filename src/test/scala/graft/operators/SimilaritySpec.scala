@@ -255,4 +255,35 @@ class SimilaritySpec extends SparkSpec {
     // true neighbor somewhere in the sample (mean recall > 0)
     assert(out.map(_._2).sum > 0L, "nprobe=2 of 8 cells found no true neighbor at all")
   }
+
+  test("s11 inertia reconciles with an independent fixed-point replay") {
+    val out = Similarity.s11.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    // membership covers the corpus exactly once
+    val total = graft.Tables.embeddings(spark, dir).count()
+    assert(out.map(_._2).sum == total)
+    out.foreach { case (cell, n, inertia, mean, rms, minsep) =>
+      assert(n > 0 && inertia >= 0 && minsep > 0, s"cell $cell")
+      assert(mean == inertia.toDouble / n.toDouble, s"cell $cell mean")
+      assert(rms == math.sqrt(mean) / 1e6, s"cell $cell rms")
+    }
+    // independent replay: recompute one cell's inertia from raw
+    // vectors + the trained centroids in plain Scala integer math
+    val cents = Similarity.trainQuantizer(
+      graft.Vec.withNorm(graft.Tables.embeddings(spark, dir)), 8, 3)
+    val ints = cents.map { case (c, cd, _) => c -> cd.map(x => math.round(x * 1e6)) }.toMap
+    val vecs = graft.Vec.withNorm(graft.Tables.embeddings(spark, dir))
+      .withColumn("cell", Similarity.cellOf(cents))
+      .select("cell", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val cell0 = out.head._1
+    val expect = vecs.collect { case (c, v) if c == cell0 =>
+      v.zip(ints(cell0)).map { case (x, ci) =>
+        val d = math.round(x * 1e6) - ci; d * d
+      }.sum
+    }.sum
+    assert(out.head._3 == expect, s"cell $cell0 inertia diverged from replay")
+  }
 }
