@@ -142,7 +142,22 @@ object AudioCodecs {
     * stream, non-PCM or non-16-bit encoding, absurd declared length):
     * the caller decides quarantine policy.
     */
-  def decode(data: Array[Byte], off: Int, len: Int): Option[DecodedAudio] = {
+  def decode(data: Array[Byte], off: Int, len: Int): Option[DecodedAudio] =
+    decodeSamples(data, off, len).map { case (codec, rate, channels, samples) =>
+      val stats = foldStats(samples, 0, samples.length, 1)
+      DecodedAudio(codec, samples.length.toLong / channels, rate,
+        stats._1, stats._2, stats._3, stats._4, stats._5)
+    }
+
+  /** The raw-sample half of [[decode]], exposed for geometric
+    * transforms (m11's resample needs the samples, not just their
+    * statistics — the m09 split applied to audio): sniff, parse with
+    * the JDK reader honoring the detected endianness, return
+    * (codec, sampleRate, channels, interleaved signed samples).
+    * Returns None for undecodable payloads — same quarantine contract.
+    */
+  def decodeSamples(data: Array[Byte], off: Int, len: Int)
+      : Option[(String, Long, Int, Array[Int])] = {
     try {
       val codec = AudioSystem
         .getAudioFileFormat(new ByteArrayInputStream(data, off, len))
@@ -155,29 +170,18 @@ object AudioCodecs {
           fmt.getSampleSizeInBits != 16 ||
           frames < 0 || frames > MaxFrames) None
         else {
-          val channels = fmt.getChannels
           val big = fmt.isBigEndian
           val bytes = in.readAllBytes()
           val n = bytes.length / 2 // total interleaved samples actually present
-          var ampSum = 0L; var absSum = 0L; var peak = 0L; var zc = 0L; var ck = 0L
-          var prevNonNeg = false
+          val samples = new Array[Int](n)
           var i = 0
           while (i < n) {
             val lo = bytes(2 * i + (if (big) 1 else 0)) & 0xff
             val hi = bytes(2 * i + (if (big) 0 else 1))
-            val s = (hi << 8) | lo // sign-extends from the high byte
-            ampSum += s
-            val a = math.abs(s.toLong)
-            absSum += a
-            if (a > peak) peak = a
-            val nonNeg = s >= 0
-            if (i > 0 && nonNeg != prevNonNeg) zc += 1
-            prevNonNeg = nonNeg
-            ck = (ck * 131 + (s + 32768)) % Mod
+            samples(i) = (hi << 8) | lo // sign-extends from the high byte
             i += 1
           }
-          Some(DecodedAudio(codec, n.toLong / channels, fmt.getSampleRate.toLong,
-            ampSum, absSum, peak, zc, ck))
+          Some((codec, fmt.getSampleRate.toLong, fmt.getChannels, samples))
         }
       } finally in.close()
     } catch {
@@ -187,5 +191,32 @@ object AudioCodecs {
       // the one-bad-asset-cannot-kill-the-job contract holds for all
       case scala.util.control.NonFatal(_) => None
     }
+  }
+
+  /** Signal statistics over `samples[from until until)` taking every
+    * `stride`-th sample — (ampSum, absSum, peak, zeroCrossings,
+    * checksum), exactly the fold [[decode]] has always produced
+    * (stride 1) and m11's decimation reuses (stride 2).
+    */
+  def foldStats(samples: Array[Int], from: Int, until: Int, stride: Int)
+      : (Long, Long, Long, Long, Long) = {
+    var ampSum = 0L; var absSum = 0L; var peak = 0L; var zc = 0L; var ck = 0L
+    var prevNonNeg = false
+    var first = true
+    var i = from
+    while (i < until) {
+      val s = samples(i)
+      ampSum += s
+      val a = math.abs(s.toLong)
+      absSum += a
+      if (a > peak) peak = a
+      val nonNeg = s >= 0
+      if (!first && nonNeg != prevNonNeg) zc += 1
+      prevNonNeg = nonNeg
+      first = false
+      ck = (ck * 131 + (s + 32768)) % Mod
+      i += stride
+    }
+    (ampSum, absSum, peak, zc, ck)
   }
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalOps {
 
-  def queries: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10)
+  def queries: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11)
 
   /** DuckDB luma at synthetic sample point (gx, gy): replays the
     * m05 pixel arithmetic through the same integer (299r+587g+114b)/
@@ -363,6 +363,57 @@ object MultimodalOps {
       }
       .toDF("asset_id", "codec", "src_width", "src_height",
         "r_sum", "g_sum", "b_sum", "px_checksum")
+      .orderBy("asset_id")
+  }
+
+  /** m11: decode → RESAMPLE → featurize for audio — m09's geometric-
+    * transform slot applied to the second modality: every clip is
+    * decoded through the genuine `javax.sound.sampled` path
+    * ([[graft.multimodal.AudioCodecs.decodeSamples]] — the raw-sample
+    * half of m07's decoder), DECIMATED 2:1 by the same integer
+    * index-map discipline as m09's resize (out(j) = in(2j); a
+    * windowed/filtered resampler is implementation-dependent, so the
+    * kernel is the replayable nearest-sample form), and reduced to
+    * m07's signal-statistics family over the RESAMPLED series. The
+    * oracle replays the decimated sample arithmetic; the Spark side
+    * computes from genuinely decoded bytes, so endianness/container
+    * fidelity stays load-bearing through the transform. Narrow
+    * partition-local kernel — no shuffle but the presentation sort.
+    */
+  val m11 = QueryDef(
+    "m11_audio_resample",
+    Some("""WITH g AS (SELECT doc_id, doc_id % 50 + 20 AS n FROM documents),
+      s AS (SELECT doc_id, n, (n + 1) // 2 AS m,
+        list_transform(range(0, (n + 1) // 2),
+          j -> (doc_id*31 + (2*j)*(2*j)*13 + (2*j)*17) % 65536) AS raw FROM g)
+      SELECT doc_id AS asset_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'wave' ELSE 'aiff' END AS codec,
+        CAST(n AS BIGINT) AS n_in, CAST(m AS BIGINT) AS n_out,
+        CAST(4000 AS BIGINT) AS out_rate,
+        CAST(list_sum(list_transform(raw, v -> v - 32768)) AS BIGINT) AS amp_sum,
+        CAST(list_sum(list_transform(raw, v -> abs(v - 32768))) AS BIGINT) AS abs_sum,
+        CAST(list_max(list_transform(raw, v -> abs(v - 32768))) AS BIGINT) AS peak,
+        CAST(len(list_filter(range(1, m),
+          j -> ((raw[j+1] - 32768) >= 0) <> ((raw[j] - 32768) >= 0))) AS BIGINT) AS zero_crossings,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(raw, v -> CAST(v AS BIGINT))),
+          (acc, v) -> (acc * 131 + v) % 1000000007) AS checksum
+      FROM s ORDER BY asset_id""")) { (s, d) =>
+    import s.implicits._
+    graft.multimodal.MultimodalPipeline.audioAssets(s, d)
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          graft.multimodal.AudioCodecs.decodeSamples(a.data, 0, a.data.length)
+            .map { case (codec, rate, _, samples) =>
+              val n = samples.length
+              val (amp, ab, peak, zc, ck) =
+                graft.multimodal.AudioCodecs.foldStats(samples, 0, n, 2)
+              (a.asset_id, codec, n.toLong, ((n + 1) / 2).toLong, rate / 2,
+                amp, ab, peak, zc, ck)
+            }
+        }
+      }
+      .toDF("asset_id", "codec", "n_in", "n_out", "out_rate", "amp_sum",
+        "abs_sum", "peak", "zero_crossings", "checksum")
       .orderBy("asset_id")
   }
 
