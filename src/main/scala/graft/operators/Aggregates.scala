@@ -11,7 +11,7 @@ object Aggregates {
 
   def queries: Seq[QueryDef] =
     Seq(q09, q10, q11, q12, q21, q26, q27, q28, q29, q35, q36, q38, q40, q41,
-      q45, q47, q51, q52)
+      q45, q47, q51, q52, q56)
 
   /** q51: exact equi-depth binning (feature discretization) — assign
     * every row its decile of `l_extendedprice`, then summarize each
@@ -373,25 +373,26 @@ object Aggregates {
     * (hashed keys, for exact counts), `s` (S = Σ2^(51−reg), V = zero
     * registers) in scope.
     */
-  private[operators] def duckHllChain(src: String, key: String, grp: String): String = {
+  private[operators] def duckHllChain(src: String, key: String, grp: String,
+      pfx: String = ""): String = {
     import graft.functions.HllAgg.{A1, A2, A3}
-    s"""h0 AS (SELECT $grp AS grp, $key,
+    s"""${pfx}h0 AS (SELECT $grp AS grp, $key,
           $A1 * ((($key % 2147483648) + 2147483648) % 2147483648) AS t1 FROM $src),
-      h1 AS (SELECT grp, $key,
-          $A2 * (xor(t1 % 2147483648, t1 // 2147483648) % 2147483648) AS t2 FROM h0),
-      h2 AS (SELECT grp, $key,
-          xor(t2 % 2147483648, t2 // 2147483648) % 2147483648 AS x2 FROM h1),
-      h AS (SELECT grp, $key,
+      ${pfx}h1 AS (SELECT grp, $key,
+          $A2 * (xor(t1 % 2147483648, t1 // 2147483648) % 2147483648) AS t2 FROM ${pfx}h0),
+      ${pfx}h2 AS (SELECT grp, $key,
+          xor(t2 % 2147483648, t2 // 2147483648) % 2147483648 AS x2 FROM ${pfx}h1),
+      ${pfx}h AS (SELECT grp, $key,
           x2 * 2147483648
         + xor(($A3 * x2) % 2147483648, ($A3 * x2) // 2147483648) % 2147483648 AS h
-        FROM h2),
-      hb AS (SELECT grp, h % 1024 AS bucket, (h // 1024) % 1125899906842624 AS v FROM h),
-      r AS (SELECT grp, bucket, max($hllRankCase) AS reg FROM hb GROUP BY grp, bucket),
-      s AS (SELECT grp,
+        FROM ${pfx}h2),
+      ${pfx}hb AS (SELECT grp, h % 1024 AS bucket, (h // 1024) % 1125899906842624 AS v FROM ${pfx}h),
+      ${pfx}r AS (SELECT grp, bucket, max($hllRankCase) AS reg FROM ${pfx}hb GROUP BY grp, bucket),
+      ${pfx}s AS (SELECT grp,
               CAST(1024 - count(*) AS BIGINT) * 2251799813685248
             + CAST(sum(2251799813685248 // (1::BIGINT << CAST(reg AS INTEGER))) AS BIGINT) AS S,
               CAST(1024 - count(*) AS BIGINT) AS V
-            FROM r GROUP BY grp)"""
+            FROM ${pfx}r GROUP BY grp)"""
   }
 
   /** The shared estimator expression over `s`'s (S, V) columns.
@@ -440,6 +441,53 @@ object Aggregates {
         big(countDistinct(col("o_custkey"))).as("n_exact"),
         graft.functions.HllAgg.hll(col("o_custkey")).as("approx_nd"))
       .orderBy("o_orderpriority")
+  }
+
+  /** q56: the custom SKETCH under ROLLUP — grouping sets and the
+    * typed HLL Aggregator compose natively: Catalyst plans ONE Expand
+    * + one partial+final ObjectHashAggregate, so all three rollup
+    * levels (priority × status, priority, grand total) come from ONE
+    * corpus pass carrying 1 KiB sketches — at 100 TB this is how a
+    * distinct-count CUBE is built without one job per level (and the
+    * level sketches are exactly what a q48-style MV would persist).
+    * The oracle replays the q35 register chain once per level
+    * (prefixed CTE copies of the ONE shared fragment) and stitches
+    * the rollup's NULL shape back with unions — level-2's composite
+    * group key round-trips through a '|' join/split, safe because
+    * status is single-char and priority contains no '|'.
+    */
+  val q56 = QueryDef(
+    "q56_sketch_rollup_sets",
+    Some {
+      val est = duckHllEstimate
+      s"""WITH ${duckHllChain("orders", "o_custkey",
+          "o_orderpriority || '|' || o_orderstatus", "a_")},
+      ${duckHllChain("orders", "o_custkey", "o_orderpriority", "b_")},
+      ${duckHllChain("orders", "o_custkey", "'ALL'", "c_")},
+      a_e AS (SELECT grp, count(DISTINCT o_custkey) AS n_exact FROM a_h GROUP BY grp),
+      b_e AS (SELECT grp, count(DISTINCT o_custkey) AS n_exact FROM b_h GROUP BY grp),
+      c_e AS (SELECT grp, count(DISTINCT o_custkey) AS n_exact FROM c_h GROUP BY grp),
+      lvl2 AS (SELECT string_split(s.grp, '|')[1] AS o_orderpriority,
+          string_split(s.grp, '|')[2] AS o_orderstatus,
+          CAST(e.n_exact AS BIGINT) AS n_exact, $est AS approx_nd
+        FROM a_s s JOIN a_e e ON s.grp = e.grp),
+      lvl1 AS (SELECT s.grp AS o_orderpriority, NULL AS o_orderstatus,
+          CAST(e.n_exact AS BIGINT) AS n_exact, $est AS approx_nd
+        FROM b_s s JOIN b_e e ON s.grp = e.grp),
+      lvl0 AS (SELECT NULL AS o_orderpriority, NULL AS o_orderstatus,
+          CAST(e.n_exact AS BIGINT) AS n_exact, $est AS approx_nd
+        FROM c_s s JOIN c_e e ON s.grp = e.grp)
+      SELECT * FROM (SELECT * FROM lvl2 UNION ALL SELECT * FROM lvl1
+        UNION ALL SELECT * FROM lvl0)
+      ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST"""
+    }) { (s, d) =>
+    Tables.orders(s, d)
+      .rollup("o_orderpriority", "o_orderstatus")
+      .agg(
+        big(countDistinct(col("o_custkey"))).as("n_exact"),
+        graft.functions.HllAgg.hll(col("o_custkey")).as("approx_nd"))
+      .orderBy(col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
   }
 
   /** DuckDB replay of [[graft.functions.QuantileSketchAgg]]'s octave

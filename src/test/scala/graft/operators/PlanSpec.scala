@@ -64,6 +64,17 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(p_brand), EqualTo(p_brand,Brand#1)"))
   }
 
+  test("q56: rollup + typed HLL plans ONE Expand and one partial+final aggregate") {
+    val plan = Registry.byName("q56_sketch_rollup_sets").fn(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Expand".r.findAllIn(plan).size >= 1, "grouping sets must plan an Expand")
+    // one corpus scan builds every rollup level — not one job per level
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      "orders must be scanned exactly once for all three levels")
+    assert("partial_hllagg".r.findAllIn(plan).nonEmpty,
+      "the typed sketch must participate in partial aggregation under the Expand")
+  }
+
   test("q54: the LATERAL ORDER BY + LIMIT subquery rewrites to one window, not a per-nation re-scan") {
     val plan = Registry.byName("q54_lateral_topk").fn(spark, dir)
       .queryExecution.executedPlan.toString
