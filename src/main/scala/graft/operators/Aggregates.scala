@@ -11,7 +11,7 @@ object Aggregates {
 
   def queries: Seq[QueryDef] =
     Seq(q09, q10, q11, q12, q21, q26, q27, q28, q29, q35, q36, q38, q40, q41,
-      q45, q47, q51, q52, q56)
+      q45, q47, q51, q52, q56, q57)
 
   /** q51: exact equi-depth binning (feature discretization) — assign
     * every row its decile of `l_extendedprice`, then summarize each
@@ -817,5 +817,72 @@ object Aggregates {
         col("est_common"),
         (col("est_a") + col("est_b") - col("est_common")).as("est_union"))
       .orderBy("seg_a", "seg_b")
+  }
+
+  /** q57: exact GLOBAL weighted percentiles — the weighted p25/p50/p75
+    * of `l_extendedprice` with `l_quantity` as the weight: the
+    * smallest price whose cumulative weight over the total order
+    * (price, orderkey, linenumber) reaches ⌈pct·W/100⌉. The
+    * "median unit price actually paid" statistic — every row counts
+    * `quantity` times — which no unweighted quantile (q26/q36/q38/q51)
+    * expresses. Targets are exact BIGINT ceilings; the emitted price
+    * is a raw per-row double, so both engines agree bit-for-bit.
+    *
+    * Scale shape: a global cumulative WEIGHT is the q51/q52
+    * sequential-prefix problem with a SUM fold over the weight
+    * instead of a count — TwoPhase range partition, P driver-sized
+    * partial sums, one narrow second pass that emits a row exactly
+    * where a target crosses its partition's running sum. No global
+    * sort, no single-task window; the three targets ride one pass.
+    * Duplicate full sort keys (the q51 memory lesson) stay harmless:
+    * equal keys share the same price, and the first-crossing price is
+    * invariant to their relative order even with unequal weights.
+    */
+  val q57 = QueryDef(
+    "q57_weighted_percentile",
+    Some("""WITH t AS MATERIALIZED (
+      SELECT l_extendedprice AS p,
+        sum(CAST(l_quantity AS BIGINT)) OVER (
+          ORDER BY l_extendedprice, l_orderkey, l_linenumber
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        sum(CAST(l_quantity AS BIGINT)) OVER () AS tw
+      FROM lineitem),
+    pcts AS (SELECT CAST(unnest([25, 50, 75]) AS BIGINT) AS pct)
+    SELECT pct, min(p) AS price FROM t, pcts
+    WHERE cw >= (tw * pct + 99) // 100
+    GROUP BY pct ORDER BY pct""")) { (s, d) =>
+    import org.apache.spark.sql.Encoders
+    val li = Tables.lineitem(s, d)
+      .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("w"))
+    val n = li.count()
+    if (n == 0)
+      li.limit(0).select(lit(0L).as("pct"), col("l_extendedprice").as("price"))
+    else {
+      val tw = li.agg(sum("w")).head.getLong(0)
+      val targets = Seq(25L, 50L, 75L).map(p => p -> (tw * p + 99L) / 100L)
+      val tEnc = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong)
+      // TwoPhase invariants: range-partitioned + sorted + persisted
+      val ordered = li
+        .repartitionByRange(TwoPhase.sizedParts(s, n), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"))
+        .sortWithinPartitions("l_extendedprice", "l_orderkey", "l_linenumber")
+        .as[(Double, Long, Long, Long)](tEnc)
+        .persist()
+      val byPid = TwoPhase.partitionPrefix[(Double, Long, Long, Long)](
+        ordered, 0L, (c, t) => c + t._4, _ + _)
+      ordered.mapPartitions { it =>
+        var cw = byPid(org.apache.spark.TaskContext.getPartitionId())
+        it.flatMap { case (p, _, _, w) =>
+          val lo = cw
+          cw += w
+          // a target t is satisfied FIRST at the row where t ∈ (lo, cw]
+          targets.collect { case (pct, t) if t > lo && t <= cw => (pct, p) }
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+        .toDF("pct", "price")
+        .orderBy("pct")
+    }
   }
 }

@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   def queries: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13)
 
   /** DuckDB CTE for distinct 3-token shingles per document — the
     * oracle-side counterpart of the Spark-side native
@@ -796,5 +796,51 @@ object Dedup {
           coalesce(col("nd"), lit(0L)).as("n_dup_lower"))
         .orderBy("vec_id")
     }
+  }
+
+  /** d13: EDIT-DISTANCE near-dup — the character-level verifier the
+    * token/shingle family (d02/d03/d04) can't express: pairs whose
+    * normalized edit similarity `1 − lev/max(len)` is ≥ 0.8, i.e.
+    * near-dups under insert/delete/substitute edits rather than
+    * set-of-shingles overlap. Candidates are d02's SHIPPED MinHash
+    * banding chain ([[minhashCandidates]] — evaluating a
+    * reimplementation would prove nothing, the d12 discipline), so
+    * generation is bucket-local and bounded; only surfaced pairs pay
+    * the O(|a|·|b|) DP, via the engines' native `levenshtein`
+    * kernels. The similarity is one IEEE division + subtraction of
+    * exact ints — bit-identical across engines.
+    *
+    * Scale shape: banding bounds candidates exactly as in d02; the
+    * two text join-backs key on the pair table (orders of magnitude
+    * smaller than the corpus — AQE picks broadcast vs shuffle, the
+    * d03 policy). At 100 TB the DP itself is the cost center: swap
+    * the full matrix for Ukkonen's banded DP with early exit at the
+    * 0.2·max(len) edit budget (same results, O(τ·len) per pair) —
+    * a kernel substitution, not a plan change.
+    */
+  val d13 = QueryDef(
+    "d13_editdist_neardup",
+    Some(s"""$gramCte,
+      $duckMinhashChain,
+      lv AS (SELECT c.da, c.db,
+          CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+          1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+            CAST(greatest(length(a.text), length(b.text)) AS DOUBLE) AS edit_sim
+        FROM ce c
+        JOIN documents a ON a.doc_id = c.da
+        JOIN documents b ON b.doc_id = c.db)
+      SELECT da, db, lev, edit_sim FROM lv
+      WHERE edit_sim >= 0.8 ORDER BY da, db""")) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    minhashCandidates(s, d).select("da", "db")
+      .join(docs.select(col("doc_id").as("da"), col("text").as("ta")), "da")
+      .join(docs.select(col("doc_id").as("db"), col("text").as("tb")), "db")
+      .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
+      .withColumn("edit_sim",
+        lit(1.0) - col("lev").cast("double") /
+          greatest(length(col("ta")), length(col("tb"))).cast("double"))
+      .where(col("edit_sim") >= 0.8)
+      .select("da", "db", "lev", "edit_sim")
+      .orderBy("da", "db")
   }
 }

@@ -22,7 +22,7 @@ object EventWindows {
 
   def queries: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
-      e15, e16, e17)
+      e15, e16, e17, e18)
 
   /** e14: watermark / late-event accounting — the batch twin of the
     * bookkeeping every Structured Streaming job does implicitly
@@ -782,5 +782,62 @@ object EventWindows {
         col("n_views").cast("long").as("n_views"),
         (col("n_views") + 2).cast("long").as("match_len"))
       .orderBy("user_id", "start_ts_us")
+  }
+
+  /** e18: ROLLING Z-SCORE anomaly detection — the per-entity outlier
+    * flag every metrics pipeline runs: an event is anomalous when its
+    * value sits more than T=3 sample deviations from the mean of that
+    * user's PREVIOUS W=20 values (trailing frame, current row
+    * excluded, full windows only — the first W events per user are
+    * unscored warm-up). The test is evaluated entirely in BIGINT cent
+    * arithmetic: z² > T² is cross-multiplied into
+    * `(W·x − Σ)² > T²·(W·Σx² − Σ²)` so neither engine ever divides or
+    * touches a square root — the flag is bit-identical by construction
+    * (worst magnitudes: cents ≤ 5·10⁴, Σ² ≤ 10¹², far inside int64).
+    * A zero-variance window with x ≠ mean flags (z = ∞), which is the
+    * behavior you want from a constant baseline.
+    *
+    * Scale shape: ONE shuffle keyed by user_id, then a bounded
+    * 20-row frame over each user's series — state is O(W) per task
+    * regardless of history length, and a hot user costs its own event
+    * count, never a cross-user sort. This is the batch twin of a
+    * `flatMapGroupsWithState` ring buffer; at 100 TB the same plan
+    * holds with the user-keyed exchange feeding any other per-user
+    * window in the job (e11/e17 share it).
+    */
+  val e18 = QueryDef(
+    "e18_rolling_zscore",
+    Some("""WITH b AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+    w AS (
+      SELECT event_id, user_id, ts_us, cents,
+        sum(cents) OVER pw AS s, sum(cents * cents) OVER pw AS ss,
+        count(*) OVER pw AS n
+      FROM b
+      WINDOW pw AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+    SELECT event_id, user_id, ts_us, cents,
+      CAST(s AS BIGINT) AS win_sum, CAST(ss AS BIGINT) AS win_sumsq
+    FROM w
+    WHERE n = 20
+      AND (20 * cents - s) * (20 * cents - s) > 9 * (20 * ss - s * s)
+    ORDER BY event_id""")) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val W = 20
+    val pw = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(-W, -1)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("win_sum", sum("cents").over(pw))
+      .withColumn("win_sumsq", sum(col("cents") * col("cents")).over(pw))
+      .withColumn("n", count(lit(1)).over(pw))
+      .where(col("n") === W &&
+        (lit(W) * col("cents") - col("win_sum")) *
+          (lit(W) * col("cents") - col("win_sum")) >
+          lit(9) * (lit(W) * col("win_sumsq") - col("win_sum") * col("win_sum")))
+      .select("event_id", "user_id", "ts_us", "cents", "win_sum", "win_sumsq")
+      .orderBy("event_id")
   }
 }

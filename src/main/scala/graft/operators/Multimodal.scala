@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalOps {
 
-  def queries: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11)
+  def queries: Seq[QueryDef] =
+    Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12)
 
   /** DuckDB luma at synthetic sample point (gx, gy): replays the
     * m05 pixel arithmetic through the same integer (299r+587g+114b)/
@@ -507,5 +508,87 @@ object MultimodalOps {
       .toDF("asset_id", "n_px", "n_buckets", "contrast", "ent_nano",
         "entropy", "is_lowinfo")
       .orderBy("asset_id")
+  }
+
+  /** m12: SCENE-CHANGE detection — the temporal-segmentation pass a
+    * video curation pipeline runs after demux (m08): consecutive
+    * frames of each GVID container are decoded through the genuine
+    * `javax.imageio` path, normalized to 8×8 by the m09 integer
+    * nearest-neighbor kernel (frames in one container have differing
+    * native dims — normalization is what makes them comparable, as in
+    * any real shot-boundary detector), and scored by the L1 pixel
+    * distance over the 192 resized channel values; a CUT fires where
+    * the distance exceeds τ=6000 (both classes live at every SF:
+    * 161/1089 at sf0.01). The oracle replays decode→resize→diff
+    * arithmetically from the frame-id pixel function, so axis
+    * transposition, off-by-one frame pairing, or a codec mis-decode
+    * all break the hash.
+    *
+    * Scale shape: narrow partition-local kernel — each asset's frames
+    * decode and difference inside one task, no shuffle but the
+    * presentation sort; per-asset state is ONE previous thumbnail
+    * (192 ints), so arbitrarily long videos stream through the
+    * iterator without materializing all frames.
+    */
+  val m12 = QueryDef(
+    "m12_scene_detect",
+    Some("""WITH f AS (SELECT doc_id, unnest(range(1, doc_id % 4 + 2)) AS k FROM documents),
+      g AS (SELECT doc_id, k, doc_id*97 + k AS fid, doc_id*97 + k - 1 AS pfid FROM f),
+      h AS (SELECT doc_id, k, fid, pfid, fid % 5 + 4 AS w, fid % 3 + 3 AS hh,
+              pfid % 5 + 4 AS pw, pfid % 3 + 3 AS ph FROM g),
+      d AS (SELECT doc_id, k,
+        list_sum(list_transform(range(0, 192), j ->
+          abs( (fid*7 + ((((j//3)%8)*w)//8)*3 + ((((j//3)//8)*hh)//8)*5 + (j%3)*11) % 256
+             - (pfid*7 + ((((j//3)%8)*pw)//8)*3 + ((((j//3)//8)*ph)//8)*5 + (j%3)*11) % 256 ))) AS l1
+      FROM h)
+      SELECT doc_id AS asset_id, CAST(k AS BIGINT) AS frame_no,
+        CAST(l1 AS BIGINT) AS l1_diff, l1 > 6000 AS is_cut
+      FROM d ORDER BY asset_id, frame_no""")) { (s, d) =>
+    import s.implicits._
+    graft.multimodal.MultimodalPipeline.videoAssets(s, d)
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          graft.multimodal.VideoCodecs.decodeFrames(a.data) match {
+            case None => Iterator.empty
+            case Some(frames) =>
+              // stream the frame sequence with one-thumb state
+              var prev: Array[Int] = null
+              frames.iterator.zipWithIndex.flatMap { case ((off, len), f) =>
+                val cur = graft.multimodal.ImageCodecs
+                  .decodeImage(a.data, off, len).map { case (_, img) =>
+                    val t = graft.multimodal.ImageCodecs.resizeNearest(img, 8, 8)
+                    val vals = new Array[Int](192)
+                    var j = 0
+                    var y = 0
+                    while (y < 8) {
+                      var x = 0
+                      while (x < 8) {
+                        val rgb = t.getRGB(x, y)
+                        vals(j) = (rgb >> 16) & 0xFF
+                        vals(j + 1) = (rgb >> 8) & 0xFF
+                        vals(j + 2) = rgb & 0xFF
+                        j += 3
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    vals
+                  }.orNull
+                val out = (prev, cur) match {
+                  case (p, c) if p != null && c != null =>
+                    var l1 = 0L
+                    var j = 0
+                    while (j < 192) { l1 += math.abs(c(j) - p(j)); j += 1 }
+                    Iterator.single((a.asset_id, f.toLong, l1, l1 > 6000L))
+                  case _ => Iterator.empty
+                }
+                prev = cur
+                out
+              }
+          }
+        }
+      }
+      .toDF("asset_id", "frame_no", "l1_diff", "is_cut")
+      .orderBy("asset_id", "frame_no")
   }
 }

@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def queries: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11)
+  def queries: Seq[QueryDef] =
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12)
 
   /** MMR selection rounds (picks after the pure-relevance first). */
   private val MmrK = 5
@@ -991,4 +992,66 @@ object Similarity {
         .limit(20)
     }
   }
+
+  /** s12: CENTROID-DISTANCE outlier scoring — the embedding-space
+    * out-of-distribution filter of a curation pipeline (SemDeDup's
+    * sibling pass: d11 removes the too-SIMILAR, this removes the
+    * too-FAR): every vector's squared distance to its assigned
+    * centroid of the s04-trained quantizer, top-20 farthest emitted.
+    * dist² = v·v + (‖c‖² − 2·v·c) — the second term IS the assignment
+    * score both engines already compute bit-identically (cellOf /
+    * duckAssign), and v·v is the same strict fold, so the doubles
+    * (and hence the top-20 cut, ties → lowest vec_id) agree
+    * bit-for-bit. Shares [[trainQuantizer]]/[[duckTrainedCells]] with
+    * s04/s05/s06/d11 — one quantizer definition across all consumers.
+    *
+    * Scale shape: training is s04's (sample-sized driver centroids);
+    * scoring is a NARROW projection (centroids baked as literals,
+    * zero exchanges); top-20 is TakeOrderedAndProject (per-partition
+    * heaps + driver merge), never a global sort. At 100 TB the
+    * threshold variant (dist² > τ, no top-k) is the same plan minus
+    * the heap.
+    */
+  val s12 = QueryDef(
+    "s12_centroid_outliers",
+    Some(s"""${Vec.duckNormCte},
+      $duckTrainedCells,
+      scq AS (
+        SELECT vec_id, cell, score FROM (
+          SELECT n.vec_id, q.cell,
+                 (q.cn2 - 2 * ${Vec.duckDot("n.v", "q.cd")}) AS score,
+                 row_number() OVER (PARTITION BY n.vec_id
+                   ORDER BY (q.cn2 - 2 * ${Vec.duckDot("n.v", "q.cd")}), q.cell) AS rn
+          FROM n CROSS JOIN (
+            SELECT cell, cd, ${Vec.duckDot("cd", "cd")} AS cn2
+            FROM (SELECT cell, list_transform(c, y -> y / 1000000.0) AS cd FROM c3)) q)
+        WHERE rn = 1),
+      o AS (
+        SELECT s.vec_id, s.cell,
+               (${Vec.duckDot("n.v", "n.v")} + s.score) AS dist2
+        FROM scq s JOIN n ON n.vec_id = s.vec_id
+        ORDER BY dist2 DESC, s.vec_id LIMIT 20)
+      SELECT vec_id, cell, dist2 FROM o ORDER BY vec_id""")) { (s, d) =>
+    val e = Vec.withNorm(Tables.embeddings(s, d)).cache()
+    val centroids = trainQuantizer(e, 8, 3)
+    if (centroids.isEmpty)
+      e.limit(0).select(col("vec_id"), lit(0L).as("cell"), lit(0.0).as("dist2"))
+    else
+      e.withColumn("cell", cellOf(centroids))
+        .withColumn("dist2",
+          expr(Vec.dot("v", "v")) + bestScore(centroids, col("v")))
+        .orderBy(col("dist2").desc, col("vec_id"))
+        .limit(20)
+        .select("vec_id", "cell", "dist2")
+        .orderBy("vec_id")
+  }
+
+  /** The assignment score of the WINNING cell — `least` over the same
+    * per-cell score columns [[cellOf]] argmins, so (cellOf, bestScore)
+    * are consistent by construction.
+    */
+  private[operators] def bestScore(cents: Seq[(Long, Array[Double], Double)],
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    least(cents.map { case (_, cd, cn2) =>
+      lit(cn2) - lit(2.0) * call_function("vec_dot", v, lit(cd)) }: _*)
 }

@@ -200,6 +200,49 @@ object StreamingOps {
       }
   }
 
+  final case class Anomaly(event_id: Long, user_id: Long, ts_us: Long,
+      cents: Long, win_sum: Long, win_sumsq: Long)
+
+  /** e18's streaming face: the per-user trailing-W z-score flag as a
+    * flatMapGroupsWithState RING BUFFER — state per user is the last
+    * W=20 cent values (the exact O(W) bound the batch operator's
+    * scaladoc promises), never the history. Each micro-batch folds its
+    * group's events in (ts, event_id) order with the same
+    * cross-multiplied BIGINT test as the batch plan — `(W·x − Σ)² >
+    * 9·(W·Σx² − Σ²)` — and the same HALF_UP cent rounding as SQL
+    * round() (the [[streamingQuantiles]] lesson), so a stream whose
+    * batches respect time order reproduces e18's flags ROW-FOR-ROW
+    * (pinned in StreamingSpec). Emits only anomalies (Append).
+    */
+  def rollingZscore(events: Dataset[Event]): Dataset[Anomaly] = {
+    import events.sparkSession.implicits._
+    val W = 20
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Vector[Long], Anomaly](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) { (user, it, state) =>
+        def us(t: java.sql.Timestamp): Long =
+          (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+        var ring = state.getOption.getOrElse(Vector.empty[Long])
+        val out = Vector.newBuilder[Anomaly]
+        it.toVector.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+          val cents = java.math.BigDecimal.valueOf(e.value * 100)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+          if (ring.length == W) {
+            val s = ring.sum
+            val ss = ring.foldLeft(0L)((a, v) => a + v * v)
+            val dev = W * cents - s
+            if (dev * dev > 9L * (W * ss - s * s))
+              out += Anomaly(e.event_id, user, us(e.ts), cents, s, ss)
+          }
+          ring = (if (ring.length == W) ring.tail else ring) :+ cents
+        }
+        state.update(ring)
+        out.result().iterator
+      }
+  }
+
   final case class Doc(doc_id: Long, text: String)
   final case class DupMatch(doc_id: Long, dup_of: Long, est_jaccard: Double)
 

@@ -127,4 +127,22 @@ class DedupSpec extends SparkSpec {
     assert(r.getDouble(7) == (if (nPred == 0) 0.0 else nPredTrue.toDouble / nPred))
     assert(nTrue > 0, "ground truth empty — corpus degenerate for the eval")
   }
+
+  test("d13 pairs character-level near-dups the LSH surfaces, with exact lev") {
+    import spark.implicits._
+    val dst = java.nio.file.Files.createTempDirectory("graft-d13").toString
+    val base = (0 until 60).map(i => s"tok$i").mkString(" ")
+    // one inserted character → lev 1; an unrelated doc → no pair
+    val near = base.replace("tok30", "tok30x")
+    val other = (0 until 60).map(i => s"zzz$i").mkString(" ")
+    Seq((1L, base), (2L, near), (3L, other))
+      .map { case (id, t) => (id, t, "en", "syn", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    val out = Dedup.d13.fn(spark, dst).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 1L)), s"got ${out.toSeq}")
+    val sim = out.head.getDouble(3)
+    assert(sim == 1.0 - 1.0 / near.length, s"got $sim")
+  }
 }

@@ -310,6 +310,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rollingZscore reproduces batch e18's anomaly rows over the real events table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sql = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val expected = graft.operators.EventWindows.e18.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    // feed the same rows in event-time order across three micro-batches
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("ts_us"))
+      .collect()
+      .sortBy(r => (r.getLong(5), r.getLong(0)))
+      .map(r => Event(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val input = MemoryStream[Event]
+    val q = StreamingOps.rollingZscore(input.toDS())
+      .writeStream.format("memory").queryName("zstream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      evs.grouped(evs.length / 3 + 1).foreach { b =>
+        input.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("zstream").as[StreamingOps.Anomaly].collect()
+        .map(a => (a.event_id, a.user_id, a.ts_us, a.cents, a.win_sum,
+          a.win_sumsq)).toSet
+      assert(expected.nonEmpty, "batch e18 found no anomalies — corpus degenerate")
+      assert(streamed == expected,
+        s"stream/batch divergence: ${streamed.diff(expected).take(3)} vs ${expected.diff(streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("applyChangelog maintains a parquet snapshot with upsert/delete/insert semantics") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
