@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  def queries: Seq[QueryDef] = Seq(g01, g02, g03, g04, g05, g06, g07)
+  def queries: Seq[QueryDef] = Seq(g01, g02, g03, g04, g05, g06, g07, g08)
 
   /** Offset that moves supplier ids into their own node-id space;
     * must exceed every custkey at any SF this runs at locally. At
@@ -608,5 +608,104 @@ object Graph {
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
     pern.join(deg, Seq("id"))
       .select(col("id").as("doc_id"), col("degree"), col("n_triangles"))
+  }
+
+  /** Synchronous label-propagation rounds; fixed K = exact contract. */
+  private[operators] val LpRounds = 3
+
+  /** g08: LABEL-PROPAGATION community detection (Raghavan et al. 2007)
+    * over the rare-part CO-PURCHASE graph — customers connected when
+    * they share a part with 2 ≤ buyer-count ≤ [[AaMaxDeg]] (the g06
+    * prefilter: hot parts carry no community signal AND quadratic
+    * blowup, so the cap is both semantics and the skew valve). Every
+    * node starts as its own community (label = id) and, for
+    * [[LpRounds]] synchronous rounds, adopts the most frequent label
+    * among its NEIGHBORS (count desc, ties → lowest label — fully
+    * deterministic, where textbook LP breaks ties randomly). A fixed
+    * round count makes the result exact-by-construction rather than
+    * convergence-dependent (the g01/g07 discipline; synchronous LP
+    * can two-cycle, which a fixed K sidesteps). Differs from g05's
+    * hash-min reach (pure min over ≤K hops ⇒ connected components)
+    * exactly in the MAJORITY vote: labels stop at community
+    * boundaries where min-propagation floods through. On the dense
+    * near-complete fulfilment BIPARTITE graph LP degenerates to two
+    * blocks (measured: 2 communities) — the co-purchase projection is
+    * the graph where communities are real (57 over 830 nodes at
+    * sf0.01, top sizes 41/38/36). Output: top-50 communities by size
+    * with their min member id as the canonical representative.
+    *
+    * Scale shape: per round ONE edge⋈labels shuffle + a two-level
+    * aggregation — partial+final counts on (node, label), then a
+    * partial+final max_by argmax on node — NO per-node window sort;
+    * label state is 16 bytes/node, lineage truncated per round
+    * (localCheckpoint, the g01/q46 lesson). The same round is GraphX
+    * Pregel's LPA step; this form keeps it in Tungsten rows.
+    */
+  val g08 = QueryDef(
+    "g08_label_propagation",
+    Some(s"""WITH ed AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    rare AS (SELECT p FROM (SELECT p, count(*) AS dp FROM ed GROUP BY p)
+             WHERE dp BETWEEN 2 AND $AaMaxDeg),
+    pairs AS (SELECT DISTINCT a.c AS src, b.c AS dst
+      FROM ed a JOIN rare r ON a.p = r.p
+      JOIN ed b ON b.p = r.p AND a.c < b.c),
+    ue AS MATERIALIZED (
+      SELECT src, dst FROM pairs UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+    l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM ue),
+    ${(1 to LpRounds).map(i => s"""l$i AS MATERIALIZED (
+      SELECT id, lbl FROM (
+        SELECT ue.src AS id, p.lbl, count(*) AS cnt,
+               row_number() OVER (PARTITION BY ue.src
+                 ORDER BY count(*) DESC, p.lbl) AS rn
+        FROM ue JOIN l${i - 1} p ON ue.dst = p.id
+        GROUP BY ue.src, p.lbl) WHERE rn = 1)""").mkString(",\n    ")}
+    SELECT lbl AS community, count(*) AS n_members,
+      min(id) AS min_member
+    FROM l$LpRounds GROUP BY lbl
+    ORDER BY n_members DESC, community LIMIT 50""")) { (s, d) =>
+    val ed = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(s, d).select("l_orderkey", "l_partkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+    val rare = ed.groupBy("p").agg(count(lit(1)).as("dp"))
+      .where(col("dp").between(2, AaMaxDeg)).select("p")
+    val pairs = ed.join(rare, "p").select(col("p"), col("c").as("ca"))
+      .join(ed.select(col("p"), col("c").as("cb")), "p")
+      .where(col("ca") < col("cb"))
+      .select(col("ca").as("src"), col("cb").as("dst"))
+      .distinct()
+    labelPropagation(pairs, LpRounds)
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"), min("id").as("min_member"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(50)
+  }
+
+  /** The LP kernel on its own, spec-testable: `pairs` is one
+    * (src < dst) edge per undirected pair; returns (id, lbl) after
+    * `rounds` synchronous majority votes.
+    */
+  private[operators] def labelPropagation(
+      pairs: org.apache.spark.sql.DataFrame, rounds: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val ue = pairs.unionByName(
+      pairs.select(col("dst").as("src"), col("src").as("dst"))).persist()
+    var lbl = ue.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      // neighbor-label counts (partial+final), then argmax by
+      // (cnt desc, lbl asc) as max_by over (cnt, -lbl) — two hash
+      // aggregations, no window sort over the adjacency
+      lbl = ue.join(lbl, ue("dst") === lbl("id"))
+        .groupBy(ue("src").as("nid"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("nid").as("id"))
+        .agg(max_by(col("lbl"), struct(col("cnt"), -col("lbl"))).as("lbl"))
+        .localCheckpoint() // flat lineage per round (g01/q46 lesson)
+    }
+    lbl
   }
 }

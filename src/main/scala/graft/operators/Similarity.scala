@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   def queries: Seq[QueryDef] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13)
 
   /** MMR selection rounds (picks after the pure-relevance first). */
   private val MmrK = 5
@@ -1054,4 +1054,73 @@ object Similarity {
       v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     least(cents.map { case (_, cd, cn2) =>
       lit(cn2) - lit(2.0) * call_function("vec_dot", v, lit(cd)) }: _*)
+
+  /** s13: HARD-NEGATIVE mining — the contrastive-training data op the
+    * retrieval family was missing: for every anchor vector, the top-3
+    * most-similar vectors with a DIFFERENT label (cosine desc, ties →
+    * lowest id). These maximally-confusable cross-class pairs are what
+    * a two-tower/embedding trainer needs per anchor; the easy random
+    * negatives are free, the HARD ones require exactly this query.
+    * Candidates come from the s06 multi-probe over the persistent IVF
+    * index (each anchor probes its 2 nearest cells — bounded fan-out,
+    * bucket-pruned, never all-pairs); the label of each candidate
+    * joins in from the corpus UNHINTED, so AQE broadcasts the narrow
+    * (vec_id, label) projection at bench scale and falls back to a
+    * shuffle when the corpus is cluster-sized (the d03 policy).
+    *
+    * Scale shape: identical to s06 (probe explode ×2, exchange-free
+    * index side, per-anchor top-k as one window over the bounded
+    * candidate set) plus one key-partitioned label join; at 100 TB
+    * the mining cost stays ∝ probed cells' share of the corpus.
+    */
+  val s13 = QueryDef(
+    "s13_hard_negatives",
+    Some(s"""${Vec.duckNormCte},
+      $duckTrainedCells,
+      ${duckProbes("c3", "pr", 2)},
+      cand AS (
+        SELECT a.vec_id AS va, a.label AS albl, x.vec_id AS nn, xl.label AS nlbl,
+               ${Vec.duckDot("a.v", "x.v")} / (a.nrm * x.nrm) AS c
+        FROM n a JOIN pr ON pr.vec_id = a.vec_id
+        JOIN cells x ON x.cell = pr.cell AND x.vec_id <> a.vec_id
+        JOIN n xl ON xl.vec_id = x.vec_id
+        WHERE xl.label <> a.label)
+      SELECT va, CAST(albl AS BIGINT) AS anchor_label, nn,
+             CAST(nlbl AS BIGINT) AS neg_label, c AS cos_sim FROM (
+        SELECT va, albl, nn, nlbl, c,
+               row_number() OVER (PARTITION BY va ORDER BY c DESC, nn) AS rn
+        FROM cand)
+      WHERE rn <= 3 ORDER BY va, cos_sim DESC, nn""")) { (s, d) =>
+    // private co-session: catalog-scoped index + bucketed-scan conf
+    // must not leak (the s06 discipline)
+    val co = s.newSession()
+    graft.functions.GraftFunctions.register(co)
+    val e = Vec.withNorm(Tables.embeddings(co, d)).cache()
+    val (centroids, ivfTable) = ensureIvfIndex(co, d, e)
+    if (centroids.isEmpty)
+      e.limit(0).select(col("vec_id").as("va"), lit(0L).as("anchor_label"),
+        col("vec_id").as("nn"), lit(0L).as("neg_label"), lit(0.0).as("cos_sim"))
+    else {
+      co.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val labels = e.select(col("vec_id").as("nn"),
+        col("label").cast("long").as("neg_label"))
+      val probes = e.select(col("vec_id").as("va"), col("v").as("qv"),
+          col("nrm").as("qn"), col("label").cast("long").as("anchor_label"),
+          explode(slice(array_sort(array(probeStructs(centroids): _*)), 1, 2)).as("p"))
+        .select(col("va"), col("qv"), col("qn"), col("anchor_label"),
+          col("p.cell").as("pcell"))
+      probes.join(co.table(ivfTable),
+          col("pcell") === col("cell") && col("vec_id") =!= col("va"))
+        .select(col("va"), col("anchor_label"), col("vec_id").as("nn"),
+          (call_function("vec_dot", col("qv"), col("v")) / (col("qn") * col("nrm"))).as("c"))
+        .join(labels, "nn") // UNHINTED: AQE broadcast vs shuffle
+        .where(col("neg_label") =!= col("anchor_label"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("va").orderBy(col("c").desc, col("nn"))))
+        .where(col("rn") <= 3)
+        .select(col("va"), col("anchor_label"), col("nn"), col("neg_label"),
+          col("c").as("cos_sim"))
+        .orderBy(col("va"), col("cos_sim").desc, col("nn"))
+    }
+  }
 }

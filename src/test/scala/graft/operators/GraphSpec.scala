@@ -203,4 +203,28 @@ class GraphSpec extends SparkSpec {
     // in cost than in hops
     assert(wd.exists { case (id, _, d) => d > hops(id) })
   }
+
+  test("g08 LP is closed-form exact on two bridged triangles") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} joined by the bridge 3–4: three
+    // synchronous majority rounds settle each triangle on one label
+    // (hand-traced: {1,2,3}→1, {4,5,6}→3) and the bridge must NOT
+    // merge them — the distinction from g05's min-flooding, which
+    // would collapse both into label 1
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.labelPropagation(pairs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L), s"got $out")
+  }
+
+  test("g08 corpus communities are plural, disjoint by construction, and capped") {
+    val rows = Graph.g08.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length > 1 && rows.length <= 50)
+    // sizes are ordered, representatives are distinct and ≤ community
+    assert(rows.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    assert(rows.map(_._3).distinct.length == rows.length)
+  }
 }

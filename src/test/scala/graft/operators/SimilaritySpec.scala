@@ -286,4 +286,61 @@ class SimilaritySpec extends SparkSpec {
     }.sum
     assert(out.head._3 == expect, s"cell $cell0 inertia diverged from replay")
   }
+
+  test("s12 outliers carry the true assigned-centroid distance, descending cut") {
+    val rows = Similarity.s12.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 20)
+    // dist² is genuinely the MIN over centroids: recompute via the
+    // shipped quantizer and compare against the emitted pair
+    val e = graft.Vec.withNorm(graft.Tables.embeddings(spark, dir)).cache()
+    val cents = Similarity.trainQuantizer(e, 8, 3)
+    val vecs = e.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](2).toArray).toMap
+    rows.take(5).foreach { case (id, cell, dist2) =>
+      val v = vecs(id)
+      val scored = cents.map { case (c, cd, cn2) =>
+        var dot = 0.0
+        var i = 0
+        while (i < v.length) { dot += v(i) * cd(i); i += 1 }
+        var vv = 0.0
+        i = 0
+        while (i < v.length) { vv += v(i) * v(i); i += 1 }
+        (c, vv + (cn2 - 2.0 * dot))
+      }
+      val best = scored.minBy(s => (s._2, s._1))
+      assert(best._1 == cell && best._2 == dist2, s"vec $id: $best vs ($cell,$dist2)")
+    }
+    // the 20 are the global maxima: no non-emitted vector may be farther
+    val emitted = rows.map(_._1).toSet
+    val minEmitted = rows.map(_._3).min
+    val allDist = vecs.map { case (id, v) =>
+      val ds = cents.map { case (c, cd, cn2) =>
+        var dot = 0.0; var vv = 0.0; var i = 0
+        while (i < v.length) { dot += v(i) * cd(i); vv += v(i) * v(i); i += 1 }
+        vv + (cn2 - 2.0 * dot)
+      }.min
+      (id, ds)
+    }
+    allDist.filterNot(kv => emitted(kv._1)).foreach { case (id, d2) =>
+      assert(d2 <= minEmitted, s"missed outlier $id with dist² $d2")
+    }
+  }
+
+  test("s13 hard negatives never share the anchor's label and are per-anchor top-3") {
+    val rows = Similarity.s13.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (va, albl, nn, nlbl, _) =>
+      assert(albl != nlbl, s"anchor $va paired with same-label $nn")
+      assert(va != nn)
+    }
+    // ≤ 3 negatives per anchor, cosines descending within the anchor
+    rows.groupBy(_._1).foreach { case (va, g) =>
+      assert(g.length <= 3, s"anchor $va has ${g.length} negatives")
+      val cs = g.map(_._5).toSeq
+      assert(cs == cs.sorted.reverse, s"anchor $va not sorted: $cs")
+    }
+  }
 }
