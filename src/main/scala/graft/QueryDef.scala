@@ -88,10 +88,16 @@ object Vec {
   def duckDot(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
 
-  /** DuckDB CTE producing (vec_id, label, v, nrm) from embeddings. */
-  val duckNormCte: String =
-    """WITH n AS (SELECT vec_id, label,
+  /** The (vec_id, label, v, nrm) projection by itself, for oracles
+    * that need to SPLIT the corpus before the standard `n` alias
+    * (s14's base/arrival partition).
+    */
+  val duckNormSelect: String =
+    """SELECT vec_id, label,
       |  list_transform(embedding, x -> x::DOUBLE) AS v,
       |  sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), (acc, x) -> acc + x)) AS nrm
-      |  FROM embeddings)""".stripMargin
+      |  FROM embeddings""".stripMargin
+
+  /** DuckDB CTE producing (vec_id, label, v, nrm) from embeddings. */
+  val duckNormCte: String = s"WITH n AS ($duckNormSelect)"
 }

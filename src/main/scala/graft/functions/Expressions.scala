@@ -68,6 +68,38 @@ object SimHash64 {
   * BIGINT arithmetic DuckDB replays exactly; the composite packs both
   * 30-bit hashes into one long.
   */
+/** Scalar [[PolyPair]] of a whole string — the per-TOKEN hash for
+  * multiset consumers (x23 feature hashing) that the deduplicating
+  * [[ShinglePolyHashes]] kernel can't serve: there one text yields
+  * its distinct shingle SET, here each exploded token row keeps its
+  * multiplicity. Same arithmetic, same DuckDB replay fragments.
+  */
+case class PolyPairHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_pair"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    PolyPair.compute(s, 0, s.length)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PolyPairHash.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyPairHash =
+    copy(child = newChild)
+}
+
+object PolyPairHash {
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val str = s.toString
+    PolyPair.compute(str, 0, str.length)
+  }
+}
+
 object PolyPair {
   val P1 = 1000000007L
   val P2 = 998244353L
@@ -398,6 +430,7 @@ object GraftFunctions {
     "rolling_hash" -> (es => RollingHash(es(0), es(1), es(2))),
     "shingle_hashes" -> (es => ShingleHashes(es(0), es(1))),
     "shingle_polyhashes" -> (es => ShinglePolyHashes(es(0), es(1))),
+    "poly_pair" -> (es => PolyPairHash(es.head)),
     // Spark ships these only in the internal registry (they back the
     // runtime row-level filter rule); surface them for explicit
     // bloom-prefilter plans (q33)
@@ -450,6 +483,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (FunctionIdentifier("shingle_polyhashes"),
         new ExpressionInfo("graft.functions.ShinglePolyHashes", "shingle_polyhashes"),
         (es: Seq[Expression]) => ShinglePolyHashes(es(0), es(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("poly_pair"),
+        new ExpressionInfo("graft.functions.PolyPairHash", "poly_pair"),
+        (es: Seq[Expression]) => PolyPairHash(es.head)))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
   }

@@ -67,7 +67,7 @@ object Dedup {
     * same list twice; inlining the list_transform into each
     * list_reduce would decode every string twice).
     */
-  private object Oracle {
+  private[operators] object Oracle {
     import graft.functions.PolyPair.{Base1, Base2, F, P1, P2}
     def cpList(col: String): String =
       s"list_prepend(0::BIGINT, list_transform(range(1, length($col) + 1), i -> CAST(unicode(substr($col, i, 1)) AS BIGINT)))"

@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   def queries: Seq[QueryDef] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14)
 
   /** MMR selection rounds (picks after the pure-relevance first). */
   private val MmrK = 5
@@ -249,13 +249,13 @@ object Similarity {
     * truncating integral division (Spark's double→long cast ≡ DuckDB
     * `trunc`+CAST since the quotient is then integral).
     */
-  private def duckAssign(cents: String, name: String): String =
+  private def duckAssign(cents: String, name: String, src: String = "n"): String =
     s"""$name AS (
        |  SELECT vec_id, v, nrm, cell FROM (
-       |    SELECT n.vec_id, n.v, n.nrm, q.cell,
-       |           row_number() OVER (PARTITION BY n.vec_id
-       |             ORDER BY (q.cn2 - 2 * ${Vec.duckDot("n.v", "q.cd")}), q.cell) AS rn
-       |    FROM n CROSS JOIN (
+       |    SELECT $src.vec_id, $src.v, $src.nrm, q.cell,
+       |           row_number() OVER (PARTITION BY $src.vec_id
+       |             ORDER BY (q.cn2 - 2 * ${Vec.duckDot(s"$src.v", "q.cd")}), q.cell) AS rn
+       |    FROM $src CROSS JOIN (
        |      SELECT cell, cd, ${Vec.duckDot("cd", "cd")} AS cn2
        |      FROM (SELECT cell, list_transform(c, y -> y / 1000000.0) AS cd FROM $cents)) q)
        |  WHERE rn = 1)""".stripMargin
@@ -1044,6 +1044,85 @@ object Similarity {
         .limit(20)
         .select("vec_id", "cell", "dist2")
         .orderBy("vec_id")
+  }
+
+  /** s14: INCREMENTAL index maintenance — the ingest-time half of the
+    * IVF story s05 builds and s06 queries: a new ARRIVAL batch (the
+    * s10 1/37 id sample, so base and batch are disjoint by shared
+    * arithmetic) is folded into a base-corpus index WITHOUT
+    * retraining and WITHOUT touching the base: centroids trained on
+    * the base are FROZEN, each arrival is assigned by the same
+    * baked-literal narrow argmin (zero exchanges on the assignment),
+    * and the immediate post-insert query — each arrival's nearest
+    * BASE vector, bucket-local — validates placement. Cells the
+    * arrivals land in are counted so the maintenance policy (when to
+    * retrain/split: a cell drifting hot) is a readout, not a guess.
+    * This mirrors d09 (incremental dedup against a stored index) on
+    * the similarity side; the production cadence is freeze → append
+    * → periodically retrain.
+    *
+    * Scale shape: base pays ONE training pass (sample-sized driver
+    * centroids, the s04 economics); the batch pays a narrow assign +
+    * one batch⋈cell-locality join whose left side is the ARRIVAL
+    * batch (tiny by definition — AQE broadcasts it); the base corpus
+    * is never reshuffled, which is the entire point of incremental
+    * maintenance at 100 TB.
+    */
+  val s14 = QueryDef(
+    "s14_index_maintain",
+    Some(s"""WITH nb AS (${Vec.duckNormSelect}),
+      n AS (SELECT * FROM nb WHERE vec_id % 37 <> 0),
+      arr AS (SELECT * FROM nb WHERE vec_id % 37 = 0),
+      $duckTrainedCells,
+      ${duckAssign("c3", "acell", "arr")},
+      cnt AS (SELECT cell, count(*) AS nb_cell FROM cells GROUP BY cell),
+      sel AS (
+        SELECT a.vec_id, b.vec_id AS nn,
+               ${Vec.duckDot("a.v", "b.v")} / (a.nrm * b.nrm) AS c,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY ${Vec.duckDot("a.v", "b.v")} / (a.nrm * b.nrm) DESC, b.vec_id) AS rn
+        FROM acell a JOIN cells b ON b.cell = a.cell)
+      SELECT a.vec_id, a.cell,
+             CAST(coalesce(cnt.nb_cell, 0) AS BIGINT) AS n_base_in_cell,
+             coalesce(s.nn, -1) AS nn, coalesce(s.c, 0.0) AS cos_sim
+      FROM acell a
+      LEFT JOIN (SELECT vec_id, nn, c FROM sel WHERE rn = 1) s
+        ON s.vec_id = a.vec_id
+      LEFT JOIN cnt ON cnt.cell = a.cell
+      ORDER BY a.vec_id""")) { (s, d) =>
+    val e = Vec.withNorm(Tables.embeddings(s, d)).cache()
+    val base = e.where(pmod(col("vec_id"), lit(37)) =!= 0)
+    val arr = e.where(pmod(col("vec_id"), lit(37)) === 0)
+    val centroids = trainQuantizer(base, 8, 3)
+    if (centroids.isEmpty)
+      e.limit(0).select(col("vec_id"), lit(0L).as("cell"),
+        lit(0L).as("n_base_in_cell"), col("vec_id").as("nn"),
+        lit(0.0).as("cos_sim"))
+    else {
+      val cells = base.withColumn("cell", cellOf(centroids))
+        .select(col("vec_id"), col("cell"), col("v"), col("nrm"))
+      // frozen centroids: the arrival assignment is the same narrow
+      // baked-literal argmin the base used — no retraining
+      val acell = arr.withColumn("cell", cellOf(centroids))
+        .select(col("vec_id"), col("cell"), col("v"), col("nrm"))
+      val cnt = cells.groupBy("cell").agg(count(lit(1)).as("nb_cell"))
+      val nn = acell.as("a").join(cells.as("b"), Seq("cell"))
+        .select(col("a.vec_id").as("vec_id"),
+          col("b.vec_id").as("nn"),
+          (call_function("vec_dot", col("a.v"), col("b.v")) /
+            (col("a.nrm") * col("b.nrm"))).as("c"))
+        .groupBy("vec_id")
+        .agg(max_by(struct(col("nn"), col("c")), struct(col("c"), -col("nn"))).as("m"))
+        .select(col("vec_id"), col("m.nn").as("nn"), col("m.c").as("c"))
+      acell.select(col("vec_id"), col("cell"))
+        .join(nn, Seq("vec_id"), "left")
+        .join(cnt, Seq("cell"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("nb_cell"), lit(0L)).as("n_base_in_cell"),
+          coalesce(col("nn"), lit(-1L)).as("nn"),
+          coalesce(col("c"), lit(0.0)).as("cos_sim"))
+        .orderBy("vec_id")
+    }
   }
 
   /** The assignment score of the WINNING cell — `least` over the same

@@ -17,7 +17,7 @@ object TextAnalysis {
 
   def queries: Seq[QueryDef] =
     Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15,
-      x16, x17, x18, x19, x20, x21, x22)
+      x16, x17, x18, x19, x20, x21, x22, x23)
 
   /** x13's ln lookup table: round(ln(n)·10⁹) for n = 1..4094, computed
     * ONCE here and embedded as a literal in BOTH the Spark plan and
@@ -1339,6 +1339,48 @@ object TextAnalysis {
         sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
         sum(when(kept, 0L).otherwise(1L)).as("n_cut"))
       .orderBy("doc_id")
+  }
+
+  /** Hashed feature-vector dimensionality (the hashing-trick `m`). */
+  private val HashDim = 64
+
+  /** x23: FEATURE HASHING (the hashing trick, Weinberger et al. 2009)
+    * — documents to fixed-dimension term-frequency vectors with NO
+    * vocabulary: bucket = PolyPair(token) mod [[HashDim]], value =
+    * occurrence count. Emitted SPARSE — one (doc_id, bucket, tf) row
+    * per nonzero — which is both the honest storage layout at scale
+    * and what any downstream trainer consumes. The bridge from the
+    * text family to the similarity family: x11/x14 build explicit
+    * vocabularies where this op deliberately doesn't — streaming-new
+    * tokens land in a stable bucket with zero coordination, the
+    * whole point of the trick for a 100 TB corpus with unbounded
+    * vocabulary. Token hashing is the scalar `poly_pair` native
+    * expression (the shingle kernel dedups within a document — wrong
+    * for TF counts), so the oracle replays buckets exactly via the
+    * shared PolyPair fragments and multiplicities survive.
+    *
+    * Scale shape: one narrow codegen'd generate + ONE hash shuffle on
+    * (doc_id, bucket) — partial counts combine map-side; cardinality
+    * is capped at docs×[[HashDim]] regardless of vocabulary size.
+    */
+  val x23 = QueryDef(
+    "x23_feature_hash",
+    Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      cps AS (SELECT doc_id, ${Dedup.Oracle.cpList("w")} AS cs FROM tok),
+      h AS (SELECT doc_id, (${Dedup.Oracle.polyPair("cs")}) % $HashDim AS bucket
+        FROM cps)
+      SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+             count(*) AS tf
+      FROM h GROUP BY doc_id, bucket ORDER BY doc_id, bucket""")) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"),
+        pmod(expr("poly_pair(w)"), lit(HashDim.toLong)).as("bucket"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("tf"))
+      .orderBy("doc_id", "bucket")
   }
 }
 

@@ -198,6 +198,24 @@ class ExpressionsSpec extends SparkSpec {
     assert(native == composed && native.nonEmpty)
   }
 
+  test("poly_pair equals the 1-token shingle kernel, keeps multiplicity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // on a single-token string, poly_pair IS shingle_polyhashes(_, 1)
+    val toks = Seq("batch", "window", "spark", "日本語", "a b".replace(" ", ""))
+      .toDF("w")
+    val pairs = toks
+      .select(expr("poly_pair(w)").as("h"),
+        element_at(expr("shingle_polyhashes(w, 1)"), 1).as("hk"))
+      .collect()
+    pairs.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // the shingle kernel dedups; exploded poly_pair keeps multiplicity
+    val doc = Seq("x y x").toDF("text")
+    assert(doc.select(size(expr("shingle_polyhashes(text, 1)"))).head.getInt(0) == 2)
+    assert(doc.select(explode(split(col("text"), " ")).as("w"))
+      .select(expr("poly_pair(w)")).count() == 3)
+  }
+
   test("functions are injected via GraftExtensions (no manual register)") {
     // SparkSpec builds the session with spark.sql.extensions; the
     // expressions above resolving at all proves injection, but check
