@@ -382,6 +382,41 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
     }
   }
 
+  /** Hive-style PARTITIONED catalog table — the layout that turns a
+    * partition-key predicate (static or runtime/DPP) into skipped
+    * directories instead of read-and-discard. The catalog-table twin
+    * of [[archiveDF]]'s sharded file sink (same `partitionBy` layout,
+    * plus catalog metadata so joins can dynamic-partition-prune);
+    * complements [[archiveBucketed]] (exchange elimination) and
+    * [[archiveClustered]] (row-group skipping) — three layouts, three
+    * different scan/shuffle levers. Same DROP + orphan-location
+    * handling as the bucketed sink.
+    */
+  def archivePartitioned(df: DataFrame, tableName: String, partCol: String,
+      config: ArchiveConfig => ArchiveConfig = identity): Unit = {
+    val cfg = config(base)
+    val projected = stage("columns") {
+      if (cfg.columns.nonEmpty) df.select(cfg.columns.map(df.col): _*) else df
+    }
+    val fmt = cfg.format match {
+      case Format.Orc => "orc"
+      case Format.Parquet | Format.Csv => "parquet"
+      case other =>
+        throw new ArchiveException("format", new IllegalArgumentException(
+          s"partitioned archive requires a columnar format (parquet/orc), got $other"))
+    }
+    stage("upload") {
+      spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+      val loc = new Path(spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(tableName)))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      projected.write.format(fmt).mode("overwrite")
+        .partitionBy(partCol)
+        .saveAsTable(tableName)
+    }
+  }
+
   /** Z-order-clustered columnar archive — the data-SKIPPING half of
     * storage layout, complementing [[archiveBucketed]]'s co-location
     * half: rows are range-partitioned and sorted by the bit-interleave

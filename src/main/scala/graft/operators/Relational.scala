@@ -21,7 +21,7 @@ object Relational {
 
   def queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q33, q37, q39, q42, q43, q44,
-      q46, q48, q49, q50, q53, q54)
+      q46, q48, q49, q50, q53, q54, q58)
 
   /** FULL OUTER join with all three match classes live: customers are
     * filtered to positive balances so orders from excluded customers
@@ -852,5 +852,63 @@ object Relational {
     Tables.nation(s, d).createOrReplaceTempView("nation")
     Tables.customer(s, d).createOrReplaceTempView("customer")
     s.sql(q54Sql)
+  }
+
+  private val partitionedLaidOut = new graft.engine.CatalogMemo[String]
+
+  /** q58: DYNAMIC PARTITION PRUNING over a hive-partitioned archive —
+    * the third storage-layout lever, completing the family: q37
+    * (bucketing → exchange elimination), q42 (Z-order → row-group
+    * skipping), and now partitioning → whole DIRECTORIES skipped at
+    * runtime. Orders are laid out `PARTITIONED BY (o_orderpriority)`
+    * through [[graft.engine.Engine.archivePartitioned]] (content-key
+    * memoized, the q37 discipline); the probe joins them against a
+    * dim whose membership is only known at RUN time (priorities of
+    * two probe orders — 1–2 of the 5 values at EVERY SF, so the
+    * pruning stays real at scale where a rate-based sample would
+    * eventually cover all values),
+    * so static pruning is impossible and Catalyst inserts a
+    * `dynamicpruning` subquery: the dim's broadcast result filters
+    * the partitioned scan's directory list before any fact bytes are
+    * read (plan-asserted in PartitioningSpec; PLANS.md carries the
+    * subquery evidence). At 100 TB this is THE scan lever for
+    * date/tenant-partitioned lakes — a selective dim join reads only
+    * the matching partitions, no code change.
+    *
+    * The aggregate itself is the q37 shape (partial+final on the
+    * partition key); the oracle is partition-agnostic, which is the
+    * point: layout changes plans, never results.
+    */
+  val q58 = QueryDef(
+    "q58_dpp_join",
+    Some("""WITH dim AS (
+        SELECT DISTINCT o_orderpriority AS p FROM orders
+        WHERE o_orderkey IN (7, 12))
+      SELECT o_orderpriority, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      FROM orders JOIN dim ON o_orderpriority = p
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")) { (s, d) =>
+    val engine = new graft.engine.Engine(s)
+    val ck = graft.engine.CatalogMemo.contentKey(d, s.sparkContext.hadoopConfiguration)
+    val partOrders = graft.engine.CatalogMemo.tableName("graft_part_orders", ck)
+    if (partitionedLaidOut.get(s.sharedState, ck).isEmpty) {
+      partitionedLaidOut.invalidate(s.sharedState)
+      engine.archivePartitioned(
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        partOrders, "o_orderpriority")
+      partitionedLaidOut.put(s.sharedState, ck, d)
+    }
+    // runtime-only dim: its priorities exist only after scanning the
+    // sample, so the partitioned side can't be statically pruned
+    val dim = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("p"), col("o_orderkey"))
+      .where(col("o_orderkey").isin(7L, 12L))
+      .select("p").distinct()
+    s.table(partOrders)
+      .join(dim, col("o_orderpriority") === col("p"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), xsum2(col("o_totalprice")).as("revenue"))
+      .orderBy("o_orderpriority")
   }
 }

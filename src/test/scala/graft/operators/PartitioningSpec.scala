@@ -47,4 +47,19 @@ class PartitioningSpec extends SparkSpec {
       assert(joined.count() > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("q58 join inserts a dynamicpruning subquery on the partitioned scan") {
+    val df = graft.Registry.byName("q58_dpp_join").fn(spark, "/root/testdata/sf0.001")
+    // the pruning subquery must appear in the OPTIMIZED plan (inserted
+    // by PartitionPruning) and survive into the executed plan
+    assert(df.queryExecution.optimizedPlan.toString.contains("dynamicpruning"),
+      "no dynamicpruning in optimized plan")
+    val rows = df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      "no dynamicpruning in executed plan")
+    // runtime dim selects a strict subset of the 5 priorities — the
+    // pruning is real, not a full-scan pass-through
+    assert(rows.nonEmpty && rows.length < 5,
+      s"expected a strict partition subset, got ${rows.length} priorities")
+  }
 }
