@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   def queries: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14)
 
   /** DuckDB CTE for distinct 3-token shingles per document — the
     * oracle-side counterpart of the Spark-side native
@@ -860,5 +860,65 @@ object Dedup {
       .where(col("lev") >= 0L && col("edit_sim") >= 0.8)
       .select("da", "db", "lev", "edit_sim")
       .orderBy("da", "db")
+  }
+
+  /** d14: NEAR-DUP DECONTAMINATION across the train/test boundary —
+    * the paraphrase-robust variant of x07's exact n-gram containment
+    * (the GPT-3 appendix-C lesson: exact matching misses lightly
+    * edited test copies): a TRAIN document is contaminated when it
+    * band-collides with a TEST document at the d02 working threshold
+    * (est J ≥ 0.5). Splits come from x05's content-addressed rule
+    * (rolling-hash mod 10 — ONE definition across split, sample, and
+    * now decontamination, so "which split is this doc in" can never
+    * drift between operators); candidates are the SHIPPED
+    * [[minhashCandidates]] chain (the d12/d13 discipline). Emits one
+    * row per contaminated train doc: how many test docs it collides
+    * with, the lowest such test doc, and the strongest estimate —
+    * the drop-list a pretraining run consumes.
+    *
+    * Scale shape: d02's banding bounds the pair set; the two split
+    * lookups join the PAIR table (orders smaller than the corpus —
+    * AQE broadcast vs shuffle, the d03 policy); the final per-doc
+    * aggregate is partial+final on the train doc id.
+    */
+  val d14 = QueryDef(
+    "d14_neardup_decontam",
+    Some(s"""$gramCte,
+      $duckMinhashChain,
+      sp AS (SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, length(text) + 1), i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))),
+            (h, c) -> (h * 31 + c) % 1000000007) % 10 AS m FROM documents),
+      pair AS (
+        SELECT CASE WHEN a.m < 8 THEN c.da ELSE c.db END AS doc_id,
+               CASE WHEN a.m < 8 THEN c.db ELSE c.da END AS test_doc,
+               c.est_jaccard
+        FROM ce c JOIN sp a ON a.doc_id = c.da JOIN sp b ON b.doc_id = c.db
+        WHERE c.est_jaccard >= 0.5
+          AND ((a.m < 8 AND b.m = 9) OR (a.m = 9 AND b.m < 8)))
+      SELECT doc_id, count(*) AS n_test_matches,
+             min(test_doc) AS min_test_doc, max(est_jaccard) AS max_est
+      FROM pair GROUP BY doc_id ORDER BY doc_id""")) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val sp = Tables.documents(s, d)
+      .select(col("doc_id"),
+        (expr("rolling_hash(text, 31L, 1000000007L)") % 10).as("m"))
+    val cand = minhashCandidates(s, d)
+      .where(col("est_jaccard") >= 0.5)
+      .select("da", "db", "est_jaccard")
+    // UNHINTED split lookups: AQE broadcast vs shuffle (d03 policy)
+    cand
+      .join(sp.select(col("doc_id").as("da"), col("m").as("ma")), "da")
+      .join(sp.select(col("doc_id").as("db"), col("m").as("mb")), "db")
+      .where((col("ma") < 8 && col("mb") === 9) ||
+        (col("ma") === 9 && col("mb") < 8))
+      .select(
+        when(col("ma") < 8, col("da")).otherwise(col("db")).as("doc_id"),
+        when(col("ma") < 8, col("db")).otherwise(col("da")).as("test_doc"),
+        col("est_jaccard"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_test_matches"),
+        min("test_doc").as("min_test_doc"), max("est_jaccard").as("max_est"))
+      .orderBy("doc_id")
   }
 }

@@ -22,7 +22,7 @@ object EventWindows {
 
   def queries: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
-      e15, e16, e17, e18)
+      e15, e16, e17, e18, e19)
 
   /** e14: watermark / late-event accounting — the batch twin of the
     * bookkeeping every Structured Streaming job does implicitly
@@ -839,5 +839,62 @@ object EventWindows {
           lit(9) * (lit(W) * col("win_sumsq") - col("win_sum") * col("win_sum")))
       .select("event_id", "user_id", "ts_us", "cents", "win_sum", "win_sumsq")
       .orderBy("event_id")
+  }
+
+  /** e19: TREND detection — per-type least-squares slope of value over
+    * time, computed entirely from SUFFICIENT STATISTICS: slope =
+    * (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with x = whole minutes since
+    * the type's first event and y = cents. This is the canonical
+    * distributed-regression pattern: the five sums are an ordinary
+    * partial+final hash aggregate (mergeable, fixed-size state), so
+    * the metric that usually tempts people into per-key sorted scans
+    * costs ONE aggregation. Numerator/denominator are emitted as the
+    * exact BIGINTs plus their single IEEE division — bit-identical by
+    * construction (int64→double is correctly rounded in both
+    * engines). Overflow headroom is engineered, not hoped for:
+    * minutes ≤ 43 200 (the lake's 30-day span), so n·Σx² tops out
+    * ~7.5·10¹⁷ at sf0.1 — an order under int64; at larger spans
+    * rescale x to hours (a constant swap, same plan).
+    *
+    * Scale shape: one shuffle on event_type for the per-type epoch
+    * min (a partition-only window — no sort, no join), and the
+    * grouped aggregate REUSES that exchange — the whole operator is
+    * one exchange + one partial+final agg.
+    */
+  val e19 = QueryDef(
+    "e19_trend_slope",
+    Some("""WITH b AS (
+      SELECT event_type AS t, CAST(round(value * 100) AS BIGINT) AS y,
+        (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY event_type)) // 60000000 AS x
+      FROM events),
+    st AS (
+      SELECT t, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM b GROUP BY t)
+    SELECT t AS event_type, CAST(n AS BIGINT) AS n,
+      CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+      CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+      CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+           ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+                CAST(n * sxx - sx * sx AS DOUBLE) END AS slope_cents_per_min
+    FROM st ORDER BY event_type""")) { (s, d) =>
+    // x via `div` (integral), matching DuckDB's `//` exactly — a
+    // double divide + cast would round before truncating
+    val bx = Tables.events(s, d)
+      .select(col("event_type").as("t"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("y"), col("ts_us"))
+      .withColumn("x",
+        expr("(ts_us - min(ts_us) OVER (PARTITION BY t)) div 60000000"))
+    val st = bx.groupBy("t")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    st.select(col("t").as("event_type"), col("n"),
+        num.cast("long").as("slope_num"), den.cast("long").as("slope_den"),
+        when(den === 0L, lit(0.0))
+          .otherwise(num.cast("double") / den.cast("double"))
+          .as("slope_cents_per_min"))
+      .orderBy("event_type")
   }
 }
