@@ -243,6 +243,51 @@ object StreamingOps {
       }
   }
 
+  final case class TrendState(minTs: Long, n: Long, sx: Long, sy: Long,
+      sxy: Long, sxx: Long)
+  final case class TrendEstimate(event_type: String, n: Long,
+      slope_num: Long, slope_den: Long, slope_cents_per_min: Double)
+
+  /** e19's streaming face: the regression SUFFICIENT STATISTICS
+    * (n, Σx, Σy, Σxy, Σx²) folded per event_type in
+    * mapGroupsWithState — six longs of state per key, re-emitted with
+    * the updated slope every micro-batch. x is minutes since the
+    * type's FIRST event; on a stream whose batches respect time
+    * order, first = min, so the final estimate equals the batch e19
+    * row exactly (pinned in StreamingSpec). This is why e19's
+    * scaladoc insists on sufficient statistics: they are the form
+    * that streams — a per-key sorted-scan formulation would have no
+    * incremental face at all.
+    */
+  def trendSlope(events: Dataset[Event]): Dataset[TrendEstimate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[TrendState, TrendEstimate](GroupStateTimeout.NoTimeout()) {
+        (tpe, it, state) =>
+          def us(t: java.sql.Timestamp): Long =
+            (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+          var st = state.getOption.getOrElse(
+            TrendState(Long.MinValue, 0L, 0L, 0L, 0L, 0L))
+          // time-ordered fold within the batch (the rollingZscore
+          // discipline); the first event anchors minTs
+          it.toVector.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            val ts = us(e.ts)
+            if (st.minTs == Long.MinValue) st = st.copy(minTs = ts)
+            val x = (ts - st.minTs) / 60000000L
+            val y = java.math.BigDecimal.valueOf(e.value * 100)
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+            st = TrendState(st.minTs, st.n + 1, st.sx + x, st.sy + y,
+              st.sxy + x * y, st.sxx + x * x)
+          }
+          state.update(st)
+          val num = st.n * st.sxy - st.sx * st.sy
+          val den = st.n * st.sxx - st.sx * st.sx
+          TrendEstimate(tpe, st.n, num, den,
+            if (den == 0L) 0.0 else num.toDouble / den.toDouble)
+      }
+  }
+
   final case class Doc(doc_id: Long, text: String)
   final case class DupMatch(doc_id: Long, dup_of: Long, est_jaccard: Double)
 

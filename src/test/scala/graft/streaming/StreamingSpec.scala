@@ -344,6 +344,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trendSlope's final estimate equals batch e19 over the real events table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sql = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val expected = graft.operators.EventWindows.e19.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("ts_us"))
+      .collect()
+      .sortBy(r => (r.getLong(5), r.getLong(0)))
+      .map(r => Event(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val input = MemoryStream[Event]
+    val q = StreamingOps.trendSlope(input.toDS())
+      .writeStream.format("memory").queryName("trendstream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      evs.grouped(evs.length / 3 + 1).foreach { b =>
+        input.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      // n grows monotonically — max-n update per type is the final state
+      val streamed = spark.table("trendstream")
+        .as[StreamingOps.TrendEstimate].collect()
+        .groupBy(_.event_type).map { case (_, rows) => rows.maxBy(_.n) }
+        .map(t => (t.event_type, t.n, t.slope_num, t.slope_den,
+          t.slope_cents_per_min)).toSet
+      assert(streamed == expected,
+        s"stream/batch divergence: ${streamed.diff(expected)} vs ${expected.diff(streamed)}")
+    } finally q.stop()
+  }
+
   test("applyChangelog maintains a parquet snapshot with upsert/delete/insert semantics") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
