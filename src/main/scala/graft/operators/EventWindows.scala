@@ -22,7 +22,7 @@ object EventWindows {
 
   def queries: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
-      e15, e16, e17, e18, e19)
+      e15, e16, e17, e18, e19, e20)
 
   /** e14: watermark / late-event accounting — the batch twin of the
     * bookkeeping every Structured Streaming job does implicitly
@@ -896,5 +896,57 @@ object EventWindows {
           .otherwise(num.cast("double") / den.cast("double"))
           .as("slope_cents_per_min"))
       .orderBy("event_type")
+  }
+
+  /** e20: EXPONENTIAL smoothing (EWMA, α = 1/2) per user — the
+    * forecasting/level primitive next to e18's fixed-weight frame
+    * stats: recent observations dominate, old ones decay
+    * geometrically. The infinite recursion s_i = αx_i + (1−α)s_{i−1}
+    * is truncated at the 16 most recent observations (weight tail
+    * below 2⁻¹⁶ — under the cent resolution of the data), which turns
+    * it into a POSITION-WEIGHTED frame: num = Σ_{j=0..15} x_{i−j}·2^{15−j},
+    * ewma = num / (2¹⁶ − 1). Power-of-two weights make the numerator
+    * an exact BIGINT on both engines; the single IEEE division is the
+    * only float op (the e18/e19 discipline). Overflow headroom:
+    * |cents| ≤ 10⁷ ⇒ num ≤ 10⁷·2¹⁶ ≈ 6.6·10¹¹.
+    *
+    * Shape: 16 `lag`s share ONE window definition → one user-keyed
+    * shuffle + per-user sort, O(W) state per row — identical cost to
+    * a single-lag query. Emitted only for full frames (n = 16) so the
+    * estimate's weight normalization is a constant both engines share.
+    */
+  val e20 = QueryDef(
+    "e20_ewma",
+    Some {
+      val terms = (0 to 15)
+        .map(j => s"lag(cents, $j) OVER pw * ${1L << (15 - j)}")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      w AS (SELECT event_id, user_id, ts_us, cents,
+          $terms AS ewma_num,
+          lag(cents, 15) OVER pw AS oldest
+        FROM b
+        WINDOW pw AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+      SELECT event_id, user_id, ts_us, cents,
+        CAST(ewma_num AS BIGINT) AS ewma_num,
+        CAST(ewma_num AS DOUBLE) / 65535.0 AS ewma_cents
+      FROM w WHERE oldest IS NOT NULL ORDER BY event_id"""
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val pw = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val num = (0 to 15)
+      .map(j => lag(col("cents"), j).over(pw) * lit(1L << (15 - j)))
+      .reduce(_ + _)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("ewma_num", num)
+      .withColumn("oldest", lag(col("cents"), 15).over(pw))
+      .where(col("oldest").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("cents"),
+        col("ewma_num"),
+        (col("ewma_num").cast("double") / lit(65535.0)).as("ewma_cents"))
+      .orderBy("event_id")
   }
 }

@@ -21,7 +21,7 @@ object Relational {
 
   def queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q33, q37, q39, q42, q43, q44,
-      q46, q48, q49, q50, q53, q54, q58)
+      q46, q48, q49, q50, q53, q54, q58, q59, q60, q61)
 
   /** FULL OUTER join with all three match classes live: customers are
     * filtered to positive balances so orders from excluded customers
@@ -910,5 +910,201 @@ object Relational {
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"), xsum2(col("o_totalprice")).as("revenue"))
       .orderBy("o_orderpriority")
+  }
+
+  /** q59: declarative COLUMN PROFILING — q50's audit checks named
+    * constraints; this is the discovery step that runs BEFORE anyone
+    * knows what to assert: per column, non-null/null/distinct counts
+    * and min/max, emitted as one row per column (the Deequ
+    * `ColumnProfilerRunner` / `SUMMARIZE` capability).
+    *
+    * Shape: ONE aggregate over ONE scan for all profiled columns.
+    * The multi-`countDistinct` plans as a single Expand (×4, one
+    * branch per distinct column) feeding one partial+final aggregate —
+    * one shuffle of expanded rows, not one job per column. That ×4
+    * row expansion IS the cost model: profiling C columns exactly
+    * costs a C-way expand, so a 1000-column lake profile would batch
+    * columns per pass or swap exact distinct counts for the q35 HLL
+    * sketch (same output schema, mergeable state) — the documented
+    * scale path.
+    *
+    * Determinism: counts are BIGINT; min/max are emitted as STRING
+    * renderings of exactly-rendered types only (int64, cents-int64,
+    * DATE-cast, raw string) — int→string and date→'YYYY-MM-DD' are
+    * byte-identical across engines, while double→string is not (the
+    * round-1 decimal lesson applied to rendering).
+    */
+  val q59 = QueryDef(
+    "q59_profile",
+    Some("""WITH a AS (SELECT
+        count(*) AS n_rows,
+        count(l_orderkey) AS nn_key, count(DISTINCT l_orderkey) AS nd_key,
+        CAST(min(l_orderkey) AS VARCHAR) AS mn_key, CAST(max(l_orderkey) AS VARCHAR) AS mx_key,
+        count(l_quantity) AS nn_qty,
+        count(DISTINCT CAST(round(l_quantity * 100) AS BIGINT)) AS nd_qty,
+        CAST(min(CAST(round(l_quantity * 100) AS BIGINT)) AS VARCHAR) AS mn_qty,
+        CAST(max(CAST(round(l_quantity * 100) AS BIGINT)) AS VARCHAR) AS mx_qty,
+        count(l_returnflag) AS nn_rf, count(DISTINCT l_returnflag) AS nd_rf,
+        min(l_returnflag) AS mn_rf, max(l_returnflag) AS mx_rf,
+        count(l_shipdate) AS nn_sd, count(DISTINCT CAST(l_shipdate AS DATE)) AS nd_sd,
+        CAST(min(CAST(l_shipdate AS DATE)) AS VARCHAR) AS mn_sd,
+        CAST(max(CAST(l_shipdate AS DATE)) AS VARCHAR) AS mx_sd
+      FROM lineitem)
+      SELECT * FROM (
+        SELECT 'l_orderkey' AS column_name, CAST(nn_key AS BIGINT) AS n_nonnull,
+          CAST(n_rows - nn_key AS BIGINT) AS n_null, CAST(nd_key AS BIGINT) AS n_distinct,
+          mn_key AS min_repr, mx_key AS max_repr FROM a
+        UNION ALL SELECT 'l_quantity_cents', CAST(nn_qty AS BIGINT),
+          CAST(n_rows - nn_qty AS BIGINT), CAST(nd_qty AS BIGINT), mn_qty, mx_qty FROM a
+        UNION ALL SELECT 'l_returnflag', CAST(nn_rf AS BIGINT),
+          CAST(n_rows - nn_rf AS BIGINT), CAST(nd_rf AS BIGINT), mn_rf, mx_rf FROM a
+        UNION ALL SELECT 'l_shipdate', CAST(nn_sd AS BIGINT),
+          CAST(n_rows - nn_sd AS BIGINT), CAST(nd_sd AS BIGINT), mn_sd, mx_sd FROM a)
+      ORDER BY column_name""")) { (s, d) =>
+    val li = Tables.lineitem(s, d).select(
+      col("l_orderkey"),
+      expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qty_cents"),
+      col("l_returnflag"),
+      col("l_shipdate").cast("date").as("ship_date"))
+    val one = li.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("l_orderkey")).as("nn_key"),
+      countDistinct(col("l_orderkey")).as("nd_key"),
+      min(col("l_orderkey")).cast("string").as("mn_key"),
+      max(col("l_orderkey")).cast("string").as("mx_key"),
+      count(col("qty_cents")).as("nn_qty"),
+      countDistinct(col("qty_cents")).as("nd_qty"),
+      min(col("qty_cents")).cast("string").as("mn_qty"),
+      max(col("qty_cents")).cast("string").as("mx_qty"),
+      count(col("l_returnflag")).as("nn_rf"),
+      countDistinct(col("l_returnflag")).as("nd_rf"),
+      min(col("l_returnflag")).as("mn_rf"),
+      max(col("l_returnflag")).as("mx_rf"),
+      count(col("ship_date")).as("nn_sd"),
+      countDistinct(col("ship_date")).as("nd_sd"),
+      min(col("ship_date")).cast("string").as("mn_sd"),
+      max(col("ship_date")).cast("string").as("mx_sd"))
+    def row(name: String, nn: String, nd: String, mn: String, mx: String) =
+      struct(lit(name).as("column_name"), col(nn).as("n_nonnull"),
+        (col("n_rows") - col(nn)).as("n_null"), col(nd).as("n_distinct"),
+        col(mn).as("min_repr"), col(mx).as("max_repr"))
+    one.select(explode(array(
+        row("l_orderkey", "nn_key", "nd_key", "mn_key", "mx_key"),
+        row("l_quantity_cents", "nn_qty", "nd_qty", "mn_qty", "mx_qty"),
+        row("l_returnflag", "nn_rf", "nd_rf", "mn_rf", "mx_rf"),
+        row("l_shipdate", "nn_sd", "nd_sd", "mn_sd", "mx_sd"))).as("p"))
+      .select(col("p.column_name").as("column_name"),
+        col("p.n_nonnull").as("n_nonnull"), col("p.n_null").as("n_null"),
+        col("p.n_distinct").as("n_distinct"),
+        col("p.min_repr").as("min_repr"), col("p.max_repr").as("max_repr"))
+      .orderBy("column_name")
+  }
+
+  /** q60: SNAPSHOT DIFF — dataset reconciliation between two versions
+    * of a keyed table (the "what changed between yesterday's lake and
+    * today's" query; q43/q44 APPLY a known changelog, this RECOVERS
+    * one when none was kept). Two deterministic snapshots are derived
+    * from `orders`: the old one misses keys ≡ 3 (mod 89) (they appear
+    * as `added`), the new one misses keys ≡ 5 (mod 97) (`removed`),
+    * and keys ≡ 0 (mod 11) carry a +$1.00 price update (`changed`);
+    * everything else is `unchanged` — all four reconciliation classes
+    * live on the driver data.
+    *
+    * Shape: one FULL OUTER sort-merge join on the key (the q39
+    * discipline — a diff cannot broadcast either side) followed by a
+    * four-row aggregate that REUSES nothing heavier than the join's
+    * output: per class, row count, key checksum (exact BIGINT sum —
+    * the cheap cross-run fingerprint), and both sides' cent totals.
+    * At 100 TB this is exactly one co-partitioned shuffle per side;
+    * with both snapshots bucketed by key (q37 layout) even that
+    * exchange disappears.
+    */
+  val q60 = QueryDef(
+    "q60_snapshot_diff",
+    Some("""WITH old AS (SELECT o_orderkey AS key,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 89 <> 3),
+      new AS (SELECT o_orderkey AS key,
+          CAST(round(o_totalprice * 100) AS BIGINT)
+            + CASE WHEN o_orderkey % 11 = 0 THEN 100 ELSE 0 END AS cents
+        FROM orders WHERE o_orderkey % 97 <> 5),
+      d AS (SELECT coalesce(o.key, n.key) AS key, o.cents AS old_cents,
+          n.cents AS new_cents,
+          CASE WHEN o.key IS NULL THEN 'added'
+               WHEN n.key IS NULL THEN 'removed'
+               WHEN o.cents <> n.cents THEN 'changed'
+               ELSE 'unchanged' END AS diff_class
+        FROM old o FULL OUTER JOIN new n ON o.key = n.key)
+      SELECT diff_class, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(key) AS BIGINT) AS key_checksum,
+        CAST(sum(coalesce(old_cents, 0)) AS BIGINT) AS old_cents_total,
+        CAST(sum(coalesce(new_cents, 0)) AS BIGINT) AS new_cents_total
+      FROM d GROUP BY diff_class ORDER BY diff_class""")) { (s, d) =>
+    def snap(missMod: Long, missRes: Long) = Tables.orders(s, d)
+      .filter(col("o_orderkey") % missMod =!= missRes)
+      .select(col("o_orderkey").as("key"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val oldS = snap(89L, 3L)
+    val newS = snap(97L, 5L)
+      .select(col("key"),
+        (col("cents") + when(col("key") % 11 === 0, 100L).otherwise(0L))
+          .as("cents"))
+    oldS.as("o").join(newS.as("n"), col("o.key") === col("n.key"), "full_outer")
+      .select(coalesce(col("o.key"), col("n.key")).as("key"),
+        col("o.cents").as("old_cents"), col("n.cents").as("new_cents"),
+        when(col("o.key").isNull, "added")
+          .when(col("n.key").isNull, "removed")
+          .when(col("o.cents") =!= col("n.cents"), "changed")
+          .otherwise("unchanged").as("diff_class"))
+      .groupBy("diff_class")
+      .agg(count(lit(1)).as("n"),
+        sum(col("key")).as("key_checksum"),
+        sum(coalesce(col("old_cents"), lit(0L))).as("old_cents_total"),
+        sum(coalesce(col("new_cents"), lit(0L))).as("new_cents_total"))
+      .orderBy("diff_class")
+  }
+
+  /** q61: the TPC-H Q21 composition — "suppliers who kept orders
+    * waiting": per supplier, count the finished multi-supplier orders
+    * where THEIR line shipped late (> 60 days after the order date)
+    * and NO other supplier's line in the same order did. Exercises
+    * the hardest decorrelation composition in the TPC-H suite: a
+    * correlated EXISTS with a NON-EQUI correlated predicate
+    * (l2.l_suppkey <> l1.l_suppkey) plus a correlated NOT EXISTS over
+    * a join. ONE SQL text shared verbatim with the oracle (the q53/q54
+    * discipline).
+    *
+    * Plan: Catalyst rewrites EXISTS → left-semi and NOT EXISTS →
+    * left-anti, both shuffled on l_orderkey — the SAME key as the
+    * orders join, so at scale the fact table clusters once and the
+    * three probes reuse that clustering; the supplier dimension
+    * broadcasts. No per-row re-execution survives the rewrite.
+    */
+  private val q61Sql =
+    """SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+      FROM supplier s
+      JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+              JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+      GROUP BY s.s_name
+      ORDER BY numwait DESC, s.s_name
+      LIMIT 10"""
+
+  val q61 = QueryDef(
+    "q61_waiting_suppliers",
+    Some(q61Sql)) { (s, d) =>
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(q61Sql)
   }
 }

@@ -17,7 +17,7 @@ object TextAnalysis {
 
   def queries: Seq[QueryDef] =
     Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15,
-      x16, x17, x18, x19, x20, x21, x22, x23)
+      x16, x17, x18, x19, x20, x21, x22, x23, x24, x25)
 
   /** x13's ln lookup table: round(ln(n)·10⁹) for n = 1..4094, computed
     * ONCE here and embedded as a literal in BOTH the Spark plan and
@@ -1381,6 +1381,185 @@ object TextAnalysis {
       .groupBy("doc_id", "bucket")
       .agg(count(lit(1)).as("tf"))
       .orderBy("doc_id", "bucket")
+  }
+
+  /** x24: DOMAIN SIMILARITY matrix — pairwise cosine between the
+    * sources' unigram COUNT vectors, the standard diagnostic run
+    * before choosing mixture weights (x06 fixed fractions, x16
+    * temperature): near-duplicate domains shouldn't both get full
+    * weight, and an outlier domain (low similarity to everything)
+    * warrants a quality look. Complements x13 (how well ONE corpus
+    * model explains a doc) with how much the DOMAINS overlap each
+    * other.
+    *
+    * Determinism: dot products and squared norms are exact BIGINT
+    * sums of count products; sqrt is IEEE-correctly-rounded in both
+    * engines, and the final multiply+divide is one IEEE expression on
+    * identical operands — the s-family discipline without vectors.
+    * Headroom: Σc² stays under 2⁵³ until a single (domain, token)
+    * count reaches ~10⁸ — rescale counts (e.g. per-million) past that.
+    *
+    * Shape: one (source, tok) count aggregation (cached — it feeds
+    * both self-join sides and the norms), then the inverted-index
+    * self-join ON TOK (the d03 pattern: pairs meet only where they
+    * share a token — never a domains × domains × vocab blowup), one
+    * (src_a, src_b) aggregate, and a norms join that is
+    * domain-cardinality-sized at any corpus scale.
+    */
+  val x24 = QueryDef(
+    "x24_domain_sim",
+    Some("""WITH c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM
+        (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY 1, 2),
+      nrm AS (SELECT source, CAST(sum(c * c) AS BIGINT) AS n2 FROM c GROUP BY 1),
+      pr AS (SELECT a.source AS src_a, b.source AS src_b,
+          CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        FROM c a JOIN c b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT src_a, src_b, dot,
+        CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos_sim
+      FROM pr JOIN nrm na ON pr.src_a = na.source
+              JOIN nrm nb ON pr.src_b = nb.source
+      ORDER BY src_a, src_b""")) { (s, d) =>
+    val c = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .cache() // three consumers (both join legs + norms); Bench/Verify clear between entries
+    val nrm = c.groupBy("source").agg(sum(col("c") * col("c")).as("n2"))
+    val pairs = c.select(col("source").as("src_a"), col("tok"), col("c").as("ca"))
+      .join(c.select(col("source").as("src_b"), col("tok"), col("c").as("cb")),
+        Seq("tok"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(sum(col("ca") * col("cb")).as("dot"))
+    pairs
+      .join(nrm.select(col("source").as("src_a"), col("n2").as("na")), Seq("src_a"))
+      .join(nrm.select(col("source").as("src_b"), col("n2").as("nb")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("dot"),
+        (col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cos_sim"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** x25: TRAINED Bernoulli naive-Bayes domain classifier + its
+    * confusion-matrix eval — the model-based step past x02's
+    * hand-written heuristics: train per-source token-PRESENCE
+    * probabilities over a 64-token vocabulary, predict every doc's
+    * source by MAP, grade against the true labels (the x22 eval
+    * shape, but the classifier under test is LEARNED from the data).
+    * On the synthetic corpus it genuinely beats chance (diagonal
+    * cells up to ~0.5 vs 0.05 uniform) — the readout a quality/domain
+    * classifier gate needs before it's trusted.
+    *
+    * Model definition (exact, oracle-replayable): vocabulary = top-64
+    * tokens by (document frequency DESC, token ASC); for source s with
+    * nd_s docs and in-source df of token t, with caps ndc = min(nd_s,
+    * 2046), dfc = min(df, ndc) — caps are part of the MODEL (the x13
+    * convention), bounding every index into the shared [[LnNano]]
+    * table so NO engine ever calls its own ln:
+    *   present weight  w1 = ln(dfc+1) − ln(ndc+2)      (add-one over 2 outcomes)
+    *   absent weight   w0 = ln(ndc−dfc+1) − ln(ndc+2)
+    *   score(d, s)     = ln(ndc) + Σ_t∈V [t ∈ d ? w1 : w0]
+    * All scores are exact BIGINT nano-ln sums; argmax ties break by
+    * source ASC — fully deterministic.
+    *
+    * Shape (the 100 TB story): the model is (domains × 64) rows —
+    * broadcast-sized by construction, independent of corpus size.
+    * Scoring decomposes as score = base_s + Σ_{t∈V∩d}(w1−w0), so the
+    * corpus is touched ONCE: per-doc distinct tokens join the tiny
+    * delta table (AQE broadcasts it), one (doc, source) aggregate, a
+    * doc-keyed argmax window over |domains| rows per doc, and a
+    * label-cardinality-sized confusion reduction. The docs × domains
+    * cross join is against the domain-count base table — bounded,
+    * whitelisted in PlanLintSpec.
+    */
+  val x25 = QueryDef(
+    "x25_nb_domain",
+    Some(s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+      dt AS (SELECT doc_id, source, unnest(list_distinct(ts)) AS tok FROM t),
+      gdf AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1),
+      vocab AS (SELECT tok FROM gdf ORDER BY df DESC, tok LIMIT 64),
+      nd AS (SELECT source, CAST(count(*) AS BIGINT) AS nd FROM documents GROUP BY 1),
+      dfs AS (SELECT dt.source, dt.tok, CAST(count(*) AS BIGINT) AS df
+        FROM dt JOIN vocab USING (tok) GROUP BY 1, 2),
+      lt AS (SELECT ${LnNano.mkString("[", ", ", "]")} AS a),
+      grid AS (SELECT nd.source, vocab.tok,
+          least(nd.nd, 2046) AS ndc,
+          least(coalesce(dfs.df, 0), least(nd.nd, 2046)) AS dfc
+        FROM nd CROSS JOIN vocab
+        LEFT JOIN dfs ON dfs.source = nd.source AND dfs.tok = vocab.tok),
+      wts AS (SELECT source, tok, ndc,
+          lt.a[CAST(dfc + 1 AS INT)] - lt.a[CAST(ndc + 2 AS INT)] AS w1,
+          lt.a[CAST(ndc - dfc + 1 AS INT)] - lt.a[CAST(ndc + 2 AS INT)] AS w0
+        FROM grid CROSS JOIN lt),
+      base AS (SELECT w.source AS m_src,
+          CAST(min(lt.a[CAST(w.ndc AS INT)]) + sum(w.w0) AS BIGINT) AS base
+        FROM wts w CROSS JOIN lt GROUP BY 1),
+      delta AS (SELECT source AS m_src, tok, w1 - w0 AS dw FROM wts),
+      dsum AS (SELECT dt.doc_id, delta.m_src, CAST(sum(delta.dw) AS BIGINT) AS dsum
+        FROM dt JOIN delta ON dt.tok = delta.tok GROUP BY 1, 2),
+      scores AS (SELECT t.doc_id, t.source, base.m_src,
+          base.base + coalesce(dsum.dsum, 0) AS score
+        FROM t CROSS JOIN base
+        LEFT JOIN dsum ON dsum.doc_id = t.doc_id AND dsum.m_src = base.m_src),
+      pred AS (SELECT doc_id, source, m_src AS pred_source FROM (
+          SELECT doc_id, source, m_src,
+            row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, m_src) AS rn
+          FROM scores) WHERE rn = 1),
+      cm AS (SELECT source, pred_source, CAST(count(*) AS BIGINT) AS n
+        FROM pred GROUP BY 1, 2)
+      SELECT source, pred_source, n,
+        CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS n_src,
+        CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY source) AS DOUBLE) AS cell_rate,
+        source = pred_source AS is_correct
+      FROM cm ORDER BY source, pred_source""")) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val lnArr = lit(LnNano)
+    def ln9(c: org.apache.spark.sql.Column) = element_at(lnArr, c.cast("int"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ts"))
+    // per-doc distinct tokens WITHOUT a distinct shuffle: array_distinct
+    // is narrow, so (doc_id, tok) rows are unique by construction
+    val dt = docs
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(col("ts"))).as("tok"))
+      .cache() // three consumers (vocab ranking, per-source df, doc scoring)
+    val vocab = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok").asc).limit(64) // TakeOrdered, no global sort
+      .select("tok")
+    val nd = docs.groupBy("source").agg(count(lit(1)).as("nd"))
+      .withColumn("ndc", least(col("nd"), lit(2046L)))
+    val dfs = dt.join(broadcast(vocab), Seq("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("df"))
+    val wts = nd.crossJoin(broadcast(vocab)) // domains × 64 — the model grid
+      .join(dfs, Seq("source", "tok"), "left")
+      .withColumn("dfc", least(coalesce(col("df"), lit(0L)), col("ndc")))
+      .select(col("source"), col("tok"), col("ndc"),
+        (ln9(col("dfc") + 1) - ln9(col("ndc") + 2)).as("w1"),
+        (ln9(col("ndc") - col("dfc") + 1) - ln9(col("ndc") + 2)).as("w0"))
+    val base = wts.groupBy("source")
+      .agg((min(ln9(col("ndc"))) + sum(col("w0"))).as("base"))
+      .select(col("source").as("m_src"), col("base"))
+    val delta = wts.select(col("source").as("m_src"), col("tok"),
+      (col("w1") - col("w0")).as("dw"))
+    val dsum = dt.select("doc_id", "tok").join(delta, Seq("tok")) // unhinted: AQE broadcasts the model
+      .groupBy("doc_id", "m_src").agg(sum("dw").as("dsum"))
+    val scores = docs.select("doc_id", "source")
+      .crossJoin(broadcast(base)) // domains-sized; whitelisted in PlanLintSpec
+      .join(dsum, Seq("doc_id", "m_src"), "left")
+      .select(col("doc_id"), col("source"), col("m_src"),
+        (col("base") + coalesce(col("dsum"), lit(0L))).as("score"))
+    val pred = scores
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("m_src").asc)))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("source"), col("m_src").as("pred_source"))
+    pred.groupBy("source", "pred_source").agg(count(lit(1)).as("n"))
+      .withColumn("n_src", sum("n").over(Window.partitionBy("source")))
+      .select(col("source"), col("pred_source"), col("n"), col("n_src"),
+        (col("n").cast("double") / col("n_src").cast("double")).as("cell_rate"),
+        (col("source") === col("pred_source")).as("is_correct"))
+      .orderBy("source", "pred_source")
   }
 }
 

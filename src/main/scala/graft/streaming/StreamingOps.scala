@@ -288,6 +288,47 @@ object StreamingOps {
       }
   }
 
+  final case class Smoothed(event_id: Long, user_id: Long, ts_us: Long,
+      cents: Long, ewma_num: Long, ewma_cents: Double)
+
+  /** e20's streaming face: truncated EWMA (α = 1/2, 16 observations)
+    * per user as a flatMapGroupsWithState ring buffer — state per user
+    * is the 15 PRECEDING cent values (oldest first), so each arrival
+    * with a full frame emits num = cents·2¹⁵ + Σᵢ ring(i)·2ⁱ — exactly
+    * the batch plan's 16-lag weighted sum — and the single IEEE
+    * division num/65535.0. Same HALF_UP cent rounding as SQL round()
+    * (the [[streamingQuantiles]] lesson); a stream whose batches
+    * respect time order reproduces e20 ROW-FOR-ROW (StreamingSpec).
+    */
+  def ewmaSmooth(events: Dataset[Event]): Dataset[Smoothed] = {
+    import events.sparkSession.implicits._
+    val W = 16
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Vector[Long], Smoothed](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) { (user, it, state) =>
+        def us(t: java.sql.Timestamp): Long =
+          (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+        var ring = state.getOption.getOrElse(Vector.empty[Long])
+        val out = Vector.newBuilder[Smoothed]
+        it.toVector.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+          val cents = java.math.BigDecimal.valueOf(e.value * 100)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+          if (ring.length == W - 1) {
+            var num = cents << (W - 1)
+            var i = 0
+            while (i < ring.length) { num += ring(i) << i; i += 1 }
+            out += Smoothed(e.event_id, user, us(e.ts), cents, num,
+              num.toDouble / 65535.0)
+          }
+          ring = (if (ring.length == W - 1) ring.tail else ring) :+ cents
+        }
+        state.update(ring)
+        out.result().iterator
+      }
+  }
+
   final case class Doc(doc_id: Long, text: String)
   final case class DupMatch(doc_id: Long, dup_of: Long, est_jaccard: Double)
 

@@ -344,6 +344,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ewmaSmooth reproduces batch e20's smoothed rows over the real events table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sql = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val expected = graft.operators.EventWindows.e20.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("ts_us"))
+      .collect()
+      .sortBy(r => (r.getLong(5), r.getLong(0)))
+      .map(r => Event(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val input = MemoryStream[Event]
+    val q = StreamingOps.ewmaSmooth(input.toDS())
+      .writeStream.format("memory").queryName("ewmastream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      evs.grouped(evs.length / 3 + 1).foreach { b =>
+        input.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("ewmastream").as[StreamingOps.Smoothed].collect()
+        .map(s => (s.event_id, s.user_id, s.ts_us, s.cents, s.ewma_num,
+          s.ewma_cents)).toSet
+      assert(expected.nonEmpty, "batch e20 emitted no full frames — corpus degenerate")
+      assert(streamed == expected,
+        s"stream/batch divergence: ${streamed.diff(expected).take(3)} vs ${expected.diff(streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("trendSlope's final estimate equals batch e19 over the real events table") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
