@@ -17,7 +17,7 @@ object TextAnalysis {
 
   def queries: Seq[QueryDef] =
     Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15,
-      x16, x17, x18, x19, x20, x21, x22, x23, x24, x25)
+      x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26)
 
   /** x13's ln lookup table: round(ln(n)·10⁹) for n = 1..4094, computed
     * ONCE here and embedded as a literal in BOTH the Spark plan and
@@ -1560,6 +1560,103 @@ object TextAnalysis {
         (col("n").cast("double") / col("n_src").cast("double")).as("cell_rate"),
         (col("source") === col("pred_source")).as("is_correct"))
       .orderBy("source", "pred_source")
+  }
+
+  /** x26's centi-ln table (round(ln(n)·10⁴) for n = 1..4094) — a
+    * COARSER unit than [[LnNano]] on purpose: the Zipf sufficient
+    * statistics multiply two lns and sum 1000 products, so nano-lns
+    * would overflow int64 (n·Σxy ~ 10²⁰); centi-lns keep the whole
+    * chain under 10¹⁷ with 10⁻⁴ precision — far below the fit's
+    * statistical noise.
+    */
+  private val LnCenti: Array[Long] =
+    Array.tabulate(4094)(i => math.round(math.log(i + 1.0) * 1e4))
+
+  /** Quantized centi-ln of an UNBOUNDED count — the piece [[LnNano]]'s
+    * bounded table cannot give: ln(n) = ln(n ≫ k) + k·ln2 for the
+    * smallest k putting the mantissa in table range, i.e. n quantized
+    * to 9 significant bits (relative error < 2⁻⁹, part of the MODEL
+    * definition — the x13 capping convention generalized to unbounded
+    * domains). Emitted as ONE CASE chain whose text is generated here
+    * for BOTH engines — same thresholds, same table, same k·6931
+    * offsets — so no recomputed transcendental can drift. `div` is the
+    * dialect seam: Spark `div` ≡ DuckDB `//` on positives.
+    */
+  private def lnCentiQ(v: String, idx: String => String, divOp: String): String =
+    "CASE " + (0 to 40).map { k =>
+      s"WHEN $v <= ${512L * (1L << k)} THEN ${idx(s"($v) $divOp ${1L << k}")} + ${k * 6931L}"
+    }.mkString(" ") + " ELSE NULL END"
+
+  /** x26: ZIPF-LAW fit of the token frequency distribution — the
+    * corpus-health statistic between x01's per-doc counts and x13's
+    * LM: natural corpora follow freq ∝ rank^s with s ≈ −1, so the
+    * least-squares slope of (ln rank, ln freq) over the top-1000
+    * tokens flags degenerate inputs (uniform synthetic text, template
+    * boilerplate → s near 0 with low r²; a handful of spam tokens →
+    * s far below −1). On THIS corpus it honestly reads s ≈ −0.18,
+    * r² ≈ 0.05 — the driver's vocabulary is uniform, and surfacing
+    * that is the operator's job (the x22 honesty discipline).
+    *
+    * Exactness: ranks ≤ 1000 hit [[LnCenti]] directly; frequencies
+    * are unbounded, so they go through [[lnCentiQ]]'s 9-bit-mantissa
+    * quantization (live at every bench SF — max tf is 964 at sf0.01,
+    * 9182 at sf0.1). The regression is e19's sufficient-statistics
+    * pattern: exact BIGINT (n, Σx, Σy, Σxy, Σx², Σy²), slope and r²
+    * as identically-shaped IEEE expressions on identical operands.
+    *
+    * Scale shape: one (tok) count aggregation, a TakeOrdered top-1000
+    * (no global sort), a rank window over the BOUNDED 1000-row pool
+    * (the s08 pattern), one 6-sum aggregate. The corpus is touched
+    * once.
+    */
+  val x26 = QueryDef(
+    "x26_zipf_fit",
+    Some {
+      val lncase = lnCentiQ("tf", e => s"lt.a[CAST($e AS INT)]", "//")
+      s"""WITH tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM
+          (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1),
+        top AS (SELECT tok, tf, row_number() OVER (ORDER BY tf DESC, tok) AS rank
+          FROM (SELECT tok, tf FROM tf ORDER BY tf DESC, tok LIMIT 1000)),
+        lt AS (SELECT ${LnCenti.mkString("[", ", ", "]")} AS a),
+        pts AS (SELECT rank, tf, CAST(lt.a[CAST(rank AS INT)] AS BIGINT) AS x,
+            CAST($lncase AS BIGINT) AS y
+          FROM top CROSS JOIN lt),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+            CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+            CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+          FROM pts)
+        SELECT n, CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+          CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+          CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope,
+          (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+            / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+        FROM st"""
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("tok").asc).limit(1000) // TakeOrdered
+    // rank window over the BOUNDED top-1000 pool only
+    val top = tf.withColumn("rank",
+      row_number().over(Window.orderBy(col("tf").desc, col("tok").asc)))
+    val lnArr = lit(LnCenti)
+    val pts = top
+      .withColumn("ln4q", lnArr)
+      .select(
+        element_at(lnArr, col("rank").cast("int")).as("x"),
+        expr(lnCentiQ("tf", e => s"element_at(ln4q, CAST($e AS INT))", "div")).as("y"))
+    val st = pts.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val dy = col("n") * col("syy") - col("sy") * col("sy")
+    st.select(col("n"), num.cast("long").as("slope_num"),
+      den.cast("long").as("slope_den"),
+      (num.cast("double") / den.cast("double")).as("zipf_slope"),
+      ((num.cast("double") * num.cast("double")) /
+        (den.cast("double") * dy.cast("double"))).as("r2"))
   }
 }
 
