@@ -1013,8 +1013,11 @@ object Relational {
     * Shape: one FULL OUTER sort-merge join on the key (the q39
     * discipline — a diff cannot broadcast either side) followed by a
     * four-row aggregate that REUSES nothing heavier than the join's
-    * output: per class, row count, key checksum (exact BIGINT sum —
-    * the cheap cross-run fingerprint), and both sides' cent totals.
+    * output: per class, row count, an XOR key checksum (`bit_xor` —
+    * order-independent, mergeable, and overflow-free at ANY row
+    * count, where a sum checksum would wrap int64 around 10¹⁹), and
+    * both sides' cent totals (exact while a class's cents stay under
+    * 2⁶³ ≈ $9·10¹⁶ — the Qdsl headroom convention).
     * At 100 TB this is exactly one co-partitioned shuffle per side;
     * with both snapshots bucketed by key (q37 layout) even that
     * exchange disappears.
@@ -1036,7 +1039,7 @@ object Relational {
                ELSE 'unchanged' END AS diff_class
         FROM old o FULL OUTER JOIN new n ON o.key = n.key)
       SELECT diff_class, CAST(count(*) AS BIGINT) AS n,
-        CAST(sum(key) AS BIGINT) AS key_checksum,
+        CAST(bit_xor(key) AS BIGINT) AS key_checksum,
         CAST(sum(coalesce(old_cents, 0)) AS BIGINT) AS old_cents_total,
         CAST(sum(coalesce(new_cents, 0)) AS BIGINT) AS new_cents_total
       FROM d GROUP BY diff_class ORDER BY diff_class""")) { (s, d) =>
@@ -1058,7 +1061,7 @@ object Relational {
           .otherwise("unchanged").as("diff_class"))
       .groupBy("diff_class")
       .agg(count(lit(1)).as("n"),
-        sum(col("key")).as("key_checksum"),
+        expr("bit_xor(key)").as("key_checksum"),
         sum(coalesce(col("old_cents"), lit(0L))).as("old_cents_total"),
         sum(coalesce(col("new_cents"), lit(0L))).as("new_cents_total"))
       .orderBy("diff_class")

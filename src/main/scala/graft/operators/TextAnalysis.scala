@@ -1627,9 +1627,11 @@ object TextAnalysis {
           FROM pts)
         SELECT n, CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
-          CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope,
-          (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
-            / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+          CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+               ELSE CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END AS zipf_slope,
+          CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0.0
+               ELSE (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+                 / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) END AS r2
         FROM st"""
     }) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
@@ -1652,11 +1654,17 @@ object TextAnalysis {
     val num = col("n") * col("sxy") - col("sx") * col("sy")
     val den = col("n") * col("sxx") - col("sx") * col("sx")
     val dy = col("n") * col("syy") - col("sy") * col("sy")
+    // the e19 zero-denominator guard: a fully-deduped corpus (all
+    // tf = 1 → every y = 0) or a single-token one makes den or dy 0,
+    // and 0/0 is NaN in Spark but NULL in DuckDB — degenerate inputs
+    // must yield a deterministic 0.0, not engine-dependent non-values
     st.select(col("n"), num.cast("long").as("slope_num"),
       den.cast("long").as("slope_den"),
-      (num.cast("double") / den.cast("double")).as("zipf_slope"),
-      ((num.cast("double") * num.cast("double")) /
-        (den.cast("double") * dy.cast("double"))).as("r2"))
+      when(den === 0L, lit(0.0))
+        .otherwise(num.cast("double") / den.cast("double")).as("zipf_slope"),
+      when(den === 0L || dy === 0L, lit(0.0))
+        .otherwise((num.cast("double") * num.cast("double")) /
+          (den.cast("double") * dy.cast("double"))).as("r2"))
   }
 }
 

@@ -19,6 +19,14 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   */
 object StreamingOps {
 
+  /** Timestamp → exact epoch microseconds, shared by every stateful
+    * twin so the streaming and batch ts_us contracts can never drift
+    * apart one copy at a time (a static method on the object — safe
+    * to reference from serialized state functions).
+    */
+  private def us(t: java.sql.Timestamp): Long =
+    (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
 
@@ -117,8 +125,6 @@ object StreamingOps {
   def streamingSketchRollup(events: Dataset[Event]): Dataset[WindowEstimate] = {
     import events.sparkSession.implicits._
     val HourUs = 3600000000L
-    def us(t: java.sql.Timestamp): Long =
-      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
     events
       .flatMap { e =>
         val hour = { val u = us(e.ts); u - java.lang.Math.floorMod(u, HourUs) }
@@ -222,8 +228,6 @@ object StreamingOps {
       .flatMapGroupsWithState[Vector[Long], Anomaly](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout()) { (user, it, state) =>
-        def us(t: java.sql.Timestamp): Long =
-          (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
         var ring = state.getOption.getOrElse(Vector.empty[Long])
         val out = Vector.newBuilder[Anomaly]
         it.toVector.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
@@ -265,8 +269,6 @@ object StreamingOps {
       .groupByKey(_.event_type)
       .mapGroupsWithState[TrendState, TrendEstimate](GroupStateTimeout.NoTimeout()) {
         (tpe, it, state) =>
-          def us(t: java.sql.Timestamp): Long =
-            (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
           var st = state.getOption.getOrElse(
             TrendState(Long.MinValue, 0L, 0L, 0L, 0L, 0L))
           // time-ordered fold within the batch (the rollingZscore
@@ -308,8 +310,6 @@ object StreamingOps {
       .flatMapGroupsWithState[Vector[Long], Smoothed](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout()) { (user, it, state) =>
-        def us(t: java.sql.Timestamp): Long =
-          (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
         var ring = state.getOption.getOrElse(Vector.empty[Long])
         val out = Vector.newBuilder[Smoothed]
         it.toVector.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
@@ -412,8 +412,6 @@ object StreamingOps {
   def funnelSteps(events: Dataset[Event]): Dataset[FunnelProgress] = {
     import events.sparkSession.implicits._
     val weekUs = 604800000000L
-    def us(t: java.sql.Timestamp): Long =
-      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
     // (t1, t2, t3) from a state — the e11 definition, recomputed from
     // retained candidates (cheap: candidates live within one window)
     def resolve(st: FunnelState): (Long, Long, Long) = {
