@@ -1569,7 +1569,7 @@ object TextAnalysis {
     * chain under 10¹⁷ with 10⁻⁴ precision — far below the fit's
     * statistical noise.
     */
-  private val LnCenti: Array[Long] =
+  private[operators] val LnCenti: Array[Long] =
     Array.tabulate(4094)(i => math.round(math.log(i + 1.0) * 1e4))
 
   /** Quantized centi-ln of an UNBOUNDED count — the piece [[LnNano]]'s
@@ -1582,7 +1582,7 @@ object TextAnalysis {
     * offsets — so no recomputed transcendental can drift. `div` is the
     * dialect seam: Spark `div` ≡ DuckDB `//` on positives.
     */
-  private def lnCentiQ(v: String, idx: String => String, divOp: String): String =
+  private[operators] def lnCentiQ(v: String, idx: String => String, divOp: String): String =
     "CASE " + (0 to 40).map { k =>
       s"WHEN $v <= ${512L * (1L << k)} THEN ${idx(s"($v) $divOp ${1L << k}")} + ${k * 6931L}"
     }.mkString(" ") + " ELSE NULL END"
