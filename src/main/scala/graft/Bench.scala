@@ -8,6 +8,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // the library config (Main.scala ships it): TopKRewrite +
+      // TopKPerKey strategy + native function registration — bench
+      // numbers must reflect the shipped session, not a bare one
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: JIT/codegen paths and parquet footers, so the first

@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.Main graft.jar \
   *   -d /root/testdata/sf0.001 -t lineitem -b /tmp/archive \
   *   [-f csv|json|yaml|parquet|orc] [-c col1,col2] [-k key] [-e ext] [-n null]
-  *   [--sharded] [-p partcol1,partcol2]
+  *   [--sharded] [--manifest] [-p partcol1,partcol2]
   * }}}
   *
   * `-d` is the data source — a parquet data directory OR a JDBC URL
@@ -60,15 +60,26 @@ object Main {
   }
 
   private def archive(spark: SparkSession, opts: Map[String, String],
-      dir: String, table: String, bucket: String): String =
-    partitionsOf(opts, dir) match {
+      dir: String, table: String, bucket: String): String = {
+    // flag coherence BEFORE any archive work: a single exact-key
+    // object is its own integrity unit (atomic rename) and needs no
+    // shard manifest
+    if (opts.contains("manifest") && !opts.contains("sharded"))
+      sys.error("graft: --manifest requires --sharded (a single object needs no shard manifest)")
+    val engine = new Engine(spark, configOf(opts))
+    val dest = partitionsOf(opts, dir) match {
       case Some((col, lo, hi, n)) =>
         val df = graft.sources.Sources.jdbcTablePartitioned(
           spark, dir, table, col, lo, hi, n)
-        new Engine(spark, configOf(opts)).archiveDF(df, bucket, table)
+        engine.archiveDF(df, bucket, table)
       case None =>
-        new Engine(spark, configOf(opts)).archive(dir, table, bucket)
+        engine.archive(dir, table, bucket)
     }
+    // --manifest: record the landed shards + re-read row count as
+    // _MANIFEST.json
+    if (opts.contains("manifest")) engine.writeManifest(dest)
+    dest
+  }
 
   private def partitionsOf(opts: Map[String, String],
       source: String): Option[(String, Long, Long, Int)] =
@@ -123,6 +134,7 @@ object Main {
     args match {
       case Nil => acc
       case "--sharded" :: rest => parse(rest, acc + ("sharded" -> "true"))
+      case "--manifest" :: rest => parse(rest, acc + ("manifest" -> "true"))
       case flag :: value :: rest if flag.startsWith("-") =>
         parse(rest, acc + (flag.stripPrefix("--").stripPrefix("-") -> value))
       case other :: _ => sys.error(s"graft: unexpected argument: $other")

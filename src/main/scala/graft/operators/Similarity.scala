@@ -195,8 +195,9 @@ object Similarity {
       // catalog is SharedState-scoped so the index table is visible.
       val co = s.newSession()
       // a new session only inherits graft's functions when the parent
-      // was built with GraftExtensions (the library way); Verify/Bench
-      // sessions are plain, so register vec_dot explicitly
+      // was built with GraftExtensions (the library way, and since
+      // round 5 also Verify/Bench); register vec_dot explicitly so
+      // the probe works from ANY parent session
       graft.functions.GraftFunctions.register(co)
       co.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       co.table(ivfTable)

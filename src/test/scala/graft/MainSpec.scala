@@ -135,4 +135,19 @@ class MainSpec extends SparkSpec {
     }
     assert(e.getMessage == "graft: unknown format: xml")
   }
+
+  test("--manifest writes _MANIFEST.json for a sharded archive and verifies clean") {
+    val out = Files.createTempDirectory("graft-cli").toString
+    val dest = Main.run(spark, Array("-d", data, "-t", "orders", "-b", out,
+      "--sharded", "--manifest"))
+    assert(new java.io.File(dest, "_MANIFEST.json").isFile)
+    val engine = new graft.engine.Engine(spark,
+      graft.engine.ArchiveConfig(format = graft.engine.Format.Csv, sharded = true))
+    assert(engine.verifyManifest(dest).isEmpty)
+    // coherence check fires BEFORE any archive work
+    val e = intercept[RuntimeException] {
+      Main.run(spark, Array("-d", data, "-t", "orders", "-b", out, "--manifest"))
+    }
+    assert(e.getMessage.contains("--manifest requires --sharded"))
+  }
 }
