@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   def queries: Seq[QueryDef] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
+      s15)
 
   /** MMR selection rounds (picks after the pure-relevance first). */
   private val MmrK = 5
@@ -1201,6 +1202,200 @@ object Similarity {
         .select(col("va"), col("anchor_label"), col("nn"), col("neg_label"),
           col("c").as("cos_sim"))
         .orderBy(col("va"), col("cos_sim").desc, col("nn"))
+    }
+  }
+
+  /** s15's trained state — coarse quantizer + per-subspace RESIDUAL
+    * codebooks — memoized per (catalog, content), the build-once
+    * discipline (s05/s07/x14).
+    */
+  private val ivfPqBuilt = new graft.engine.CatalogMemo[
+    (Seq[(Long, Array[Double], Double)], Seq[Seq[(Long, Array[Double], Double)]])]
+
+  /** Coarse assignment + residual: r = v − centroid(cell), the vector
+    * the PQ half of IVF-PQ encodes. The centroid lookup is a literal
+    * when-chain (coarse cells are driver-sized), the subtraction a
+    * narrow `zip_with` — both engines subtract the identical doubles
+    * (cd = fixed-point/10⁶ on each side), so residuals are
+    * bit-identical by construction.
+    */
+  private def withResidual(e: org.apache.spark.sql.DataFrame,
+      coarse: Seq[(Long, Array[Double], Double)]): org.apache.spark.sql.DataFrame = {
+    val cdCol = coarse.tail.foldLeft(
+      when(col("cell") === lit(coarse.head._1), lit(coarse.head._2))) {
+      case (acc, (cell, cd, _)) => acc.when(col("cell") === lit(cell), lit(cd))
+    }
+    e.withColumn("cell", cellOf(coarse))
+      .withColumn("r", zip_with(col("v"), cdCol, (a, b) => a - b))
+  }
+
+  /** The per-subspace RESIDUAL codebook oracle chain: seed + 2 k-means
+    * rounds + encoding over residual slices, plus the query LUT from
+    * the RAW query subvector (IP-metric residual ADC scores
+    * q·x̂ = q·centroid + q·r̂, so the LUT never sees a residual of q).
+    * Mirrors [[duckPqSubspace]] but sources `res` — s07's generator
+    * stays untouched because its `FROM n` chain is a shipped green
+    * contract.
+    */
+  private def duckResSubspace(m: Int): String = {
+    val lo = m * PqSubDim + 1
+    val hi = (m + 1) * PqSubDim
+    def assign(cents: String, name: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, sv, cell FROM (
+         |    SELECT s.vec_id, s.sv, q.cell,
+         |           row_number() OVER (PARTITION BY s.vec_id
+         |             ORDER BY (q.cn2 - 2 * ${duckDotN("s.sv", "q.cd", PqSubDim)}), q.cell) AS rn
+         |    FROM rsub$m s CROSS JOIN (
+         |      SELECT cell, cd, ${duckDotN("cd", "cd", PqSubDim)} AS cn2
+         |      FROM (SELECT cell, list_transform(c, y -> y / 1000000.0) AS cd FROM $cents)) q)
+         |  WHERE rn = 1)""".stripMargin
+    def cents(assigned: String, name: String): String =
+      s"""$name AS (
+         |  SELECT cell, list(ci ORDER BY pos) AS c FROM (
+         |    SELECT cell, pos, CAST(trunc(sum(xi) / count(*)) AS BIGINT) AS ci FROM (
+         |      SELECT a.cell, r.pos, CAST(round(a.sv[r.pos + 1] * 1000000) AS BIGINT) AS xi
+         |      FROM $assigned a, unnest(range(0, $PqSubDim)) AS r(pos))
+         |    GROUP BY cell, pos)
+         |  GROUP BY cell)""".stripMargin
+    val sb = new StringBuilder
+    sb.append(s"""rsub$m AS (SELECT vec_id, r[$lo:$hi] AS sv FROM res),
+      rinit$m AS (
+        SELECT cell, list_transform(sv, x -> CAST(round(x * 1000000) AS BIGINT)) AS c FROM (
+          SELECT vec_id % $PqK AS cell, sv,
+                 row_number() OVER (PARTITION BY vec_id % $PqK ORDER BY vec_id) AS rn
+          FROM rsub$m)
+        WHERE rn = 1)""")
+    var prev = s"rinit$m"
+    for (r <- 1 to PqRounds) {
+      sb.append(",\n" + assign(prev, s"ra${r}_$m") + ",\n" + cents(s"ra${r}_$m", s"rc${r}_$m"))
+      prev = s"rc${r}_$m"
+    }
+    sb.append(",\n" + assign(prev, s"rcodes$m"))
+    sb.append(s""",
+      rlut$m AS (SELECT cc.cell, ${duckDotN("q.sv", "cc.cd", PqSubDim)} AS val
+        FROM (SELECT cell, list_transform(c, y -> y / 1000000.0) AS cd FROM $prev) cc
+        CROSS JOIN (SELECT v[$lo:$hi] AS sv FROM n WHERE vec_id = 0) q)""")
+    sb.toString
+  }
+
+  /** s15: IVF-PQ — the composition production ANN systems actually
+    * deploy (Faiss `IVFPQ`), assembled from the family's shipped
+    * halves: the s04/s05 coarse quantizer restricts the SEARCH (the
+    * query probes its nprobe=2 nearest cells), and s07's product
+    * quantization compresses the STORAGE — but trained on RESIDUALS
+    * v − centroid(cell), which concentrate near zero so the same
+    * 8×3-bit budget spends its resolution where vectors actually
+    * differ from their cell. Scoring never touches raw candidate
+    * vectors: adc = q·centroid(cell) (one constant per probed cell) +
+    * Σₘ LUT[m][codeₘ], the standard IP-metric residual ADC identity
+    * q·x̂ = q·c + q·r̂. The exact cos_sim rides along as the re-rank
+    * column (the s07 contract).
+    *
+    * Determinism/oracle: coarse training is the SHARED
+    * [[duckTrainedCells]] chain (s04/s05/s06/s10/d11 replay the same
+    * one); residuals subtract identical doubles on both engines;
+    * residual codebooks reuse the s07 fixed-point discipline; probe
+    * selection is the s05 score/tie order; the ADC sum is a fixed
+    * left-associated 9-term chain. The oracle unrolls ALL of it —
+    * coarse (3 rounds) + 8 residual subspaces × 2 rounds + encoding +
+    * LUTs + probe + scoring — the deepest shared-fragment oracle in
+    * the registry.
+    *
+    * Scale shape: training is sample-sized and memoized (codebooks =
+    * driver metadata); encode + score are narrow codegen projections
+    * over ONLY the probed cells' rows feeding TakeOrderedAndProject —
+    * zero joins, zero shuffles, cost ∝ probed share of the corpus,
+    * candidate memory 8 codes/vector.
+    */
+  val s15 = QueryDef(
+    "s15_ivfpq_adc",
+    Some {
+      val subspaces = (0 until PqM).map(duckResSubspace).mkString(",\n      ")
+      val joins = (0 until PqM).map(m =>
+        s"JOIN rcodes$m rcd$m ON rcd$m.vec_id = res.vec_id JOIN rlut$m ON rlut$m.cell = rcd$m.cell")
+        .mkString("\n        ")
+      val adc = "probe.qc + " + (0 until PqM).map(m => s"rlut$m.val").mkString(" + ")
+      s"""${Vec.duckNormCte},
+      $duckTrainedCells,
+      cdt AS (SELECT cell, list_transform(c, y -> y / 1000000.0) AS cd FROM c3),
+      res AS (SELECT cells.vec_id, cells.cell, cells.v, cells.nrm,
+          list_transform(range(1, 65), i -> cells.v[i] - cdt.cd[i]) AS r
+        FROM cells JOIN cdt ON cells.cell = cdt.cell),
+      $subspaces,
+      qq AS (SELECT v, nrm FROM n WHERE vec_id = 0),
+      qsc AS (SELECT cdt.cell, ${Vec.duckDot("qq.v", "cdt.cd")} AS qc,
+          (${Vec.duckDot("cdt.cd", "cdt.cd")} - 2 * ${Vec.duckDot("qq.v", "cdt.cd")}) AS score
+        FROM cdt CROSS JOIN qq),
+      probe AS (SELECT cell, qc FROM (
+          SELECT cell, qc, row_number() OVER (ORDER BY score, cell) AS rn FROM qsc)
+        WHERE rn <= 2)
+      SELECT res.vec_id, res.cell, ($adc) AS adc_dot,
+        ${Vec.duckDot("res.v", "qq.v")} / (res.nrm * qq.nrm) AS cos_sim
+      FROM res JOIN probe ON probe.cell = res.cell
+        $joins
+        CROSS JOIN qq
+      WHERE res.vec_id <> 0
+      ORDER BY adc_dot DESC, res.vec_id LIMIT 10"""
+    }) { (s, d) =>
+    val e = Vec.withNorm(Tables.embeddings(s, d)).cache()
+    val ck = graft.engine.CatalogMemo.contentKey(d, s.sparkContext.hadoopConfiguration)
+    val (coarse, books) = ivfPqBuilt.get(s.sharedState, ck).getOrElse {
+      val c = trainQuantizer(e, 8, 3)
+      val b =
+        if (c.isEmpty) Seq.empty[Seq[(Long, Array[Double], Double)]]
+        else {
+          val resDf = withResidual(e, c)
+          (0 until PqM).map { m =>
+            trainQuantizer(resDf.select(col("vec_id"),
+              expr(s"slice(r, ${m * PqSubDim + 1}, $PqSubDim)").as("v")), PqK, PqRounds)
+          }
+        }
+      val t = (c, b)
+      if (c.nonEmpty && b.forall(_.nonEmpty)) ivfPqBuilt.put(s.sharedState, ck, t)
+      t
+    }
+    val qRowOpt = e.filter(col("vec_id") === 0)
+      .select(col("v"), col("nrm")).collect().headOption
+    if (coarse.isEmpty || books.isEmpty || books.exists(_.isEmpty) || qRowOpt.isEmpty)
+      e.limit(0).select(col("vec_id"), lit(0L).as("cell"),
+        lit(0.0).as("adc_dot"), lit(0.0).as("cos_sim"))
+    else {
+      val qv = qRowOpt.get.getSeq[Double](0).toArray
+      val qnrm = qRowOpt.get.getDouble(1)
+      // strict left fold — the oracle's list_reduce, the driver way
+      def fold(off: Int, cd: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < cd.length) { acc += qv(off + i) * cd(i); i += 1 }
+        acc
+      }
+      val qcByCell = coarse.map { case (cell, cd, _) => cell -> fold(0, cd) }.toMap
+      // nprobe=2 nearest cells by the s05 score/tie order
+      val probed = coarse.map { case (cell, cd, cn2) => (cn2 - 2.0 * fold(0, cd), cell) }
+        .sorted.take(2).map(_._2)
+      val luts = (0 until PqM).map { m =>
+        val arr = new Array[Double](PqK)
+        books(m).foreach { case (cell, cd, _) => arr(cell.toInt) = fold(m * PqSubDim, cd) }
+        arr
+      }
+      val qcCol = probed.tail.foldLeft(
+        when(col("cell") === lit(probed.head), lit(qcByCell(probed.head)))) {
+        (acc, c) => acc.when(col("cell") === lit(c), lit(qcByCell(c)))
+      }
+      // fixed left-assoc 9-term chain: qc + 8 LUT lookups — the
+      // oracle's (probe.qc + rlut0.val + … + rlut7.val) order exactly
+      val adc = (0 until PqM).foldLeft(qcCol: org.apache.spark.sql.Column) { (acc, m) =>
+        acc + element_at(lit(luts(m)),
+          (cellOf(books(m), expr(s"slice(r, ${m * PqSubDim + 1}, $PqSubDim)")) + lit(1L))
+            .cast("int"))
+      }
+      withResidual(e, coarse)
+        .filter(col("cell").isin(probed: _*) && col("vec_id") =!= 0)
+        .select(col("vec_id"), col("cell"), adc.as("adc_dot"),
+          (call_function("vec_dot", col("v"), lit(qv)) / (col("nrm") * lit(qnrm)))
+            .as("cos_sim"))
+        .orderBy(col("adc_dot").desc, col("vec_id"))
+        .limit(10)
     }
   }
 }
