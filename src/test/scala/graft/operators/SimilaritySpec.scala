@@ -343,4 +343,48 @@ class SimilaritySpec extends SparkSpec {
       assert(cs == cs.sorted.reverse, s"anchor $va not sorted: $cs")
     }
   }
+
+  test("s15 IVF-PQ: probed-cells-only candidates, shuffle-free ADC, residual codes beat raw-recall floor") {
+    val df = Similarity.s15.fn(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // encode + score are narrow projections into the fused top-k
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"IVF-PQ scoring must not shuffle:\n${plan.take(900)}")
+    assert(plan.contains("TakeOrderedAndProject"))
+    val rows = df.collect()
+    assert(rows.length == 10)
+    // candidates come ONLY from the query's 2 probed cells
+    assert(rows.map(_.getLong(1)).distinct.length <= 2,
+      s"candidates span >2 coarse cells: ${rows.map(_.getLong(1)).toSeq}")
+    val adc = rows.map(_.getDouble(2)).toSeq
+    assert(adc == adc.sorted.reverse)
+    // deterministic across runs (coarse + residual codebooks memoized)
+    val again = Similarity.s15.fn(spark, dir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // the probe restricts recall's ceiling to the probed cells, so
+    // grade the ADC RANKING against an independently recomputed
+    // exact-cosine top-10 over the full probed-cell candidate pool —
+    // residual codes are only worth shipping if they rank usefully
+    import org.apache.spark.sql.functions._
+    val e = graft.Vec.withNorm(graft.Tables.embeddings(spark, dir))
+    val coarse = Similarity.trainQuantizer(e, 8, 3)
+    val q = e.filter(col("vec_id") === 0).select(col("v"), col("nrm"))
+      .collect().head
+    val qv = q.getSeq[Double](0).toArray
+    def fold(cd: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < cd.length) { s += qv(i) * cd(i); i += 1 }; s
+    }
+    val probed = coarse
+      .map { case (cell, cd, cn2) => (cn2 - 2.0 * fold(cd), cell) }
+      .sorted.take(2).map(_._2)
+    val exactTop = e.withColumn("cell", Similarity.cellOf(coarse))
+      .filter(col("cell").isin(probed: _*) && col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        (call_function("vec_dot", col("v"), lit(qv)) / col("nrm")).as("c"))
+      .orderBy(col("c").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val overlap = rows.map(_.getLong(0)).count(exactTop)
+    assert(overlap >= 4, s"residual-PQ ranking collapsed: $overlap/10")
+  }
 }
