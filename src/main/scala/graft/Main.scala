@@ -35,6 +35,7 @@ object Main {
     configOf(opts)
     val (dir, table, bucket) = required(opts, sys.env)
     partitionsOf(opts, dir) // fail fast on a malformed spec too
+    validateManifestFlags(opts) // and on an incoherent flag pair
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-archive")
@@ -61,11 +62,9 @@ object Main {
 
   private def archive(spark: SparkSession, opts: Map[String, String],
       dir: String, table: String, bucket: String): String = {
-    // flag coherence BEFORE any archive work: a single exact-key
-    // object is its own integrity unit (atomic rename) and needs no
-    // shard manifest
-    if (opts.contains("manifest") && !opts.contains("sharded"))
-      sys.error("graft: --manifest requires --sharded (a single object needs no shard manifest)")
+    // re-checked here so the `run` test path fails fast too (main()
+    // already validated before paying Spark startup)
+    validateManifestFlags(opts)
     val engine = new Engine(spark, configOf(opts))
     val dest = partitionsOf(opts, dir) match {
       case Some((col, lo, hi, n)) =>
@@ -80,6 +79,13 @@ object Main {
     if (opts.contains("manifest")) engine.writeManifest(dest)
     dest
   }
+
+  /** A single exact-key object is its own integrity unit (atomic
+    * rename) and needs no shard manifest.
+    */
+  private def validateManifestFlags(opts: Map[String, String]): Unit =
+    if (opts.contains("manifest") && !opts.contains("sharded"))
+      sys.error("graft: --manifest requires --sharded (a single object needs no shard manifest)")
 
   private def partitionsOf(opts: Map[String, String],
       source: String): Option[(String, Long, Long, Int)] =

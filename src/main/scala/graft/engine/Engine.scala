@@ -535,14 +535,19 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
     * the discrepancies (missing manifest, missing/extra/resized data
     * files, row-count drift), empty when the landing is intact. The
     * check any consumer should run before trusting a directory it did
-    * not just write.
+    * not just write — which is exactly why the RECOUNT format comes
+    * from the manifest itself, never from the caller's config: the
+    * consumer doesn't know how the archive was written, the manifest
+    * records it.
     */
-  def verifyManifest(dest: String, format: Format = base.format): Seq[String] = {
+  def verifyManifest(dest: String): Seq[String] = {
     val path = new Path(dest, Engine.ManifestName)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return Seq(s"manifest missing: $path")
+    val in = fs.open(path)
     val recorded = parseManifest(new String(
-      org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(path)),
+      try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+      finally in.close(),
       StandardCharsets.UTF_8))
     val rec = recorded.files.map(f => f.path -> f.bytes).toMap
     val act = listShards(dest).map(f => f.path -> f.bytes).toMap
@@ -554,27 +559,52 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
     // a tampered shard can make the re-read THROW (e.g. the local
     // filesystem's CRC sidecar detects the corruption before the
     // format does) — an audit reports that as a finding, it never
-    // propagates a crash out of a verification call
+    // propagates a crash out of a verification call. rows = -1 means
+    // the writing format's row framing is private (custom row
+    // formatters) — nothing to recount.
     val rows =
-      try {
-        val n = countRows(dest, format)
-        if (recorded.rows != n) Seq(s"row drift: recorded ${recorded.rows}, found $n")
-        else Seq.empty
-      } catch {
-        case e: Throwable =>
-          Seq(s"row drift: recount failed: ${String.valueOf(e.getMessage).take(160)}")
+      if (recorded.rows == -1L) Seq.empty
+      else formatOf(recorded.format) match {
+        case None =>
+          Seq(s"row drift: manifest format '${recorded.format}' is not recountable here")
+        case Some(fmt) =>
+          try {
+            val n = countRows(dest, fmt)
+            if (recorded.rows != n)
+              Seq(s"row drift: recorded ${recorded.rows}, found $n")
+            else Seq.empty
+          } catch {
+            case e: Throwable =>
+              Seq(s"row drift: recount failed: ${String.valueOf(e.getMessage).take(160)}")
+          }
       }
     missing ++ extra ++ resized ++ rows
+  }
+
+  /** Extension string (as the manifest records it) → recountable
+    * format. Custom extensions → None.
+    */
+  private def formatOf(ext: String): Option[Format] = ext match {
+    case "parquet" => Some(Format.Parquet)
+    case "orc" => Some(Format.Orc)
+    case "csv" => Some(Format.Csv)
+    case _ => None
   }
 
   private def listShards(dest: String): Seq[ShardEntry] = {
     val root = new Path(dest)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // hidden names ('_'/'.') are excluded as FILES (committer metadata,
+    // the manifest itself) AND as DIRECTORIES (_temporary staging that
+    // a straggler task can recreate, .staging-* residue): Spark's own
+    // readers skip hidden directories, so recording their contents
+    // would guarantee later false "missing file" alarms
+    def hidden(p: Path): Boolean =
+      p.getName.startsWith("_") || p.getName.startsWith(".")
     def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(p).toSeq.flatMap { st =>
-        if (st.isDirectory) walk(st.getPath)
-        else if (st.getPath.getName.startsWith("_") ||
-          st.getPath.getName.startsWith(".")) Seq.empty // committer metadata, the manifest itself
+        if (hidden(st.getPath)) Seq.empty
+        else if (st.isDirectory) walk(st.getPath)
         else Seq(st)
       }
     val rootUri = root.toUri.getPath.stripSuffix("/")
@@ -587,7 +617,13 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
   private def countRows(dest: String, format: Format): Long = format match {
     case Format.Parquet => spark.read.parquet(dest).count()
     case Format.Orc => spark.read.orc(dest).count()
-    case Format.Csv => spark.read.option("header", "true").csv(dest).count()
+    case Format.Csv =>
+      // multiLine: quoted embedded newlines (which the sharded CSV
+      // writer emits) must count as ONE row, not one per physical
+      // line; the audit pays the non-splittable read for an exact
+      // count
+      spark.read.option("header", "true").option("multiLine", "true")
+        .csv(dest).count()
     case _ => -1L // row-formatted shards: framing is format-private
   }
 
@@ -604,13 +640,31 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
     s"""{"files": [${fileJson.mkString(", ")}], "format": "${esc(m.format)}", "n_files": ${m.files.size}, "rows": ${m.rows}, "total_bytes": ${m.files.map(_.bytes).sum}}"""
   }
 
+  /** Inverse of renderManifest's `esc` — all three escape forms, in
+    * one left-to-right scan (a replace() chain would mis-handle
+    * sequences like `\\u0041`, un-escaping the backslash first and
+    * then fabricating a unicode escape).
+    */
+  private def unescape(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '\\' && i + 1 < s.length) s(i + 1) match {
+        case 'u' if i + 5 < s.length =>
+          out += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+          i += 6
+        case c => out += c; i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out.toString
+  }
+
   private def parseManifest(json: String): ArchiveManifest = {
     // the manifest is machine-written by renderManifest with a fixed
     // shape — a targeted parse keeps the engine dependency-free
     val file = """\{"bytes": (\d+), "path": "((?:[^"\\]|\\.)*)"\}""".r
     val files = file.findAllMatchIn(json).map { m =>
-      ShardEntry(m.group(2).replace("\\\\", "\\").replace("\\\"", "\""),
-        m.group(1).toLong)
+      ShardEntry(unescape(m.group(2)), m.group(1).toLong)
     }.toSeq
     val rows = """"rows": (-?\d+)""".r.findFirstMatchIn(json)
       .map(_.group(1).toLong).getOrElse(-1L)

@@ -692,10 +692,17 @@ object Similarity {
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${n + 1}), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
 
   /** Per-subspace oracle chain: sub → init → (assign → centroids) ×
-    * rounds → final assign (the codes). Same fixed-point discipline
-    * as [[duckAssign]]/[[duckCentroids]], on [[PqSubDim]]-dim slices.
+    * rounds → final assign (the codes) → query LUT. Same fixed-point
+    * discipline as [[duckAssign]]/[[duckCentroids]], on
+    * [[PqSubDim]]-dim slices. ONE generator serves both PQ oracles —
+    * s07 (`pfx` "", slices of the raw vectors `n.v`) and s15 (`pfx`
+    * "r", slices of the residuals `res.r`) — so the subspace training
+    * discipline (rounding, tie order, LUT form) cannot drift between
+    * them. The LUT always dots the RAW query subvector: that IS s07's
+    * semantics, and s15's residual-ADC identity (q·x̂ = q·c + q·r̂)
+    * requires it.
     */
-  private def duckPqSubspace(m: Int): String = {
+  private def duckSubspaceChain(m: Int, pfx: String, src: String, vec: String): String = {
     val lo = m * PqSubDim + 1
     val hi = (m + 1) * PqSubDim
     def assign(cents: String, name: String): String =
@@ -704,7 +711,7 @@ object Similarity {
          |    SELECT s.vec_id, s.sv, q.cell,
          |           row_number() OVER (PARTITION BY s.vec_id
          |             ORDER BY (q.cn2 - 2 * ${duckDotN("s.sv", "q.cd", PqSubDim)}), q.cell) AS rn
-         |    FROM sub$m s CROSS JOIN (
+         |    FROM ${pfx}sub$m s CROSS JOIN (
          |      SELECT cell, cd, ${duckDotN("cd", "cd", PqSubDim)} AS cn2
          |      FROM (SELECT cell, list_transform(c, y -> y / 1000000.0) AS cd FROM $cents)) q)
          |  WHERE rn = 1)""".stripMargin
@@ -717,27 +724,28 @@ object Similarity {
          |    GROUP BY cell, pos)
          |  GROUP BY cell)""".stripMargin
     val sb = new StringBuilder
-    sb.append(s"""sub$m AS (SELECT vec_id, v[$lo:$hi] AS sv FROM n),
-      init$m AS (
+    sb.append(s"""${pfx}sub$m AS (SELECT vec_id, $vec[$lo:$hi] AS sv FROM $src),
+      ${pfx}init$m AS (
         SELECT cell, list_transform(sv, x -> CAST(round(x * 1000000) AS BIGINT)) AS c FROM (
           SELECT vec_id % $PqK AS cell, sv,
                  row_number() OVER (PARTITION BY vec_id % $PqK ORDER BY vec_id) AS rn
-          FROM sub$m)
+          FROM ${pfx}sub$m)
         WHERE rn = 1)""")
-    var prev = s"init$m"
+    var prev = s"${pfx}init$m"
     for (r <- 1 to PqRounds) {
-      sb.append(",\n" + assign(prev, s"a${r}_$m") + ",\n" + cents(s"a${r}_$m", s"c${r}_$m"))
-      prev = s"c${r}_$m"
+      sb.append(",\n" + assign(prev, s"${pfx}a${r}_$m") + ",\n" + cents(s"${pfx}a${r}_$m", s"${pfx}c${r}_$m"))
+      prev = s"${pfx}c${r}_$m"
     }
     // codes = assignment against the FINAL codebook
-    sb.append(",\n" + assign(prev, s"codes$m"))
+    sb.append(",\n" + assign(prev, s"${pfx}codes$m"))
     sb.append(s""",
-      qs$m AS (SELECT sv FROM sub$m WHERE vec_id = 0),
-      lut$m AS (SELECT cc.cell, ${duckDotN("q.sv", "cc.cd", PqSubDim)} AS val
+      ${pfx}lut$m AS (SELECT cc.cell, ${duckDotN("q.sv", "cc.cd", PqSubDim)} AS val
         FROM (SELECT cell, list_transform(c, y -> y / 1000000.0) AS cd FROM $prev) cc
-        CROSS JOIN qs$m q)""")
+        CROSS JOIN (SELECT v[$lo:$hi] AS sv FROM n WHERE vec_id = 0) q)""")
     sb.toString
   }
+
+  private def duckPqSubspace(m: Int): String = duckSubspaceChain(m, "", "n", "v")
 
   /** Product quantization ANN — the COMPRESSION half of IVF-PQ,
     * completing the s04/s05/s06 coarse-quantizer story: each vector's
@@ -1229,56 +1237,6 @@ object Similarity {
       .withColumn("r", zip_with(col("v"), cdCol, (a, b) => a - b))
   }
 
-  /** The per-subspace RESIDUAL codebook oracle chain: seed + 2 k-means
-    * rounds + encoding over residual slices, plus the query LUT from
-    * the RAW query subvector (IP-metric residual ADC scores
-    * q·x̂ = q·centroid + q·r̂, so the LUT never sees a residual of q).
-    * Mirrors [[duckPqSubspace]] but sources `res` — s07's generator
-    * stays untouched because its `FROM n` chain is a shipped green
-    * contract.
-    */
-  private def duckResSubspace(m: Int): String = {
-    val lo = m * PqSubDim + 1
-    val hi = (m + 1) * PqSubDim
-    def assign(cents: String, name: String): String =
-      s"""$name AS (
-         |  SELECT vec_id, sv, cell FROM (
-         |    SELECT s.vec_id, s.sv, q.cell,
-         |           row_number() OVER (PARTITION BY s.vec_id
-         |             ORDER BY (q.cn2 - 2 * ${duckDotN("s.sv", "q.cd", PqSubDim)}), q.cell) AS rn
-         |    FROM rsub$m s CROSS JOIN (
-         |      SELECT cell, cd, ${duckDotN("cd", "cd", PqSubDim)} AS cn2
-         |      FROM (SELECT cell, list_transform(c, y -> y / 1000000.0) AS cd FROM $cents)) q)
-         |  WHERE rn = 1)""".stripMargin
-    def cents(assigned: String, name: String): String =
-      s"""$name AS (
-         |  SELECT cell, list(ci ORDER BY pos) AS c FROM (
-         |    SELECT cell, pos, CAST(trunc(sum(xi) / count(*)) AS BIGINT) AS ci FROM (
-         |      SELECT a.cell, r.pos, CAST(round(a.sv[r.pos + 1] * 1000000) AS BIGINT) AS xi
-         |      FROM $assigned a, unnest(range(0, $PqSubDim)) AS r(pos))
-         |    GROUP BY cell, pos)
-         |  GROUP BY cell)""".stripMargin
-    val sb = new StringBuilder
-    sb.append(s"""rsub$m AS (SELECT vec_id, r[$lo:$hi] AS sv FROM res),
-      rinit$m AS (
-        SELECT cell, list_transform(sv, x -> CAST(round(x * 1000000) AS BIGINT)) AS c FROM (
-          SELECT vec_id % $PqK AS cell, sv,
-                 row_number() OVER (PARTITION BY vec_id % $PqK ORDER BY vec_id) AS rn
-          FROM rsub$m)
-        WHERE rn = 1)""")
-    var prev = s"rinit$m"
-    for (r <- 1 to PqRounds) {
-      sb.append(",\n" + assign(prev, s"ra${r}_$m") + ",\n" + cents(s"ra${r}_$m", s"rc${r}_$m"))
-      prev = s"rc${r}_$m"
-    }
-    sb.append(",\n" + assign(prev, s"rcodes$m"))
-    sb.append(s""",
-      rlut$m AS (SELECT cc.cell, ${duckDotN("q.sv", "cc.cd", PqSubDim)} AS val
-        FROM (SELECT cell, list_transform(c, y -> y / 1000000.0) AS cd FROM $prev) cc
-        CROSS JOIN (SELECT v[$lo:$hi] AS sv FROM n WHERE vec_id = 0) q)""")
-    sb.toString
-  }
-
   /** s15: IVF-PQ — the composition production ANN systems actually
     * deploy (Faiss `IVFPQ`), assembled from the family's shipped
     * halves: the s04/s05 coarse quantizer restricts the SEARCH (the
@@ -1311,7 +1269,7 @@ object Similarity {
   val s15 = QueryDef(
     "s15_ivfpq_adc",
     Some {
-      val subspaces = (0 until PqM).map(duckResSubspace).mkString(",\n      ")
+      val subspaces = (0 until PqM).map(duckSubspaceChain(_, "r", "res", "r")).mkString(",\n      ")
       val joins = (0 until PqM).map(m =>
         s"JOIN rcodes$m rcd$m ON rcd$m.vec_id = res.vec_id JOIN rlut$m ON rlut$m.cell = rcd$m.cell")
         .mkString("\n        ")

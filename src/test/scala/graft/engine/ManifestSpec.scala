@@ -70,7 +70,11 @@ class ManifestSpec extends SparkSpec {
     assert(m.rows == src.count())
     // partition-layout data files live in subdirectories
     assert(m.files.exists(_.path.contains("/")))
-    assert(engine.verifyManifest(dest, Format.Parquet).isEmpty)
+    // the recount format comes from the MANIFEST, not the verifying
+    // engine's config: a default-config consumer (who doesn't know how
+    // the archive was written — that's what the manifest records)
+    // audits a parquet landing clean
+    assert(new Engine(spark).verifyManifest(dest).isEmpty)
   }
 
   test("a directory without a manifest reports exactly that") {
