@@ -33,20 +33,21 @@ import org.apache.spark.sql.{Encoder, Encoders}
   * the test corpus and the est-vs-true gap is visible; production
   * sizes w to the tolerated εN.
   */
-class CountMinAgg extends Aggregator[Long, Array[Long], Array[Long]] {
+class CountMinAgg(val w: Int = CountMinAgg.W)
+    extends Aggregator[Long, Array[Long], Array[Long]] {
   import CountMinAgg._
 
-  override def zero: Array[Long] = new Array[Long](D * W)
+  override def zero: Array[Long] = new Array[Long](D * w)
 
   override def reduce(buf: Array[Long], key: Long): Array[Long] = {
     var j = 0
-    while (j < D) { buf(j * W + bucket(j, key)) += 1; j += 1 }
+    while (j < D) { buf(j * w + bucketW(j, key, w)) += 1; j += 1 }
     buf
   }
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     var i = 0
-    while (i < D * W) { a(i) += b(i); i += 1 }
+    while (i < D * w) { a(i) += b(i); i += 1 }
     a
   }
 
@@ -69,12 +70,21 @@ object CountMinAgg {
     * for the non-negative keys of the oracle queries this is plain
     * `%`, which is what the SQL replays.
     */
-  def bucket(j: Int, key: Long): Int =
-    (java.lang.Math.floorMod(key * A(j) + B(j), P) % W).toInt
+  def bucket(j: Int, key: Long): Int = bucketW(j, key, W)
+
+  def bucketW(j: Int, key: Long, w: Int): Int =
+    (java.lang.Math.floorMod(key * A(j) + B(j), P) % w).toInt
 
   /** Untyped-groupBy handle: `df.agg(cms(col("key")))` → the d×w
     * counter array, row-major.
     */
   lazy val cms: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new CountMinAgg, Encoders.scalaLong)
+
+  /** Same sketch at a caller-chosen width (production sizes w to the
+    * tolerated εN; q62 uses 1024 so join-size estimates are in the
+    * right ballpark while collisions stay live).
+    */
+  def cmsOf(w: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new CountMinAgg(w), Encoders.scalaLong)
 }

@@ -11,7 +11,7 @@ object Aggregates {
 
   def queries: Seq[QueryDef] =
     Seq(q09, q10, q11, q12, q21, q26, q27, q28, q29, q35, q36, q38, q40, q41,
-      q45, q47, q51, q52, q56, q57)
+      q45, q47, q51, q52, q56, q57, q62)
 
   /** q51: exact equi-depth binning (feature discretization) — assign
     * every row its decile of `l_extendedprice`, then summarize each
@@ -884,5 +884,93 @@ object Aggregates {
         .toDF("pct", "price")
         .orderBy("pct")
     }
+  }
+
+  /** q62's CMS width: wide enough (d×w = 3×1024 longs, 24 KiB) that
+    * estimates land in the right ballpark, small enough that
+    * collisions stay LIVE at test scale (measured ~1.6–1.9×
+    * overestimates at sf0.01 — the honest readout of an undersized
+    * sketch; production sizes w = ⌈e/ε⌉ to the tolerated εN).
+    */
+  private val JsW = 1024
+
+  /** q62: JOIN-SIZE ESTIMATION — the query-planning application the
+    * Count-Min sketch was built for (the AGM / Alon-Gibbons-Matias-
+    * Szegedy line): |A ⋈ B| = Σ_k c_A(k)·c_B(k), estimable WITHOUT
+    * running the join as min_j Σ_b cmsA[j][b]·cmsB[j][b] — sketch the
+    * two key streams in one pass each (fixed-size mergeable state, no
+    * per-key shuffle), dot the counter rows, take the min. est ≥
+    * exact always (collision terms are non-negative). Two live
+    * instances: the SELF-join size of lineitem on l_partkey (the F2
+    * second frequency moment — the classic skew statistic) and the
+    * orders ⋈ customer FK join; both exact values computed alongside
+    * so the emitted rel_err IS the measured estimator quality.
+    *
+    * Scale shape: each sketch leg is one partial+final aggregate
+    * whose shuffled state is 24 KiB per partition REGARDLESS of key
+    * cardinality — at 100 TB this is the difference between an
+    * estimate you can afford before every big join and the exact
+    * per-key groupBy (also shown here) that shuffles every distinct
+    * key. The 1-row sketch/exact frames cross-join (whitelisted —
+    * driver-sized by construction).
+    */
+  val q62 = QueryDef(
+    "q62_join_size",
+    Some(s"""WITH
+      fa AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1),
+      fo AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY 1),
+      fc AS (SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS c FROM customer GROUP BY 1),
+      prm AS (SELECT unnest([0, 1, 2]) AS j, unnest([131, 137, 139]) AS a,
+        unnest([7, 11, 13]) AS b),
+      ca AS (SELECT prm.j, ((fa.k * prm.a + prm.b) % 1000000007) % $JsW AS b,
+          CAST(sum(fa.c) AS BIGINT) AS v FROM fa CROSS JOIN prm GROUP BY 1, 2),
+      co AS (SELECT prm.j, ((fo.k * prm.a + prm.b) % 1000000007) % $JsW AS b,
+          CAST(sum(fo.c) AS BIGINT) AS v FROM fo CROSS JOIN prm GROUP BY 1, 2),
+      cc AS (SELECT prm.j, ((fc.k * prm.a + prm.b) % 1000000007) % $JsW AS b,
+          CAST(sum(fc.c) AS BIGINT) AS v FROM fc CROSS JOIN prm GROUP BY 1, 2),
+      sd AS (SELECT a.j, CAST(sum(a.v * a.v) AS BIGINT) AS dot FROM ca a GROUP BY 1),
+      fd AS (SELECT a.j, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+        FROM co a JOIN cc b ON a.j = b.j AND a.b = b.b GROUP BY 1),
+      ests AS (
+        SELECT 'lineitem_selfjoin_partkey' AS join_name,
+          (SELECT CAST(coalesce(sum(c * c), 0) AS BIGINT) FROM fa) AS exact,
+          (SELECT CAST(coalesce(min(dot), 0) AS BIGINT) FROM sd) AS est
+        UNION ALL SELECT 'orders_customer_custkey',
+          (SELECT CAST(coalesce(sum(o.c * c2.c), 0) AS BIGINT)
+            FROM fo o JOIN fc c2 ON o.k = c2.k),
+          (SELECT CAST(coalesce(min(dot), 0) AS BIGINT) FROM fd))
+      SELECT join_name, exact, est,
+        CASE WHEN exact = 0 THEN 0.0
+             ELSE CAST(est - exact AS DOUBLE) / CAST(exact AS DOUBLE) END AS rel_err
+      FROM ests ORDER BY join_name""")) { (s, d) =>
+    val cms = graft.functions.CountMinAgg.cmsOf(JsW)
+    val li = Tables.lineitem(s, d).select(col("l_partkey").as("k"))
+    val ord = Tables.orders(s, d).select(col("o_custkey").as("k"))
+    val cust = Tables.customer(s, d).select(col("c_custkey").as("k"))
+    // the estimator's row dot: Σ_b a[j·W+b]·b[j·W+b], min over rows —
+    // a HOF over ONE row of driver-sized sketch state
+    def estOf(a: String, b: String) = least((0 until 3).map(j =>
+      expr(s"""aggregate(sequence(0, ${JsW - 1}), 0L,
+        (acc, i) -> acc + element_at($a, $j * $JsW + i + 1) * element_at($b, $j * $JsW + i + 1))""")): _*)
+    val skA = li.agg(cms(col("k")).as("sk_a"))
+    val skO = ord.agg(cms(col("k")).as("sk_o"))
+    val skC = cust.agg(cms(col("k")).as("sk_c"))
+    val selfExact = li.groupBy("k").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * col("c")), lit(0L)).as("self_exact"))
+    val fkExact = ord.groupBy("k").agg(count(lit(1)).as("co"))
+      .join(cust.groupBy("k").agg(count(lit(1)).as("cc")), Seq("k"))
+      .agg(coalesce(sum(col("co") * col("cc")), lit(0L)).as("fk_exact"))
+    selfExact.crossJoin(fkExact).crossJoin(skA).crossJoin(skO).crossJoin(skC)
+      .select(explode(array(
+        struct(lit("lineitem_selfjoin_partkey").as("join_name"),
+          col("self_exact").as("exact"), estOf("sk_a", "sk_a").as("est")),
+        struct(lit("orders_customer_custkey").as("join_name"),
+          col("fk_exact").as("exact"), estOf("sk_o", "sk_c").as("est")))).as("p"))
+      .select(col("p.join_name").as("join_name"), col("p.exact").as("exact"),
+        col("p.est").as("est"),
+        when(col("p.exact") === 0L, lit(0.0))
+          .otherwise((col("p.est") - col("p.exact")).cast("double")
+            / col("p.exact").cast("double")).as("rel_err"))
+      .orderBy("join_name")
   }
 }
