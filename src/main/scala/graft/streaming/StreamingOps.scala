@@ -108,6 +108,47 @@ object StreamingOps {
       }
   }
 
+  final case class FrequencyEstimate(event_type: String, probe_key: Long,
+      est_count: Long)
+
+  /** Streaming per-key frequency estimation via the graft-native
+    * Count-Min sketch ([[graft.functions.CountMinAgg]]) — the
+    * frequency member of the streaming sketch set next to
+    * [[streamingApproxDistinct]] (HLL) and `streamingQuantiles`
+    * (KLL): per event_type, the state is ONE fixed d×w counter array
+    * merged with each micro-batch's user ids, and the running
+    * estimates for a caller-fixed probe set are re-emitted every
+    * update. Counters are plain sums — order-independent and
+    * mergeable — so a stream's final estimates equal the batch
+    * sketch's over the same rows EXACTLY, under any micro-batch split
+    * (pinned in StreamingSpec). Exact streaming per-key counts need
+    * O(distinct keys) state; this needs O(types)·24 KiB.
+    */
+  def streamingFrequency(events: Dataset[Event], probes: Seq[Long],
+      w: Int = graft.functions.CountMinAgg.W): Dataset[FrequencyEstimate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[Array[Long], FrequencyEstimate](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) { (tpe, it, state) =>
+        val agg = new graft.functions.CountMinAgg(w)
+        val buf = state.getOption.getOrElse(agg.zero)
+        it.foreach(e => agg.reduce(buf, e.user_id))
+        state.update(buf)
+        probes.iterator.map { k =>
+          var est = Long.MaxValue
+          var j = 0
+          while (j < graft.functions.CountMinAgg.D) {
+            val c = buf(j * w + graft.functions.CountMinAgg.bucketW(j, k, w))
+            if (c < est) est = c
+            j += 1
+          }
+          FrequencyEstimate(tpe, k, est)
+        }
+      }
+  }
+
   final case class WindowEstimate(win_start_us: Long, approx_users: Double)
 
   /** The streaming face of e16's hierarchical sketch rollup: per

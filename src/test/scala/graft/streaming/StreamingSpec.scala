@@ -344,6 +344,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingFrequency's final estimates equal the batch CMS under any micro-batch split") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sql = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("ts_us"))
+      .collect()
+      .sortBy(r => (r.getLong(5), r.getLong(0)))
+      .map(r => Event(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val probes = Seq(1L, 2L, 3L, 41L, 999999L) // incl. an absent key
+    val input = MemoryStream[Event]
+    val q = StreamingOps.streamingFrequency(input.toDS(), probes)
+      .writeStream.format("memory").queryName("freqstream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      evs.grouped(evs.length / 3 + 1).foreach { b =>
+        input.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      // counters only grow, so the FINAL estimate per (type, probe)
+      // is the max across the accumulated update emissions
+      val streamed = spark.table("freqstream")
+        .as[StreamingOps.FrequencyEstimate].collect()
+        .groupBy(f => (f.event_type, f.probe_key))
+        .view.mapValues(_.map(_.est_count).max).toMap
+      val W = graft.functions.CountMinAgg.W
+      val batch = evs.groupBy(_.event_type).flatMap { case (tpe, es) =>
+        val agg = new graft.functions.CountMinAgg(W)
+        val buf = es.foldLeft(agg.zero)((b, e) => agg.reduce(b, e.user_id))
+        probes.map { k =>
+          val est = (0 until graft.functions.CountMinAgg.D)
+            .map(j => buf(j * W + graft.functions.CountMinAgg.bucketW(j, k, W))).min
+          (tpe, k) -> est
+        }
+      }.toMap
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"stream/batch CMS divergence: ${streamed.toSet.diff(batch.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("ewmaSmooth reproduces batch e20's smoothed rows over the real events table") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
