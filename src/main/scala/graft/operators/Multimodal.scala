@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 object MultimodalOps {
 
   def queries: Seq[QueryDef] =
-    Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12)
+    Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13)
 
   /** DuckDB luma at synthetic sample point (gx, gy): replays the
     * m05 pixel arithmetic through the same integer (299r+587g+114b)/
@@ -590,5 +590,129 @@ object MultimodalOps {
       }
       .toDF("asset_id", "frame_no", "l1_diff", "is_cut")
       .orderBy("asset_id", "frame_no")
+  }
+
+  /** m13: the multimodal CURATION capstone — x09's declarative
+    * pipeline shape applied to images, chaining the family's shipped
+    * stages over ONE decode pass: (1) exact perceptual collapse —
+    * assets grouped by the m06 dHash, lowest-id representative kept
+    * with its member count (500 docs → 102 groups at sf0.01); (2)
+    * near-dup pruning — the m06 pigeonhole banding over the DISTINCT
+    * survivor hashes, any rep that is the greater of a hamming ≤ 3
+    * pair dropped (keep-lowest, the x09 survivor rule; → 54); (3) the
+    * m10 entropy quality gate — only images carrying ≥ 1 nat of luma-
+    * histogram information survive (→ 22 curated). Dedup runs BEFORE
+    * quality on purpose: at scale the collapse shrinks the set the
+    * scorer must touch — the order a production curation pipeline
+    * uses for the same reason.
+    *
+    * Every metric (codec, dims, dHash, entropy) comes from genuinely
+    * DECODED pixels in one `mapPartitions` pass; the oracle replays
+    * all three stages from the synthetic pixel arithmetic, reusing
+    * the m06 bit construction and the m10 histogram chain. Shape:
+    * one narrow decode pass → one phash-keyed aggregate → the
+    * banding self-join over group-table rows (never the corpus) →
+    * one anti join → a narrow filter.
+    */
+  val m13 = QueryDef(
+    "m13_curation_pipeline",
+    Some {
+      val base = "(doc_id*7 + (k % w)*3 + (k // w)*5)"
+      val luma = s"((299*(($base) % 256) + 587*(($base + 11) % 256) + 114*(($base + 22) % 256)) // 1000)"
+      val bit = s"CASE WHEN ${duckLuma("(((k%10)+1)*w)//11", "((k//10)*h)//6")}" +
+        s" > ${duckLuma("((k%10)*w)//11", "((k//10)*h)//6")} THEN (1::BIGINT << k) ELSE 0 END"
+      s"""WITH g AS (SELECT doc_id, doc_id % 5 + 4 AS w, doc_id % 3 + 3 AS h FROM documents),
+      ph AS (SELECT g.doc_id,
+          CAST(list_sum(list_transform(range(0, 60), k -> $bit)) AS BIGINT) AS phash
+        FROM g),
+      grp AS (SELECT phash, min(doc_id) AS rep, CAST(count(*) AS BIGINT) AS members
+        FROM ph GROUP BY phash),
+      bb AS (SELECT phash, rep, unnest(range(0, 4)) AS band FROM grp),
+      bv AS (SELECT phash, rep, band,
+          (phash >> CAST(band * 15 AS INT)) & 32767 AS bv FROM bb),
+      cp AS (SELECT DISTINCT least(a.rep, x.rep) AS ra, greatest(a.rep, x.rep) AS rb
+        FROM bv a JOIN bv x ON a.band = x.band AND a.bv = x.bv AND a.phash <> x.phash
+        WHERE bit_count(xor(a.phash, x.phash)) <= 3),
+      reps AS (SELECT grp.* FROM grp
+        WHERE NOT EXISTS (SELECT 1 FROM cp WHERE cp.rb = grp.rep)),
+      lum AS (SELECT doc_id, w*h AS n, $luma AS y
+        FROM g JOIN reps ON reps.rep = g.doc_id, unnest(range(0, w*h)) AS r(k)),
+      hist AS (SELECT doc_id, n, y // 32 AS b, count(*) AS nb FROM lum GROUP BY 1, 2, 3),
+      lt AS (SELECT ${M10LnNano.mkString("[", ", ", "]")} AS a),
+      ent AS (SELECT doc_id, n,
+          CAST(sum(nb * (lt.a[CAST(n AS INT)] - lt.a[CAST(nb AS INT)])) AS BIGINT) AS s
+        FROM hist CROSS JOIN lt GROUP BY 1, 2)
+      SELECT reps.rep AS asset_id,
+        CASE WHEN reps.rep % 2 = 0 THEN 'bmp' ELSE 'png' END AS codec,
+        CAST(g.w AS BIGINT) AS width, CAST(g.h AS BIGINT) AS height,
+        reps.members, reps.phash, ent.s AS ent_nano,
+        CAST(ent.s AS DOUBLE) / CAST(ent.n * 1000000000 AS DOUBLE) AS entropy
+      FROM reps JOIN g ON g.doc_id = reps.rep JOIN ent ON ent.doc_id = reps.rep
+      WHERE ent.s >= ent.n * 1000000000
+      ORDER BY asset_id"""
+    }) { (s, d) =>
+    import s.implicits._
+    val ln = M10LnNano.toArray
+    // ONE decode pass yields every downstream metric — codec, dims,
+    // perceptual hash, entropy — so curation never re-decodes
+    val metrics = graft.multimodal.MultimodalPipeline.imageAssets(s, d)
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          graft.multimodal.ImageCodecs.decodeImage(a.data, 0, a.data.length)
+            .map { case (codec, img) =>
+              val w = img.getWidth; val h = img.getHeight
+              val phash = graft.multimodal.ImageCodecs.pHash60(img)
+              val hist = new Array[Long](8)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                    114 * (rgb & 0xff)) / 1000
+                  hist(lum / 32) += 1
+                  x += 1
+                }
+                y += 1
+              }
+              val n = w.toLong * h
+              var sNano = 0L; var b = 0
+              while (b < 8) {
+                if (hist(b) > 0)
+                  sNano += hist(b) * (ln(n.toInt - 1) - ln(hist(b).toInt - 1))
+                b += 1
+              }
+              (a.asset_id, codec, w.toLong, h.toLong, phash, sNano, n)
+            }
+        }
+      }
+      .toDF("asset_id", "codec", "width", "height", "phash", "ent_nano", "n_px")
+    // (1) exact perceptual collapse: lowest-id rep carries its metrics
+    val grp = metrics.groupBy("phash")
+      .agg(min_by(struct(col("asset_id"), col("codec"), col("width"),
+          col("height"), col("ent_nano"), col("n_px")), col("asset_id")).as("m"),
+        count(lit(1)).as("members"))
+      .select(col("m.asset_id").as("asset_id"), col("m.codec").as("codec"),
+        col("m.width").as("width"), col("m.height").as("height"),
+        col("phash"), col("m.ent_nano").as("ent_nano"),
+        col("m.n_px").as("n_px"), col("members"))
+    // (2) near-dup keep-lowest over the GROUP table (never the corpus)
+    val bands = grp.select(col("phash"), col("asset_id").as("rep"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bv", expr("shiftright(phash, CAST(band * 15 AS INT)) & 32767"))
+    val drops = bands.as("a").join(bands.as("x"),
+        col("a.band") === col("x.band") && col("a.bv") === col("x.bv") &&
+          col("a.phash") =!= col("x.phash"))
+      .filter(bit_count(col("a.phash").bitwiseXOR(col("x.phash"))) <= 3)
+      .select(greatest(col("a.rep"), col("x.rep")).as("rb"))
+      .distinct()
+    // (3) the m10 entropy gate over what remains
+    grp.join(drops, col("asset_id") === col("rb"), "left_anti")
+      .where(col("ent_nano") >= col("n_px") * lit(1000000000L))
+      .select(col("asset_id"), col("codec"), col("width"), col("height"),
+        col("members"), col("phash"), col("ent_nano"),
+        (col("ent_nano").cast("double") /
+          (col("n_px") * lit(1000000000L)).cast("double")).as("entropy"))
+      .orderBy("asset_id")
   }
 }
