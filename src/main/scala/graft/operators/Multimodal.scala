@@ -157,8 +157,9 @@ object MultimodalOps {
   }
 
   /** Image near-duplicate detection over DECODED pixels — the
-    * multimodal pipeline capstone, chaining m05's real codec path into
-    * the dedup discipline: each image is decoded (javax.imageio) and
+    * perceptual-dedup stage of the multimodal pipeline (m13 composes
+    * it with the m10 quality gate into the full curation capstone),
+    * chaining m05's real codec path into the dedup discipline: each image is decoded (javax.imageio) and
     * perceptually hashed ([[graft.multimodal.ImageCodecs.pHash60]] —
     * 60-bit dHash of luma gradient signs on a 10×6 grid), exact-phash
     * groups collapse in ONE shuffle (the d01 shape: min-id
