@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, TernaryExpression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, QuaternaryExpression, TernaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -232,6 +232,64 @@ object VecDot {
   }
 }
 
+/** Fused SQ8 quantize → reconstruct → ADC dot (the s09 kernel): per
+  * dimension, the vector value is encoded to its 8-bit scalar code
+  * against the corpus [min, max] (code = clamp(⌊(v−min)·255/span⌋,
+  * 0, 255); span 0 → 0), decoded to the cell CENTER ((code+½)·span/255
+  * + min), and dotted with the query — one strict left fold, no
+  * intermediate code/reconstruction arrays ever materialized.
+  *
+  * Bit-equality contract: every step is the exact IEEE sequence of the
+  * DuckDB oracle's `list_transform` chains + `list_reduce` fold
+  * ((v−min)·255/span floored then clamped as int64; (code+0.5)·span
+  * /255+min left-associated; acc += q·dq in element order), so the
+  * fused double matches the oracle's, while replacing two 64-wide
+  * interpreted HOF chains with one codegen'd kernel call.
+  */
+case class Sq8Adc(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType),
+    ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq8_adc"
+
+  override def nullSafeEval(v: Any, mins: Any, spans: Any, q: Any): Any =
+    Sq8Adc.compute(v.asInstanceOf[ArrayData], mins.asInstanceOf[ArrayData],
+      spans.asInstanceOf[ArrayData], q.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (v, mn, sp, q) => s"graft.functions.Sq8Adc.compute($v, $mn, $sp, $q)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, fo: Expression): Sq8Adc =
+    copy(first = f, second = s, third = t, fourth = fo)
+}
+
+object Sq8Adc {
+  def compute(v: ArrayData, mins: ArrayData, spans: ArrayData,
+      q: ArrayData): Double = {
+    val n = math.min(v.numElements(), q.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val mn = mins.getDouble(i)
+      val sp = spans.getDouble(i)
+      // least(255, greatest(0, CAST(floor((v-mn)*255.0/sp) AS BIGINT)))
+      val code: Long =
+        if (sp == 0.0) 0L
+        else math.min(255L, math.max(0L,
+          math.floor((v.getDouble(i) - mn) * 255.0 / sp).toLong))
+      // (CAST(code AS DOUBLE) + 0.5) * sp / 255.0 + mn, left-associated
+      val dq = (code.toDouble + 0.5) * sp / 255.0 + mn
+      acc += q.getDouble(i) * dq
+      i += 1
+    }
+    acc
+  }
+}
+
 /** Polynomial rolling hash over a string's code points:
   * h ← (h·mul + codepoint) mod m, the kernel behind the x04/x05
   * fingerprints and the m01 checksum. Matches the HOF formulation
@@ -427,6 +485,7 @@ object GraftFunctions {
     "simhash64" -> (es => SimHash64(es.head)),
     "simhash_poly" -> (es => SimHashPoly(es.head)),
     "vec_dot" -> (es => VecDot(es(0), es(1))),
+    "sq8_adc" -> (es => Sq8Adc(es(0), es(1), es(2), es(3))),
     "rolling_hash" -> (es => RollingHash(es(0), es(1), es(2))),
     "shingle_hashes" -> (es => ShingleHashes(es(0), es(1))),
     "shingle_polyhashes" -> (es => ShinglePolyHashes(es(0), es(1))),
@@ -471,6 +530,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (FunctionIdentifier("vec_dot"),
         new ExpressionInfo("graft.functions.VecDot", "vec_dot"),
         (es: Seq[Expression]) => VecDot(es(0), es(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("sq8_adc"),
+        new ExpressionInfo("graft.functions.Sq8Adc", "sq8_adc"),
+        (es: Seq[Expression]) => Sq8Adc(es(0), es(1), es(2), es(3))))
     ext.injectFunction(
       (FunctionIdentifier("rolling_hash"),
         new ExpressionInfo("graft.functions.RollingHash", "rolling_hash"),

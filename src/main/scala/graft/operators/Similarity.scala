@@ -968,34 +968,35 @@ object Similarity {
       WHERE n.vec_id <> 0
       ORDER BY adc_dot DESC, n.vec_id LIMIT 20""")) { (s, d) =>
     val e = Vec.withNorm(Tables.embeddings(s, d)).cache()
-    // per-dim extrema: ONE aggregation, 128 scalars to the driver
-    val aggs = (0 until 64).flatMap(i =>
-      Seq(min(expr(s"v[$i]")).as(s"mn$i"), max(expr(s"v[$i]")).as(s"mx$i")))
-    val row = e.agg(aggs.head, aggs.tail: _*).head()
+    // per-dim extrema: posexplode → groupBy(dim) — 64 tiny groups
+    // through one partial+final agg, instead of a single HashAggregate
+    // carrying 128 agg expressions (whose Janino compile alone cost
+    // seconds; min/max are exact SELECTIONS either way, so the
+    // collected doubles are identical)
+    val ext = e.select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+      .collect()
     val qRowOpt = e.filter(col("vec_id") === 0)
       .select(col("v"), col("nrm")).collect().headOption
-    if (row.isNullAt(0) || qRowOpt.isEmpty)
+    if (ext.isEmpty || qRowOpt.isEmpty)
       e.limit(0).select(col("vec_id"), lit(0.0).as("adc_dot"), lit(0.0).as("cos_sim"))
     else {
-      val mins = Array.tabulate(64)(i => row.getDouble(2 * i))
-      val spans = Array.tabulate(64)(i => row.getDouble(2 * i + 1) - mins(i))
+      val mins = new Array[Double](64)
+      val spans = new Array[Double](64)
+      ext.foreach { r =>
+        val dim = r.getInt(0)
+        mins(dim) = r.getDouble(1)
+        spans(dim) = r.getDouble(2) - r.getDouble(1)
+      }
       val qv = qRowOpt.get.getSeq[Double](0).toArray
       val qnrm = qRowOpt.get.getDouble(1)
-      val minsL = lit(mins)
-      val spansL = lit(spans)
-      def at(a: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
-        element_at(a, (i + 1).cast("int"))
-      val codes = transform(sequence(lit(0), lit(63)), i =>
-        when(at(spansL, i) === 0.0, lit(0L)).otherwise(
-          least(lit(255L), greatest(lit(0L),
-            floor((at(col("v"), i) - at(minsL, i)) * 255.0 / at(spansL, i))))))
-      val dq = transform(sequence(lit(0), lit(63)), i =>
-        (at(col("codes"), i).cast("double") + 0.5) * at(spansL, i) / 255.0
-          + at(minsL, i))
+      // quantize→reconstruct→ADC fused in ONE codegen'd kernel call
+      // (graft.functions.Sq8Adc) — same IEEE sequence as the two
+      // interpreted 64-wide transform/element_at chains it replaces
       e.filter(col("vec_id") =!= 0)
-        .withColumn("codes", codes)
         .select(col("vec_id"),
-          call_function("vec_dot", lit(qv), dq).as("adc_dot"),
+          call_function("sq8_adc",
+            col("v"), lit(mins), lit(spans), lit(qv)).as("adc_dot"),
           (call_function("vec_dot", col("v"), lit(qv)) / (col("nrm") * lit(qnrm)))
             .as("cos_sim"))
         .orderBy(col("adc_dot").desc, col("vec_id"))
