@@ -31,6 +31,42 @@ object Similarity {
   /** MMR selection rounds (picks after the pure-relevance first). */
   private val MmrK = 5
 
+  /** Coarse-quantizer cell count DERIVED FROM CORPUS SIZE:
+    * k = max(8, ⌊√(N/4)⌋) = max(8, √N/2) — the k ∝ √N rule
+    * (docs/MICROBENCH.md "ANN at 20× bench scale") promoted from
+    * prose to code. At fixed k the s06/s13 candidate join is
+    * N·(nprobe/k)·N — quadratic; with k ∝ √N expected cell size is
+    * ~2√N, so candidate volume is N·nprobe·2√N — sub-quadratic, the
+    * scale contract IVF actually promises, while cells keep ≥ ~40
+    * training vectors (the k-means adequacy floor). The floor of 8
+    * covers degenerate corpora (< 256 vectors); at sf0.001/sf0.01
+    * (500 vectors) k = 11, at sf0.1 (2000) k = 22 — SimilaritySpec
+    * pins the growth. The SAME deterministic formula runs in the
+    * oracle ([[duckIvfK]]: count → /4.0 → sqrt → floor → greatest),
+    * so both engines train the identical quantizer at any N.
+    * Baked-literal argmin assignment ([[cellOf]]) stays the right
+    * physical shape to k of a few hundred (= corpora of ~100k
+    * vectors trained directly); past that, production trains on a
+    * SAMPLE sized to keep k there — which this formula then applies
+    * to the sample.
+    */
+  private[operators] def ivfK(n: Long): Int =
+    math.max(8L, math.floor(math.sqrt(n / 4.0)).toLong).toInt
+
+  /** DuckDB twin of [[ivfK]] over the `n` CTE — one-row CTE `ksel`. */
+  private[operators] val duckIvfK: String =
+    "ksel AS (SELECT greatest(8, CAST(floor(sqrt(count(*) / 4.0)) AS BIGINT)) AS k FROM n)"
+
+  /** Train the COARSE quantizer with the data-derived cell count —
+    * the one entry point every coarse-quantizer consumer (s04–s06,
+    * s10–s15, d11) goes through, so k cannot drift between them.
+    * (PQ codebooks keep their fixed [[PqK]]: a codebook's size is the
+    * code's bit width, a format constant, not a tuning knob.)
+    */
+  private[operators] def trainCoarse(
+      e: org.apache.spark.sql.DataFrame): Seq[(Long, Array[Double], Double)] =
+    trainQuantizer(e, ivfK(e.count()), 3)
+
   /** s08: MMR (maximal-marginal-relevance) diversity re-rank — the
     * dedup-aware top-k of retrieval and training-data curation:
     * retrieve a candidate pool by relevance, then greedily pick items
@@ -142,10 +178,10 @@ object Similarity {
     * leads to. BUILD: train the identical quantizer as s04 (shared
     * [[trainQuantizer]]), write the assignments BUCKETED by cell
     * ([[graft.engine.Engine.archiveBucketed]]). Buckets are
-    * murmur-hash(cell) mod 8, so distinct cells CAN share a bucket —
+    * murmur-hash(cell) mod max(8, k), so distinct cells CAN share a bucket —
     * pruning is a best-effort I/O reduction while the cell filter
     * stays exact; on this data the 2 probed cells land in 2 distinct
-    * buckets (`SelectedBucketsCount: 2 out of 8` in docs/PLANS.md;
+    * buckets (`SelectedBucketsCount` strictly below the total in docs/PLANS.md;
     * SimilaritySpec asserts a strict subset is selected). At 100 TB
     * the probe cost scales with the probed cells' share of the corpus,
     * not with the corpus, and the probe plan has no shuffle and no
@@ -232,13 +268,13 @@ object Similarity {
     val ck = graft.engine.CatalogMemo.contentKey(d, s.sparkContext.hadoopConfiguration)
     val tbl = graft.engine.CatalogMemo.tableName("graft_ivf_assign", ck)
     val cached = ivfBuilt.get(s.sharedState, ck)
-    val centroids = cached.getOrElse(trainQuantizer(e, 8, 3))
+    val centroids = cached.getOrElse(trainCoarse(e))
     if (centroids.nonEmpty && cached.isEmpty) {
       ivfBuilt.invalidate(s.sharedState)
       new graft.engine.Engine(s).archiveBucketed(
         e.withColumn("cell", cellOf(centroids))
           .select(col("vec_id"), col("cell"), col("v"), col("nrm")),
-        tbl, "cell", 8)
+        tbl, "cell", math.max(8, centroids.size))
       ivfBuilt.put(s.sharedState, ck, centroids)
     }
     (centroids, tbl)
@@ -294,11 +330,12 @@ object Similarity {
     * from [[Vec.duckNormCte]] precedes it.
     */
   private[operators] def duckTrainedCells: String =
-    s"""init AS (
+    s"""$duckIvfK,
+       |init AS (
        |  SELECT cell, list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT)) AS c FROM (
-       |    SELECT vec_id % 8 AS cell, v,
-       |           row_number() OVER (PARTITION BY vec_id % 8 ORDER BY vec_id) AS rn
-       |    FROM n)
+       |    SELECT vec_id % ksel.k AS cell, v,
+       |           row_number() OVER (PARTITION BY vec_id % ksel.k ORDER BY vec_id) AS rn
+       |    FROM n CROSS JOIN ksel)
        |  WHERE rn = 1),
        |${duckAssign("init", "a1")},
        |${duckCentroids("a1", "c1")},
@@ -364,8 +401,8 @@ object Similarity {
     }
   }
 
-  /** IVF ANN with a trained coarse quantizer: k-means (k=8, 3
-    * iterations, deterministic — centroids accumulate in fixed-point
+  /** IVF ANN with a trained coarse quantizer: k-means (data-derived
+    * k = [[ivfK]](N), 3 iterations, deterministic — centroids accumulate in fixed-point
     * BIGINT like s03, initialized from the first vector per vec_id
     * mod k) partitions the corpus into cells; each vector's nearest
     * neighbor is then searched only within its cell. This is the
@@ -397,7 +434,7 @@ object Similarity {
     // (crossJoin(broadcast) ×8 row blowup + row_number window) cost
     // 6.5 s at the driver's local[32]. ||c||² is a strict left fold
     // over cd = c/10⁶, the same fold DuckDB's list_reduce runs.
-    val centroids = trainQuantizer(e, 8, 3)
+    val centroids = trainCoarse(e)
     // empty corpus → no centroids → cellOf's least()/last would throw;
     // the correct result is simply no rows (matches the oracle)
     if (centroids.isEmpty)
@@ -440,8 +477,8 @@ object Similarity {
     * its bucketed layout exchange-free (that at-scale shape is
     * plan-asserted in SimilaritySpec with broadcast disabled).
     * Probe fan-out is bounded (2 rows/vector), never all-pairs; cost
-    * ∝ nprobe/k of the corpus per vector, and in production k grows
-    * ~√N so cells stay bounded. The oracle replays training, PER-
+    * ∝ nprobe/k of the corpus per vector, and k grows ~√N with the corpus
+    * ([[ivfK]]) so cells stay bounded. The oracle replays training, PER-
     * VECTOR probe selection (duckProbes: same score, same ties), the
     * candidate join, and the top-3 window.
     */
@@ -632,7 +669,7 @@ object Similarity {
     }) { (s, d) =>
     import s.implicits._
     val e = Vec.withNorm(Tables.embeddings(s, d))
-    val centroids = trainQuantizer(e, 8, 3)
+    val centroids = trainCoarse(e)
     if (centroids.isEmpty)
       e.limit(0).select(col("vec_id").as("cell"), lit(0L).as("n"),
         lit(0L).as("inertia"), lit(0.0).as("mean_d2"), lit(0.0).as("rms_dist"),
@@ -1044,7 +1081,7 @@ object Similarity {
         ORDER BY dist2 DESC, s.vec_id LIMIT 20)
       SELECT vec_id, cell, dist2 FROM o ORDER BY vec_id""")) { (s, d) =>
     val e = Vec.withNorm(Tables.embeddings(s, d)).cache()
-    val centroids = trainQuantizer(e, 8, 3)
+    val centroids = trainCoarse(e)
     if (centroids.isEmpty)
       e.limit(0).select(col("vec_id"), lit(0L).as("cell"), lit(0.0).as("dist2"))
     else
@@ -1104,7 +1141,7 @@ object Similarity {
     val e = Vec.withNorm(Tables.embeddings(s, d)).cache()
     val base = e.where(pmod(col("vec_id"), lit(37)) =!= 0)
     val arr = e.where(pmod(col("vec_id"), lit(37)) === 0)
-    val centroids = trainQuantizer(base, 8, 3)
+    val centroids = trainCoarse(base)
     if (centroids.isEmpty)
       e.limit(0).select(col("vec_id"), lit(0L).as("cell"),
         lit(0L).as("n_base_in_cell"), col("vec_id").as("nn"),
@@ -1300,7 +1337,7 @@ object Similarity {
     val e = Vec.withNorm(Tables.embeddings(s, d)).cache()
     val ck = graft.engine.CatalogMemo.contentKey(d, s.sparkContext.hadoopConfiguration)
     val (coarse, books) = ivfPqBuilt.get(s.sharedState, ck).getOrElse {
-      val c = trainQuantizer(e, 8, 3)
+      val c = trainCoarse(e)
       val b =
         if (c.isEmpty) Seq.empty[Seq[(Long, Array[Double], Double)]]
         else {

@@ -17,9 +17,26 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b)
     assert(a.nonEmpty)
     // every vector's reported neighbor lives in the same cell by construction;
-    // cells partition the corpus
+    // cells partition the corpus into at most ivfK(N) cells
     val cells = a.map(_._2).distinct
-    assert(cells.size > 1 && cells.size <= 8)
+    val n = graft.Tables.embeddings(spark, dir).count()
+    assert(cells.size > 1 && cells.size <= Similarity.ivfK(n))
+  }
+
+  test("ivfK derives the cell count from corpus size: floored, monotone, ~sqrt(N)") {
+    // degenerate corpora stay on the floor
+    assert(Similarity.ivfK(0) == 8)
+    assert(Similarity.ivfK(255) == 8)
+    // the bench corpora actually exercise the growth
+    assert(Similarity.ivfK(500) == 11)
+    assert(Similarity.ivfK(2000) == 22)
+    // monotone non-decreasing, and ∝ √N: 100× the data → 10× the cells
+    val ks = Seq(1L, 500L, 2000L, 200000L, 20000000L).map(Similarity.ivfK)
+    assert(ks == ks.sorted)
+    assert(Similarity.ivfK(200000) == 10 * Similarity.ivfK(2000) - 2 ||
+      Similarity.ivfK(200000) == 223) // √(200000/4)=223.6 → 223
+    // candidate-volume contract: expected cell size N/k grows only ~2√N
+    assert(200000L / Similarity.ivfK(200000) < 1000)
   }
 
   test("s02 sign-LSH and s01 brute force agree on the top hit when bucketed together") {
@@ -49,11 +66,12 @@ class SimilaritySpec extends SparkSpec {
   test("s05 probe bucket-prunes, and its cosines match an independent recomputation") {
     val df = Similarity.s05.fn(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
-    // buckets are hash(cell) mod 8, so the exact count is data-shaped;
-    // the contract is a STRICT subset of buckets selected
-    val sel = "SelectedBucketsCount: (\\d+) out of 8".r.findFirstMatchIn(plan)
+    // buckets are hash(cell) mod max(8, k), so the exact counts are
+    // data-shaped; the contract is a STRICT subset of buckets selected
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
     assert(sel.isDefined, s"probe should bucket-prune; got:\n${plan.take(1200)}")
-    assert(sel.get.group(1).toInt < 8, "probe selected every bucket — no pruning")
+    assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+      "probe selected every bucket — no pruning")
     val rows = df.collect()
     assert(rows.length == 20)
     // cosines descend, and every returned value equals a from-scratch
@@ -271,8 +289,8 @@ class SimilaritySpec extends SparkSpec {
     }
     // independent replay: recompute one cell's inertia from raw
     // vectors + the trained centroids in plain Scala integer math
-    val cents = Similarity.trainQuantizer(
-      graft.Vec.withNorm(graft.Tables.embeddings(spark, dir)), 8, 3)
+    val cents = Similarity.trainCoarse(
+      graft.Vec.withNorm(graft.Tables.embeddings(spark, dir)))
     val ints = cents.map { case (c, cd, _) => c -> cd.map(x => math.round(x * 1e6)) }.toMap
     val vecs = graft.Vec.withNorm(graft.Tables.embeddings(spark, dir))
       .withColumn("cell", Similarity.cellOf(cents))
@@ -294,7 +312,7 @@ class SimilaritySpec extends SparkSpec {
     // dist² is genuinely the MIN over centroids: recompute via the
     // shipped quantizer and compare against the emitted pair
     val e = graft.Vec.withNorm(graft.Tables.embeddings(spark, dir)).cache()
-    val cents = Similarity.trainQuantizer(e, 8, 3)
+    val cents = Similarity.trainCoarse(e)
     val vecs = e.collect().map(r =>
       r.getLong(0) -> r.getSeq[Double](2).toArray).toMap
     rows.take(5).foreach { case (id, cell, dist2) =>
@@ -367,7 +385,7 @@ class SimilaritySpec extends SparkSpec {
     // residual codes are only worth shipping if they rank usefully
     import org.apache.spark.sql.functions._
     val e = graft.Vec.withNorm(graft.Tables.embeddings(spark, dir))
-    val coarse = Similarity.trainQuantizer(e, 8, 3)
+    val coarse = Similarity.trainCoarse(e)
     val q = e.filter(col("vec_id") === 0).select(col("v"), col("nrm"))
       .collect().head
     val qv = q.getSeq[Double](0).toArray
