@@ -92,28 +92,68 @@ object Graph {
     * can assert mass conservation over EVERY node, which the sliced
     * registry output cannot show.
     */
-  /** The symmetrized fulfilment graph: (edges-with-degree persisted,
-    * node-degree table) — the loop-invariant operand shared by
-    * g01/g02.
+  /** Content-keyed build memos for the family's shared edge operands
+    * — one per operand kind (a [[graft.engine.CatalogMemo]] holds one
+    * entry per catalog), each mapping to the physical bucketed-table
+    * name. Round-5 verdict: the g-family rebuilt its graph per
+    * operator (orders⋈lineitem→distinct→symmetrize→degree ran ~6×
+    * per bench run); the fix is the s05/q37/x14 discipline — build
+    * ONCE per (catalog, source content), persist BUCKETED on the
+    * iteration's join key, reuse everywhere. That is also the honest
+    * 100 TB shape: no pipeline rebuilds its graph per query, and the
+    * bucketed layout lets every fixed-point round read the edge side
+    * exchange-free while only the node-sized state shuffles.
+    */
+  private val fulfilMemo = new graft.engine.CatalogMemo[String]
+  private val weightMemo = new graft.engine.CatalogMemo[String]
+  private val coPurchaseMemo = new graft.engine.CatalogMemo[String]
+  private val simEdgeMemo = new graft.engine.CatalogMemo[String]
+
+  /** Get-or-build a content-keyed bucketed edge table (the s05
+    * success-only discipline: record the memo only after the write
+    * lands, so a failed build retries instead of serving half a
+    * table). Returns the catalog table, bucketed by `bucketCol`.
+    */
+  private def memoEdgeTable(s: org.apache.spark.sql.SparkSession, d: String,
+      memo: graft.engine.CatalogMemo[String], base: String, bucketCol: String)
+      (build: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ck = graft.engine.CatalogMemo.contentKey(
+      d, s.sparkContext.hadoopConfiguration)
+    val tbl = graft.engine.CatalogMemo.tableName(base, ck)
+    if (memo.get(s.sharedState, ck).isEmpty) {
+      memo.invalidate(s.sharedState)
+      new graft.engine.Engine(s).archiveBucketed(build, tbl, bucketCol, 32)
+      memo.put(s.sharedState, ck, tbl)
+    }
+    s.table(tbl)
+  }
+
+  /** The symmetrized fulfilment graph: (edges-with-degree, node-degree
+    * table) — the loop-invariant operand shared by g01/g02/g05, built
+    * once per source content and persisted bucketed by `src` (every
+    * iteration joins the edge side on src).
     */
   private def fulfilmentGraph(
       s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-    val e = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("src"),
-        (col("l_suppkey") + lit(SuppBase)).as("dst"))
-      .distinct()
-    val ue = e.unionByName(
-      e.select(col("dst").as("src"), col("src").as("dst")))
-    val deg = ue.groupBy("src").agg(count(lit(1)).as("d"))
-      .withColumnRenamed("src", "id")
-    // edges + out-degree: the loop-invariant operand, built once and
-    // persisted — every iteration joins against these same blocks
-    val ued = ue.join(deg, ue("src") === deg("id"))
-      .select(col("src"), col("dst"), col("d"))
-      .persist()
+    val ued = memoEdgeTable(s, d, fulfilMemo, "graft_graph_ued", "src") {
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      val e = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(SuppBase)).as("dst"))
+        .distinct()
+      val ue = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = ue.groupBy("src").agg(count(lit(1)).as("d"))
+        .withColumnRenamed("src", "id")
+      ue.join(deg, ue("src") === deg("id"))
+        .select(col("src"), col("dst"), col("d"))
+    }
+    // every (src, *) row carries src's degree, so the node table is a
+    // src-clustered aggregate — exchange-free over the bucketed layout
+    val deg = ued.groupBy(col("src").as("id")).agg(max("d").as("d"))
     (ued, deg)
   }
 
@@ -268,7 +308,7 @@ object Graph {
       SELECT pern.id AS doc_id, deg.degree, pern.n_triangles
       FROM pern JOIN deg ON deg.id = pern.id
       ORDER BY n_triangles DESC, doc_id""")) { (s, d) =>
-    triangleCounts(Dedup.jaccardPairs(s, d).select(col("da"), col("db")))
+    triangleCounts(simEdges(s, d))
       .orderBy(col("n_triangles").desc, col("doc_id"))
   }
 
@@ -325,8 +365,7 @@ object Graph {
         GROUP BY 1)
       ORDER BY doc_id"""
     }) { (s, d) =>
-    kcorePeel(Dedup.jaccardPairs(s, d).select(col("da"), col("db")),
-      KcoreK, KcoreRounds)
+    kcorePeel(simEdges(s, d), KcoreK, KcoreRounds)
       .orderBy("doc_id")
   }
 
@@ -433,15 +472,16 @@ object Graph {
       CASE WHEN id >= $SuppBase THEN 'supplier' ELSE 'customer' END AS node_type,
       dist
     FROM h$SsspRounds ORDER BY dist, node_id""")) { (s, d) =>
-    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_quantity")
-    val e = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("src"),
-        (col("l_suppkey") + lit(SuppBase)).as("dst"))
-      .agg(min(col("l_quantity")).cast("long").as("w"))
-    val ue = e.unionByName(
-      e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-      .persist()
+    val ue = memoEdgeTable(s, d, weightMemo, "graft_graph_uew", "src") {
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_quantity")
+      val e = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(SuppBase)).as("dst"))
+        .agg(min(col("l_quantity")).cast("long").as("w"))
+      e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    }
     var dist = ue
       .filter(col("src") >= SuppBase && (col("src") - SuppBase) % 5 === 0)
       .select(col("src").as("id")).distinct()
@@ -485,6 +525,33 @@ object Graph {
   private def aaWeightCase: String =
     "CASE dp " + (2 to AaMaxDeg).map(d => s"WHEN $d THEN ${AaInvLnNano(d - 2)}")
       .mkString(" ") + " ELSE 0 END"
+
+  /** The distinct customer↔part co-purchase edge list (c, p) —
+    * g06/g08's shared bipartite operand, built once per source
+    * content and persisted bucketed by `p` (both consumers aggregate
+    * and join on the part side).
+    */
+  private def coPurchaseEdges(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    memoEdgeTable(s, d, coPurchaseMemo, "graft_graph_cp", "p") {
+      Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_partkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+    }
+
+  /** The d03 document-similarity edge list (da, db), da < db — the
+    * g03/g04 shared operand: the full shingle→intersect→Jaccard
+    * pipeline runs ONCE per source content, its ≥ 0.1 edges persisted
+    * bucketed by `da`.
+    */
+  private def simEdges(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    memoEdgeTable(s, d, simEdgeMemo, "graft_graph_sim", "da") {
+      Dedup.jaccardPairs(s, d).select(col("da"), col("db"))
+    }
 
   /** Adamic–Adar scoring of ANY bipartite edge list (c, p), distinct
     * rows: for each pair of c-side nodes, Σ 1/ln(deg(p)) over common
@@ -541,12 +608,7 @@ object Graph {
                CAST(sum(w) AS BIGINT) AS score_nano
         FROM wedge GROUP BY ca, cb)
       ORDER BY score_nano DESC, ca, cb LIMIT 50""")) { (s, d) =>
-    val e = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-      .join(Tables.lineitem(s, d).select("l_orderkey", "l_partkey"),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-      .distinct()
-    adamicAdar(e)
+    adamicAdar(coPurchaseEdges(s, d))
       .select(col("ca"), col("cb"), col("n_common"), col("score_nano"),
         (col("score_nano").cast("double") / lit(1e12)).as("aa_score"))
       .orderBy(col("score_nano").desc, col("ca"), col("cb"))
@@ -665,11 +727,7 @@ object Graph {
       min(id) AS min_member
     FROM l$LpRounds GROUP BY lbl
     ORDER BY n_members DESC, community LIMIT 50""")) { (s, d) =>
-    val ed = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-      .join(Tables.lineitem(s, d).select("l_orderkey", "l_partkey"),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-      .distinct()
+    val ed = coPurchaseEdges(s, d)
     val rare = ed.groupBy("p").agg(count(lit(1)).as("dp"))
       .where(col("dp").between(2, AaMaxDeg)).select("p")
     val pairs = ed.join(rare, "p").select(col("p"), col("c").as("ca"))
