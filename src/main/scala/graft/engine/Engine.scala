@@ -524,7 +524,16 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
     val tmp = new Path(dest, s".${Engine.ManifestName}.tmp")
     val out = fs.create(tmp, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    fs.delete(path, false)
+    // delete-then-rename is NOT an atomic replace on object stores: a
+    // concurrent reader can observe the manifest briefly missing
+    // between the two calls (HDFS rename-over-existing would close the
+    // window, but S3A has no atomic rename at all). Re-manifesting a
+    // LIVE-read archive should version the destination instead — the
+    // same discipline CatalogMemo.contentKey documents for sources.
+    if (fs.exists(path) && !fs.delete(path, false))
+      throw new ArchiveException("upload",
+        new IllegalStateException(
+          s"existing manifest $path could not be removed before replace"))
     if (!fs.rename(tmp, path))
       throw new ArchiveException("upload",
         new IllegalStateException(s"manifest rename $tmp -> $path failed"))
@@ -574,7 +583,11 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
               Seq(s"row drift: recorded ${recorded.rows}, found $n")
             else Seq.empty
           } catch {
-            case e: Throwable =>
+            // NonFatal only: a corrupt/unreadable shard is an audit
+            // finding, but OutOfMemoryError / linkage errors must
+            // still propagate — swallowing them would report a dying
+            // JVM as benign "row drift"
+            case scala.util.control.NonFatal(e) =>
               Seq(s"row drift: recount failed: ${String.valueOf(e.getMessage).take(160)}")
           }
       }

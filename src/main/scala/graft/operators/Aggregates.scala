@@ -913,6 +913,16 @@ object Aggregates {
     * per-key groupBy (also shown here) that shuffles every distinct
     * key. The 1-row sketch/exact frames cross-join (whitelisted —
     * driver-sized by construction).
+    *
+    * Overflow headroom (the x24 discipline): the dot is a BIGINT sum
+    * of w per-bucket products, so it stays exact while
+    * w·maxBucket² < 2⁶³ — at w = 1024 that is maxBucket ≈ 3·10⁹,
+    * i.e. ~3·10¹² rows hashed uniformly (collisions pile skewed keys
+    * into one bucket sooner). Past that, widen w (production sizes
+    * w = ⌈e/ε⌉ anyway, pushing the bound out linearly) or rescale:
+    * halve every counter before dotting and multiply the estimate by
+    * 4 — the estimator is bilinear in the counters, so the rescale is
+    * exact up to the halving truncation.
     */
   val q62 = QueryDef(
     "q62_join_size",

