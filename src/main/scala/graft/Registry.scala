@@ -14,7 +14,8 @@ object Registry {
       operators.TextAnalysis.queries ++
       operators.EventWindows.queries ++
       operators.MultimodalOps.queries ++
-      operators.Graph.queries
+      operators.Graph.queries ++
+      operators.Pipeline.queries
 
   def byName(name: String): QueryDef =
     all.find(_.name == name)

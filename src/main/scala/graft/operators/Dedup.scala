@@ -84,7 +84,7 @@ object Dedup {
     * and d12's evaluation so the measured candidate set is provably
     * the shipped one (the s04 `duckTrainedCells` discipline).
     */
-  private def duckMinhashChain: String =
+  private[operators] def duckMinhashChain: String =
     s"""gcps AS (SELECT doc_id, ${Oracle.cpList("g")} AS cs FROM grams),
       gh AS (SELECT doc_id, ${Oracle.polyPair("cs")} AS gh FROM gcps),
       sigs AS (SELECT doc_id, i,

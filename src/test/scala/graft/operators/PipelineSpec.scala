@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** The c01 capstone's structural contracts: shared scans (the corpus
+  * is read once per stage FAMILY, not once per stage), sane packing,
+  * and an audited landing. Value correctness is the DuckDB oracle's
+  * job (CORRECTNESS gate); this pins the plan and the side effects.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("c01 packs contiguous budget-bounded shards from a nonempty survivor set") {
+    val rows = Pipeline.c01.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // shard ids are 0-based and contiguous (prefix-sum div budget
+    // cannot skip a shard: every shard below the last one is entered
+    // by a doc whose cumulative start falls inside it)
+    assert(rows.map(_._1).toSeq == rows.indices.map(_.toLong))
+    // doc-id ranges of consecutive shards never overlap (packing is
+    // by ascending doc_id) and counts/tokens are positive
+    rows.sliding(2).foreach {
+      case Array((_, _, _, _, lastA), (_, _, _, firstB, _)) =>
+        assert(lastA < firstB)
+      case _ => ()
+    }
+    rows.foreach { case (_, nDocs, nTok, first, last) =>
+      assert(nDocs > 0 && nTok > 0 && first <= last)
+    }
+  }
+
+  test("c01 reads the corpus once per stage family: cached attr frame + one shingle pass") {
+    val df = Pipeline.c01.fn(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the per-doc attribute family reads through the cache...
+    assert(plan.contains("InMemoryTableScan"),
+      s"expected the cached per-doc attribute frame in:\n${plan.take(1200)}")
+    // ...so DISTINCT corpus scan nodes in the DAG (the textual plan
+    // reprints cached-relation subtrees at every reference — count
+    // scan identities, not lines) are only the attr build plus the
+    // shingle self-join's two legs — never one per stage
+    val ids = "FileScan parquet \\[doc_id#(\\d+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(ids.size <= 3, s"expected <= 3 distinct corpus scans, found ${ids.size}")
+    // and the self-join's second leg rides a reused exchange — the
+    // signature shuffle is paid once
+    assert(plan.contains("ReusedExchange"),
+      "expected the band self-join to reuse the signature exchange")
+  }
+
+  test("c01 lands sharded parquet with a clean K1d manifest audit") {
+    Pipeline.c01.fn(spark, dir).collect() // ensure the landing ran
+    val ck = graft.engine.CatalogMemo.contentKey(
+      dir, spark.sparkContext.hadoopConfiguration)
+    val dest = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+      "/" + graft.engine.CatalogMemo.tableName("graft_c01_land", ck) +
+      "/train_shards.parquet"
+    val eng = new graft.engine.Engine(spark)
+    val findings = eng.verifyManifest(dest)
+    assert(findings.isEmpty, s"landing audit found: ${findings.mkString("; ")}")
+    // the landed shards reconcile with the summary the query returned
+    val landed = spark.read.parquet(dest)
+    val summary = Pipeline.c01.fn(spark, dir).collect()
+    assert(landed.count() == summary.map(_.getLong(1)).sum)
+  }
+}
