@@ -290,6 +290,104 @@ object Sq8Adc {
   }
 }
 
+/** Shared kernel for the IVF argmin assignment: score_j = cn2_j −
+  * 2·(v·cd_j) with the strict left-fold dot, scanned in ascending-
+  * cell order keeping the FIRST minimum — bit- and tie-identical to
+  * the baked literal form it replaces (a `least()` over k score
+  * columns + a first-match when-chain), whose Janino compile cost
+  * grew linearly with the now data-derived k (2 s/query at k = 22).
+  * Centroids arrive FLATTENED (k·dim doubles) with their cell ids
+  * and precomputed ‖c‖² as sibling literal arrays.
+  */
+object NearestKernel {
+  /** (best index << 1) marker avoided — two thin wrappers read cell
+    * or score from one scan; the loop is the whole cost either way.
+    */
+  def bestIndex(v: ArrayData, flat: ArrayData, cn2: ArrayData): Int = {
+    val k = cn2.numElements()
+    if (k == 0) return -1
+    val dim = flat.numElements() / k
+    val n = math.min(dim, v.numElements())
+    var best = 0
+    var bestScore = Double.MaxValue
+    var j = 0
+    while (j < k) {
+      var dot = 0.0
+      var i = 0
+      val off = j * dim
+      while (i < n) { dot += v.getDouble(i) * flat.getDouble(off + i); i += 1 }
+      val sc = cn2.getDouble(j) - 2.0 * dot
+      if (j == 0 || sc < bestScore) { bestScore = sc; best = j }
+      j += 1
+    }
+    best
+  }
+
+  def cell(v: ArrayData, cells: ArrayData, flat: ArrayData, cn2: ArrayData): Long = {
+    val b = bestIndex(v, flat, cn2)
+    if (b < 0) -1L else cells.getLong(b)
+  }
+
+  def score(v: ArrayData, cells: ArrayData, flat: ArrayData, cn2: ArrayData): Double = {
+    val b = bestIndex(v, flat, cn2)
+    if (b < 0) Double.NaN
+    else {
+      val k = cn2.numElements()
+      val dim = flat.numElements() / k
+      val n = math.min(dim, v.numElements())
+      var dot = 0.0
+      var i = 0
+      val off = b * dim
+      while (i < n) { dot += v.getDouble(i) * flat.getDouble(off + i); i += 1 }
+      cn2.getDouble(b) - 2.0 * dot
+    }
+  }
+}
+
+/** Argmin-centroid CELL id (see [[NearestKernel]]). */
+case class NearestCell(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(LongType),
+    ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nearest_cell"
+
+  override def nullSafeEval(v: Any, cells: Any, flat: Any, cn2: Any): Any =
+    NearestKernel.cell(v.asInstanceOf[ArrayData], cells.asInstanceOf[ArrayData],
+      flat.asInstanceOf[ArrayData], cn2.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (v, c, f, n) => s"graft.functions.NearestKernel.cell($v, $c, $f, $n)")
+
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, e: Expression): NearestCell =
+    copy(first = a, second = b, third = c, fourth = e)
+}
+
+/** Argmin-centroid SCORE, min_j (cn2_j − 2·v·cd_j) (see [[NearestKernel]]). */
+case class NearestScore(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(LongType),
+    ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "nearest_score"
+
+  override def nullSafeEval(v: Any, cells: Any, flat: Any, cn2: Any): Any =
+    NearestKernel.score(v.asInstanceOf[ArrayData], cells.asInstanceOf[ArrayData],
+      flat.asInstanceOf[ArrayData], cn2.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (v, c, f, n) => s"graft.functions.NearestKernel.score($v, $c, $f, $n)")
+
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, e: Expression): NearestScore =
+    copy(first = a, second = b, third = c, fourth = e)
+}
+
 /** Polynomial rolling hash over a string's code points:
   * h ← (h·mul + codepoint) mod m, the kernel behind the x04/x05
   * fingerprints and the m01 checksum. Matches the HOF formulation
@@ -486,6 +584,8 @@ object GraftFunctions {
     "simhash_poly" -> (es => SimHashPoly(es.head)),
     "vec_dot" -> (es => VecDot(es(0), es(1))),
     "sq8_adc" -> (es => Sq8Adc(es(0), es(1), es(2), es(3))),
+    "nearest_cell" -> (es => NearestCell(es(0), es(1), es(2), es(3))),
+    "nearest_score" -> (es => NearestScore(es(0), es(1), es(2), es(3))),
     "rolling_hash" -> (es => RollingHash(es(0), es(1), es(2))),
     "shingle_hashes" -> (es => ShingleHashes(es(0), es(1))),
     "shingle_polyhashes" -> (es => ShinglePolyHashes(es(0), es(1))),
@@ -534,6 +634,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (FunctionIdentifier("sq8_adc"),
         new ExpressionInfo("graft.functions.Sq8Adc", "sq8_adc"),
         (es: Seq[Expression]) => Sq8Adc(es(0), es(1), es(2), es(3))))
+    ext.injectFunction(
+      (FunctionIdentifier("nearest_cell"),
+        new ExpressionInfo("graft.functions.NearestCell", "nearest_cell"),
+        (es: Seq[Expression]) => NearestCell(es(0), es(1), es(2), es(3))))
+    ext.injectFunction(
+      (FunctionIdentifier("nearest_score"),
+        new ExpressionInfo("graft.functions.NearestScore", "nearest_score"),
+        (es: Seq[Expression]) => NearestScore(es(0), es(1), es(2), es(3))))
     ext.injectFunction(
       (FunctionIdentifier("rolling_hash"),
         new ExpressionInfo("graft.functions.RollingHash", "rolling_hash"),

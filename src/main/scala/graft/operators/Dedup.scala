@@ -777,7 +777,7 @@ object Dedup {
       FROM cells c LEFT JOIN m ON c.vec_id = m.hi
       ORDER BY c.vec_id""")) { (s, d) =>
     val e = Vec.withNorm(Tables.embeddings(s, d)).cache()
-    val centroids = Similarity.trainCoarse(e)
+    val centroids = Similarity.trainCoarse(s, d, e)
     if (centroids.isEmpty)
       e.limit(0).select(col("vec_id"), lit(0L).as("cell"),
         lit(true).as("is_kept"), lit(0L).as("n_dup_lower"))

@@ -57,15 +57,39 @@ object Similarity {
   private[operators] val duckIvfK: String =
     "ksel AS (SELECT greatest(8, CAST(floor(sqrt(count(*) / 4.0)) AS BIGINT)) AS k FROM n)"
 
+  /** Trained-coarse-quantizer memo: (catalog, source content) →
+    * tag → centroids. Round-6 bench: five operators (s04/s11/s12/
+    * s14/d11) each retrained the identical quantizer inline, ~2.5 s
+    * apiece at sf0.1's k=22 — the g-family rebuild-per-operator
+    * anti-pattern on the training side. One training per source
+    * content, every consumer reuses it; `tag` separates quantizers
+    * trained on different SUBSETS of the same source (s14's base
+    * partition must not alias the full-corpus model).
+    */
+  private val coarseBuilt =
+    new graft.engine.CatalogMemo[Map[String, Seq[(Long, Array[Double], Double)]]]
+
   /** Train the COARSE quantizer with the data-derived cell count —
     * the one entry point every coarse-quantizer consumer (s04–s06,
-    * s10–s15, d11) goes through, so k cannot drift between them.
+    * s10–s15, d11) goes through, so k cannot drift between them,
+    * memoized per (catalog, source content, subset tag).
     * (PQ codebooks keep their fixed [[PqK]]: a codebook's size is the
     * code's bit width, a format constant, not a tuning knob.)
     */
-  private[operators] def trainCoarse(
-      e: org.apache.spark.sql.DataFrame): Seq[(Long, Array[Double], Double)] =
-    trainQuantizer(e, ivfK(e.count()), 3)
+  private[operators] def trainCoarse(s: org.apache.spark.sql.SparkSession,
+      d: String, e: org.apache.spark.sql.DataFrame, tag: String = "full")
+      : Seq[(Long, Array[Double], Double)] = {
+    val ck = graft.engine.CatalogMemo.contentKey(
+      d, s.sparkContext.hadoopConfiguration)
+    val cached = coarseBuilt.get(s.sharedState, ck).getOrElse(Map.empty)
+    cached.get(tag) match {
+      case Some(c) => c
+      case None =>
+        val c = trainQuantizer(e, ivfK(e.count()), 3)
+        if (c.nonEmpty) coarseBuilt.put(s.sharedState, ck, cached + (tag -> c))
+        c
+    }
+  }
 
   /** s08: MMR (maximal-marginal-relevance) diversity re-rank — the
     * dedup-aware top-k of retrieval and training-data curation:
@@ -268,7 +292,7 @@ object Similarity {
     val ck = graft.engine.CatalogMemo.contentKey(d, s.sparkContext.hadoopConfiguration)
     val tbl = graft.engine.CatalogMemo.tableName("graft_ivf_assign", ck)
     val cached = ivfBuilt.get(s.sharedState, ck)
-    val centroids = cached.getOrElse(trainCoarse(e))
+    val centroids = cached.getOrElse(trainCoarse(s, d, e))
     if (centroids.nonEmpty && cached.isEmpty) {
       ivfBuilt.invalidate(s.sharedState)
       new graft.engine.Engine(s).archiveBucketed(
@@ -366,17 +390,17 @@ object Similarity {
     cellOf(cents, col("v"))
 
   /** Argmin-centroid assignment over an arbitrary vector column (s07
-    * encodes each SUBVECTOR with its own codebook through this).
+    * encodes each SUBVECTOR with its own codebook through this) — one
+    * codegen'd [[graft.functions.NearestCell]] kernel call over the
+    * flattened centroid literals. Bit- and tie-identical to the baked
+    * `least()` + first-match when-chain it replaces (same fold, same
+    * ascending-cell first-minimum), whose Janino compile cost grew
+    * linearly with the data-derived k (~2 s/query at k = 22).
     */
   private[operators] def cellOf(cents: Seq[(Long, Array[Double], Double)],
-      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val scores = cents.map { case (_, cd, cn2) =>
-      lit(cn2) - lit(2.0) * call_function("vec_dot", v, lit(cd)) }
-    val best = least(scores: _*)
-    cents.zip(scores).init.foldRight(lit(cents.last._1)) {
-      case (((cell, _, _), sc), alt) => when(sc === best, lit(cell)).otherwise(alt)
-    }
-  }
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    call_function("nearest_cell", v, lit(cents.map(_._1).toArray),
+      lit(cents.flatMap(_._2).toArray), lit(cents.map(_._3).toArray))
 
   /** Seed + `rounds` k-means iterations; empty input → empty Seq. */
   private[operators] def trainQuantizer(e: org.apache.spark.sql.DataFrame,
@@ -434,7 +458,7 @@ object Similarity {
     // (crossJoin(broadcast) ×8 row blowup + row_number window) cost
     // 6.5 s at the driver's local[32]. ||c||² is a strict left fold
     // over cd = c/10⁶, the same fold DuckDB's list_reduce runs.
-    val centroids = trainCoarse(e)
+    val centroids = trainCoarse(s, d, e)
     // empty corpus → no centroids → cellOf's least()/last would throw;
     // the correct result is simply no rows (matches the oracle)
     if (centroids.isEmpty)
@@ -669,7 +693,7 @@ object Similarity {
     }) { (s, d) =>
     import s.implicits._
     val e = Vec.withNorm(Tables.embeddings(s, d))
-    val centroids = trainCoarse(e)
+    val centroids = trainCoarse(s, d, e)
     if (centroids.isEmpty)
       e.limit(0).select(col("vec_id").as("cell"), lit(0L).as("n"),
         lit(0L).as("inertia"), lit(0.0).as("mean_d2"), lit(0.0).as("rms_dist"),
@@ -1081,7 +1105,7 @@ object Similarity {
         ORDER BY dist2 DESC, s.vec_id LIMIT 20)
       SELECT vec_id, cell, dist2 FROM o ORDER BY vec_id""")) { (s, d) =>
     val e = Vec.withNorm(Tables.embeddings(s, d)).cache()
-    val centroids = trainCoarse(e)
+    val centroids = trainCoarse(s, d, e)
     if (centroids.isEmpty)
       e.limit(0).select(col("vec_id"), lit(0L).as("cell"), lit(0.0).as("dist2"))
     else
@@ -1141,7 +1165,7 @@ object Similarity {
     val e = Vec.withNorm(Tables.embeddings(s, d)).cache()
     val base = e.where(pmod(col("vec_id"), lit(37)) =!= 0)
     val arr = e.where(pmod(col("vec_id"), lit(37)) === 0)
-    val centroids = trainCoarse(base)
+    val centroids = trainCoarse(s, d, base, "base37")
     if (centroids.isEmpty)
       e.limit(0).select(col("vec_id"), lit(0L).as("cell"),
         lit(0L).as("n_base_in_cell"), col("vec_id").as("nn"),
@@ -1179,8 +1203,8 @@ object Similarity {
     */
   private[operators] def bestScore(cents: Seq[(Long, Array[Double], Double)],
       v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    least(cents.map { case (_, cd, cn2) =>
-      lit(cn2) - lit(2.0) * call_function("vec_dot", v, lit(cd)) }: _*)
+    call_function("nearest_score", v, lit(cents.map(_._1).toArray),
+      lit(cents.flatMap(_._2).toArray), lit(cents.map(_._3).toArray))
 
   /** s13: HARD-NEGATIVE mining — the contrastive-training data op the
     * retrieval family was missing: for every anchor vector, the top-3
@@ -1267,10 +1291,15 @@ object Similarity {
     */
   private def withResidual(e: org.apache.spark.sql.DataFrame,
       coarse: Seq[(Long, Array[Double], Double)]): org.apache.spark.sql.DataFrame = {
-    val cdCol = coarse.tail.foldLeft(
-      when(col("cell") === lit(coarse.head._1), lit(coarse.head._2))) {
-      case (acc, (cell, cd, _)) => acc.when(col("cell") === lit(cell), lit(cd))
-    }
+    // centroid lookup by POSITION in the flattened literal (the cell
+    // id's index in the sorted cells array) — replaces a k-branch
+    // when-chain of 64-double array literals; selected values are the
+    // identical doubles, so residuals stay bit-identical
+    val cells = coarse.map(_._1).toArray
+    val flat = coarse.flatMap(_._2).toArray
+    val cdCol = slice(lit(flat),
+      (((array_position(lit(cells), col("cell")) - 1L) * 64L) + 1L).cast("int"),
+      lit(64))
     e.withColumn("cell", cellOf(coarse))
       .withColumn("r", zip_with(col("v"), cdCol, (a, b) => a - b))
   }
@@ -1362,7 +1391,7 @@ object Similarity {
     val e = Vec.withNorm(Tables.embeddings(s, d)).cache()
     val ck = graft.engine.CatalogMemo.contentKey(d, s.sparkContext.hadoopConfiguration)
     val (coarse, books) = ivfPqBuilt.get(s.sharedState, ck).getOrElse {
-      val c = trainCoarse(e)
+      val c = trainCoarse(s, d, e)
       val b =
         if (c.isEmpty) Seq.empty[Seq[(Long, Array[Double], Double)]]
         else {

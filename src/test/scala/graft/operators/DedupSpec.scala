@@ -86,7 +86,7 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // the same quantizer d11 trains (shared machinery), as a lookup
     val e = graft.Vec.withNorm(graft.Tables.embeddings(spark, sf)).cache()
-    val cents = Similarity.trainCoarse(e)
+    val cents = Similarity.trainCoarse(spark, sf, e)
     val cellOfVec = e.withColumn("cell", Similarity.cellOf(cents))
       .select("vec_id", "cell").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -289,7 +289,7 @@ class SimilaritySpec extends SparkSpec {
     }
     // independent replay: recompute one cell's inertia from raw
     // vectors + the trained centroids in plain Scala integer math
-    val cents = Similarity.trainCoarse(
+    val cents = Similarity.trainCoarse(spark, dir,
       graft.Vec.withNorm(graft.Tables.embeddings(spark, dir)))
     val ints = cents.map { case (c, cd, _) => c -> cd.map(x => math.round(x * 1e6)) }.toMap
     val vecs = graft.Vec.withNorm(graft.Tables.embeddings(spark, dir))
@@ -312,7 +312,7 @@ class SimilaritySpec extends SparkSpec {
     // dist² is genuinely the MIN over centroids: recompute via the
     // shipped quantizer and compare against the emitted pair
     val e = graft.Vec.withNorm(graft.Tables.embeddings(spark, dir)).cache()
-    val cents = Similarity.trainCoarse(e)
+    val cents = Similarity.trainCoarse(spark, dir, e)
     val vecs = e.collect().map(r =>
       r.getLong(0) -> r.getSeq[Double](2).toArray).toMap
     rows.take(5).foreach { case (id, cell, dist2) =>
@@ -385,7 +385,7 @@ class SimilaritySpec extends SparkSpec {
     // residual codes are only worth shipping if they rank usefully
     import org.apache.spark.sql.functions._
     val e = graft.Vec.withNorm(graft.Tables.embeddings(spark, dir))
-    val coarse = Similarity.trainCoarse(e)
+    val coarse = Similarity.trainCoarse(spark, dir, e)
     val q = e.filter(col("vec_id") === 0).select(col("v"), col("nrm"))
       .collect().head
     val qv = q.getSeq[Double](0).toArray
