@@ -170,14 +170,19 @@ object Graph {
     // g01's is fact-shaped — the trick only pays when the looped data
     // is tiny relative to task overhead.
     var r = deg.select(col("id"), lit(MassUnit).as("r")).localCheckpoint()
-    for (_ <- 1 to Iters) {
+    for (i <- 1 to Iters) {
       r = ued.join(r, ued("src") === r("id"))
         .groupBy(col("dst"))
         .agg(expr(
           s"CAST(${MassUnit * 15 / 100} AS BIGINT) + (CAST(85 AS BIGINT) * sum(r div d)) div 100")
           .as("r"))
         .withColumnRenamed("dst", "id")
-        .localCheckpoint() // flat lineage per round (q46/x14 lesson)
+      // lineage truncated every SECOND round (q46/x14 lesson at half
+      // rate): a 2-round-deep plan analyzes fine, and each eager
+      // localCheckpoint is a scheduled job — with fixed small rounds
+      // the per-round job floor IS the operator's cost, so halving
+      // the materialization count halves it (measured round 6)
+      if (i % 2 == 0 || i == Iters) r = r.localCheckpoint()
     }
     r
   }
@@ -237,13 +242,14 @@ object Graph {
       col("dst") >= SuppBase && (col("dst") - SuppBase) % 5 === 0, lit(t))
       .otherwise(lit(0L))
     var r = deg.select(col("id"), lit(MassUnit).as("r")).localCheckpoint()
-    for (_ <- 1 to Iters) {
+    for (i <- 1 to Iters) {
       r = ued.join(r, ued("src") === r("id"))
         .groupBy(col("dst"))
         .agg(expr("(CAST(85 AS BIGINT) * sum(r div d)) div 100").as("flow"))
         .select(col("dst").as("id"),
           (seedCase.alias("tpv") + col("flow")).as("r"))
-        .localCheckpoint()
+      // truncate every second round (the g01 half-rate discipline)
+      if (i % 2 == 0 || i == Iters) r = r.localCheckpoint()
     }
     r.select(col("id").as("node_id"),
         when(col("id") >= SuppBase, lit("supplier"))
@@ -417,12 +423,13 @@ object Graph {
       .filter(col("id") >= SuppBase && (col("id") - SuppBase) % 5 === 0)
       .select(col("id"), lit(0L).as("dist"))
       .localCheckpoint()
-    for (_ <- 1 to BfsRounds) {
+    for (i <- 1 to BfsRounds) {
       val prop = ued.join(dist, ued("src") === dist("id"))
         .select(ued("dst").as("id"), (col("dist") + 1L).as("dist"))
       dist = dist.unionByName(prop)
         .groupBy("id").agg(min("dist").as("dist"))
-        .localCheckpoint() // flat lineage per round (g01/q46 lesson)
+      // truncate every second round (the g01 half-rate discipline)
+      if (i % 2 == 0 || i == BfsRounds) dist = dist.localCheckpoint()
     }
     dist.select(col("id").as("node_id"),
         when(col("id") >= SuppBase, lit("supplier"))
@@ -487,12 +494,13 @@ object Graph {
       .select(col("src").as("id")).distinct()
       .select(col("id"), lit(0L).as("dist"))
       .localCheckpoint()
-    for (_ <- 1 to SsspRounds) {
+    for (i <- 1 to SsspRounds) {
       val relaxed = ue.join(dist, ue("src") === dist("id"))
         .select(ue("dst").as("id"), (col("dist") + col("w")).as("dist"))
       dist = dist.unionByName(relaxed)
         .groupBy("id").agg(min("dist").as("dist"))
-        .localCheckpoint() // flat lineage per round (g01/q46 lesson)
+      // truncate every second round (the g01 half-rate discipline)
+      if (i % 2 == 0 || i == SsspRounds) dist = dist.localCheckpoint()
     }
     dist.select(col("id").as("node_id"),
         when(col("id") >= SuppBase, lit("supplier"))
@@ -628,11 +636,12 @@ object Graph {
         .unionByName(e.select(col("db").as("id")))
         .groupBy("id").agg(count(lit(1)).as("c"))
     var e = e0.localCheckpoint()
-    for (_ <- 1 to rounds) {
+    for (i <- 1 to rounds) {
       val keep = degrees(e).filter(col("c") >= k).select("id")
       e = e.join(keep, e("da") === keep("id"), "left_semi")
         .join(keep, e("db") === keep("id"), "left_semi")
-        .localCheckpoint() // flat lineage per round (g01/q46 lesson)
+      // truncate every second round (the g01 half-rate discipline)
+      if (i % 2 == 0 || i == rounds) e = e.localCheckpoint()
     }
     degrees(e).select(col("id").as("doc_id"), col("c").cast("long").as("core_degree"))
   }
@@ -753,7 +762,7 @@ object Graph {
       pairs.select(col("dst").as("src"), col("src").as("dst"))).persist()
     var lbl = ue.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")).localCheckpoint()
-    for (_ <- 1 to rounds) {
+    for (i <- 1 to rounds) {
       // neighbor-label counts (partial+final), then argmax by
       // (cnt desc, lbl asc) as max_by over (cnt, -lbl) — two hash
       // aggregations, no window sort over the adjacency
@@ -762,7 +771,8 @@ object Graph {
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("nid").as("id"))
         .agg(max_by(col("lbl"), struct(col("cnt"), -col("lbl"))).as("lbl"))
-        .localCheckpoint() // flat lineage per round (g01/q46 lesson)
+      // truncate every second round (the g01 half-rate discipline)
+      if (i % 2 == 0 || i == rounds) lbl = lbl.localCheckpoint()
     }
     lbl
   }
