@@ -32,12 +32,9 @@ class BudgetLintSpec extends AnyFunSuite {
         "the cost is round count, not volume"),
     "g02_personalized_pagerank" ->
       "g01's loop with a teleport term — same 6-round scheduling floor",
-    "g05_hop_distance" ->
-      "4 BFS min-propagation rounds over the persisted edge operand — the g01 per-round floor",
-    "g07_weighted_sssp" ->
-      "4 Bellman-Ford relaxation rounds — the g01 per-round floor on the weighted operand",
-    "g08_label_propagation" ->
-      "3 synchronous majority-vote rounds, each a join + two-level aggregation",
+    // g05/g07/g08 justifications removed round 6: the half-rate
+    // lineage-truncation change (docs/MICROBENCH.md) brought all three
+    // under budget — the whitelist shrinks when the cost does.
     "d06_dedup_survivors" ->
       ("documented-quadratic exactness baseline: the d03 pair table feeds an " +
         "iterative min-propagation to convergence — the EXACT ground truth " +
@@ -48,11 +45,9 @@ class BudgetLintSpec extends AnyFunSuite {
         "by definition of train-then-evaluate"),
     "x09_corpus_pipeline" ->
       ("end-to-end curation program: quality gate + d07's GraphX survivor " +
-        "components + split + summary — inherits d07's Pregel supersteps"),
-    "c01_curation_pipeline" ->
-      ("end-to-end curation capstone: d02 banding + quality/split/decontam " +
-        "joins + two-phase packing + sharded landing with manifest audit — " +
-        "five stage families in one entry, each individually lean"))
+        "components + split + summary — inherits d07's Pregel supersteps"))
+    // c01 justification removed round 6: the capstone's steady state
+    // fell under budget once its g/d-family inputs got cheaper.
 
   private def snapshot(): Option[Map[String, Double]] = {
     val p = java.nio.file.Paths.get("docs/BUDGET.json")
