@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, Tables}
+import graft.{QueryDef, Tables, Vec}
 import graft.Qdsl._
 import org.apache.spark.sql.functions._
 
@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  def queries: Seq[QueryDef] = Seq(c01)
+  def queries: Seq[QueryDef] = Seq(c01, c02)
 
   /** Token budget per packed shard — x12's constant, one definition. */
   private val PackBudget = 2000L
@@ -181,5 +181,178 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"), big(sum("n_tokens")).as("n_tokens"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
       .orderBy("shard_id")
+  }
+
+  /** c02's index-landing memo: content-keyed build-once, the same
+    * discipline as [[landMemo]] — the survivor index is landed (and
+    * audited) once per (catalog, source content).
+    */
+  private val idxMemo = new graft.engine.CatalogMemo[String]
+
+  /** Land the SemDeDup-survivor index as a bucketed catalog table
+    * (bucketed by cell — the s05 probe layout) and audit the landed
+    * directory with a K1d `_MANIFEST.json` recount, exactly as c01
+    * audits its shard landing: an index a retrieval service will
+    * trust must prove it is still the index that was written.
+    * Returns the content-keyed physical table name.
+    */
+  private def ensureIndexLanded(s: org.apache.spark.sql.SparkSession,
+      d: String, surv: org.apache.spark.sql.DataFrame, buckets: Int): String = {
+    val ck = graft.engine.CatalogMemo.contentKey(
+      d, s.sparkContext.hadoopConfiguration)
+    val tbl = graft.engine.CatalogMemo.tableName("graft_c02_index", ck)
+    if (idxMemo.get(s.sharedState, ck).isEmpty) {
+      idxMemo.invalidate(s.sharedState)
+      val eng = new graft.engine.Engine(s)
+      eng.archiveBucketed(surv, tbl, "cell", buckets)
+      val loc = s.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl)).toString
+      eng.writeManifest(loc, graft.engine.Format.Parquet)
+      val findings = eng.verifyManifest(loc)
+      require(findings.isEmpty,
+        s"graft: c02 index landing failed its manifest audit: ${findings.mkString("; ")}")
+      idxMemo.put(s.sharedState, ck, tbl)
+    }
+    tbl
+  }
+
+  /** c02: the RETRIEVAL-INDEX capstone — c01's end-to-end discipline
+    * applied to the embedding side of a training-data platform. One
+    * DAG composes the SHIPPED similarity/dedup stages (never
+    * reimplementations, the x09/d12/c01 discipline):
+    *
+    *   embeddings → SemDeDup collapse (d11's cluster-local ≥ 0.4
+    *   keep-lowest rule over the shared trained coarse quantizer) →
+    *   survivor index LANDED bucketed-by-cell with a K1d
+    *   `_MANIFEST.json` + recount audit ([[ensureIndexLanded]]) →
+    *   hard-negative mining (s13's probe-2-cells, top-3-per-anchor
+    *   rule) run against the LANDED survivor index → per-cell build
+    *   report.
+    *
+    *   Output: one row per coarse cell — survivors kept, duplicates
+    *   collapsed, hard-negative triplets mined from anchors in the
+    *   cell, and the strongest mined negative's cosine — the
+    *   artifact an embedding-training run reviews before consuming
+    *   the index (and its triplets) as training data.
+    *
+    * Scale shape / shared passes: the corpus is normed and assigned
+    * ONCE (cached `cells` frame: the d11 collapse, the per-cell
+    * kept/dropped readout, and the survivor index all derive from
+    * it); the dedup pair search is cluster-local (Σ|cell|², never
+    * N²); the mining stage joins survivors to the landed index on
+    * the bucketed cell key with per-anchor probe selection baked as
+    * centroid literals (no shuffle to pick probes); triplet top-3 is
+    * one window over the bounded candidate set. At 100 TB each stage
+    * keeps the bound it has standalone — the capstone adds no new
+    * join shape, only composition.
+    *
+    * Oracle: the SAME shared CTE chains ([[Vec.duckNormCte]],
+    * [[Similarity.duckTrainedCells]], [[Similarity.duckProbes]] with
+    * src = the survivor CTE), so no stage can drift from its
+    * standalone twin (d11/s13's exact rules replayed over survivors).
+    */
+  val c02 = QueryDef(
+    "c02_retrieval_pipeline",
+    Some(s"""${Vec.duckNormCte},
+      ${Similarity.duckTrainedCells},
+      pr AS (
+        SELECT a.vec_id AS lo, b.vec_id AS hi
+        FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE ${Vec.duckDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4),
+      dup AS (SELECT DISTINCT hi AS vec_id FROM pr),
+      flags AS (
+        SELECT c.vec_id, c.cell, c.v, c.nrm, dup.vec_id IS NOT NULL AS isdup
+        FROM cells c LEFT JOIN dup ON dup.vec_id = c.vec_id),
+      surv AS (SELECT vec_id, cell, v, nrm FROM flags WHERE NOT isdup),
+      ${Similarity.duckProbes("c3", "pb", 2, "surv")},
+      cand AS (
+        SELECT a.vec_id AS va, a.cell AS acell, x.vec_id AS nn,
+               ${Vec.duckDot("a.v", "x.v")} / (a.nrm * x.nrm) AS c
+        FROM surv a JOIN pb ON pb.vec_id = a.vec_id
+        JOIN surv x ON x.cell = pb.cell AND x.vec_id <> a.vec_id
+        JOIN n al ON al.vec_id = a.vec_id
+        JOIN n xl ON xl.vec_id = x.vec_id
+        WHERE xl.label <> al.label),
+      trip AS (SELECT va, acell, nn, c FROM (
+          SELECT va, acell, nn, c,
+                 row_number() OVER (PARTITION BY va ORDER BY c DESC, nn) AS rn
+          FROM cand)
+        WHERE rn <= 3),
+      base AS (SELECT cell,
+          sum(CASE WHEN isdup THEN 0 ELSE 1 END) AS n_kept,
+          sum(CASE WHEN isdup THEN 1 ELSE 0 END) AS n_dropped
+        FROM flags GROUP BY cell),
+      t AS (SELECT acell AS cell, count(*) AS n_triplets,
+          max(c) AS top_neg_cos
+        FROM trip GROUP BY acell)
+      SELECT b.cell, CAST(b.n_kept AS BIGINT) AS n_kept,
+        CAST(b.n_dropped AS BIGINT) AS n_dropped,
+        CAST(coalesce(t.n_triplets, 0) AS BIGINT) AS n_triplets,
+        coalesce(t.top_neg_cos, 0.0) AS top_neg_cos
+      FROM base b LEFT JOIN t ON t.cell = b.cell
+      ORDER BY b.cell""")) { (s, d) =>
+    // private co-session: catalog-scoped index table + bucketed-scan
+    // conf must not leak (the s05/s06/s13 discipline)
+    val co = s.newSession()
+    graft.functions.GraftFunctions.register(co)
+    val e = Vec.withNorm(Tables.embeddings(co, d)).cache()
+    val centroids = Similarity.trainCoarse(co, d, e)
+    if (centroids.isEmpty)
+      e.limit(0).select(lit(0L).as("cell"), lit(0L).as("n_kept"),
+        lit(0L).as("n_dropped"), lit(0L).as("n_triplets"),
+        lit(0.0).as("top_neg_cos"))
+    else {
+      co.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      // one normed-and-assigned pass feeds every downstream stage
+      val cells = e.withColumn("cell", Similarity.cellOf(centroids))
+        .select(col("vec_id"), col("label"), col("cell"), col("v"), col("nrm"))
+        .cache()
+      // stage 1 — SemDeDup collapse: d11's cluster-local keep-lowest
+      // rule verbatim (pair search bounded by Σ|cell|²)
+      val dup = cells.as("a").join(cells.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .where((expr(Vec.dot("a.v", "b.v")) / (col("a.nrm") * col("b.nrm"))) >= 0.4)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+      val flags = cells.join(
+        dup.withColumn("isdup", lit(true)), Seq("vec_id"), "left")
+      val surv = flags.where(col("isdup").isNull)
+        .select(col("vec_id"), col("label"), col("cell"), col("v"), col("nrm"))
+      // stage 2 — land the survivor index bucketed by cell + audit
+      // (an empty corpus lands nothing, the c01/s05 empty contract)
+      val idxTable = ensureIndexLanded(co, d, surv,
+        math.max(8, centroids.size))
+      // stage 3 — s13's hard-negative rule against the LANDED index:
+      // probe cells picked narrowly from centroid literals, candidates
+      // joined bucket-locally, top-3 per anchor
+      val probes = surv.select(col("vec_id").as("va"),
+          col("cell").as("acell"), col("v").as("qv"), col("nrm").as("qn"),
+          col("label").as("albl"),
+          explode(slice(array_sort(array(
+            Similarity.probeStructs(centroids): _*)), 1, 2)).as("p"))
+        .select(col("va"), col("acell"), col("qv"), col("qn"), col("albl"),
+          col("p.cell").as("pcell"))
+      val trip = probes.join(co.table(idxTable),
+          col("pcell") === col("cell") && col("vec_id") =!= col("va"))
+        .where(col("label") =!= col("albl"))
+        .select(col("va"), col("acell"), col("vec_id").as("nn"),
+          (call_function("vec_dot", col("qv"), col("v")) /
+            (col("qn") * col("nrm"))).as("c"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("va").orderBy(col("c").desc, col("nn"))))
+        .where(col("rn") <= 3)
+      // stage 4 — the per-cell build report
+      val base = flags.groupBy("cell").agg(
+        sum(when(col("isdup").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("isdup").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+      val t = trip.groupBy(col("acell").as("cell"))
+        .agg(count(lit(1)).as("n_triplets"), max(col("c")).as("top_neg_cos"))
+      base.join(t, Seq("cell"), "left")
+        .select(col("cell"), big(col("n_kept")).as("n_kept"),
+          big(col("n_dropped")).as("n_dropped"),
+          big(coalesce(col("n_triplets"), lit(0L))).as("n_triplets"),
+          coalesce(col("top_neg_cos"), lit(0.0)).as("top_neg_cos"))
+        .orderBy("cell")
+    }
   }
 }

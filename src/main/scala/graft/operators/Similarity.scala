@@ -324,15 +324,18 @@ object Similarity {
 
   /** Per-vector probe selection: each vector's `nprobe` nearest cells
     * by the same score/tie order as [[duckAssign]] (rn = 1 of this IS
-    * the assignment).
+    * the assignment). `src` parameterizes WHOSE vectors get probes
+    * (c02 probes only the SemDeDup survivors); operators-visible so
+    * the capstone provably replays the identical selection.
     */
-  private def duckProbes(cents: String, name: String, nprobe: Int): String =
+  private[operators] def duckProbes(cents: String, name: String, nprobe: Int,
+      src: String = "n"): String =
     s"""$name AS (
        |  SELECT vec_id, cell FROM (
-       |    SELECT n.vec_id, q.cell,
-       |           row_number() OVER (PARTITION BY n.vec_id
-       |             ORDER BY (q.cn2 - 2 * ${Vec.duckDot("n.v", "q.cd")}), q.cell) AS rn
-       |    FROM n CROSS JOIN (
+       |    SELECT $src.vec_id, q.cell,
+       |           row_number() OVER (PARTITION BY $src.vec_id
+       |             ORDER BY (q.cn2 - 2 * ${Vec.duckDot(s"$src.v", "q.cd")}), q.cell) AS rn
+       |    FROM $src CROSS JOIN (
        |      SELECT cell, cd, ${Vec.duckDot("cd", "cd")} AS cn2
        |      FROM (SELECT cell, list_transform(c, y -> y / 1000000.0) AS cd FROM $cents)) q)
        |  WHERE rn <= $nprobe)""".stripMargin
@@ -509,9 +512,10 @@ object Similarity {
   /** Per-vector nprobe cell selection, NARROWLY: centroid scores as
     * literal columns, natural struct ordering = the oracle's ORDER BY
     * (score, cell). Shared by s06 (batch probe) and s10 (recall eval)
-    * so both provably select the identical cells.
+    * so both provably select the identical cells (and operators-wide
+    * so c02's capstone probes are the shipped selection, not a twin).
     */
-  private def probeStructs(centroids: Seq[(Long, Array[Double], Double)])
+  private[operators] def probeStructs(centroids: Seq[(Long, Array[Double], Double)])
       : Seq[org.apache.spark.sql.Column] =
     centroids.map { case (cell, cd, cn2) =>
       struct((lit(cn2) - lit(2.0) * call_function("vec_dot", col("v"), lit(cd))).as("sc"),

@@ -32,9 +32,13 @@ class BudgetLintSpec extends AnyFunSuite {
         "the cost is round count, not volume"),
     "g02_personalized_pagerank" ->
       "g01's loop with a teleport term — same 6-round scheduling floor",
-    // g05/g07/g08 justifications removed round 6: the half-rate
-    // lineage-truncation change (docs/MICROBENCH.md) brought all three
+    // g05/g08 justifications removed round 6: the half-rate
+    // lineage-truncation change (docs/MICROBENCH.md) brought both
     // under budget — the whitelist shrinks when the cost does.
+    "g07_weighted_sssp" ->
+      ("4 Bellman-Ford relaxation rounds on the weighted operand — the g01 " +
+        "per-round floor; oscillates 1.8–2.0 s across quiet runs, i.e. AT the " +
+        "budget boundary, so the justification stays until the floor drops"),
     "d06_dedup_survivors" ->
       ("documented-quadratic exactness baseline: the d03 pair table feeds an " +
         "iterative min-propagation to convergence — the EXACT ground truth " +

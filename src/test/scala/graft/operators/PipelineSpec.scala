@@ -65,4 +65,45 @@ class PipelineSpec extends SparkSpec {
     val summary = Pipeline.c01.fn(spark, dir).collect()
     assert(landed.count() == summary.map(_.getLong(1)).sum)
   }
+
+  test("c02 report reconciles with the corpus and d11's survivor verdict") {
+    val rows = Pipeline.c02.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // kept + dropped across cells account for every corpus vector
+    val corpus = graft.Tables.embeddings(spark, dir).count()
+    assert(rows.map(t => t._2 + t._3).sum == corpus)
+    // keep-lowest can never empty a nonempty cell: the lowest id in a
+    // cell has no lower-id same-cell neighbor to collapse into
+    rows.foreach { case (cell, nKept, _, _) =>
+      assert(nKept >= 1, s"cell $cell lost its keep-lowest survivor")
+    }
+    // the capstone's collapse IS d11's verdict, not a twin: per-cell
+    // kept counts equal d11's is_kept counts exactly
+    val d11Kept = Dedup.d11.fn(spark, dir).collect()
+      .filter(_.getBoolean(2)).groupBy(_.getLong(1)).view
+      .mapValues(_.length.toLong).toMap
+    rows.foreach { case (cell, nKept, _, _) =>
+      assert(d11Kept.getOrElse(cell, 0L) == nKept,
+        s"cell $cell: c02 kept $nKept, d11 kept ${d11Kept.getOrElse(cell, 0L)}")
+    }
+  }
+
+  test("c02 lands the survivor index bucketed by cell with a clean manifest audit") {
+    val summary = Pipeline.c02.fn(spark, dir).collect() // ensure the landing ran
+    val ck = graft.engine.CatalogMemo.contentKey(
+      dir, spark.sparkContext.hadoopConfiguration)
+    val tbl = graft.engine.CatalogMemo.tableName("graft_c02_index", ck)
+    val loc = spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl)).toString
+    val eng = new graft.engine.Engine(spark)
+    val findings = eng.verifyManifest(loc)
+    assert(findings.isEmpty, s"index audit found: ${findings.mkString("; ")}")
+    // the landed index is the survivor set the report counted
+    assert(spark.table(tbl).count() == summary.map(_.getLong(1)).sum)
+    // and it carries the bucketed-by-cell layout the probe path needs
+    val cat = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+    assert(cat.bucketSpec.exists(_.bucketColumnNames == Seq("cell")))
+  }
 }
