@@ -113,10 +113,15 @@ class DedupSpec extends SparkSpec {
     val r = Dedup.d12.fn(spark, dir).collect().head
     val Seq(nTrue, nCand, nCandTrue, nPred, nPredTrue) =
       (0 to 4).map(r.getLong)
-    // the eval must count exactly the pairs the shipped operators emit
+    // the eval must count exactly the pairs the shipped operators
+    // emit, restricted to the sampled anchor-incident population
+    // (doc_id ≡ 0 mod 7 — the d12 sample rule)
+    def anchored(da: Long, db: Long): Boolean = da % 7 == 0 || db % 7 == 0
     val d03True = Dedup.d03.fn(spark, dir).collect()
-      .count(_.getDouble(2) >= 0.5).toLong
-    val d02Pred = Dedup.d02.fn(spark, dir).collect().length.toLong
+      .count(x => x.getDouble(2) >= 0.5 && anchored(x.getLong(0), x.getLong(1)))
+      .toLong
+    val d02Pred = Dedup.d02.fn(spark, dir).collect()
+      .count(x => anchored(x.getLong(0), x.getLong(1))).toLong
     assert(nTrue == d03True && nPred == d02Pred)
     // lattice invariants
     assert(nCandTrue <= math.min(nCand, nTrue))
