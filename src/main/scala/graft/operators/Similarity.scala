@@ -26,7 +26,7 @@ object Similarity {
 
   def queries: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
-      s15, s16)
+      s15, s16, s17)
 
   /** MMR selection rounds (picks after the pure-relevance first). */
   private val MmrK = 5
@@ -295,9 +295,13 @@ object Similarity {
     val centroids = cached.getOrElse(trainCoarse(s, d, e))
     if (centroids.nonEmpty && cached.isEmpty) {
       ivfBuilt.invalidate(s.sharedState)
+      // label rides WITH the index (one extra int per row): filtered
+      // search (s17) applies its metadata predicate inside the
+      // bucket-pruned index scan — a label join-back would reintroduce
+      // the corpus-sized side the index exists to avoid
       new graft.engine.Engine(s).archiveBucketed(
         e.withColumn("cell", cellOf(centroids))
-          .select(col("vec_id"), col("cell"), col("v"), col("nrm")),
+          .select(col("vec_id"), col("cell"), col("label"), col("v"), col("nrm")),
         tbl, "cell", math.max(8, centroids.size))
       ivfBuilt.put(s.sharedState, ck, centroids)
     }
@@ -1492,5 +1496,84 @@ object Similarity {
       .limit(RerankShortK)
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
+  }
+
+  /** s17's metadata predicate: the label whitelist a filtered search
+    * carries (vector-DB "hybrid search" — every production retrieval
+    * API takes one). A literal set so both engines share it.
+    */
+  private val FilterLabels = Seq(2, 5, 7)
+
+  /** s17: FILTERED ANN — top-k under a metadata predicate, the hybrid
+    * query every production vector store serves ("nearest docs WHERE
+    * lang = en AND license = permissive"). The naive compositions both
+    * fail at scale: post-filtering the unfiltered top-k starves the
+    * result set when the predicate is selective; pre-filtering into a
+    * fresh exact search pays the full corpus. The index answer is
+    * single-stage: the predicate is applied INSIDE the bucket-pruned
+    * index scan — label rides with the index ([[ensureIvfIndex]]), so
+    * the scan prunes to the probed cells' buckets (s05's
+    * SelectedBucketsCount) AND pushes the label filter into the
+    * parquet read (PushedFilters), then one narrow cosine + global
+    * top-k (TakeOrderedAndProject). Cost = probed share × predicate
+    * selectivity, never a corpus pass, no join, no shuffle. A
+    * selective predicate thins CELLS, not the shortlist, so the
+    * probe widens to nprobe = 4 (vs s05's 2) to keep the candidate
+    * pool — the standard filtered-search compensation (at production
+    * scale nprobe scales with 1/selectivity).
+    *
+    * The oracle replays training, probe selection (same score/tie
+    * order as s05), the label predicate, and the cell-local search.
+    */
+  val s17 = QueryDef(
+    "s17_filtered_ann",
+    Some(s"""${Vec.duckNormCte},
+      $duckTrainedCells,
+      q AS (SELECT v, nrm FROM n WHERE vec_id = 0),
+      cs AS (SELECT cc.cell, (cc.cn2 - 2 * ${Vec.duckDot("q.v", "cc.cd")}) AS sc
+        FROM (SELECT cell, cd, ${Vec.duckDot("cd", "cd")} AS cn2
+              FROM (SELECT cell, list_transform(c, y -> y / 1000000.0) AS cd FROM c3)) cc, q),
+      probe AS (SELECT cell FROM cs ORDER BY sc, cell LIMIT 4)
+      SELECT vec_id, label, cell, cos_sim FROM (
+        SELECT a.vec_id, CAST(xl.label AS BIGINT) AS label, a.cell,
+               ${Vec.duckDot("a.v", "q.v")} / (a.nrm * q.nrm) AS cos_sim
+        FROM cells a JOIN n xl ON xl.vec_id = a.vec_id, probe p, q
+        WHERE a.cell = p.cell AND a.vec_id <> 0
+          AND xl.label IN (${FilterLabels.mkString(", ")}))
+      ORDER BY cos_sim DESC, vec_id LIMIT 10""")) { (s, d) =>
+    val co = s.newSession()
+    graft.functions.GraftFunctions.register(co)
+    val e = Vec.withNorm(Tables.embeddings(co, d)).cache()
+    val (centroids, ivfTable) = ensureIvfIndex(co, d, e)
+    val qRowOpt = e.filter(col("vec_id") === 0)
+      .select(col("v"), col("nrm")).collect().headOption
+    if (centroids.isEmpty || qRowOpt.isEmpty)
+      e.limit(0).select(col("vec_id"), lit(0L).as("label"),
+        lit(0L).as("cell"), lit(0.0).as("cos_sim"))
+    else {
+      val qRow = qRowOpt.get
+      val qv = qRow.getSeq[Double](0).toArray
+      val qnrm = qRow.getDouble(1)
+      // 4 nearest cells, s05's score arithmetic and tie order
+      val probed = centroids.map { case (cell, cd, cn2) =>
+        var dp = 0.0
+        var i = 0
+        while (i < cd.length) { dp += qv(i) * cd(i); i += 1 }
+        (cn2 - 2 * dp, cell)
+      }.sorted.take(4).map(_._2)
+      // force the bucketed scan so cell pruning stays live (the s05
+      // discipline); the label predicate reaches the parquet reader
+      co.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      co.table(ivfTable)
+        .filter(col("cell").isin(probed: _*) && col("vec_id") =!= 0 &&
+          col("label").isin(FilterLabels: _*))
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("cell"),
+          (call_function("vec_dot", col("v"), lit(qv)) / (col("nrm") * lit(qnrm)))
+            .as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+    }
   }
 }

@@ -429,4 +429,48 @@ class SimilaritySpec extends SparkSpec {
   }
 
   private val RERANK_MIN_POOL = 20
+
+  test("s17 filtered ANN: bucket pruning AND label pushdown live in one scan, no shuffle") {
+    val df = Similarity.s17.fn(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // (1) the probe still prunes buckets (the s05 contract survives
+    // the added predicate)
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(sel.isDefined, s"filtered probe should bucket-prune; got:\n${plan.take(1200)}")
+    assert(sel.get.group(1).toInt < sel.get.group(2).toInt)
+    // (2) the metadata predicate reaches the parquet reader — filtered
+    // search pays probed-share × selectivity, not a scan-then-filter.
+    // (the textual plan truncates the FileScan line before
+    // PushedFilters prints, so introspect the scan node's metadata)
+    val pushed = df.queryExecution.sparkPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+        sc.metadata.getOrElse("PushedFilters", "")
+    }
+    assert(pushed.exists(_.contains("In(label")),
+      s"label predicate should push into the index scan; pushed=$pushed")
+    // (3) single-stage: no join, no shuffle — narrow cosine into the
+    // fused global top-k
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"filtered search must not shuffle:\n${plan.take(900)}")
+    assert(plan.contains("TakeOrderedAndProject"))
+    // results honor the predicate and the ordering
+    val rows = df.collect()
+    assert(rows.length == 10)
+    assert(rows.forall(r => Seq(2L, 5L, 7L).contains(r.getLong(1))))
+    val cs = rows.map(_.getDouble(3)).toSeq
+    assert(cs == cs.sorted.reverse)
+    // every returned neighbor is the true cosine vs the raw embeddings
+    // (a mis-filtered or stale index cannot fake matching values)
+    val byId = graft.Vec.withNorm(graft.Tables.embeddings(spark, dir))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Double](2).toArray, r.getDouble(3))).toMap
+    val (qv, qn) = byId(0L)
+    rows.foreach { r =>
+      val (v, nm) = byId(r.getLong(0))
+      var dp = 0.0
+      var i = 0
+      while (i < v.length) { dp += v(i) * qv(i); i += 1 }
+      assert(r.getDouble(3) == dp / (nm * qn))
+    }
+  }
 }
