@@ -594,6 +594,111 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
     missing ++ extra ++ resized ++ rows
   }
 
+  /** COMPACT a landed sharded archive's small data files (K1e) — the
+    * standing maintenance job of every large lake: streaming/
+    * incremental landings accumulate files far below the efficient
+    * scan unit, and a 100 TB table of 1 MB files pays ~128× the
+    * open/seek/footer overhead per scan of the same bytes in 128 MB
+    * files. Per LEAF DIRECTORY (so a hive-`partitionBy` layout is
+    * compacted partition-by-partition and the layout — including
+    * partition pruning — is preserved exactly): read the directory's
+    * data files, `coalesce` to ⌈bytes/targetBytes⌉ outputs (NARROW —
+    * concatenation, no shuffle, no re-sort: existing within-file
+    * ordering, e.g. a Z-order clustering, survives), stage under a
+    * hidden `.compact-*` dir (invisible to readers), verify the
+    * staged row count equals the source files' BEFORE touching
+    * anything, then swap: staged files RENAME IN first, old files
+    * delete after. That order is crash-safe in the direction that
+    * matters — a crash mid-swap leaves EXTRA files (transient
+    * over-count a [[verifyManifest]] audit flags as `unexpected
+    * file`), never lost data; the transient anomaly window is the
+    * same non-atomic-directory reality [[writeManifest]] documents,
+    * and a LIVE-read archive should be compacted into a versioned
+    * destination instead. Only columnar formats (parquet/orc) are
+    * compactable — they re-write losslessly from their own typed
+    * schema; row formats' framing is format-private (the
+    * [[countRows]] contract). A directory already at or below its
+    * target file count is left byte-untouched. If the archive
+    * carries a manifest, it is re-written and re-audited after the
+    * swap — a compaction that fails its own audit throws rather than
+    * reporting success.
+    */
+  def compactArchive(dest: String, format: Format = base.format,
+      targetBytes: Long = 128L * 1024 * 1024): CompactionReport = {
+    require(targetBytes > 0, s"graft: targetBytes must be positive, got $targetBytes")
+    val fmt = format match {
+      case Format.Parquet => "parquet"
+      case Format.Orc => "orc"
+      case other => throw new ArchiveException("format",
+        new IllegalArgumentException(
+          s"compaction requires a columnar format (parquet/orc), got $other"))
+    }
+    def read(paths: Seq[Path]): DataFrame =
+      spark.read.format(fmt).load(paths.map(_.toString): _*)
+    val root = new Path(dest)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hidden(p: Path): Boolean =
+      p.getName.startsWith("_") || p.getName.startsWith(".")
+    // leaf dirs with visible data files, depth-first
+    def leaves(p: Path): Seq[(Path, Seq[org.apache.hadoop.fs.FileStatus])] = {
+      val (dirs, files) = fs.listStatus(p).toSeq.filterNot(st => hidden(st.getPath))
+        .partition(_.isDirectory)
+      dirs.flatMap(d => leaves(d.getPath)) ++
+        (if (files.nonEmpty) Seq(p -> files) else Seq.empty)
+    }
+    var before = 0
+    var after = 0
+    var parts = 0
+    var bytes = 0L
+    var rows = 0L
+    stage("upload") {
+      for ((dir, files) <- leaves(root)) {
+        val dirBytes = files.map(_.getLen).sum
+        val nOut = math.max(1L, (dirBytes + targetBytes - 1) / targetBytes).toInt
+        before += files.size
+        bytes += dirBytes
+        if (nOut >= files.size) after += files.size // already compact
+        else {
+          val srcPaths = files.map(_.getPath)
+          val srcRows = read(srcPaths).count()
+          val staging = new Path(dir, s".compact-${java.util.UUID.randomUUID}")
+          cleaningStagingOnFailure(staging.toString) {
+            read(srcPaths).coalesce(nOut)
+              .write.format(fmt).save(staging.toString)
+            val staged = fs.listStatus(staging)
+              .filter(st => st.isFile && !hidden(st.getPath)).map(_.getPath)
+            val stagedRows = read(staged.toSeq).count()
+            if (stagedRows != srcRows)
+              throw new IllegalStateException(
+                s"compaction row drift in $dir: source $srcRows, staged $stagedRows")
+            // swap: new files in FIRST (crash leaves extras, never loss)
+            staged.foreach { p =>
+              if (!fs.rename(p, new Path(dir, p.getName)))
+                throw new IllegalStateException(s"compaction rename failed: $p")
+            }
+            srcPaths.foreach { p =>
+              if (!fs.delete(p, false))
+                throw new IllegalStateException(
+                  s"compacted source could not be removed: $p")
+            }
+            after += staged.length
+            rows += srcRows
+            parts += 1
+          }
+          fs.delete(staging, true)
+        }
+      }
+    }
+    if (fs.exists(new Path(root, Engine.ManifestName))) {
+      writeManifest(dest, format)
+      val findings = verifyManifest(dest)
+      if (findings.nonEmpty)
+        throw new ArchiveException("upload", new IllegalStateException(
+          s"compaction failed its manifest audit: ${findings.mkString("; ")}"))
+    }
+    CompactionReport(parts, before, after, bytes, rows)
+  }
+
   /** Extension string (as the manifest records it) → recountable
     * format. Custom extensions → None.
     */
@@ -744,6 +849,14 @@ object Engine {
 }
 
 final case class ShardEntry(path: String, bytes: Long)
+
+/** [[Engine.compactArchive]]'s outcome: leaf directories actually
+  * rewritten, file counts across ALL leaf dirs (compacted or not),
+  * total data bytes seen, and rows verified through the compacted
+  * directories' before/after recount.
+  */
+final case class CompactionReport(partitionsCompacted: Int,
+    filesBefore: Int, filesAfter: Int, bytes: Long, rows: Long)
 
 final case class ArchiveManifest(format: String, files: Seq[ShardEntry], rows: Long)
 
