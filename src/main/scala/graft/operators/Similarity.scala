@@ -76,7 +76,7 @@ object Similarity {
     * (PQ codebooks keep their fixed [[PqK]]: a codebook's size is the
     * code's bit width, a format constant, not a tuning knob.)
     */
-  private[operators] def trainCoarse(s: org.apache.spark.sql.SparkSession,
+  private[graft] def trainCoarse(s: org.apache.spark.sql.SparkSession,
       d: String, e: org.apache.spark.sql.DataFrame, tag: String = "full")
       : Seq[(Long, Array[Double], Double)] = {
     val ck = graft.engine.CatalogMemo.contentKey(
@@ -392,7 +392,7 @@ object Similarity {
       (r.getLong(0), cd, cn2)
     }.toSeq.sortBy(_._1)
 
-  private[operators] def cellOf(
+  private[graft] def cellOf(
       cents: Seq[(Long, Array[Double], Double)]): org.apache.spark.sql.Column =
     cellOf(cents, col("v"))
 
@@ -404,7 +404,7 @@ object Similarity {
     * ascending-cell first-minimum), whose Janino compile cost grew
     * linearly with the data-derived k (~2 s/query at k = 22).
     */
-  private[operators] def cellOf(cents: Seq[(Long, Array[Double], Double)],
+  private[graft] def cellOf(cents: Seq[(Long, Array[Double], Double)],
       v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     call_function("nearest_cell", v, lit(cents.map(_._1).toArray),
       lit(cents.flatMap(_._2).toArray), lit(cents.map(_._3).toArray))

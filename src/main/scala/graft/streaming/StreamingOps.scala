@@ -605,6 +605,52 @@ object StreamingOps {
     * chiv-format output with exactly-once-per-batch semantics from
     * the checkpoint.
     */
+  /** s14's STREAMING face: continuous vector-index maintenance — an
+    * arrival stream of normed embeddings (the [[graft.Vec.withNorm]]
+    * shape: vec_id, label, v, nrm) folds into a bucketed index
+    * catalog table with FROZEN centroids. Per micro-batch: the same
+    * narrow baked-literal argmin assignment the batch operators use
+    * ([[graft.operators.Similarity.cellOf]] — the shipped kernel,
+    * never a twin), then an APPEND to the bucketed table (first batch
+    * creates it; Spark enforces the matching bucket spec on every
+    * later append), so probe queries (s05/s06/s17) see arrivals as
+    * soon as their batch commits and keep their bucket-pruned plans.
+    * No retraining, no base reshuffle — the s14/d09 incremental
+    * contract; the retrain-policy readout stays with batch s14.
+    *
+    * Determinism: assignment is per-row and centroids are frozen, so
+    * the final table CONTENTS are a pure function of the arrival SET —
+    * invariant to micro-batch splits and arrival order (StreamingSpec
+    * pins 1-batch ≡ 3-batch ingestion row-for-row, and per-cell
+    * counts against s14's own batch assignment).
+    */
+  /** [[maintainIndex]]'s arrival row — the [[graft.Vec.withNorm]]
+    * projection as a streaming-encodable shape.
+    */
+  final case class ArrivalVec(vec_id: Long, label: Int, v: Seq[Double], nrm: Double)
+
+  def maintainIndex(arrivals: DataFrame,
+      centroids: Seq[(Long, Array[Double], Double)],
+      tableName: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val buckets = math.max(8, centroids.size)
+    arrivals.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          // the micro-batch runs in a cloned session: the native
+          // kernel must be registered THERE for the argmin call
+          graft.functions.GraftFunctions.register(batch.sparkSession)
+          batch
+            .withColumn("cell", graft.operators.Similarity.cellOf(centroids))
+            .select(col("vec_id"), col("cell"), col("label"), col("v"), col("nrm"))
+            .write.format("parquet").mode("append")
+            .bucketBy(buckets, "cell").sortBy("cell")
+            .saveAsTable(tableName)
+          ()
+        }
+      }
+      .start()
+  }
+
   def archiveStream(events: DataFrame, engine: graft.engine.Engine,
       destDir: String, table: String): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream

@@ -639,4 +639,53 @@ class StreamingSpec extends SparkSpec {
       assert(byWin("2024-01-01T00:00:00Z").count(_._2 == 2) == 2)
     } finally q.stop()
   }
+
+  test("maintainIndex: batch splits land the identical bucketed index; cells match s14's assignment") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Vec.withNorm(graft.Tables.embeddings(spark, dir))
+    val base = e.where(pmod(col("vec_id"), lit(37)) =!= 0)
+    val centroids = graft.operators.Similarity.trainCoarse(spark, dir, base, "base37")
+    assert(centroids.nonEmpty)
+    val arrivals = e.where(pmod(col("vec_id"), lit(37)) === 0)
+      .collect().map(r => StreamingOps.ArrivalVec(
+        r.getLong(0), r.getInt(1), r.getSeq[Double](2), r.getDouble(3)))
+      .sortBy(_.vec_id).toSeq
+    assert(arrivals.size >= 3)
+
+    def ingest(name: String, waves: Seq[Seq[StreamingOps.ArrivalVec]]): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
+      val input = MemoryStream[StreamingOps.ArrivalVec]
+      val q = StreamingOps.maintainIndex(input.toDF(), centroids, name)
+      try {
+        waves.foreach { w => input.addData(w: _*); q.processAllAvailable() }
+      } finally q.stop()
+    }
+    // one wave vs three waves of the same arrival set
+    ingest("graft_stream_idx_one", Seq(arrivals))
+    val (a, b) = arrivals.splitAt(arrivals.size / 3)
+    val (b1, b2) = b.splitAt(b.size / 2)
+    ingest("graft_stream_idx_three", Seq(a, b1, b2))
+
+    def rows(t: String): Set[(Long, Long, Int)] =
+      spark.table(t).select("vec_id", "cell", "label").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val one = rows("graft_stream_idx_one")
+    assert(one == rows("graft_stream_idx_three"),
+      "final index must be a pure function of the arrival set")
+    assert(one.size == arrivals.size)
+    // the landed assignment IS s14's: per-arrival cells equal the
+    // batch operator's own acell output
+    val batchCells = graft.operators.Similarity.s14.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    one.foreach { case (id, cell, _) =>
+      assert(batchCells(id) == cell, s"vec $id: stream cell $cell, batch ${batchCells(id)}")
+    }
+    // appends preserved the bucketed layout the probe path needs
+    val cat = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("graft_stream_idx_three"))
+    assert(cat.bucketSpec.exists(_.bucketColumnNames == Seq("cell")))
+  }
 }
