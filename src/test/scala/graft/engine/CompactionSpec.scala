@@ -81,6 +81,38 @@ class CompactionSpec extends SparkSpec {
       "no-op compaction must not rewrite anything")
   }
 
+  test("continuous landing then compaction: per-batch objects merge, audit stays clean") {
+    // the lifecycle the two pieces exist for: a streaming landing
+    // accumulates one small object per micro-batch; the maintenance
+    // job compacts them and the manifest audit certifies the result
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val dest = freshDir("stream")
+    val eng = new Engine(spark, ArchiveConfig(format = Format.Parquet))
+    val input = MemoryStream[graft.streaming.StreamingOps.Event]
+    def ev(id: Long, user: Long) = graft.streaming.StreamingOps.Event(
+      id, java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")),
+      user, "click", 1.0)
+    val q = graft.streaming.StreamingOps.archiveStream(
+      input.toDF(), eng, dest, "events")
+    try {
+      (0 until 4).foreach { b =>
+        input.addData(ev(b * 2L, 10), ev(b * 2L + 1, 11))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(listData(dest).size == 4, "one object per micro-batch")
+    eng.writeManifest(dest, Format.Parquet)
+    val before = spark.read.parquet(dest).sort("event_id").collect().toSeq
+    assert(before.size == 8)
+
+    val r = eng.compactArchive(dest, Format.Parquet, targetBytes = 1L << 30)
+    assert(r.filesBefore == 4 && r.filesAfter == 1 && r.rows == 8L)
+    assert(spark.read.parquet(dest).sort("event_id").collect().toSeq == before)
+    assert(eng.verifyManifest(dest).isEmpty)
+  }
+
   test("row formats are rejected at the format stage") {
     val eng = new Engine(spark)
     val e = intercept[ArchiveException] {
