@@ -614,7 +614,12 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
     * file`), never lost data; the transient anomaly window is the
     * same non-atomic-directory reality [[writeManifest]] documents,
     * and a LIVE-read archive should be compacted into a versioned
-    * destination instead. Only columnar formats (parquet/orc) are
+    * destination instead. Correspondingly, a MANIFESTED archive that
+    * fails its audit is REFUSED up front: re-running compaction over
+    * crash residue would count the old and renamed-in copies as one
+    * source, certify the doubled rows, and launder the anomaly into
+    * a clean manifest — the audit findings must be repaired (delete
+    * the flagged extras) before compaction will touch the directory. Only columnar formats (parquet/orc) are
     * compactable — they re-write losslessly from their own typed
     * schema; row formats' framing is format-private (the
     * [[countRows]] contract). A directory already at or below its
@@ -637,6 +642,15 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
       spark.read.format(fmt).load(paths.map(_.toString): _*)
     val root = new Path(dest)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // refuse crash residue (see scaladoc): compacting a directory that
+    // fails its own audit would certify doubled rows as clean
+    if (fs.exists(new Path(root, Engine.ManifestName))) {
+      val pre = verifyManifest(dest)
+      if (pre.nonEmpty)
+        throw new ArchiveException("upload", new IllegalStateException(
+          "refusing to compact an archive that fails its manifest audit " +
+            s"(repair the findings first): ${pre.mkString("; ")}"))
+    }
     def hidden(p: Path): Boolean =
       p.getName.startsWith("_") || p.getName.startsWith(".")
     // leaf dirs with visible data files, depth-first

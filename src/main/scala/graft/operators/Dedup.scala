@@ -977,12 +977,27 @@ object Dedup {
       FROM pair GROUP BY doc_id ORDER BY doc_id""")) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
     val sp = Tables.documents(s, d)
-      .select(col("doc_id"),
-        (expr("rolling_hash(text, 31L, 1000000007L)") % 10).as("m"))
+      .select(col("doc_id"), TextAnalysis.splitFingerprint.as("m"))
     val cand = minhashCandidates(s, d)
       .where(col("est_jaccard") >= 0.5)
       .select("da", "db", "est_jaccard")
-    // UNHINTED split lookups: AQE broadcast vs shuffle (d03 policy)
+    decontamCollisions(cand, sp)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_test_matches"),
+        min("test_doc").as("min_test_doc"), max("est_jaccard").as("max_est"))
+      .orderBy("doc_id")
+  }
+
+  /** d14's train×test COLLISION rule over ANY (da, db, est_jaccard)
+    * candidate table and (doc_id, m) split table — ONE implementation
+    * so the capstone (c01) decontaminates with the standalone
+    * operator's exact rule rather than an inline copy that can drift.
+    * Emits (doc_id = the colliding TRAIN doc, test_doc, est_jaccard);
+    * split lookups ride the bounded pair table, UNHINTED (AQE
+    * broadcast vs shuffle, the d03 policy).
+    */
+  private[operators] def decontamCollisions(
+      cand: DataFrame, sp: DataFrame): DataFrame =
     cand
       .join(sp.select(col("doc_id").as("da"), col("m").as("ma")), "da")
       .join(sp.select(col("doc_id").as("db"), col("m").as("mb")), "db")
@@ -992,9 +1007,4 @@ object Dedup {
         when(col("ma") < 8, col("da")).otherwise(col("db")).as("doc_id"),
         when(col("ma") < 8, col("db")).otherwise(col("da")).as("test_doc"),
         col("est_jaccard"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_test_matches"),
-        min("test_doc").as("min_test_doc"), max("est_jaccard").as("max_est"))
-      .orderBy("doc_id")
-  }
 }

@@ -123,28 +123,23 @@ object Pipeline {
     // stage family 1 — per-document attributes: quality features,
     // split fingerprint, token count, fused into ONE corpus scan
     val perDoc = TextAnalysis.qualityScored(Tables.documents(s, d))
-      .withColumn("m", expr("rolling_hash(text, 31L, 1000000007L)") % 10)
+      .withColumn("m", TextAnalysis.splitFingerprint)
       .select(col("doc_id"), col("quality"), col("m"), col("n_tokens"))
       .cache()
     // stage family 2 — the SHIPPED d02 banding chain at the working
     // threshold; the pair table is bounded (banding, never all-pairs)
     val cand = Dedup.minhashCandidates(s, d)
       .where(col("est_jaccard") >= 0.5)
-      .select("da", "db")
+      .select("da", "db", "est_jaccard")
       .cache()
     // near-dup collapse: keep-lowest — drop the higher id of each pair
     val dup = cand.select(col("db").as("doc_id")).distinct()
-    // decontamination: d14's rule verbatim — a train doc colliding
-    // with a test doc (splits from the cached per-doc frame; the
-    // lookups join the PAIR table, AQE broadcast vs shuffle)
+    // decontamination: the SHIPPED d14 collision rule (one
+    // implementation — Dedup.decontamCollisions; splits from the
+    // cached per-doc frame)
     val sp = perDoc.select(col("doc_id"), col("m"))
-    val cont = cand
-      .join(sp.select(col("doc_id").as("da"), col("m").as("ma")), "da")
-      .join(sp.select(col("doc_id").as("db"), col("m").as("mb")), "db")
-      .where((col("ma") < 8 && col("mb") === 9) ||
-        (col("ma") === 9 && col("mb") < 8))
-      .select(when(col("ma") < 8, col("da")).otherwise(col("db")).as("doc_id"))
-      .distinct()
+    val cont = Dedup.decontamCollisions(cand, sp)
+      .select("doc_id").distinct()
     val kept = perDoc
       .where(col("quality") =!= "low" && col("m") < 8)
       .join(dup, Seq("doc_id"), "left_anti")
@@ -320,7 +315,7 @@ object Pipeline {
       // stage 2 — land the survivor index bucketed by cell + audit
       // (an empty corpus lands nothing, the c01/s05 empty contract)
       val idxTable = ensureIndexLanded(co, d, surv,
-        math.max(8, centroids.size))
+        Similarity.ivfBuckets(centroids))
       // stage 3 — s13's hard-negative rule against the LANDED index:
       // probe cells picked narrowly from centroid literals, candidates
       // joined bucket-locally, top-3 per anchor

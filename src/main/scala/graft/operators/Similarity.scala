@@ -302,7 +302,7 @@ object Similarity {
       new graft.engine.Engine(s).archiveBucketed(
         e.withColumn("cell", cellOf(centroids))
           .select(col("vec_id"), col("cell"), col("label"), col("v"), col("nrm")),
-        tbl, "cell", math.max(8, centroids.size))
+        tbl, "cell", ivfBuckets(centroids))
       ivfBuilt.put(s.sharedState, ck, centroids)
     }
     (centroids, tbl)
@@ -391,6 +391,15 @@ object Similarity {
       while (i < cd.length) { cn2 += cd(i) * cd(i); i += 1 }
       (r.getLong(0), cd, cn2)
     }.toSeq.sortBy(_._1)
+
+  /** THE index bucket-count rule — one definition for every writer
+    * that must stay append-compatible with the batch-built layout
+    * (ensureIvfIndex, c02's survivor landing, maintainIndex's
+    * streaming appends): a formula drift between writers surfaces as
+    * a bucket-spec mismatch on append, or a divergent fresh table.
+    */
+  private[graft] def ivfBuckets(cents: Seq[(Long, Array[Double], Double)]): Int =
+    math.max(8, cents.size)
 
   private[graft] def cellOf(
       cents: Seq[(Long, Array[Double], Double)]): org.apache.spark.sql.Column =

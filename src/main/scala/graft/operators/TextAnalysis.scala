@@ -331,15 +331,25 @@ object TextAnalysis {
       GROUP BY split, lang ORDER BY split, lang""")) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
     Tables.documents(s, d)
-      .withColumn("fp", expr("rolling_hash(text, 31L, 1000000007L)"))
+      .withColumn("m", splitFingerprint)
       .withColumn("split",
-        when(col("fp") % 10 < 8, "train")
-          .when(col("fp") % 10 === 8, "valid")
+        when(col("m") < 8, "train")
+          .when(col("m") === 8, "valid")
           .otherwise("test"))
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n"), min("doc_id").as("first_doc"))
       .orderBy("split", "lang")
   }
+
+  /** x05's content-addressed SPLIT fingerprint — rolling_hash(text)
+    * mod 10, membership m < 8 train / m = 8 valid / m = 9 test. ONE
+    * definition for every split-aware operator (x05 itself, d14's
+    * decontamination, c01's capstone): an inline copy that drifts
+    * from the split rule silently decontaminates against the wrong
+    * boundary.
+    */
+  private[operators] def splitFingerprint: org.apache.spark.sql.Column =
+    expr("rolling_hash(text, 31L, 1000000007L)") % 10
 
   /** Stratified sampling (`sampleBy`): per-language fractions in one
     * pass — corpus rebalancing. Sampling is seeded-pseudo-random and

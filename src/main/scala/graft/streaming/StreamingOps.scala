@@ -620,9 +620,12 @@ object StreamingOps {
     *
     * Determinism: assignment is per-row and centroids are frozen, so
     * the final table CONTENTS are a pure function of the arrival SET —
-    * invariant to micro-batch splits and arrival order (StreamingSpec
-    * pins 1-batch ≡ 3-batch ingestion row-for-row, and per-cell
-    * counts against s14's own batch assignment).
+    * invariant to micro-batch splits, arrival order, AND replays:
+    * foreachBatch is at-least-once, so each append carries its
+    * batch_id and a replayed id is skipped whole (see the body).
+    * StreamingSpec pins 1-batch ≡ 3-batch ingestion row-for-row, a
+    * replayed batch landing nothing, and per-cell counts against
+    * s14's own batch assignment.
     */
   /** [[maintainIndex]]'s arrival row — the [[graft.Vec.withNorm]]
     * projection as a streaming-encodable shape.
@@ -632,19 +635,34 @@ object StreamingOps {
   def maintainIndex(arrivals: DataFrame,
       centroids: Seq[(Long, Array[Double], Double)],
       tableName: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val buckets = math.max(8, centroids.size)
+    val buckets = graft.operators.Similarity.ivfBuckets(centroids)
     arrivals.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           // the micro-batch runs in a cloned session: the native
           // kernel must be registered THERE for the argmin call
-          graft.functions.GraftFunctions.register(batch.sparkSession)
-          batch
-            .withColumn("cell", graft.operators.Similarity.cellOf(centroids))
-            .select(col("vec_id"), col("cell"), col("label"), col("v"), col("nrm"))
-            .write.format("parquet").mode("append")
-            .bucketBy(buckets, "cell").sortBy("cell")
-            .saveAsTable(tableName)
+          val s = batch.sparkSession
+          graft.functions.GraftFunctions.register(s)
+          // idempotence under foreachBatch's AT-LEAST-ONCE replay: a
+          // crash between the append committing and the offset log
+          // committing makes Spark re-send this batch, and a blind
+          // append would duplicate it permanently (applyChangelog /
+          // archiveStream defend the same contract). Each append
+          // carries its batch_id; a replayed id is skipped WHOLE —
+          // the existence probe is a batch_id = N point filter that
+          // parquet row-group stats prune to near-zero IO at any
+          // index size.
+          val alreadyLanded = s.catalog.tableExists(tableName) &&
+            !s.table(tableName).where(col("batch_id") === batchId).isEmpty
+          if (!alreadyLanded) {
+            batch
+              .withColumn("cell", graft.operators.Similarity.cellOf(centroids))
+              .select(col("vec_id"), col("cell"), col("label"), col("v"),
+                col("nrm"), lit(batchId).as("batch_id"))
+              .write.format("parquet").mode("append")
+              .bucketBy(buckets, "cell").sortBy("cell")
+              .saveAsTable(tableName)
+          }
           ()
         }
       }

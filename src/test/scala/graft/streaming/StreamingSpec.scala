@@ -687,5 +687,18 @@ class StreamingSpec extends SparkSpec {
     val cat = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier("graft_stream_idx_three"))
     assert(cat.bucketSpec.exists(_.bucketColumnNames == Seq("cell")))
+    // at-least-once replay: a fresh query re-delivering the same data
+    // re-uses batch ids already landed in the table — the idempotence
+    // guard must land NOTHING (no drop before this ingest!)
+    val input2 = MemoryStream[StreamingOps.ArrivalVec]
+    val q2 = StreamingOps.maintainIndex(
+      input2.toDF(), centroids, "graft_stream_idx_one")
+    try {
+      input2.addData(arrivals: _*) // becomes batch 0 again
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(rows("graft_stream_idx_one") == one,
+      "a replayed batch id must not duplicate index rows")
+    assert(spark.table("graft_stream_idx_one").count() == arrivals.size)
   }
 }
