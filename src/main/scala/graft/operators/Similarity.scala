@@ -26,7 +26,7 @@ object Similarity {
 
   def queries: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
-      s15, s16, s17)
+      s15, s16, s17, s18)
 
   /** MMR selection rounds (picks after the pure-relevance first). */
   private val MmrK = 5
@@ -1583,6 +1583,127 @@ object Similarity {
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
         .orderBy(col("cos_sim").desc, col("vec_id"))
+    }
+  }
+
+  /** s18: the NPROBE TUNING SWEEP — recall@3 vs candidate volume at
+    * nprobe ∈ {1..4} in ONE pass, the measurement that CHOOSES the
+    * probe width before a production deploy (s10 grades one fixed
+    * configuration; every real rollout sweeps the knob and reads the
+    * curve's elbow). Protocol is s10's: exact ground truth on the
+    * fixed 1/37 query sample (broadcast sample × one corpus scan —
+    * linear, never all-pairs), approximate legs over the persistent
+    * bucketed index. The sweep costs ONE candidate join, not four:
+    * each query's 4 ranked probe cells come from the same baked
+    * centroid literals (rank = the s05/s06 score/tie order), each
+    * candidate row carries its cell's rank, and a narrow
+    * `explode(sequence(prank, 4))` replicates it into every nprobe
+    * level it belongs to — no per-level probe, no theta join, no
+    * extra shuffle family. Output: one row per nprobe with hit/query
+    * counts, recall (one IEEE division of exact counts), and the
+    * candidate volume that nprobe pays — the cost axis of the curve.
+    */
+  val s18 = QueryDef(
+    "s18_nprobe_sweep",
+    Some(s"""${Vec.duckNormCte},
+      $duckTrainedCells,
+      q AS (SELECT vec_id AS va, v, nrm FROM n WHERE vec_id % 37 = 0),
+      cent AS (SELECT cell, cd, ${Vec.duckDot("cd", "cd")} AS cn2
+        FROM (SELECT cell, list_transform(c, y -> y / 1000000.0) AS cd FROM c3)),
+      pr AS (SELECT va, cell, rn AS prank FROM (
+          SELECT q.va, t.cell,
+                 row_number() OVER (PARTITION BY q.va
+                   ORDER BY (t.cn2 - 2 * ${Vec.duckDot("q.v", "t.cd")}), t.cell) AS rn
+          FROM q CROSS JOIN cent t) WHERE rn <= 4),
+      ex AS (SELECT va, nn FROM (
+        SELECT q.va, x.vec_id AS nn,
+               row_number() OVER (PARTITION BY q.va
+                 ORDER BY ${Vec.duckDot("x.v", "q.v")} / (x.nrm * q.nrm) DESC, x.vec_id) AS rn
+        FROM q JOIN n x ON x.vec_id <> q.va) WHERE rn <= 3),
+      cand AS (SELECT pr.va, pr.prank, x.vec_id AS nn,
+               ${Vec.duckDot("x.v", "q.v")} / (x.nrm * q.nrm) AS c
+        FROM pr JOIN q ON q.va = pr.va
+        JOIN cells x ON x.cell = pr.cell AND x.vec_id <> pr.va),
+      expd AS (SELECT np, va, nn, c FROM cand,
+        unnest(range(cand.prank, 5)) AS r(np)),
+      apk AS (SELECT np, va, nn FROM (
+          SELECT np, va, nn,
+                 row_number() OVER (PARTITION BY np, va ORDER BY c DESC, nn) AS rn
+          FROM expd) WHERE rn <= 3),
+      hits AS (SELECT np, count(*) AS n_hits FROM apk
+        JOIN ex ON ex.va = apk.va AND ex.nn = apk.nn GROUP BY np),
+      vol AS (SELECT np, count(*) AS n_cand FROM expd GROUP BY np),
+      lv AS (SELECT unnest(range(1, 5)) AS np),
+      nq AS (SELECT count(*) AS n FROM q)
+      SELECT CAST(lv.np AS BIGINT) AS nprobe,
+        CAST(nq.n AS BIGINT) AS n_queries,
+        CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+        CASE WHEN nq.n = 0 THEN 0.0
+             ELSE CAST(coalesce(hits.n_hits, 0) AS DOUBLE) / (3.0 * nq.n) END AS recall,
+        CAST(coalesce(vol.n_cand, 0) AS BIGINT) AS n_candidates
+      FROM lv CROSS JOIN nq
+      LEFT JOIN hits ON hits.np = lv.np
+      LEFT JOIN vol ON vol.np = lv.np
+      ORDER BY nprobe""")) { (s, d) =>
+    val co = s.newSession()
+    graft.functions.GraftFunctions.register(co)
+    val e = Vec.withNorm(Tables.embeddings(co, d)).cache()
+    val (centroids, ivfTable) = ensureIvfIndex(co, d, e)
+    val levels = co.range(1, 5).select(col("id").as("nprobe"))
+    if (centroids.isEmpty)
+      // the oracle's lv × nq frame survives an empty corpus: 4 rows
+      // of zeros, not 0 rows
+      levels.select(col("nprobe"), lit(0L).as("n_queries"),
+        lit(0L).as("n_hits"), lit(0.0).as("recall"), lit(0L).as("n_candidates"))
+    else {
+      co.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val q = e.where(pmod(col("vec_id"), lit(37)) === 0)
+        .select(col("vec_id").as("va"), col("v"), col("nrm").as("qn"))
+      val nq = q.count() // |Q| — bounded metadata by the 1/37 protocol
+      // exact leg: s10's broadcast-sample × one-corpus-scan shape
+      val exact = e.crossJoin(broadcast(q.select(col("va"), col("v").as("qv"), col("qn"))))
+        .where(col("vec_id") =!= col("va"))
+        .select(col("va"), col("vec_id").as("nn"),
+          (call_function("vec_dot", col("v"), col("qv")) / (col("nrm") * col("qn"))).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("va").orderBy(col("c").desc, col("nn"))))
+        .where(col("rn") <= 3)
+        .select(col("va"), col("nn"))
+      // ONE candidate join for the whole sweep: ranked 4-cell probes
+      // from the baked literals, candidates carry their cell's rank
+      val probes = q
+        .select(col("va"), col("v").as("qv"), col("qn"),
+          posexplode(slice(array_sort(array(probeStructs(centroids): _*)), 1, 4))
+            .as(Seq("pos", "p")))
+        .select(col("va"), col("qv"), col("qn"),
+          (col("pos") + 1).as("prank"), col("p.cell").as("pcell"))
+      val cand = probes.join(co.table(ivfTable),
+          col("pcell") === col("cell") && col("vec_id") =!= col("va"))
+        .select(col("va"), col("prank"), col("vec_id").as("nn"),
+          (call_function("vec_dot", col("qv"), col("v")) / (col("qn") * col("nrm"))).as("c"))
+      // narrow level replication — no theta join, no per-level probe
+      val expd = cand
+        .withColumn("np", explode(sequence(col("prank"), lit(4L))))
+        .select(col("np"), col("va"), col("nn"), col("c"))
+        .cache()
+      val apk = expd
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("np", "va").orderBy(col("c").desc, col("nn"))))
+        .where(col("rn") <= 3)
+        .select(col("np"), col("va"), col("nn"))
+      val hits = apk.join(exact, Seq("va", "nn"))
+        .groupBy(col("np").as("hnp")).agg(count(lit(1)).as("n_hits"))
+      val vol = expd.groupBy(col("np").as("vnp")).agg(count(lit(1)).as("n_cand"))
+      levels
+        .join(hits, col("nprobe") === col("hnp"), "left")
+        .join(vol, col("nprobe") === col("vnp"), "left")
+        .select(col("nprobe"), lit(nq).as("n_queries"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (if (nq == 0L) lit(0.0)
+           else coalesce(col("n_hits"), lit(0L)).cast("double") / (lit(3.0) * lit(nq)))
+            .as("recall"),
+          coalesce(col("n_cand"), lit(0L)).as("n_candidates"))
+        .orderBy("nprobe")
     }
   }
 }

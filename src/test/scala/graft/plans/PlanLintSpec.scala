@@ -25,6 +25,7 @@ class PlanLintSpec extends SparkSpec {
     "q47_kmv_overlap" -> "pair join of ONE sketch row per segment (bounded by segment count)",
     "q50_quality_audit" -> "crossJoin of TWO one-row audit aggregates (single-table checks x fk anti-join count)",
     "s10_recall_eval" -> "exact-ground-truth leg broadcasts the FIXED query sample (|Q| = N/37); linear in the corpus, the documented eval protocol",
+    "s18_nprobe_sweep" -> "same exact-ground-truth leg as s10 (broadcast 1/37 sample x one corpus scan); the sweep itself is one bucketed candidate join",
     "x25_nb_domain" -> "docs × per-domain base-score table: the broadcast side is domain-cardinality-sized by construction",
     "q62_join_size" -> "cross joins of ONE-row sketch/exact aggregates (driver-sized by construction)")
 
