@@ -219,4 +219,26 @@ object AudioCodecs {
     }
     (ampSum, absSum, peak, zc, ck)
   }
+
+  /** m14's perceptual fingerprint: length-normalize to a fixed
+    * `probes`-point grid by the m09 integer index map (probe k reads
+    * sample ⌊k·n/probes⌋), then emit `probes−1` delta-sign bits
+    * (bit k = probe k+1 > probe k). Strictly-greater keeps ties
+    * deterministic, and comparing DELTAS makes the print invariant
+    * under any constant amplitude shift (DC offset / re-level) —
+    * sign(s[j]+c > s[i]+c) = sign(s[j] > s[i]).
+    */
+  def deltaSignFingerprint(samples: Array[Int], probes: Int): Long = {
+    val n = samples.length
+    require(n >= 1 && probes >= 2 && probes <= 64,
+      s"graft: fingerprint needs >=1 sample and 2..64 probes (got n=$n, probes=$probes)")
+    var f = 0L
+    var k = 0
+    while (k < probes - 1) {
+      if (samples(((k + 1) * n) / probes) > samples((k * n) / probes))
+        f |= (1L << k)
+      k += 1
+    }
+    f
+  }
 }

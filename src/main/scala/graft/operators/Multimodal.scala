@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 object MultimodalOps {
 
   def queries: Seq[QueryDef] =
-    Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13)
+    Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14)
 
   /** DuckDB luma at synthetic sample point (gx, gy): replays the
     * m05 pixel arithmetic through the same integer (299r+587g+114b)/
@@ -729,5 +729,94 @@ object MultimodalOps {
         (col("ent_nano").cast("double") /
           (col("n_px") * lit(1000000000L)).cast("double")).as("entropy"))
       .orderBy("asset_id")
+  }
+
+  /** m14: audio NEAR-DUP fingerprinting — the third modality's entry
+    * in the near-dup matrix (text d02, image m06, audio here), the
+    * re-encode/truncation-robust dedup an audio corpus runs before
+    * training: every clip is decoded through the genuine
+    * `javax.sound.sampled` path ([[graft.multimodal.AudioCodecs
+    * .decodeSamples]] — m07/m11's decoder), LENGTH-NORMALIZED to a
+    * fixed 20-probe grid by m09's integer index map (probe k reads
+    * sample ⌊k·n/20⌋ — clips of different duration become comparable,
+    * the resize discipline applied to time), and reduced to a 19-bit
+    * DELTA-SIGN fingerprint (bit k = probe k+1 > probe k — the
+    * Haitsma–Kalman sign-of-change idea at probe granularity). The
+    * delta form makes the print DC-offset invariant: two clips
+    * differing by a constant amplitude shift (exactly how this
+    * synthetic family varies within a wrap class) fingerprint
+    * identically, which a raw-sample hash would miss. Collapse is
+    * m06's two-tier discipline verbatim: exact fp grouping keeps the
+    * lowest asset_id with a member count, then pigeonhole banding
+    * over the DISTINCT fingerprints (4 disjoint bands × 5 bits;
+    * hamming ≤ 3 ⇒ some band agrees, so banding is EXACT at the ≤ 3
+    * radius, never all-pairs — the pair join runs over fingerprint
+    * GROUPS, whose count is bounded by 2¹⁹ regardless of corpus
+    * size). Honest readout on THIS corpus: the synthetic quadratic
+    * sweep is near-monotone, so fingerprints collapse to a handful of
+    * wrap classes (3 groups for 500 clips at sf0.01) that all sit
+    * within hamming ≤ 2 of each other — the operator correctly
+    * reports one big perceptual family (the x22 honesty convention). The oracle replays the probe arithmetic
+    * from the synthetic sample function; the Spark side computes from
+    * genuinely DECODED bytes, so endianness/container fidelity stays
+    * load-bearing through the fingerprint.
+    */
+  val m14 = QueryDef(
+    "m14_audio_neardup",
+    Some {
+      def raw(i: String) = s"(doc_id*31 + ($i)*($i)*13 + ($i)*17) % 65536"
+      s"""WITH g AS (SELECT doc_id, doc_id % 50 + 20 AS n FROM documents),
+      fp AS (SELECT doc_id,
+          CAST(list_sum(list_transform(range(0, 19), k ->
+            CASE WHEN ${raw("((k+1)*n)//20")} > ${raw("(k*n)//20")}
+              THEN (1::BIGINT << CAST(k AS INTEGER)) ELSE 0 END)) AS BIGINT) AS fp
+        FROM g),
+      grp AS (SELECT fp, min(doc_id) AS rep, count(*) AS members FROM fp GROUP BY fp),
+      b AS (SELECT fp, rep, unnest(range(0, 4)) AS band FROM grp),
+      bb AS (SELECT fp, rep, band,
+          (fp >> CAST(band * 5 AS INT)) & 31 AS bv FROM b),
+      cp AS (SELECT DISTINCT least(a.rep, x.rep) AS ra, greatest(a.rep, x.rep) AS rb
+        FROM bb a JOIN bb x ON a.band = x.band AND a.bv = x.bv AND a.fp <> x.fp
+        WHERE bit_count(xor(a.fp, x.fp)) <= 3),
+      nr AS (SELECT r, count(*) AS n_near FROM
+               (SELECT ra AS r FROM cp UNION ALL SELECT rb AS r FROM cp) GROUP BY r)
+      SELECT grp.rep, grp.fp, CAST(grp.members AS BIGINT) AS members,
+        CAST(coalesce(nr.n_near, 0) AS BIGINT) AS n_near
+      FROM grp LEFT JOIN nr ON grp.rep = nr.r
+      ORDER BY rep"""
+    }) { (s, d) =>
+    import org.apache.spark.sql.Encoders
+    val fp = graft.multimodal.MultimodalPipeline.audioAssets(s, d)
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          // undecodable clips quarantine out of the fingerprint space
+          // (none in the synthetic corpus; the oracle sees all rows)
+          graft.multimodal.AudioCodecs.decodeSamples(a.data, 0, a.data.length)
+            .collect { case (_, _, _, samples) if samples.length >= 1 =>
+              (a.asset_id,
+                graft.multimodal.AudioCodecs.deltaSignFingerprint(samples, 20))
+            }
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("asset_id", "fp")
+    val grp = fp.groupBy("fp")
+      .agg(min("asset_id").as("rep"), count(lit(1)).as("members"))
+    val bands = grp.select(col("fp"), col("rep"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bv", expr("shiftright(fp, CAST(band * 5 AS INT)) & 31"))
+    val pairs = bands.as("a").join(bands.as("x"),
+        col("a.band") === col("x.band") && col("a.bv") === col("x.bv") &&
+          col("a.fp") =!= col("x.fp"))
+      .filter(bit_count(col("a.fp").bitwiseXOR(col("x.fp"))) <= 3)
+      .select(least(col("a.rep"), col("x.rep")).as("ra"),
+        greatest(col("a.rep"), col("x.rep")).as("rb"))
+      .distinct()
+    val near = pairs.select(col("ra").as("r"))
+      .unionAll(pairs.select(col("rb").as("r")))
+      .groupBy("r").agg(count(lit(1)).as("n_near"))
+    grp.join(near, col("rep") === col("r"), "left")
+      .select(col("rep"), col("fp"), big(col("members")).as("members"),
+        big(coalesce(col("n_near"), lit(0L))).as("n_near"))
+      .orderBy("rep")
   }
 }

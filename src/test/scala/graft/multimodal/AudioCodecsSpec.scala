@@ -84,4 +84,31 @@ class AudioCodecsSpec extends SparkSpec {
     // both containers present on real corpus ids
     assert(rows.map(_.getString(1)).toSet == Set("wave", "aiff"))
   }
+
+  test("m14 fingerprint: DC-offset invariant, container-stable, pigeonhole-exact radius") {
+    // DC invariance: shifting every sample by a constant (clamped to
+    // stay in 16-bit range) leaves the delta-sign print unchanged
+    val base = Array(-3000, -100, 250, 240, 9000, 8000, 8001, -20000, 500, 70)
+    val shifted = base.map(_ + 1234)
+    assert(AudioCodecs.deltaSignFingerprint(base, 20) ==
+      AudioCodecs.deltaSignFingerprint(shifted, 20))
+    // container stability: the same id decoded via WAV and AIFF
+    // fingerprints identically (endianness mistakes would flip bits)
+    Seq(0L, 7L, 42L).foreach { id =>
+      def fpOf(bytes: Array[Byte]): Long =
+        AudioCodecs.decodeSamples(bytes, 0, bytes.length)
+          .map { case (_, _, _, s) => AudioCodecs.deltaSignFingerprint(s, 20) }
+          .getOrElse(fail(s"id $id undecodable"))
+      assert(fpOf(AudioCodecs.encodeWav(id)) == fpOf(AudioCodecs.encodeAiff(id)))
+    }
+    // 19 bits, 4 disjoint 5-bit bands: any two prints within hamming
+    // <= 3 agree on at least one band (the m14 banding's exactness)
+    val a = 0x7ffffL
+    Seq(0x7ffffL ^ 0x5L, 0x7ffffL ^ 0x40020L, 0x7ffffL ^ 0x10101L).foreach { b =>
+      assert(java.lang.Long.bitCount(a ^ b) <= 3)
+      val agree = (0 until 4).exists(band =>
+        ((a >> (band * 5)) & 31) == ((b >> (band * 5)) & 31))
+      assert(agree, f"no band agrees for $b%x")
+    }
+  }
 }
