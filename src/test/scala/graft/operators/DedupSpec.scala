@@ -150,4 +150,23 @@ class DedupSpec extends SparkSpec {
     val sim = out.head.getDouble(3)
     assert(sim == 1.0 - 1.0 / near.length, s"got $sim")
   }
+
+  test("d15 sweep: candidates nest as rows-per-band grows; recall falls, precision rises") {
+    val rows = Dedup.d15.fn(spark, "/root/testdata/sf0.01")
+      .orderBy("rows_per_band").collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(1L, 2L, 4L, 8L))
+    // one shared truth count across configs (same sampled population)
+    assert(rows.map(_.getLong(2)).distinct.length == 1)
+    // aligned band boundaries nest: an 8-row band agreeing implies its
+    // halves agree, so candidate sets (and hits) shrink monotonically
+    val nCand = rows.map(_.getLong(3)).toSeq
+    assert(nCand == nCand.sorted.reverse, s"candidates not monotone: $nCand")
+    val nHit = rows.map(_.getLong(4)).toSeq
+    assert(nHit == nHit.sorted.reverse, s"hits not monotone: $nHit")
+    // the S-curve trade: precision never falls as bands coarsen
+    val prec = rows.map(_.getDouble(6)).toSeq
+    assert(prec == prec.sorted, s"precision not monotone: $prec")
+    // the (32,1) no-banding config surfaces every true pair here
+    assert(rows.head.getDouble(5) == 1.0)
+  }
 }
