@@ -22,7 +22,7 @@ object EventWindows {
 
   def queries: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
-      e15, e16, e17, e18, e19, e20)
+      e15, e16, e17, e18, e19, e20, e21)
 
   /** e14: watermark / late-event accounting — the batch twin of the
     * bookkeeping every Structured Streaming job does implicitly
@@ -948,5 +948,49 @@ object EventWindows {
         col("ewma_num"),
         (col("ewma_num").cast("double") / lit(65535.0)).as("ewma_cents"))
       .orderBy("event_id")
+  }
+
+  /** e21: MARKOV TRANSITION matrix — the path-analysis readout
+    * between e11's funnel (a FIXED step sequence) and e17's pattern
+    * match (ONE fixed shape): the full first-order behavior model —
+    * for every ordered (from → to) event-type pair, how often does a
+    * user's next event follow, and with what probability. This is
+    * the table next-action prediction, anomalous-flow detection, and
+    * funnel DESIGN (which steps actually follow which) read off;
+    * e11/e17 then test the sequences it suggests. Sequencing uses
+    * the family's total order (ts_us, event_id — no ties, both
+    * engines agree); one lag per user turns the event log into
+    * transition pairs; probabilities are per-from-state
+    * normalizations of exact BIGINT counts, each ONE IEEE division.
+    *
+    * Scale shape: ONE user-keyed shuffle for the sequence window
+    * (the e18/e20 exchange), then a partial+final count into a
+    * |event_types|² table — driver-sized by construction — where the
+    * normalizing window runs for free. No second corpus pass, no
+    * join. At 100 TB the transition table is still 25 rows.
+    */
+  val e21 = QueryDef(
+    "e21_markov_transitions",
+    Some("""WITH s AS (SELECT user_id, event_type,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS from_type
+      FROM events),
+      t AS (SELECT from_type, event_type AS to_type, count(*) AS n
+            FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+      FROM t ORDER BY from_type, to_type""")) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val seqW = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        lag("event_type", 1).over(seqW).as("from_type"))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromW = Window.partitionBy("from_type")
+    pairs
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / sum("n").over(fromW).cast("double")).as("p"))
+      .orderBy("from_type", "to_type")
   }
 }
