@@ -713,6 +713,104 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
     CompactionReport(parts, before, after, bytes, rows)
   }
 
+  /** K1f: RETENTION — expire whole hive partitions of a landed
+    * archive, the lifecycle step after landing (K1b/K1d), compaction
+    * (K1e), and audit: continuous ingestion without expiry grows
+    * without bound, and row-level deletes are the one thing an
+    * immutable-object layout can't do cheaply — partition-level drops
+    * are the unit of retention every warehouse actually uses (drop
+    * `dt=` directories past the policy, never rewrite surviving
+    * data). The keep predicate sees each partition directory's VALUE
+    * string exactly as the writer encoded it into the `col=value`
+    * directory name (simple values — dates, hours, ids — round-trip
+    * verbatim; hive percent-escaping of special characters is NOT
+    * undone here, the same contract the layout itself exposes).
+    *
+    * Discipline mirrors [[compactArchive]]: a manifested archive must
+    * pass its audit BEFORE expiry (refusing to "retention" away crash
+    * residue a repair should look at), the manifest is re-written for
+    * the surviving layout afterwards — with the format the OLD
+    * manifest recorded, never caller-supplied — and the new manifest
+    * must itself audit clean. Expired bytes are counted before
+    * deletion so the report states what was reclaimed. A crash
+    * between partition deletes and the re-manifest is fail-safe: the
+    * audit surfaces the already-deleted shards as findings rather
+    * than anything silently passing. No partition directories for
+    * `partCol` at all is an error, not a no-op — a typo'd column
+    * must not "succeed" as zero expiry (the SPARK_GRAFT_ONLY rule).
+    */
+  def expireArchive(dest: String, partCol: String,
+      keep: String => Boolean): RetentionReport = {
+    val root = new Path(dest)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifested = fs.exists(new Path(root, Engine.ManifestName))
+    val oldFormat: Option[Format] =
+      if (!manifested) None
+      else {
+        val pre = verifyManifest(dest)
+        if (pre.nonEmpty)
+          throw new ArchiveException("upload", new IllegalStateException(
+            "refusing to expire an archive that fails its manifest audit " +
+              s"(repair the findings first): ${pre.mkString("; ")}"))
+        val in = fs.open(new Path(root, Engine.ManifestName))
+        val m = parseManifest(new String(
+          try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+          finally in.close(), StandardCharsets.UTF_8))
+        formatOf(m.format)
+      }
+    val prefix = partCol + "="
+    val parts = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+    if (parts.isEmpty)
+      throw new ArchiveException("upload", new IllegalArgumentException(
+        s"no '$prefix<value>' partition directories under $dest — " +
+          "wrong partition column, or an unpartitioned archive"))
+    var expired = 0
+    var kept = 0
+    var files = 0
+    var bytes = 0L
+    stage("upload") {
+      def walkBytes(p: Path): (Int, Long) = {
+        val sts = fs.listStatus(p).toSeq
+        val (dirs, fls) = sts.partition(_.isDirectory)
+        val sub = dirs.map(d => walkBytes(d.getPath))
+        (fls.size + sub.map(_._1).sum, fls.map(_.getLen).sum + sub.map(_._2).sum)
+      }
+      for (st <- parts) {
+        val value = st.getPath.getName.stripPrefix(prefix)
+        if (keep(value)) kept += 1
+        else {
+          val (nf, nb) = walkBytes(st.getPath)
+          if (!fs.delete(st.getPath, true))
+            throw new ArchiveException("upload", new IllegalStateException(
+              s"expired partition could not be removed: ${st.getPath}"))
+          expired += 1
+          files += nf
+          bytes += nb
+        }
+      }
+    }
+    val remaining: Option[Long] = oldFormat.map { f =>
+      val m = writeManifest(dest, f)
+      val findings = verifyManifest(dest)
+      if (findings.nonEmpty)
+        throw new ArchiveException("upload", new IllegalStateException(
+          s"retention failed its manifest audit: ${findings.mkString("; ")}"))
+      m.rows
+    }
+    RetentionReport(expired, kept, files, bytes, remaining)
+  }
+
+  /** The `dt=YYYY-MM-DD`-style common case of [[expireArchive]]:
+    * drop partitions whose value sorts strictly below the cutoff.
+    * Lexicographic compare is exactly right for the zero-padded
+    * date/hour encodings partition layouts use — which is WHY they
+    * zero-pad.
+    */
+  def expireArchiveBefore(dest: String, partCol: String,
+      cutoff: String): RetentionReport =
+    expireArchive(dest, partCol, _ >= cutoff)
+
   /** Extension string (as the manifest records it) → recountable
     * format. Custom extensions → None.
     */
@@ -871,6 +969,15 @@ final case class ShardEntry(path: String, bytes: Long)
   */
 final case class CompactionReport(partitionsCompacted: Int,
     filesBefore: Int, filesAfter: Int, bytes: Long, rows: Long)
+
+/** [[Engine.expireArchive]]'s outcome: partitions dropped/surviving,
+  * data files and bytes reclaimed, and — for a manifested archive —
+  * the surviving row count the re-written manifest records (None when
+  * the archive carries no manifest to recount against).
+  */
+final case class RetentionReport(partitionsExpired: Int,
+    partitionsKept: Int, filesExpired: Int, bytesExpired: Long,
+    rowsRemaining: Option[Long])
 
 final case class ArchiveManifest(format: String, files: Seq[ShardEntry], rows: Long)
 
