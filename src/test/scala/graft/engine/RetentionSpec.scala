@@ -80,4 +80,19 @@ class RetentionSpec extends SparkSpec {
     assert(new java.io.File(dest + "/dt=2024-01-02").exists())
     assert(new java.io.File(dest + "/dt=2024-01-03").exists())
   }
+
+  test("full lifecycle: land -> manifest -> compact -> expire -> audit, one archive") {
+    val dest = freshDir("lifecycle")
+    land(dest) // 4 files x 9 partitions
+    val eng = new Engine(spark)
+    eng.writeManifest(dest, Format.Parquet)
+    val c = eng.compactArchive(dest, Format.Parquet, targetBytes = 1L << 30)
+    assert(c.partitionsCompacted == 9 && c.filesAfter == 9)
+    val r = eng.expireArchiveBefore(dest, "dt", "2024-01-07")
+    assert(r.partitionsExpired == 6 && r.partitionsKept == 3)
+    assert(r.filesExpired == 6, "expiry runs over the COMPACTED layout")
+    assert(r.rowsRemaining.contains(300L))
+    assert(eng.verifyManifest(dest).isEmpty)
+    assert(spark.read.parquet(dest).count() == 300L)
+  }
 }
