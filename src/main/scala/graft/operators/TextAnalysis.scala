@@ -17,7 +17,7 @@ object TextAnalysis {
 
   def queries: Seq[QueryDef] =
     Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15,
-      x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26)
+      x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27)
 
   /** x13's ln lookup table: round(ln(n)·10⁹) for n = 1..4094, computed
     * ONCE here and embedded as a literal in BOTH the Spark plan and
@@ -1675,6 +1675,106 @@ object TextAnalysis {
       when(den === 0L || dy === 0L, lit(0.0))
         .otherwise((num.cast("double") * num.cast("double")) /
           (den.cast("double") * dy.cast("double"))).as("r2"))
+  }
+
+  /** Obfuscated-contact detector for x27's audit leg: the "user at
+    * host dot example dot com" spelling the [[EmailPat]] regex
+    * cannot see (no `@`). Character classes only — identical
+    * semantics under Java regex and RE2.
+    */
+  private val ObfEmailPat = "[a-z0-9]+ at [a-z]+ dot [a-z]+ dot [a-z]+"
+
+  /** x27: REDACTION-COMPLETENESS AUDIT — the eval-family entry
+    * (s10/d12/s18/d15/x22) for the PII scrubber: grades the SHIPPED
+    * x10 redaction against a corpus whose PII inventory is KNOWN
+    * arithmetically, the release gate a privacy review actually
+    * wants ("what fraction of contact strings did the scrubber
+    * catch, and what is still in there?"). The plant is x10's (one
+    * address + a CC for every third doc + one phone), EXTENDED with
+    * an obfuscated "userN at mail dot example dot com" spelling on
+    * every fifth doc — the evasion pattern regex scrubbing is known
+    * to miss. Planted counts come from the plant arithmetic (never
+    * from re-running the detector being graded — no tautology);
+    * caught counts read the `<EMAIL>`/`<PHONE>` markers the redactor
+    * actually wrote; residual counts re-scan the REDACTED text with
+    * the direct patterns (must be 0 — the scrubber is idempotent-
+    * complete on its own language) and with the obfuscated detector
+    * (every fifth doc — the honest miss, the x22 convention).
+    * Coverage and miss rate are single IEEE divisions of exact
+    * BIGINT counts. ONE narrow pass over the corpus into a one-row
+    * aggregate — no shuffle beyond the final partial+final agg; at
+    * 100 TB the audit costs one scan, which is why it can run on
+    * every release.
+    */
+  val x27 = QueryDef(
+    "x27_redaction_audit",
+    Some(s"""WITH src AS (SELECT doc_id,
+        text || ' contact user' || doc_id || '@mail.example.com'
+             || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@ex.org' ELSE '' END
+             || ' or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             || CASE WHEN doc_id % 5 = 0
+                THEN ' reach user' || doc_id || ' at mail dot example dot com'
+                ELSE '' END AS s
+      FROM documents),
+      red AS (SELECT doc_id,
+          regexp_replace(regexp_replace(s, '$EmailPat', '<EMAIL>', 'g'),
+            '$PhonePat', '<PHONE>', 'g') AS r
+        FROM src),
+      m AS (SELECT
+          count(*) AS n_docs,
+          coalesce(sum(2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                         + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END), 0) AS n_planted,
+          coalesce(sum(len(regexp_extract_all(r, '<EMAIL>'))
+                     + len(regexp_extract_all(r, '<PHONE>'))), 0) AS n_redacted,
+          coalesce(sum(len(regexp_extract_all(r, '$EmailPat'))
+                     + len(regexp_extract_all(r, '$PhonePat'))), 0) AS n_residual_direct,
+          coalesce(sum(len(regexp_extract_all(r, '$ObfEmailPat'))), 0) AS n_residual_obfuscated
+        FROM red)
+      SELECT CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(n_planted AS BIGINT) AS n_planted,
+        CAST(n_redacted AS BIGINT) AS n_redacted,
+        CAST(n_residual_direct AS BIGINT) AS n_residual_direct,
+        CAST(n_residual_obfuscated AS BIGINT) AS n_residual_obfuscated,
+        CASE WHEN n_planted = 0 THEN 0.0
+             ELSE CAST(n_redacted AS DOUBLE) / CAST(n_planted AS DOUBLE) END AS coverage,
+        CASE WHEN n_planted = 0 THEN 0.0
+             ELSE CAST(n_residual_obfuscated AS DOUBLE) / CAST(n_planted AS DOUBLE) END AS miss_rate
+      FROM m ORDER BY n_docs""")) { (s, d) =>
+    val src = Tables.documents(s, d)
+      .select(col("doc_id"), concat(
+        col("text"), lit(" contact user"), col("doc_id"), lit("@mail.example.com"),
+        when(col("doc_id") % 3 === 0, " cc admin@ex.org").otherwise(""),
+        lit(" or +1-555-"), lpad(col("doc_id") % 10000, 4, "0"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" reach user"), col("doc_id"),
+            lit(" at mail dot example dot com"))).otherwise("")).as("s"))
+    val r = regexp_replace(
+      regexp_replace(col("s"), lit(EmailPat), lit("<EMAIL>")),
+      lit(PhonePat), lit("<PHONE>"))
+    def hits(c: org.apache.spark.sql.Column, pat: String) =
+      big(size(regexp_extract_all(c, lit(pat), lit(0))))
+    src.withColumn("r", r)
+      .agg(
+        // the d12 coalesce discipline: an empty corpus must emit the
+        // oracle's zero counts, not NULLs
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(lit(2L) + when(col("doc_id") % 3 === 0, 1L).otherwise(0L)
+          + when(col("doc_id") % 5 === 0, 1L).otherwise(0L)), lit(0L)).as("n_planted"),
+        coalesce(sum(hits(col("r"), "<EMAIL>") + hits(col("r"), "<PHONE>")),
+          lit(0L)).as("n_redacted"),
+        coalesce(sum(hits(col("r"), EmailPat) + hits(col("r"), PhonePat)),
+          lit(0L)).as("n_residual_direct"),
+        coalesce(sum(hits(col("r"), ObfEmailPat)), lit(0L)).as("n_residual_obfuscated"))
+      .select(col("n_docs"), col("n_planted"), col("n_redacted"),
+        col("n_residual_direct"), col("n_residual_obfuscated"),
+        when(col("n_planted") === 0L, lit(0.0))
+          .otherwise(col("n_redacted").cast("double") / col("n_planted").cast("double"))
+          .as("coverage"),
+        when(col("n_planted") === 0L, lit(0.0))
+          .otherwise(col("n_residual_obfuscated").cast("double") /
+            col("n_planted").cast("double"))
+          .as("miss_rate"))
+      .orderBy("n_docs")
   }
 }
 
