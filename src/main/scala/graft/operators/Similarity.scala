@@ -26,7 +26,7 @@ object Similarity {
 
   def queries: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
-      s15, s16, s17, s18)
+      s15, s16, s17, s18, s19)
 
   /** MMR selection rounds (picks after the pure-relevance first). */
   private val MmrK = 5
@@ -765,6 +765,25 @@ object Similarity {
   private val pqBuilt =
     new graft.engine.CatalogMemo[Seq[Seq[(Long, Array[Double], Double)]]]
 
+  /** Train-or-fetch the [[PqM]] per-subspace codebooks over a
+    * normed corpus — ONE accessor shared by s07 (encode + ADC score)
+    * and s19 (quantization-quality eval), so the eval provably
+    * grades the codebooks the scorer ships.
+    */
+  private def pqCodebooks(s: org.apache.spark.sql.SparkSession, d: String,
+      e: org.apache.spark.sql.DataFrame): Seq[Seq[(Long, Array[Double], Double)]] = {
+    val ck = graft.engine.CatalogMemo.contentKey(d, s.sparkContext.hadoopConfiguration)
+    pqBuilt.get(s.sharedState, ck).getOrElse {
+      val trained = (0 until PqM).map { m =>
+        trainQuantizer(
+          e.select(col("vec_id"), expr(s"slice(v, ${m * PqSubDim + 1}, $PqSubDim)").as("v")),
+          PqK, PqRounds)
+      }
+      if (trained.forall(_.nonEmpty)) pqBuilt.put(s.sharedState, ck, trained)
+      trained
+    }
+  }
+
   /** DuckDB strict-fold dot over the first `n` elements (1-based). */
   private def duckDotN(a: String, b: String, n: Int): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${n + 1}), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
@@ -865,16 +884,7 @@ object Similarity {
       ORDER BY adc_dot DESC, n.vec_id LIMIT 20"""
     }) { (s, d) =>
     val e = Vec.withNorm(Tables.embeddings(s, d)).cache()
-    val ck = graft.engine.CatalogMemo.contentKey(d, s.sparkContext.hadoopConfiguration)
-    val codebooks = pqBuilt.get(s.sharedState, ck).getOrElse {
-      val trained = (0 until PqM).map { m =>
-        trainQuantizer(
-          e.select(col("vec_id"), expr(s"slice(v, ${m * PqSubDim + 1}, $PqSubDim)").as("v")),
-          PqK, PqRounds)
-      }
-      if (trained.forall(_.nonEmpty)) pqBuilt.put(s.sharedState, ck, trained)
-      trained
-    }
+    val codebooks = pqCodebooks(s, d, e)
     val qRowOpt = e.filter(col("vec_id") === 0)
       .select(col("v"), col("nrm")).collect().headOption
     if (codebooks.exists(_.isEmpty) || qRowOpt.isEmpty)
@@ -1704,6 +1714,117 @@ object Similarity {
             .as("recall"),
           coalesce(col("n_cand"), lit(0L)).as("n_candidates"))
         .orderBy("nprobe")
+    }
+  }
+
+  /** s19: PQ QUANTIZATION-QUALITY eval — s11's clustering-quality
+    * readout applied to the COMPRESSION side: per subspace, the
+    * reconstruction inertia of the SHIPPED s07 codebooks (via the
+    * shared [[pqCodebooks]] accessor, so the eval provably grades
+    * what the scorer deploys), in s11's exact µ²-fixed-point BIGINT
+    * discipline — vector slices quantized to µ units, codeword
+    * coordinates integral by training, squared error an exact BIGINT
+    * both engines agree on bit-for-bit. Per subspace it also reports
+    * CODEWORD USAGE as bit_count(bit_or(1 << code)) — dead codewords
+    * (the classic PQ pathology: a subspace whose k-means collapsed)
+    * show up as n_codes_used < K without a distinct-count Expand of
+    * the corpus. This is the readout that decides bits-per-subspace
+    * and flags which subspace needs retraining BEFORE an index
+    * build; mean/rms are single IEEE divisions of the exact counts.
+    *
+    * Scale shape: encoding + error are narrow codegen'd projections
+    * over the baked codebook literals (the s07 path), all 8
+    * subspaces fold in ONE corpus pass into ONE partial+final
+    * aggregate; the 8-row reshape explodes a one-row aggregate.
+    * Zero joins, zero shuffles beyond the final agg exchange.
+    */
+  val s19 = QueryDef(
+    "s19_pq_quality",
+    Some {
+      val subspaces = (0 until PqM).map(duckPqSubspace).mkString(",\n      ")
+      val pers = (0 until PqM).map { m =>
+        s"""xi$m AS (SELECT cell,
+            list_transform(sv, x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+          FROM codes$m),
+        dd$m AS (SELECT x.cell,
+            list_sum(list_transform(range(1, ${PqSubDim + 1}),
+              i -> (x.q[i] - t.c[CAST(i AS INTEGER)]) * (x.q[i] - t.c[CAST(i AS INTEGER)]))) AS d2
+          FROM xi$m x JOIN c${PqRounds}_$m t USING (cell)),
+        per$m AS (SELECT $m AS m, count(*) AS n,
+            coalesce(CAST(sum(d2) AS BIGINT), 0) AS inertia,
+            coalesce(bit_count(bit_or(1::BIGINT << CAST(cell AS INTEGER))), 0) AS n_codes_used
+          FROM dd$m)"""
+      }.mkString(",\n      ")
+      val union = (0 until PqM).map(m => s"SELECT * FROM per$m").mkString(" UNION ALL ")
+      s"""${Vec.duckNormCte},
+      $subspaces,
+      $pers,
+      u AS ($union)
+      SELECT CAST(m AS BIGINT) AS m, CAST(n AS BIGINT) AS n,
+        CAST(inertia AS BIGINT) AS inertia,
+        CAST(n_codes_used AS BIGINT) AS n_codes_used,
+        CASE WHEN n = 0 THEN 0.0
+             ELSE CAST(inertia AS DOUBLE) / CAST(n AS DOUBLE) END AS mean_d2,
+        CASE WHEN n = 0 THEN 0.0
+             ELSE sqrt(CAST(inertia AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0 END AS rms_dist
+      FROM u ORDER BY m"""
+    }) { (s, d) =>
+    val e = Vec.withNorm(Tables.embeddings(s, d)).cache()
+    val codebooks = pqCodebooks(s, d, e)
+    val frame = s.range(0, PqM).toDF("m")
+    if (codebooks.exists(_.isEmpty))
+      // the oracle's per$m aggregates survive an empty corpus: 8 rows
+      // of zeros, not 0 rows
+      frame.select(col("m"), lit(0L).as("n"), lit(0L).as("inertia"),
+        lit(0L).as("n_codes_used"), lit(0.0).as("mean_d2"), lit(0.0).as("rms_dist"))
+    else {
+      // per-subspace integral codeword coordinates (µ units — exact
+      // by training), flattened into one baked literal per subspace
+      val flats: Seq[String] = (0 until PqM).map { m =>
+        val arr = new Array[Long](PqK * PqSubDim)
+        codebooks(m).foreach { case (cell, cd, _) =>
+          var i = 0
+          while (i < cd.length) {
+            arr(cell.toInt * PqSubDim + i) = math.round(cd(i) * 1e6); i += 1
+          }
+        }
+        arr.mkString("array(", "L, ", "L)")
+      }
+      var df = e
+      (0 until PqM).foreach { m =>
+        df = df
+          .withColumn(s"code$m",
+            cellOf(codebooks(m), expr(s"slice(v, ${m * PqSubDim + 1}, $PqSubDim)")))
+          .withColumn(s"err$m", expr(
+            s"""aggregate(sequence(1, $PqSubDim), 0L, (acc, i) ->
+               acc + (CAST(round(element_at(v, ${m * PqSubDim} + i) * 1000000) AS BIGINT)
+                      - element_at(${flats(m)}, CAST(code$m * $PqSubDim + i AS INT)))
+                   * (CAST(round(element_at(v, ${m * PqSubDim} + i) * 1000000) AS BIGINT)
+                      - element_at(${flats(m)}, CAST(code$m * $PqSubDim + i AS INT))))"""))
+      }
+      val agg = df.agg(
+        count(lit(1)).as("n"),
+        (0 until PqM).flatMap { m => Seq(
+          coalesce(sum(col(s"err$m")), lit(0L)).as(s"inertia$m"),
+          coalesce(expr(
+            s"bit_count(bit_or(shiftleft(CAST(1 AS BIGINT), CAST(code$m AS INT))))"),
+            lit(0L)).as(s"codes$m"))
+        }: _*)
+      agg
+        .select(explode(array((0 until PqM).map { m =>
+          struct(lit(m.toLong).as("m"), col("n"), col(s"inertia$m").as("inertia"),
+            col(s"codes$m").cast("long").as("n_codes_used"))
+        }: _*)).as("s"))
+        .select(col("s.m").as("m"), col("s.n").as("n"),
+          col("s.inertia").as("inertia"), col("s.n_codes_used").as("n_codes_used"))
+        .select(col("m"), col("n"), col("inertia"), col("n_codes_used"),
+          when(col("n") === 0L, lit(0.0))
+            .otherwise(col("inertia").cast("double") / col("n").cast("double"))
+            .as("mean_d2"),
+          when(col("n") === 0L, lit(0.0))
+            .otherwise(sqrt(col("inertia").cast("double") / col("n").cast("double")) / 1e6)
+            .as("rms_dist"))
+        .orderBy("m")
     }
   }
 }

@@ -473,4 +473,20 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getDouble(3) == dp / (nm * qn))
     }
   }
+
+  test("s19 grades all 8 subspaces of the shipped codebooks with live codeword usage") {
+    val rows = Similarity.s19.fn(spark, "/root/testdata/sf0.001")
+      .orderBy("m").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 8L))
+    // one corpus, one count, every subspace
+    assert(rows.map(_.getLong(1)).distinct.length == 1 && rows.head.getLong(1) > 0)
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0L, s"subspace ${r.getLong(0)}: zero inertia")
+      val used = r.getLong(3)
+      assert(used >= 1L && used <= 8L, s"codeword usage out of range: $used")
+      // mean/rms are consistent with the exact integer inertia
+      assert(r.getDouble(4) == r.getLong(2).toDouble / r.getLong(1).toDouble)
+      assert(r.getDouble(5) == math.sqrt(r.getDouble(4)) / 1e6)
+    }
+  }
 }
