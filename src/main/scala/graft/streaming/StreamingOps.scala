@@ -450,6 +450,39 @@ object StreamingOps {
     * invariance: any batch split/permutation converges to the batch
     * e11 fixed point.
     */
+  final case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** e21's streaming face: per-user LAST-EVENT state turns the event
+    * stream into first-order transition pairs as they happen — the
+    * live feed a next-action model or anomalous-flow monitor consumes,
+    * where batch e21 computes the same pairs with one lag window. The
+    * state is THREE fields per user (last ts_us, event_id, type) —
+    * O(users), not O(events); each micro-batch sorts only its own
+    * per-user slice by the family's total order, chains it onto the
+    * stored last event, emits the pairs, and stores the new tail. On
+    * a stream whose batches respect per-user time order (the family's
+    * split-invariance contract — e18/e19/e20's), the emitted pair
+    * multiset equals batch e21's lag exactly under ANY batch split,
+    * pinned in StreamingSpec against e21's own counts.
+    */
+  def transitionPairs(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, String), Transition](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) { (user, it, state) =>
+        var last = state.getOption
+        val out = Vector.newBuilder[Transition]
+        it.toVector.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+          last.foreach { case (_, _, t) => out += Transition(user, t, e.event_type) }
+          last = Some((us(e.ts), e.event_id, e.event_type))
+        }
+        last.foreach(state.update)
+        out.result().iterator
+      }
+  }
+
   def funnelSteps(events: Dataset[Event]): Dataset[FunnelProgress] = {
     import events.sparkSession.implicits._
     val weekUs = 604800000000L

@@ -344,6 +344,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transitionPairs reproduces batch e21's transition counts under a 3-way split") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sql = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val expected = graft.operators.EventWindows.e21.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("ts_us"))
+      .collect()
+      .sortBy(r => (r.getLong(5), r.getLong(0)))
+      .map(r => Event(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val input = MemoryStream[Event]
+    val q = StreamingOps.transitionPairs(input.toDS())
+      .writeStream.format("memory").queryName("transtream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      evs.grouped(evs.length / 3 + 1).foreach { b =>
+        input.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("transtream").as[StreamingOps.Transition].collect()
+        .groupBy(t => (t.from_type, t.to_type))
+        .view.mapValues(_.length.toLong).toMap
+      assert(expected.nonEmpty, "batch e21 found no transitions — corpus degenerate")
+      assert(streamed == expected,
+        s"stream/batch divergence over ${streamed.size} vs ${expected.size} pairs")
+    } finally q.stop()
+  }
+
   test("streamingFrequency's final estimates equal the batch CMS under any micro-batch split") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
