@@ -32,9 +32,14 @@ class BudgetLintSpec extends AnyFunSuite {
         "the cost is round count, not volume"),
     "g02_personalized_pagerank" ->
       "g01's loop with a teleport term — same 6-round scheduling floor",
-    // g05/g08 justifications removed round 6: the half-rate
-    // lineage-truncation change (docs/MICROBENCH.md) brought both
+    // g08's justification removed round 6: the half-rate
+    // lineage-truncation change (docs/MICROBENCH.md) brought it
     // under budget — the whitelist shrinks when the cost does.
+    "g05_hop_distance" ->
+      ("4 BFS min-propagation rounds over the memoized edge operand — the " +
+        "g01 per-round scheduling floor; oscillates 1.9–2.2 s across full-run " +
+        "snapshots (2.4+ solo, where it also pays the operand build), i.e. AT " +
+        "the budget boundary — the g07 convention: justified until the floor drops"),
     "g07_weighted_sssp" ->
       ("4 Bellman-Ford relaxation rounds on the weighted operand — the g01 " +
         "per-round floor; oscillates 1.8–2.0 s across quiet runs, i.e. AT the " +
