@@ -22,7 +22,7 @@ object EventWindows {
 
   def queries: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
-      e15, e16, e17, e18, e19, e20, e21)
+      e15, e16, e17, e18, e19, e20, e21, e22)
 
   /** e14: watermark / late-event accounting — the batch twin of the
     * bookkeeping every Structured Streaming job does implicitly
@@ -992,5 +992,49 @@ object EventWindows {
       .select(col("from_type"), col("to_type"), col("n"),
         (col("n").cast("double") / sum("n").over(fromW).cast("double")).as("p"))
       .orderBy("from_type", "to_type")
+  }
+
+  /** e22: top-k PATH MINING — the second-order step past e21's
+    * transition matrix: the 10 most-travelled 3-step event-type
+    * paths with their share of all 3-step windows, the "how do users
+    * actually move" readout product analytics calls path/flow
+    * analysis (and the data e11's funnel steps should be CHOSEN
+    * from, rather than guessed). Two lags over the family's total
+    * order turn the log into path occurrences; counts aggregate into
+    * a ≤|types|³ table — driver-sized — where the share window runs
+    * free; the deterministic (n DESC, lexicographic path) order +
+    * LIMIT fuses into TakeOrderedAndProject.
+    *
+    * Scale shape: the SAME one user-keyed shuffle as e21 (two lags
+    * share one window definition — one sort, the e20 lesson), one
+    * partial+final count, top-10 via per-partition heaps. No second
+    * corpus pass at any N.
+    */
+  val e22 = QueryDef(
+    "e22_path_mining",
+    Some("""WITH s AS (SELECT user_id, event_type,
+        lag(event_type, 1) OVER w AS t2, lag(event_type, 2) OVER w AS t1
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      p AS (SELECT t1, t2, event_type AS t3, count(*) AS n
+            FROM s WHERE t1 IS NOT NULL GROUP BY 1, 2, 3)
+      SELECT t1 AS step1, t2 AS step2, t3 AS step3, CAST(n AS BIGINT) AS n,
+        CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS share
+      FROM p ORDER BY n DESC, step1, step2, step3 LIMIT 10""")) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val seqW = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val paths = Tables.events(s, d)
+      .select(col("user_id"), col("event_type").as("t3"),
+        lag("event_type", 1).over(seqW).as("t2"),
+        lag("event_type", 2).over(seqW).as("t1"))
+      .where(col("t1").isNotNull)
+      .groupBy("t1", "t2", "t3")
+      .agg(count(lit(1)).as("n"))
+    paths
+      .select(col("t1").as("step1"), col("t2").as("step2"), col("t3").as("step3"),
+        col("n"),
+        (col("n").cast("double") /
+          sum("n").over(Window.partitionBy()).cast("double")).as("share"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(10)
   }
 }
