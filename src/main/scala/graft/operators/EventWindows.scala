@@ -22,7 +22,7 @@ object EventWindows {
 
   def queries: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
-      e15, e16, e17, e18, e19, e20, e21, e22)
+      e15, e16, e17, e18, e19, e20, e21, e22, e23)
 
   /** e14: watermark / late-event accounting — the batch twin of the
     * bookkeeping every Structured Streaming job does implicitly
@@ -1037,4 +1037,90 @@ object EventWindows {
       .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
       .limit(10)
   }
+
+  /** e23's tuning constants, interpolated into the oracle: allowance
+    * slack above the per-user mean, and the alarm threshold — both in
+    * exact cents. DECLARED BEFORE e23: object vals initialize in
+    * declaration order, and a forward reference from the oracle's
+    * string interpolation silently bakes 0 (caught live: the oracle
+    * shipped `- 0` / `> 0` while the Spark closure, evaluated lazily
+    * at query time, used the real values).
+    */
+  private val CusumSlackCents = 500L
+  private val CusumThresholdCents = 5000L
+
+  /** e23: CUSUM drift detection — the SEQUENTIAL change-point test
+    * (Page 1954) that catches what e18's rolling z-score can't: a
+    * persistent small upward shift that never spikes any single
+    * window. The textbook recursion S_i = max(0, S_{i−1} + (x_i − k))
+    * looks un-distributable — but it has the exact closed form
+    * S_i = P_i − min(0, min_{j≤i} P_j) over the increment prefix sums
+    * P, which turns the whole detector into TWO stacked window
+    * functions over ONE per-user sort (running sum, then running min
+    * of it): no sequential state, no UDF, the
+    * prefix-reformulation discipline q52/e14 established. The
+    * allowance k is the user's own integer mean + [[CusumSlackCents]]
+    * (per-user baselining — a global target would flag every
+    * high-spending user), all arithmetic exact BIGINT cents (the e18
+    * quantization), and the emitted rows are alarm ONSETS — the
+    * crossings of [[CusumThresholdCents]], one per drift episode
+    * (an un-reset CUSUM stays high while an excursion drains; the
+    * episode start is what an operator pages on), each with its S.
+    *
+    * Scale shape: one partial+final per-user mean aggregate, one
+    * user-keyed sort shared by both window functions (same spec — a
+    * single exchange+sort in the plan), a narrow filter. O(1) state
+    * per row; the streaming face would carry (P, minP, lastS) —
+    * three longs.
+    */
+  val e23 = QueryDef(
+    "e23_cusum_drift",
+    Some(s"""WITH b AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      um AS (SELECT user_id, sum(cents) // count(*) AS mean_cents
+             FROM b GROUP BY user_id),
+      p AS (SELECT b.event_id, b.user_id, b.ts_us, b.cents,
+          sum(b.cents - um.mean_cents - $CusumSlackCents) OVER w AS pf
+        FROM b JOIN um USING (user_id)
+        WINDOW w AS (PARTITION BY b.user_id ORDER BY b.ts_us, b.event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      sc AS (SELECT event_id, user_id, ts_us, cents,
+          pf - least(0, min(pf) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_cents
+        FROM p),
+      on_ AS (SELECT event_id, user_id, ts_us, cents, s_cents,
+          lag(s_cents) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS s_prev
+        FROM sc)
+      SELECT event_id, user_id, ts_us, cents, CAST(s_cents AS BIGINT) AS s_cents
+      FROM on_
+      WHERE s_cents > $CusumThresholdCents
+        AND coalesce(s_prev, 0) <= $CusumThresholdCents
+      ORDER BY event_id""")) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val b = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    // integer division (cents are positive, so Spark's toward-zero
+    // `div` and DuckDB's flooring `//` agree) — a double division +
+    // cast could round across the floor boundary
+    val um = b.groupBy("user_id")
+      .agg(expr("sum(cents) div count(1)").as("mean_cents"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ord = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    b.join(um, "user_id")
+      .withColumn("pf",
+        sum(col("cents") - col("mean_cents") - lit(CusumSlackCents)).over(w))
+      .withColumn("s_cents", col("pf") - least(lit(0L), min("pf").over(w)))
+      // alarm ONSETS only: the crossing rows, not every above-threshold
+      // row after a spike (an un-reset CUSUM stays high while the
+      // excursion drains — episodes are what an operator pages on)
+      .withColumn("s_prev", coalesce(lag("s_cents", 1).over(ord), lit(0L)))
+      .where(col("s_cents") > CusumThresholdCents &&
+        col("s_prev") <= CusumThresholdCents)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("cents"),
+        col("s_cents"))
+      .orderBy("event_id")
+  }
+
 }
