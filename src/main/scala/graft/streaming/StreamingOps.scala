@@ -450,6 +450,47 @@ object StreamingOps {
     * invariance: any batch split/permutation converges to the batch
     * e11 fixed point.
     */
+  final case class CusumState(pf: Long, minPf: Long, lastS: Long)
+  final case class CusumAlarm(event_id: Long, user_id: Long, ts_us: Long,
+      cents: Long, s_cents: Long)
+
+  /** e23's streaming face: the CUSUM closed form S_i = P_i − min(0,
+    * min_{j≤i} P_j) carried as THREE longs of per-user state (prefix
+    * sum, its running min, last S for onset detection) — exactly the
+    * state the batch scaladoc promised, proof the prefix
+    * reformulation streams. The allowance (user mean + slack) is a
+    * TRAINED parameter here, passed in from a baseline corpus — a
+    * live detector cannot know the stream's own final mean, which is
+    * the honest operational difference from the batch retrospective;
+    * StreamingSpec feeds the batch-computed means and pins the alarm
+    * onsets row-for-row equal to e23 under any batch split.
+    */
+  def cusumAlarms(events: Dataset[Event], meanCents: Map[Long, Long],
+      slackCents: Long, thresholdCents: Long): Dataset[CusumAlarm] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CusumState, CusumAlarm](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) { (user, it, state) =>
+        var st = state.getOption.getOrElse(CusumState(0L, 0L, 0L))
+        val k = meanCents.getOrElse(user, 0L) + slackCents
+        val out = Vector.newBuilder[CusumAlarm]
+        it.toVector.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+          val cents = java.math.BigDecimal.valueOf(e.value * 100)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+          val pf = st.pf + (cents - k)
+          val minPf = math.min(st.minPf, pf)
+          val s = pf - math.min(0L, minPf)
+          if (s > thresholdCents && st.lastS <= thresholdCents)
+            out += CusumAlarm(e.event_id, user, us(e.ts), cents, s)
+          st = CusumState(pf, minPf, s)
+        }
+        state.update(st)
+        out.result().iterator
+      }
+  }
+
   final case class Transition(user_id: Long, from_type: String, to_type: String)
 
   /** e21's streaming face: per-user LAST-EVENT state turns the event

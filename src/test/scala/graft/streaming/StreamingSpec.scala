@@ -344,6 +344,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cusumAlarms reproduces batch e23's alarm onsets with trained means, 3-way split") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sql = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val expected = graft.operators.EventWindows.e23.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // the trained allowance: per-user integer means from the same corpus
+    val means = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "CAST(round(value * 100) AS BIGINT) AS cents")
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.expr(
+        "sum(cents) div count(1)").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("ts_us"))
+      .collect()
+      .sortBy(r => (r.getLong(5), r.getLong(0)))
+      .map(r => Event(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val input = MemoryStream[Event]
+    val q = StreamingOps.cusumAlarms(input.toDS(), means, 500L, 5000L)
+      .writeStream.format("memory").queryName("cusumstream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      evs.grouped(evs.length / 3 + 1).foreach { b =>
+        input.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("cusumstream").as[StreamingOps.CusumAlarm].collect()
+        .map(a => (a.event_id, a.user_id, a.ts_us, a.cents, a.s_cents)).toSet
+      assert(expected.nonEmpty, "batch e23 found no alarms — corpus degenerate")
+      assert(streamed == expected,
+        s"stream/batch divergence: ${streamed.diff(expected).take(3)} vs ${expected.diff(streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("transitionPairs reproduces batch e21's transition counts under a 3-way split") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
