@@ -30,7 +30,7 @@ object Dedup {
 
   def queries: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d15)
+      d15, d16)
 
   /** DuckDB CTE for distinct 3-token shingles per document — the
     * oracle-side counterpart of the Spark-side native
@@ -589,6 +589,86 @@ object Dedup {
       .select(col("doc_id"), col("lbl").as("survivor"),
         (col("doc_id") === col("lbl")).as("is_survivor"))
       .orderBy("doc_id")
+  }
+
+  /** d16: the DataFrame-native O(log d) components — the variant
+    * d06's non-convergence error message tells you to reach for, now
+    * shipped: min-label propagation (d06's round) FUSED with POINTER
+    * JUMPING — after each propagation, l(u) ← l(l(u)) via one
+    * label-table self-join, so label paths HALVE every round and a
+    * diameter-d chain converges in O(log d) rounds where d06 needs d.
+    * Unlike d07 this stays entirely in DataFrames (Catalyst-planned,
+    * AQE-sized, no RDD re-encoding boundary, no GraphX dependency) —
+    * at 100 TB it is the shape that runs on the same bucketed layouts
+    * as everything else. Third independent implementation over d06's
+    * exact near-dup graph, hash-checked against the SAME recursive
+    * ground truth oracle; loop disciplines are d06's verbatim
+    * (tiny-edge repartition(1) + private shuffle.partitions=1
+    * session, eager checkpoint per round with the reliable-mode
+    * escape hatch, sum-of-labels unchanged ⇒ converged — labels only
+    * ever decrease, so an unchanged exact BIGINT sum IS the fixed
+    * point, one cheap agg instead of a join-based change test).
+    */
+  val d16 = QueryDef("d16_cc_pointer_jumping", d06.oracle) { (s, d) =>
+    val pairs = jaccardPairs(s, d).where(col("jaccard") >= 0.5).select("da", "db")
+    val edges = pairs.union(pairs.select(col("db"), col("da"))).toDF("a", "b")
+      .repartition(1).cache()
+    edges.count()
+    val loop = s.newSession()
+    loop.conf.set("spark.sql.shuffle.partitions", "1")
+    val edgesLoop = loop.createDataFrame(edges.rdd, edges.schema)
+    val (labels, _) = ccPointerJump(s, edgesLoop)
+    edges.unpersist(blocking = false)
+    labels
+      .select(col("u").as("doc_id"), col("l").as("survivor"),
+        (col("u") === col("l")).as("is_survivor"))
+      .orderBy("doc_id")
+  }
+
+  /** The pointer-jumping loop over ANY symmetric (a, b) edge frame —
+    * exposed so DedupSpec can prove the O(log d) round bound on a
+    * long chain d06's diameter-round loop cannot converge on.
+    * Returns (labels (u, l), rounds run).
+    */
+  private[operators] def ccPointerJump(s: SparkSession,
+      edgesLoop: DataFrame, maxRounds: Int = 8): (DataFrame, Int) = {
+    s.conf.getOption("spark.graft.checkpointDir")
+      .filter(_ => s.sparkContext.getCheckpointDir.isEmpty)
+      .foreach(s.sparkContext.setCheckpointDir)
+    val reliable = s.sparkContext.getCheckpointDir.isDefined
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    var labels = ckpt(edgesLoop.select(col("a").as("u")).distinct()
+      .withColumn("l", col("u")))
+    var prevSum = Option.empty[Long]
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxRounds) {
+      // (1) d06's neighbor-min propagation round. Both union branches
+      // re-aliased via toDF: they share `labels`' attribute ids, and
+      // Union's constraint rewriting chokes on the overlap
+      // (key-not-found on the checkpointed attribute).
+      val viaNbr = edgesLoop.join(labels, edgesLoop("b") === labels("u"))
+        .select(edgesLoop("a").as("u"), col("l"))
+      val prop = labels.toDF("u", "l").union(viaNbr.toDF("u", "l"))
+        .groupBy("u").agg(min("l").as("l"))
+      // (2) pointer jumping: every label is itself a node with a
+      // label, so one self-join halves every remaining label path
+      val next = ckpt(prop.as("x")
+        .join(prop.select(col("u").as("pu"), col("l").as("pl")).as("y"),
+          col("x.l") === col("pu"))
+        .select(col("x.u").as("u"), col("pl").as("l")))
+      val sum = next.agg(org.apache.spark.sql.functions.sum("l")).head().getLong(0)
+      converged = prevSum.contains(sum)
+      prevSum = Some(sum)
+      labels = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"graft: d16 pointer jumping did not converge in $iter rounds — " +
+          s"effective diameter past 2^$maxRounds indicates a corrupt edge set")
+    (labels, iter)
   }
 
   /** GraphX twin of d06: the same survivor selection through Pregel

@@ -169,4 +169,22 @@ class DedupSpec extends SparkSpec {
     // the (32,1) no-banding config surfaces every true pair here
     assert(rows.head.getDouble(5) == 1.0)
   }
+
+  test("d16 pointer jumping: a 300-node chain converges in O(log d) rounds") {
+    import spark.implicits._
+    // path graph 0-1-2-...-300: diameter 300 — d06's diameter-round
+    // loop (20-round cap) cannot converge on this; pointer jumping
+    // must land it in ~log2(300) ≈ 9 rounds
+    val n = 300
+    val fwd = (0 until n).map(i => (i.toLong, (i + 1).toLong))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("a", "b").repartition(1)
+    val loop = spark.newSession()
+    loop.conf.set("spark.sql.shuffle.partitions", "1")
+    val (labels, rounds) = Dedup.ccPointerJump(loop,
+      loop.createDataFrame(edges.rdd, edges.schema), maxRounds = 12)
+    assert(rounds <= 10, s"took $rounds rounds for diameter $n")
+    val out = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == n + 1)
+    assert(out.forall(_._2 == 0L), "every node must label to the chain min")
+  }
 }
