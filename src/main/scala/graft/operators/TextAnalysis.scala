@@ -208,7 +208,7 @@ object TextAnalysis {
   /** x03's scoring as a reusable stage (shared with the x09 pipeline
     * so the filter semantics cannot drift between them).
     */
-  private[operators] def qualityScored(docs: org.apache.spark.sql.DataFrame) = docs
+  private[graft] def qualityScored(docs: org.apache.spark.sql.DataFrame) = docs
     .withColumn("toks", split(col("text"), " "))
     .withColumn("n_chars", big(length(col("text"))))
     .withColumn("n_tokens", big(size(col("toks"))))

@@ -743,6 +743,57 @@ object StreamingOps {
       .start()
   }
 
+  /** c03: CONTINUOUS CURATION — c01's pipeline shape lifted to the
+    * stream, every stage the SHIPPED rule: each micro-batch of
+    * documents is (1) gated by x03's quality score (the one shared
+    * `qualityScored` implementation, so stream and batch can never
+    * drift), (2) exact-dedup'd within the batch (keep-lowest doc_id
+    * per text — d01's election), (3) anti-joined against the
+    * PERSISTENT text index (d09's stored-index shape as a bucketed
+    * catalog table — the re-crawl filter a live crawler needs), and
+    * (4) survivors landed as one chiv-format object per batch
+    * (archiveStream's contract) while their fingerprints APPEND to
+    * the index so the next batch sees them. Replay-safe under
+    * foreachBatch's at-least-once contract (the maintainIndex
+    * discipline): index appends carry batch_id and a replayed batch
+    * is skipped whole; landing runs BEFORE the index append and its
+    * object key derives from the batch id, so the only replayable
+    * window re-writes the same object rather than duplicating rows.
+    * At 100 TB the per-batch cost is the batch × index bucket-local
+    * anti join plus a narrow append — the index is never rewritten.
+    */
+  def curateStream(docs: DataFrame, engine: graft.engine.Engine,
+      indexTable: String, destDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val gated = graft.operators.TextAnalysis.qualityScored(batch)
+            .where(col("quality") =!= "low")
+            .select(col("doc_id"), col("text"))
+          val inBatch = gated.groupBy("text").agg(min("doc_id").as("doc_id"))
+          val idxExists = s.catalog.tableExists(indexTable)
+          val alreadyLanded = idxExists &&
+            !s.table(indexTable).where(col("batch_id") === batchId).isEmpty
+          if (!alreadyLanded) {
+            val novel = (if (idxExists)
+                inBatch.join(s.table(indexTable), Seq("text"), "left_anti")
+              else inBatch)
+              .select(col("doc_id"), col("text"))
+              .cache()
+            if (!novel.isEmpty) {
+              engine.archiveDF(novel, destDir, s"docs-$batchId", _.copy(key = None))
+              novel.select(col("text"), col("doc_id"), lit(batchId).as("batch_id"))
+                .write.format("parquet").mode("append")
+                .bucketBy(8, "text").saveAsTable(indexTable)
+            }
+            novel.unpersist(blocking = false)
+          }
+          ()
+        }
+      }
+      .start()
+
   def archiveStream(events: DataFrame, engine: graft.engine.Engine,
       destDir: String, table: String): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream

@@ -344,6 +344,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curateStream: gate + dedup + index + landing across batches, re-crawls dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, min => fmin}
+    implicit val sql = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => StreamingOps.Doc(r.getLong(0), r.getString(1)))
+    val evens = docs.filter(_.doc_id % 2 == 0)
+    val odds = docs.filter(_.doc_id % 2 == 1)
+    // expected survivors: the batch rules applied to arrival order —
+    // quality-gated, keep-lowest per text, first-arrival wins
+    val gatedIds = graft.operators.TextAnalysis
+      .qualityScored(graft.Tables.documents(spark, sf).select("doc_id", "text"))
+      .where(col("quality") =!= "low")
+      .groupBy("text").agg(fmin("doc_id").as("doc_id"))
+      .collect().map(_.getLong(1)).toSet
+    val expected = gatedIds // all original ids (re-crawls carry +10000/+20000)
+
+    val dest = java.nio.file.Files.createTempDirectory("graft-curate").toString
+    val idx = s"graft_curate_idx_${System.nanoTime}"
+    val input = MemoryStream[StreamingOps.Doc]
+    val q = StreamingOps.curateStream(
+      input.toDF(), new graft.engine.Engine(spark,
+        graft.engine.ArchiveConfig(format = graft.engine.Format.Parquet)),
+      idx, dest)
+    try {
+      input.addData(evens.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // batch 2: the odds, PLUS re-crawls of the evens under fresh ids
+      input.addData((odds ++ evens.map(d =>
+        StreamingOps.Doc(d.doc_id + 10000, d.text))).toIndexedSeq: _*)
+      q.processAllAvailable()
+      // batch 3: pure re-crawls — must land nothing
+      input.addData(docs.map(d =>
+        StreamingOps.Doc(d.doc_id + 20000, d.text)).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val landed = spark.read.parquet(dest).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(landed.nonEmpty && landed == expected,
+        s"landed ${landed.size} vs expected ${expected.size}: " +
+          s"extra=${(landed -- expected).take(5)} missing=${(expected -- landed).take(5)}")
+      // the index saw exactly the landed fingerprints
+      val idxRows = spark.table(idx).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(idxRows == expected)
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS `$idx`")
+    }
+  }
+
   test("cusumAlarms reproduces batch e23's alarm onsets with trained means, 3-way split") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
