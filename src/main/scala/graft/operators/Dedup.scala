@@ -658,7 +658,10 @@ object Dedup {
         .join(prop.select(col("u").as("pu"), col("l").as("pl")).as("y"),
           col("x.l") === col("pu"))
         .select(col("x.u").as("u"), col("pl").as("l")))
-      val sum = next.agg(org.apache.spark.sql.functions.sum("l")).head().getLong(0)
+      // coalesce: an empty edge set aggregates zero label rows — the
+      // sum must read 0 (converged), not NULL (getLong crash)
+      val sum = next.agg(coalesce(
+        org.apache.spark.sql.functions.sum("l"), lit(0L))).head().getLong(0)
       converged = prevSum.contains(sum)
       prevSum = Some(sum)
       labels = next
