@@ -44,6 +44,10 @@ class BudgetLintSpec extends AnyFunSuite {
       ("4 Bellman-Ford relaxation rounds on the weighted operand — the g01 " +
         "per-round floor; oscillates 1.8–2.0 s across quiet runs, i.e. AT the " +
         "budget boundary, so the justification stays until the floor drops"),
+    "d16_cc_pointer_jumping" ->
+      ("pays the same d03-shaped exact-Jaccard pair join as d06 (the " +
+        "documented-quadratic exactness-baseline input, kept exact by design) " +
+        "before its own O(log d) loop — the loop's 3 rounds are the cheap part"),
     "d06_dedup_survivors" ->
       ("documented-quadratic exactness baseline: the d03 pair table feeds an " +
         "iterative min-propagation to convergence — the EXACT ground truth " +
