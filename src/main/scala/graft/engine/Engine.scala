@@ -756,11 +756,28 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
         val m = parseManifest(new String(
           try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
           finally in.close(), StandardCharsets.UTF_8))
-        formatOf(m.format)
+        val f = formatOf(m.format)
+        // a manifested archive whose format we cannot recount
+        // (json/yaml/custom) could not have its manifest re-written
+        // after the deletes — silently leaving a stale manifest that
+        // still lists the expired shards. Refuse up front, the
+        // compactArchive philosophy: never certify what can't be
+        // re-audited.
+        if (f.isEmpty)
+          throw new ArchiveException("format", new IllegalArgumentException(
+            s"cannot expire a manifested '${m.format}' archive — the " +
+              "manifest could not be re-written for the surviving layout; " +
+              "remove or re-manifest it in a recountable format first"))
+        f
       }
     val prefix = partCol + "="
-    val parts = fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+    // listing inside stage(): a missing/unreadable dest must surface
+    // as the stage-prefixed ArchiveException every Engine entry point
+    // promises, not a raw FileNotFoundException
+    val parts = stage("upload") {
+      fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+    }
     if (parts.isEmpty)
       throw new ArchiveException("upload", new IllegalArgumentException(
         s"no '$prefix<value>' partition directories under $dest — " +

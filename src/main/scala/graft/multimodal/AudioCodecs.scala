@@ -235,7 +235,11 @@ object AudioCodecs {
     var f = 0L
     var k = 0
     while (k < probes - 1) {
-      if (samples(((k + 1) * n) / probes) > samples((k * n) / probes))
+      // Long index arithmetic: k*n overflows Int for clips past
+      // ~n/probes = 2^31 samples (a ~45-minute 44.1 kHz mono clip at
+      // 20 probes) — the grid math must not be the length bound
+      if (samples((((k + 1).toLong * n) / probes).toInt) >
+          samples(((k.toLong * n) / probes).toInt))
         f |= (1L << k)
       k += 1
     }

@@ -561,12 +561,7 @@ object Dedup {
     // cluster-production setting (DeterminismSpec pins both modes to
     // the same oracle rows; d07, the GraphX twin, remains the
     // recommended default at scale regardless).
-    s.conf.getOption("spark.graft.checkpointDir")
-      .filter(_ => s.sparkContext.getCheckpointDir.isEmpty)
-      .foreach(s.sparkContext.setCheckpointDir)
-    val reliable = s.sparkContext.getCheckpointDir.isDefined
-    def ckpt(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val ckpt = loopCkpt(s)
     var labels = ckpt(nodes.withColumn("lbl", col("doc_id")))
     var iter = 0
     while (!converged && iter < 20) {
@@ -625,6 +620,19 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The d06/d16 checkpoint discipline, ONE definition: honour
+    * `spark.graft.checkpointDir` (reliable mode — per-round labels
+    * survive executor loss) when set, else executor-local blocks.
+    * See d06's scaladoc for the full mode discussion.
+    */
+  private def loopCkpt(s: SparkSession): DataFrame => DataFrame = {
+    s.conf.getOption("spark.graft.checkpointDir")
+      .filter(_ => s.sparkContext.getCheckpointDir.isEmpty)
+      .foreach(s.sparkContext.setCheckpointDir)
+    val reliable = s.sparkContext.getCheckpointDir.isDefined
+    df => if (reliable) df.checkpoint() else df.localCheckpoint()
+  }
+
   /** The pointer-jumping loop over ANY symmetric (a, b) edge frame —
     * exposed so DedupSpec can prove the O(log d) round bound on a
     * long chain d06's diameter-round loop cannot converge on.
@@ -632,12 +640,7 @@ object Dedup {
     */
   private[operators] def ccPointerJump(s: SparkSession,
       edgesLoop: DataFrame, maxRounds: Int = 8): (DataFrame, Int) = {
-    s.conf.getOption("spark.graft.checkpointDir")
-      .filter(_ => s.sparkContext.getCheckpointDir.isEmpty)
-      .foreach(s.sparkContext.setCheckpointDir)
-    val reliable = s.sparkContext.getCheckpointDir.isDefined
-    def ckpt(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val ckpt = loopCkpt(s)
     var labels = ckpt(edgesLoop.select(col("a").as("u")).distinct()
       .withColumn("l", col("u")))
     var prevSum = Option.empty[Long]

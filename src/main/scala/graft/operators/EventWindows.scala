@@ -1100,11 +1100,15 @@ object EventWindows {
     val b = Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("ts_us"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-    // integer division (cents are positive, so Spark's toward-zero
-    // `div` and DuckDB's flooring `//` agree) — a double division +
-    // cast could round across the floor boundary
+    // exact FLOOR division in both engines: DuckDB `//` floors, Spark
+    // `div` truncates toward zero — they diverge on negative sums
+    // (refund-style values), so the toward-zero quotient is corrected
+    // down by one when the remainder is nonzero and negative. A double
+    // division + cast could round across the floor boundary instead.
     val um = b.groupBy("user_id")
-      .agg(expr("sum(cents) div count(1)").as("mean_cents"))
+      .agg(expr("""sum(cents) div count(1)
+        - (CASE WHEN sum(cents) % count(1) != 0 AND sum(cents) < 0
+           THEN 1 ELSE 0 END)""").as("mean_cents"))
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ord = Window.partitionBy("user_id").orderBy("ts_us", "event_id")

@@ -81,6 +81,23 @@ class RetentionSpec extends SparkSpec {
     assert(new java.io.File(dest + "/dt=2024-01-03").exists())
   }
 
+  test("a manifested archive in a non-recountable format is refused (stale-manifest guard)") {
+    val dest = freshDir("json")
+    land(dest)
+    val eng = new Engine(spark)
+    // a yaml/json manifest records rows=-1 and cannot be re-audited
+    // after deletes — expiry must refuse rather than leave a manifest
+    // still listing the expired shards
+    eng.writeManifest(dest, Format.JsonArray)
+    val e = intercept[ArchiveException] {
+      eng.expireArchiveBefore(dest, "dt", "2024-01-04")
+    }
+    assert(e.getMessage.contains("format"))
+    assert(e.getCause.getMessage.contains("cannot expire"))
+    // nothing was deleted
+    assert(new java.io.File(dest + "/dt=2024-01-01").exists())
+  }
+
   test("full lifecycle: land -> manifest -> compact -> expire -> audit, one archive") {
     val dest = freshDir("lifecycle")
     land(dest) // 4 files x 9 partitions

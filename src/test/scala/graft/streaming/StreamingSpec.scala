@@ -353,14 +353,21 @@ class StreamingSpec extends SparkSpec {
       .map(r => StreamingOps.Doc(r.getLong(0), r.getString(1)))
     val evens = docs.filter(_.doc_id % 2 == 0)
     val odds = docs.filter(_.doc_id % 2 == 1)
-    // expected survivors: the batch rules applied to arrival order —
-    // quality-gated, keep-lowest per text, first-arrival wins
-    val gatedIds = graft.operators.TextAnalysis
+    // expected survivors: the batch rules replayed in ARRIVAL order —
+    // quality-gated, then per text the FIRST batch it appears in wins
+    // (min doc_id within that batch). Evens stream first, so a
+    // duplicate-text group spanning both parities elects its min EVEN
+    // id, not the corpus-global min.
+    val gatedRows = graft.operators.TextAnalysis
       .qualityScored(graft.Tables.documents(spark, sf).select("doc_id", "text"))
       .where(col("quality") =!= "low")
-      .groupBy("text").agg(fmin("doc_id").as("doc_id"))
-      .collect().map(_.getLong(1)).toSet
-    val expected = gatedIds // all original ids (re-crawls carry +10000/+20000)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = gatedRows.groupBy(_._2).values.map { grp =>
+      val ids = grp.map(_._1)
+      val evenIds = ids.filter(_ % 2 == 0)
+      if (evenIds.nonEmpty) evenIds.min else ids.min
+    }.toSet
 
     val dest = java.nio.file.Files.createTempDirectory("graft-curate").toString
     val idx = s"graft_curate_idx_${System.nanoTime}"
