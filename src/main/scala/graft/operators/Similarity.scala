@@ -26,7 +26,7 @@ object Similarity {
 
   def queries: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
-      s15, s16, s17, s18, s19)
+      s15, s16, s17, s18, s19, s20)
 
   /** MMR selection rounds (picks after the pure-relevance first). */
   private val MmrK = 5
@@ -1036,6 +1036,31 @@ object Similarity {
     * TakeOrderedAndProject: no joins, no shuffles, nothing
     * corpus-sized on the driver or the broadcast plane.
     */
+  /** Per-dim (min, span) of the corpus — s09/s20's shared training
+    * step: posexplode → groupBy(dim) — 64 tiny groups through one
+    * partial+final agg, instead of a single HashAggregate carrying
+    * 128 agg expressions (whose Janino compile alone cost seconds;
+    * min/max are exact SELECTIONS either way, so the collected
+    * doubles are identical). None on an empty corpus.
+    */
+  private def sqExtrema(e: org.apache.spark.sql.DataFrame)
+      : Option[(Array[Double], Array[Double])] = {
+    val ext = e.select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+      .collect()
+    if (ext.isEmpty) None
+    else {
+      val mins = new Array[Double](64)
+      val spans = new Array[Double](64)
+      ext.foreach { r =>
+        val dim = r.getInt(0)
+        mins(dim) = r.getDouble(1)
+        spans(dim) = r.getDouble(2) - r.getDouble(1)
+      }
+      Some((mins, spans))
+    }
+  }
+
   val s09 = QueryDef(
     "s09_sq_adc",
     Some(s"""${graft.Vec.duckNormCte},
@@ -1056,26 +1081,13 @@ object Similarity {
       WHERE n.vec_id <> 0
       ORDER BY adc_dot DESC, n.vec_id LIMIT 20""")) { (s, d) =>
     val e = Vec.withNorm(Tables.embeddings(s, d)).cache()
-    // per-dim extrema: posexplode → groupBy(dim) — 64 tiny groups
-    // through one partial+final agg, instead of a single HashAggregate
-    // carrying 128 agg expressions (whose Janino compile alone cost
-    // seconds; min/max are exact SELECTIONS either way, so the
-    // collected doubles are identical)
-    val ext = e.select(posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
-      .collect()
+    val extOpt = sqExtrema(e)
     val qRowOpt = e.filter(col("vec_id") === 0)
       .select(col("v"), col("nrm")).collect().headOption
-    if (ext.isEmpty || qRowOpt.isEmpty)
+    if (extOpt.isEmpty || qRowOpt.isEmpty)
       e.limit(0).select(col("vec_id"), lit(0.0).as("adc_dot"), lit(0.0).as("cos_sim"))
     else {
-      val mins = new Array[Double](64)
-      val spans = new Array[Double](64)
-      ext.foreach { r =>
-        val dim = r.getInt(0)
-        mins(dim) = r.getDouble(1)
-        spans(dim) = r.getDouble(2) - r.getDouble(1)
-      }
+      val (mins, spans) = extOpt.get
       val qv = qRowOpt.get.getSeq[Double](0).toArray
       val qnrm = qRowOpt.get.getDouble(1)
       // quantize→reconstruct→ADC fused in ONE codegen'd kernel call
@@ -1825,6 +1837,118 @@ object Similarity {
             .otherwise(sqrt(col("inertia").cast("double") / col("n").cast("double")) / 1e6)
             .as("rms_dist"))
         .orderBy("m")
+    }
+  }
+
+  /** s20's bit widths, one definition: levels L = 2^b − 1 mirror
+    * s09's 8-bit (255-level) code arithmetic at every width.
+    */
+  private val SqSweepBits = Seq(2, 4, 8)
+
+  /** s20: the SQ BIT-WIDTH SWEEP — the third member of the tuning
+    * trilogy (s18 sweeps probe width, d15 sweeps band geometry, this
+    * sweeps quantization bits): per candidate width b ∈ {2, 4, 8},
+    * the reconstruction error and storage cost of s09's scalar
+    * quantizer, in ONE corpus pass — the error-vs-bytes curve that
+    * picks the code width before an index build (8× the storage for
+    * ~256× less error, or 32× compression at tolerable loss — the
+    * readout says which). Quantize/reconstruct is s09's exact
+    * arithmetic at L = 2^b − 1 levels; each vector's squared
+    * reconstruction error is a FIXED left-associated 64-term IEEE
+    * fold (identical operand order both engines), then quantized to
+    * nano units (round(e·10⁹) — positive, so HALF_UP and
+    * away-from-zero agree) so the cross-vector SUM is an exact
+    * order-free BIGINT (the s19 discipline). All three widths fold
+    * in the same narrow projection over the baked extrema literals —
+    * one partial+final aggregate, zero joins, zero shuffles; the
+    * 3-row reshape explodes a one-row aggregate.
+    */
+  val s20 = QueryDef(
+    "s20_sq_bit_sweep",
+    Some {
+      def reconSql(l: Int): String =
+        s"((CASE WHEN mm.maxs[d] - mm.mins[d] = 0 THEN 0.0 " +
+          s"ELSE least($l.0, greatest(0.0, floor((v[d] - mm.mins[d]) * $l.0 / (mm.maxs[d] - mm.mins[d])))) END " +
+          s"+ 0.5) * (mm.maxs[d] - mm.mins[d]) / $l.0 + mm.mins[d])"
+      val widths = SqSweepBits.map { b =>
+        val l = (1 << b) - 1
+        s"""e$b AS (SELECT CAST(round(list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(range(1, 65), d ->
+              (v[d] - ${reconSql(l)}) * (v[d] - ${reconSql(l)}))),
+            (acc, x) -> acc + x) * 1000000000) AS BIGINT) AS en
+          FROM n CROSS JOIN mm),
+        a$b AS (SELECT count(*) AS n, coalesce(CAST(sum(en) AS BIGINT), 0) AS tot,
+            coalesce(CAST(max(en) AS BIGINT), 0) AS mx FROM e$b)"""
+      }.mkString(",\n      ")
+      val union = SqSweepBits.map { b =>
+        s"SELECT $b AS bits, ${(1 << b) - 1} AS levels, ${64 * b / 8} AS bytes_per_vec, n, tot, mx FROM a$b"
+      }.mkString(" UNION ALL ")
+      s"""${Vec.duckNormCte},
+      mm AS (SELECT list(mn ORDER BY d) AS mins, list(mx ORDER BY d) AS maxs FROM (
+        SELECT d, min(v[d]) AS mn, max(v[d]) AS mx
+        FROM n, unnest(range(1, 65)) AS r(d) GROUP BY d)),
+      $widths,
+      u AS ($union)
+      SELECT CAST(bits AS BIGINT) AS bits, CAST(levels AS BIGINT) AS levels,
+        CAST(bytes_per_vec AS BIGINT) AS bytes_per_vec, CAST(n AS BIGINT) AS n,
+        CAST(tot AS BIGINT) AS err_nano_total, CAST(mx AS BIGINT) AS err_nano_max,
+        CASE WHEN n = 0 THEN 0.0
+             ELSE CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) END AS mean_err_nano
+      FROM u ORDER BY bits"""
+    }) { (s, d) =>
+    val e = Vec.withNorm(Tables.embeddings(s, d)).cache()
+    val extOpt = sqExtrema(e)
+    val frame = s.range(0, SqSweepBits.length).toDF("i")
+    if (extOpt.isEmpty)
+      // the oracle's a$b aggregates survive an empty corpus: 3 rows of
+      // zeros, not 0 rows
+      frame.select(
+        element_at(lit(SqSweepBits.map(_.toLong).toArray), (col("i") + 1).cast("int")).as("bits"),
+        element_at(lit(SqSweepBits.map(b => ((1L << b) - 1)).toArray), (col("i") + 1).cast("int")).as("levels"),
+        element_at(lit(SqSweepBits.map(b => (64L * b / 8)).toArray), (col("i") + 1).cast("int")).as("bytes_per_vec"),
+        lit(0L).as("n"), lit(0L).as("err_nano_total"), lit(0L).as("err_nano_max"),
+        lit(0.0).as("mean_err_nano"))
+        .orderBy("bits")
+    else {
+      val (mins, spans) = extOpt.get
+      val mnArr = lit(mins)
+      val spArr = lit(spans)
+      def errNano(b: Int): org.apache.spark.sql.Column = {
+        val l = ((1 << b) - 1).toDouble
+        round(aggregate(sequence(lit(1), lit(64)), lit(0.0), (acc, dd) => {
+          val idx = dd.cast("int")
+          val x = element_at(col("v"), idx)
+          val mn = element_at(mnArr, idx)
+          val sp = element_at(spArr, idx)
+          val code = when(sp === 0.0, lit(0.0)).otherwise(
+            least(lit(l), greatest(lit(0.0), floor((x - mn) * lit(l) / sp))))
+          val recon = (code + lit(0.5)) * sp / lit(l) + mn
+          acc + (x - recon) * (x - recon)
+        }) * lit(1e9)).cast("long")
+      }
+      val coded = e.select(SqSweepBits.map(b => errNano(b).as(s"en$b")): _*)
+      val agg = coded.agg(
+        count(lit(1)).as("n"),
+        SqSweepBits.flatMap { b => Seq(
+          coalesce(sum(col(s"en$b")), lit(0L)).as(s"tot$b"),
+          coalesce(max(col(s"en$b")), lit(0L)).as(s"mx$b"))
+        }: _*)
+      agg
+        .select(explode(array(SqSweepBits.map { b =>
+          struct(lit(b.toLong).as("bits"), lit(((1L << b) - 1)).as("levels"),
+            lit(64L * b / 8).as("bytes_per_vec"), col("n"),
+            col(s"tot$b").as("err_nano_total"), col(s"mx$b").as("err_nano_max"))
+        }: _*)).as("s"))
+        .select(col("s.bits").as("bits"), col("s.levels").as("levels"),
+          col("s.bytes_per_vec").as("bytes_per_vec"), col("s.n").as("n"),
+          col("s.err_nano_total").as("err_nano_total"),
+          col("s.err_nano_max").as("err_nano_max"))
+        .select(col("bits"), col("levels"), col("bytes_per_vec"), col("n"),
+          col("err_nano_total"), col("err_nano_max"),
+          when(col("n") === 0L, lit(0.0))
+            .otherwise(col("err_nano_total").cast("double") / col("n").cast("double"))
+            .as("mean_err_nano"))
+        .orderBy("bits")
     }
   }
 }
