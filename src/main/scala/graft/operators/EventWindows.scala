@@ -22,7 +22,7 @@ object EventWindows {
 
   def queries: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
-      e15, e16, e17, e18, e19, e20, e21, e22, e23)
+      e15, e16, e17, e18, e19, e20, e21, e22, e23, e24)
 
   /** e14: watermark / late-event accounting — the batch twin of the
     * bookkeeping every Structured Streaming job does implicitly
@@ -1036,6 +1036,105 @@ object EventWindows {
           sum("n").over(Window.partitionBy()).cast("double")).as("share"))
       .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
       .limit(10)
+  }
+
+  /** e24's probe lags (hours), one definition for both engines. */
+  private val AcfLags = Seq(1, 2, 3, 6, 12, 24)
+
+  /** e24: PERIODICITY detection — the sample autocorrelation of each
+    * event type's hourly volume at probe lags up to one day, the
+    * seasonality readout capacity planning and anomaly baselining
+    * start from (a daily cycle shows as a peak at lag 24; this
+    * uniform synthetic corpus honestly reads ≈ 0 at every lag — the
+    * x22/x26 convention). Exactness: counts are integers, so the
+    * centered products cross-multiply into pure BIGINTs —
+    * r_k = Σ(n·c_t − S)(n·c_{t+k} − S) / Σ(n·c_t − S)², where the
+    * common n² factor cancels between numerator and denominator and
+    * each side is an exact integer sum; the ONLY float op is the
+    * final division (emitted alongside both exact operands).
+    * Headroom (the x24 convention): |n·c − S| ≤ n·max(c); at 10⁶
+    * grid hours × 10⁴ events/hour the summand is ~10²⁰ — past int64
+    * — so at that scale rescale counts to coarser buckets or widen
+    * to decimal; at any bench SF the sum is < 10¹³.
+    *
+    * Scale shape: ONE events pass into (type × hour) counts, the e08
+    * zero-filled grid (gaps are real zeros, not missing rows — an
+    * autocorrelation over a gappy series would be biased), then all
+    * six lags as six `lead`s sharing ONE window definition (the e20
+    * lesson: one sort) over the tiny counts table, one partial+final
+    * aggregate, and a 6-row-per-type reshape of the aggregate.
+    */
+  val e24 = QueryDef(
+    "e24_periodicity",
+    Some {
+      val leads = AcfLags.map(k => s"lead(cnt, $k) OVER w1 AS l$k").mkString(",\n          ")
+      val nums = AcfLags.map(k =>
+        s"sum(CASE WHEN l$k IS NULL THEN 0 ELSE (nh*cnt - s)*(nh*l$k - s) END) AS n$k")
+        .mkString(",\n          ")
+      val numCase = s"CASE lg.lag ${AcfLags.map(k => s"WHEN $k THEN n$k").mkString(" ")} END"
+      s"""WITH w AS (SELECT event_type,
+          epoch_us(ts) - epoch_us(ts) % 3600000000 AS hr FROM events),
+      b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM w),
+      grid AS (SELECT t.event_type,
+          unnest(range(b.lo, b.hi + 3600000000, 3600000000)) AS hr
+        FROM (SELECT DISTINCT event_type FROM w) t, b),
+      c AS (SELECT event_type, hr, count(*) AS n FROM w GROUP BY 1, 2),
+      serie AS (SELECT g.event_type, g.hr, CAST(coalesce(c.n, 0) AS BIGINT) AS cnt
+        FROM grid g LEFT JOIN c ON g.event_type = c.event_type AND g.hr = c.hr),
+      st AS (SELECT event_type, count(*) AS nh, sum(cnt) AS s FROM serie GROUP BY 1),
+      d AS (SELECT se.event_type, se.cnt, st.nh, st.s,
+          $leads
+        FROM serie se JOIN st ON st.event_type = se.event_type
+        WINDOW w1 AS (PARTITION BY se.event_type ORDER BY se.hr)),
+      a AS (SELECT event_type,
+          sum((nh*cnt - s)*(nh*cnt - s)) AS den,
+          $nums
+        FROM d GROUP BY 1),
+      lg AS (SELECT * FROM (VALUES ${AcfLags.map(k => s"($k)").mkString(", ")}) AS t(lag))
+      SELECT a.event_type, CAST(lg.lag AS BIGINT) AS lag_hours,
+        CAST($numCase AS BIGINT) AS num,
+        CAST(den AS BIGINT) AS den,
+        CASE WHEN den = 0 THEN 0.0
+             ELSE CAST($numCase AS DOUBLE) / CAST(den AS DOUBLE) END AS autocorr
+      FROM a CROSS JOIN lg ORDER BY event_type, lag_hours"""
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Tables.events(s, d)
+      .select(col("event_type"),
+        (col("ts_us") - col("ts_us") % 3600000000L).as("hr"))
+    val bounds = w.agg(min("hr").as("lo"), max("hr").as("hi"))
+    val grid = w.select("event_type").distinct()
+      .crossJoin(bounds) // 1-row side: broadcast by construction (e08)
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi, 3600000000)")).as("hr"))
+    val counts = w.groupBy(col("event_type").as("c_type"), col("hr").as("c_hr"))
+      .agg(count(lit(1)).as("n"))
+    val serie = grid.join(counts,
+        grid("event_type") === col("c_type") && col("hr") === col("c_hr"), "left")
+      .select(grid("event_type"), col("hr"), coalesce(col("n"), lit(0L)).as("cnt"))
+    val st = serie.groupBy(col("event_type").as("s_type"))
+      .agg(count(lit(1)).as("nh"), sum("cnt").as("s"))
+    val w1 = Window.partitionBy("event_type").orderBy("hr")
+    var dd = serie.join(st, col("event_type") === col("s_type"))
+    AcfLags.foreach { k => dd = dd.withColumn(s"l$k", lead("cnt", k).over(w1)) }
+    val a = dd.groupBy("event_type").agg(
+      sum((col("nh") * col("cnt") - col("s")) * (col("nh") * col("cnt") - col("s")))
+        .as("den"),
+      AcfLags.map { k =>
+        sum(when(col(s"l$k").isNull, 0L)
+          .otherwise((col("nh") * col("cnt") - col("s")) *
+            (col("nh") * col(s"l$k") - col("s")))).as(s"n$k")
+      }: _*)
+    a.select(col("event_type"), explode(array(AcfLags.map { k =>
+        struct(lit(k.toLong).as("lag_hours"), col(s"n$k").as("num"), col("den"))
+      }: _*)).as("t"))
+      .select(col("event_type"), col("t.lag_hours").as("lag_hours"),
+        col("t.num").as("num"), col("t.den").as("den"))
+      .select(col("event_type"), col("lag_hours"), col("num"), col("den"),
+        when(col("den") === 0L, lit(0.0))
+          .otherwise(col("num").cast("double") / col("den").cast("double"))
+          .as("autocorr"))
+      .orderBy("event_type", "lag_hours")
   }
 
   /** e23's tuning constants, interpolated into the oracle: allowance

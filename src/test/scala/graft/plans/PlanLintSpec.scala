@@ -22,6 +22,7 @@ class PlanLintSpec extends SparkSpec {
     "q07_join_nonequi" -> "theta join; small side broadcast by design",
     "x11_oov_rate" -> "crossJoin of a ONE-row count aggregate (vocab threshold)",
     "e08_gapfill" -> "crossJoin of a ONE-row min/max bounds aggregate",
+    "e24_periodicity" -> "e08's grid shape: crossJoin of a ONE-row min/max bounds aggregate",
     "q47_kmv_overlap" -> "pair join of ONE sketch row per segment (bounded by segment count)",
     "q50_quality_audit" -> "crossJoin of TWO one-row audit aggregates (single-table checks x fk anti-join count)",
     "s10_recall_eval" -> "exact-ground-truth leg broadcasts the FIXED query sample (|Q| = N/37); linear in the corpus, the documented eval protocol",
