@@ -807,44 +807,6 @@ object Relational {
     * inlined in SQL) — bit-identical across engines; a float sum
     * would be order-dependent.
     */
-  /** q63: TPC-H Q15 — top supplier(s) by quarterly revenue: a named
-    * CTE consumed TWICE (once joined, once aggregated to a scalar)
-    * plus an UNCORRELATED scalar subquery — the "view + WHERE total =
-    * (SELECT max(...))" idiom the Q15 spec literally defines, and the
-    * one classic subquery shape q53 (correlated scalar) / q54
-    * (LATERAL) / q61 (EXISTS chains) didn't yet cover. ONE SQL text
-    * shared verbatim with the oracle (the q53 discipline); revenue
-    * arithmetic is q01's exact-decimal chain cast to double at the
-    * end. Catalyst plans the doubly-referenced CTE as two scans of
-    * the same aggregate (with the scalar side reduced to a one-row
-    * broadcast); the ties-return-all semantics of the spec is
-    * preserved — no LIMIT 1 — and the final order is the total
-    * s_suppkey key. At 100 TB the revenue aggregate is one lineitem
-    * shuffle on l_suppkey after the shipdate range prunes the scan;
-    * the supplier join broadcasts the (tiny) winning-revenue row set.
-    */
-  private val q63Sql =
-    """WITH revenue AS (
-      SELECT l_suppkey AS supplier_no,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-        AND l_shipdate < TIMESTAMP '1996-04-01'
-      GROUP BY l_suppkey)
-    SELECT s.s_suppkey, s.s_name, r.total_revenue
-    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
-    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
-    ORDER BY s.s_suppkey"""
-
-  val q63 = QueryDef(
-    "q63_top_supplier",
-    Some(q63Sql)) { (s, d) =>
-    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-    Tables.supplier(s, d).createOrReplaceTempView("supplier")
-    s.sql(q63Sql)
-  }
-
   private val q53Sql =
     """SELECT count(*) AS n_small,
       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
@@ -1121,6 +1083,44 @@ object Relational {
     * three probes reuse that clustering; the supplier dimension
     * broadcasts. No per-row re-execution survives the rewrite.
     */
+  /** q63: TPC-H Q15 — top supplier(s) by quarterly revenue: a named
+    * CTE consumed TWICE (once joined, once aggregated to a scalar)
+    * plus an UNCORRELATED scalar subquery — the "view + WHERE total =
+    * (SELECT max(...))" idiom the Q15 spec literally defines, and the
+    * one classic subquery shape q53 (correlated scalar) / q54
+    * (LATERAL) / q61 (EXISTS chains) didn't yet cover. ONE SQL text
+    * shared verbatim with the oracle (the q53 discipline); revenue
+    * arithmetic is q01's exact-decimal chain cast to double at the
+    * end. Catalyst plans the doubly-referenced CTE as two scans of
+    * the same aggregate (with the scalar side reduced to a one-row
+    * broadcast); the ties-return-all semantics of the spec is
+    * preserved — no LIMIT 1 — and the final order is the total
+    * s_suppkey key. At 100 TB the revenue aggregate is one lineitem
+    * shuffle on l_suppkey after the shipdate range prunes the scan;
+    * the supplier join broadcasts the (tiny) winning-revenue row set.
+    */
+  private val q63Sql =
+    """WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey"""
+
+  val q63 = QueryDef(
+    "q63_top_supplier",
+    Some(q63Sql)) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+    s.sql(q63Sql)
+  }
+
   private val q61Sql =
     """SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
       FROM supplier s

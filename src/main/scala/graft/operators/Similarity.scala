@@ -1036,6 +1036,15 @@ object Similarity {
     * TakeOrderedAndProject: no joins, no shuffles, nothing
     * corpus-sized on the driver or the broadcast plane.
     */
+  /** The per-dim (min, max) extrema CTE — the oracle twin of
+    * [[sqExtrema]], ONE definition shared by s09 and s20 so the two
+    * quantizers' training step cannot drift.
+    */
+  private def duckSqExtrema: String =
+    """mm AS (SELECT list(mn ORDER BY d) AS mins, list(mx ORDER BY d) AS maxs FROM (
+        SELECT d, min(v[d]) AS mn, max(v[d]) AS mx
+        FROM n, unnest(range(1, 65)) AS r(d) GROUP BY d))"""
+
   /** Per-dim (min, span) of the corpus — s09/s20's shared training
     * step: posexplode → groupBy(dim) — 64 tiny groups through one
     * partial+final agg, instead of a single HashAggregate carrying
@@ -1064,9 +1073,7 @@ object Similarity {
   val s09 = QueryDef(
     "s09_sq_adc",
     Some(s"""${graft.Vec.duckNormCte},
-      mm AS (SELECT list(mn ORDER BY d) AS mins, list(mx ORDER BY d) AS maxs FROM (
-        SELECT d, min(v[d]) AS mn, max(v[d]) AS mx
-        FROM n, unnest(range(1, 65)) AS r(d) GROUP BY d)),
+      $duckSqExtrema,
       c AS (SELECT vec_id, list_transform(range(1, 65), d ->
           CASE WHEN mm.maxs[d] - mm.mins[d] = 0 THEN 0
                ELSE least(255, greatest(0, CAST(floor((v[d] - mm.mins[d]) * 255.0 / (mm.maxs[d] - mm.mins[d])) AS BIGINT))) END) AS codes
@@ -1850,9 +1857,10 @@ object Similarity {
     * sweeps quantization bits): per candidate width b ∈ {2, 4, 8},
     * the reconstruction error and storage cost of s09's scalar
     * quantizer, in ONE corpus pass — the error-vs-bytes curve that
-    * picks the code width before an index build (8× the storage for
-    * ~256× less error, or 32× compression at tolerable loss — the
-    * readout says which). Quantize/reconstruct is s09's exact
+    * picks the code width before an index build: each storage
+    * doubling (16 → 32 → 64 B/vec) buys 25×, then ~290×, less error
+    * (the 1/L² law, measured at sf0.01) — the readout says where the
+    * elbow is for this corpus. Quantize/reconstruct is s09's exact
     * arithmetic at L = 2^b − 1 levels; each vector's squared
     * reconstruction error is a FIXED left-associated 64-term IEEE
     * fold (identical operand order both engines), then quantized to
@@ -1884,9 +1892,7 @@ object Similarity {
         s"SELECT $b AS bits, ${(1 << b) - 1} AS levels, ${64 * b / 8} AS bytes_per_vec, n, tot, mx FROM a$b"
       }.mkString(" UNION ALL ")
       s"""${Vec.duckNormCte},
-      mm AS (SELECT list(mn ORDER BY d) AS mins, list(mx ORDER BY d) AS maxs FROM (
-        SELECT d, min(v[d]) AS mn, max(v[d]) AS mx
-        FROM n, unnest(range(1, 65)) AS r(d) GROUP BY d)),
+      $duckSqExtrema,
       $widths,
       u AS ($union)
       SELECT CAST(bits AS BIGINT) AS bits, CAST(levels AS BIGINT) AS levels,
