@@ -489,4 +489,17 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getDouble(5) == math.sqrt(r.getDouble(4)) / 1e6)
     }
   }
+
+  test("s20 sweep: error falls strictly as bits double; one corpus count throughout") {
+    val rows = Similarity.s20.fn(spark, "/root/testdata/sf0.001")
+      .orderBy("bits").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 4L, 8L))
+    assert(rows.map(_.getLong(2)).toSeq == Seq(16L, 32L, 64L), "bytes/vec double")
+    assert(rows.map(_.getLong(3)).distinct.length == 1 && rows.head.getLong(3) > 0)
+    val errs = rows.map(_.getLong(4)).toSeq
+    assert(errs == errs.sorted.reverse && errs.distinct == errs,
+      s"error must fall strictly with bits: $errs")
+    // the 1/L² law: each +2 bits should cut error by well over 10×
+    assert(errs(0) > 10 * errs(1) && errs(1) > 10 * errs(2), s"law violated: $errs")
+  }
 }
