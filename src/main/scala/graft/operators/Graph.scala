@@ -114,7 +114,7 @@ object Graph {
     * lands, so a failed build retries instead of serving half a
     * table). Returns the catalog table, bucketed by `bucketCol`.
     */
-  private def memoEdgeTable(s: org.apache.spark.sql.SparkSession, d: String,
+  private[operators] def memoEdgeTable(s: org.apache.spark.sql.SparkSession, d: String,
       memo: graft.engine.CatalogMemo[String], base: String, bucketCol: String)
       (build: => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {

@@ -44,21 +44,15 @@ class BudgetLintSpec extends AnyFunSuite {
       ("4 Bellman-Ford relaxation rounds on the weighted operand — the g01 " +
         "per-round floor; oscillates 1.8–2.0 s across quiet runs, i.e. AT the " +
         "budget boundary, so the justification stays until the floor drops"),
-    "d16_cc_pointer_jumping" ->
-      ("pays the same d03-shaped exact-Jaccard pair join as d06 (the " +
-        "documented-quadratic exactness-baseline input, kept exact by design) " +
-        "before its own O(log d) loop — the loop's 3 rounds are the cheap part"),
-    "d06_dedup_survivors" ->
-      ("documented-quadratic exactness baseline: the d03 pair table feeds an " +
-        "iterative min-propagation to convergence — the EXACT ground truth " +
-        "d02/d12 are graded against, kept exact by design"),
+    // d06/d16 justifications removed round 6: the memoized near-dup
+    // edge operand (one build, three consumers) brought the whole
+    // components family under budget — the whitelist shrinks.
     "x25_nb_domain" ->
       ("trains a naive-Bayes domain classifier (token×class count model) AND " +
         "scores the corpus with a confusion readout — two full token passes " +
-        "by definition of train-then-evaluate"),
-    "x09_corpus_pipeline" ->
-      ("end-to-end curation program: quality gate + d07's GraphX survivor " +
-        "components + split + summary — inherits d07's Pregel supersteps"))
+        "by definition of train-then-evaluate"))
+    // x09's justification removed round 6 with the same memo: its d07
+    // input now reads the persisted edge operand (2.2 s -> 0.7 s).
     // c01 justification removed round 6: the capstone's steady state
     // fell under budget once its g/d-family inputs got cheaper.
 
