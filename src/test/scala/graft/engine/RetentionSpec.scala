@@ -98,6 +98,26 @@ class RetentionSpec extends SparkSpec {
     assert(new java.io.File(dest + "/dt=2024-01-01").exists())
   }
 
+  test("keep predicate sees the writer's encoded directory value (documented contract)") {
+    import spark.implicits._
+    val dest = freshDir("esc")
+    // values the hive layout percent-escapes (':') and leaves verbatim
+    // (space) — the predicate must see them exactly as the directory
+    // name encodes them, per the expireArchive scaladoc
+    (0L until 40L).map(i => (i, if (i % 2 == 0) "a b" else "x:y"))
+      .toDF("id", "tag")
+      .write.mode("overwrite").partitionBy("tag").parquet(dest)
+    val dirs = new java.io.File(dest).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs.contains("tag=a b"), s"layout changed: $dirs")
+    val escaped = dirs.find(d => d != "tag=a b").get.stripPrefix("tag=")
+    val seen = scala.collection.mutable.Set[String]()
+    val r = new Engine(spark).expireArchive(dest, "tag", v => { seen += v; v == "a b" })
+    assert(seen == Set("a b", escaped), s"predicate saw $seen")
+    assert(r.partitionsExpired == 1 && r.partitionsKept == 1)
+    assert(spark.read.parquet(dest).count() == 20L)
+  }
+
   test("full lifecycle: land -> manifest -> compact -> expire -> audit, one archive") {
     val dest = freshDir("lifecycle")
     land(dest) // 4 files x 9 partitions
