@@ -66,6 +66,25 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
     val archiveNames = Set("archive_lineitem_csv_sharded", "archive_lineitem_csv_single")
     val (selected, selectedArchives) = SparkEntry.selected(only, archiveNames)
+    // Committed quiet-box steady-states (docs/BUDGET.json, the same
+    // snapshot BudgetLintSpec lints) anchor the sustained-contention
+    // arbitration below; a missing file or entry (operators newer than
+    // the last snapshot) simply means no anchor for that name. Same
+    // minimal no-lib parse as BudgetLintSpec.
+    val committed: Map[String, Double] = {
+      val p = java.nio.file.Paths.get("docs/BUDGET.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else "\"queries\":\\{([^}]*)\\}".r
+        .findFirstMatchIn(java.nio.file.Files.readString(p)).map(_.group(1))
+        .map(_.split(",").flatMap { kv =>
+          kv.split(":") match {
+            case Array(k, v) =>
+              try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
+              catch { case _: NumberFormatException => None }
+            case _ => None
+          }
+        }.toMap).getOrElse(Map.empty)
+    }
     val queryResults = selected.map { case (name, fn) =>
       // benchmark integrity: queries like d03/x07 cache their shingle
       // tables and d06/d07 reuse d03's entry via plan matching — clear
@@ -74,13 +93,22 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       val measured = (time(name, fn), time(name, fn)) match {
         case (Some(a), Some(b)) =>
-          val mn = math.min(a, b)
+          var mn = math.min(a, b)
           // the two runs disagreeing badly on a non-trivial query means
           // a co-load spike polluted one of them — arbitrate with a
           // third run instead of reporting a lucky/unlucky min-of-2
           if (mn > 1.0 && math.max(a, b) > 1.5 * mn)
-            time(name, fn).map(math.min(mn, _)).getOrElse(mn)
-          else mn
+            mn = time(name, fn).map(math.min(mn, _)).getOrElse(mn)
+          // SUSTAINED contention defeats the disagreement trigger: both
+          // runs inflate together and agree. Anchor on the committed
+          // quiet-box value — min-so-far above 3× the committed steady
+          // state forces two more timings unconditionally (round 6: 8
+          // entries read 3–6× in one driver window while the same
+          // commit's snapshot cleared the lint; d04 survived min-of-2
+          // at 18×)
+          if (committed.get(name).exists(c => c > 0 && mn > 3 * c))
+            mn = (Seq(time(name, fn), time(name, fn)).flatten :+ mn).min
+          mn
         case _ => -1.0
       }
       name -> measured

@@ -336,6 +336,23 @@ object Dedup {
     */
   private val neardupEdgesBuilt = new graft.engine.CatalogMemo[String]
 
+  /** Partition sizing for the components family's EDGE operands
+    * (d06/d07/d10/d16), derived from MEASURED edge volume — the
+    * x12/TwoPhase size-derived discipline applied to graphs. The
+    * near-dup edge set is duplicate-count-sized (orders of magnitude
+    * below the corpus), so: ~1M edges (~16 MB of Long pairs) per
+    * partition, floor 1. Never the cluster default (which schedules
+    * hundreds of near-empty tasks per propagation round / Pregel
+    * superstep — 19.4 s of pure task overhead for ~50 edge rows,
+    * round 2) and never a hardcoded 1 (which would funnel a 100 TB
+    * corpus's billions of duplicate-pair edges through one task).
+    * Counting the memoized bucketed edge operand is cheap — a
+    * parquet-footer metadata count, not a join re-run.
+    */
+  private[operators] val EdgesPerPart = 1000000L
+  private[operators] def edgeParts(edgeCount: Long): Int =
+    math.max(1, ((edgeCount + EdgesPerPart - 1) / EdgesPerPart).toInt)
+
   private def neardupEdges(s: SparkSession, d: String): DataFrame =
     Graph.memoEdgeTable(s, d, neardupEdgesBuilt, "graft_neardup_edges", "da") {
       jaccardPairs(s, d).where(col("jaccard") >= 0.5).select("da", "db")
@@ -425,7 +442,57 @@ object Dedup {
     * threshold the 4-band pigeonhole is COMPLETE (any pair within
     * hamming 3 agrees on ≥ 1 whole band), so the operator is exact,
     * not approximate.
+    *
+    * The pigeonhole join runs over DISTINCT fingerprints (the m06/m14
+    * two-tier discipline, [[graft.operators.Multimodal]]): a dup-heavy
+    * corpus puts every copy of a popular document on ONE fp row, so
+    * the candidate join is sized by fingerprint diversity, never
+    * quadratic in the largest duplicate class. Same-fp pairs expand
+    * through the membership table as hamming-0 rows (a plain
+    * equi-join producing exactly the output rows — unavoidable,
+    * because they ARE the answer); cross-fp candidates expand the
+    * verified fp-pairs the same way.
     */
+
+  /** (membership, bands, output) for the SimHash near-dup over any
+    * documents-shaped frame — split out so DedupSpec can pin that the
+    * band join's input is distinct-fp-sized on a corpus with a large
+    * exact-dup class. `bands` is the frame BOTH legs of the pigeonhole
+    * self-join read: 4 rows per DISTINCT fingerprint.
+    */
+  private[graft] def simhashTiers(s: SparkSession, docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(s)
+    val member = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("fp", expr("simhash_poly(toks)"))
+      .select("doc_id", "fp")
+    val bands = member.select("fp").distinct()
+      .select(col("fp"),
+        explode(expr("transform(sequence(0, 3), k -> struct(k AS band, shiftright(fp, k * 15) & 32767 AS bh))")).as("bd"))
+      .select(col("fp"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+    // fp-level candidates: fa < fb canonicalizes, distinct collapses
+    // multi-band agreements — a set sized by fingerprint diversity
+    val fpPairs = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.fp") < col("y.fp"))
+      .select(col("x.fp").as("fa"), col("y.fp").as("fb"))
+      .distinct()
+      .withColumn("hamming", big(bit_count(col("fa").bitwiseXOR(col("fb")))))
+      .where(col("hamming") <= 3)
+    val sameFp = member.as("x").join(member.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        lit(0L).as("hamming"))
+    val crossFp = fpPairs
+      .join(member.as("a"), col("fa") === col("a.fp"))
+      .join(member.as("b"), col("fb") === col("b.fp"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("da"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("db"), col("hamming"))
+    val out = sameFp.unionAll(crossFp).orderBy("da", "db")
+    (member, bands, out)
+  }
+
   val d04 = QueryDef(
     "d04_simhash",
     Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
@@ -448,24 +515,7 @@ object Dedup {
       SELECT da, db, hamming FROM (
         SELECT da, db, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming FROM cand)
       WHERE hamming <= 3 ORDER BY da, db""")) { (s, d) =>
-    graft.functions.GraftFunctions.register(s)
-    val fp = Tables.documents(s, d)
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("fp", expr("simhash_poly(toks)"))
-      .select("doc_id", "fp")
-    val bands = fp.select(col("doc_id"), col("fp"),
-      explode(expr("transform(sequence(0, 3), k -> struct(k AS band, shiftright(fp, k * 15) & 32767 AS bh))")).as("bd"))
-      .select(col("doc_id"), col("fp"), col("bd.band").as("band"), col("bd.bh").as("bh"))
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
-        col("x.fp").as("fa"), col("y.fp").as("fb"))
-      .distinct()
-      .withColumn("hamming", big(bit_count(col("fa").bitwiseXOR(col("fb")))))
-      .where(col("hamming") <= 3)
-      .select("da", "db", "hamming")
-      .orderBy("da", "db")
+    simhashTiers(s, Tables.documents(s, d))._3
   }
 
   /** Embedding near-dup: all pairs with cosine ≥ 0.4, exact. Dot and
@@ -530,28 +580,29 @@ object Dedup {
         FROM reach GROUP BY a)
       ORDER BY doc_id""")) { (s, d) =>
     val pairs = neardupEdges(s, d)
-    // The near-dup EDGE set is orders of magnitude smaller than the
-    // corpus (dozens of rows here; ≤ duplicate count at any scale), so
-    // the whole propagation loop runs single-partition: materialize the
-    // edges ONCE at full parallelism (the memoized operand's FIRST
-    // consumer pays d03's heavy shingle join; later consumers read the
-    // bucketed table), then run the loop at shuffle.partitions=1. Without this
-    // the loop schedules ~100 near-empty tasks per round — pure
+    // The whole propagation loop runs at an [[edgeParts]]-derived
+    // parallelism — sized to the MEASURED edge volume (a footer-cheap
+    // count of the memoized bucketed operand), which is orders of
+    // magnitude below the corpus (dozens of rows here; ≤ duplicate
+    // count at any scale). Materialize the edges ONCE at full
+    // parallelism (the memoized operand's FIRST consumer pays d03's
+    // heavy shingle join; later consumers read the bucketed table),
+    // then loop at the derived width. Looping at the cluster default
+    // instead schedules ~100 near-empty tasks per round — pure
     // small-task overhead that cost 19.4 s at the driver's local[32]
-    // (round 2) for ~50 rows of actual data. At real scale pick a
-    // partition count sized to the EDGE volume (still ≪ the corpus),
-    // not the cluster default.
+    // (round 2) for ~50 rows of actual data.
+    val nParts = edgeParts(2L * pairs.count())
     val edges = pairs.union(pairs.select(col("db"), col("da"))).toDF("a", "b")
-      .repartition(1).cache()
+      .repartition(nParts).cache()
     edges.count()
     // the parallelism override lives in a PRIVATE session: newSession()
     // shares the SparkContext, cache, and catalog state but carries its
     // own SQLConf, so queries planned concurrently on the caller's
-    // session never see shuffle.partitions=1. The materialized edge
-    // cache is reached through the RDD lineage (cache blocks are
-    // context-global).
+    // session never see the loop-sized shuffle.partitions. The
+    // materialized edge cache is reached through the RDD lineage
+    // (cache blocks are context-global).
     val loop = s.newSession()
-    loop.conf.set("spark.sql.shuffle.partitions", "1")
+    loop.conf.set("spark.sql.shuffle.partitions", nParts.toString)
     val edgesLoop = loop.createDataFrame(edges.rdd, edges.schema)
     var converged = false
     val nodes = edgesLoop.select(col("a").as("doc_id")).distinct()
@@ -615,19 +666,20 @@ object Dedup {
     * as everything else. Third independent implementation over d06's
     * exact near-dup graph, hash-checked against the SAME recursive
     * ground truth oracle; loop disciplines are d06's verbatim
-    * (tiny-edge repartition(1) + private shuffle.partitions=1
-    * session, eager checkpoint per round with the reliable-mode
+    * ([[edgeParts]] volume-derived width in a private session,
+    * eager checkpoint per round with the reliable-mode
     * escape hatch, sum-of-labels unchanged ⇒ converged — labels only
     * ever decrease, so an unchanged exact BIGINT sum IS the fixed
     * point, one cheap agg instead of a join-based change test).
     */
   val d16 = QueryDef("d16_cc_pointer_jumping", d06.oracle) { (s, d) =>
     val pairs = neardupEdges(s, d)
+    val nParts = edgeParts(2L * pairs.count())
     val edges = pairs.union(pairs.select(col("db"), col("da"))).toDF("a", "b")
-      .repartition(1).cache()
+      .repartition(nParts).cache()
     edges.count()
     val loop = s.newSession()
-    loop.conf.set("spark.sql.shuffle.partitions", "1")
+    loop.conf.set("spark.sql.shuffle.partitions", nParts.toString)
     val edgesLoop = loop.createDataFrame(edges.rdd, edges.schema)
     val (labels, _) = ccPointerJump(s, edgesLoop)
     edges.unpersist(blocking = false)
@@ -704,13 +756,15 @@ object Dedup {
   val d07 = QueryDef("d07_graphx_components", d06.oracle) { (s, d) =>
     import org.apache.spark.graphx.{Edge, Graph}
     val pairs = neardupEdges(s, d)
-    // same partition-sizing rule as d06: the edge set is tiny, so give
-    // Pregel 1 partition instead of paying cluster-default task counts
-    // per superstep (at real scale size this to the edge volume).
-    // repartition, NOT coalesce: coalesce(1) would collapse d03's
-    // whole final stage into a single task; the shuffle boundary keeps
+    // same partition-sizing rule as d06: Pregel's per-superstep task
+    // count derives from the MEASURED edge volume via [[edgeParts]]
+    // (the count is a footer-cheap read of the memoized bucketed
+    // operand) — 1 partition at bench scale, width ∝ edges at 100 TB.
+    // repartition, NOT coalesce: coalesce would collapse d03's whole
+    // final stage into the same task count; the shuffle boundary keeps
     // the upstream join parallel
-    val edgeRdd = pairs.repartition(1).rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val edgeRdd = pairs.repartition(edgeParts(pairs.count()))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
     val cc = Graph.fromEdges(edgeRdd, defaultValue = ())
       .connectedComponents()
       .vertices // (doc_id, min doc_id in component)
@@ -920,10 +974,15 @@ object Dedup {
           && col("a.rec_id") < col("b.rec_id"))
       .where(levenshtein(col("a.name"), col("b.name")) <= 2)
       .select(col("a.rec_id").as("ra"), col("b.rec_id").as("rb"))
-    // components via GraphX (d07 idiom; edge volume ≈ duplicate count,
-    // so 1 partition — size to edge volume at scale)
+      // persisted so the sizing count() below doesn't re-run the
+      // levenshtein block join (pairs is duplicate-count-sized);
+      // lifetime owned by the harness clearCache, like `blocked`
+      .persist()
+    // components via GraphX (d07 idiom): Pregel width derived from the
+    // MEASURED edge volume via [[edgeParts]] — 1 partition at bench
+    // scale, ∝ edges at 100 TB, never a hardcoded count
     import org.apache.spark.graphx.{Edge, Graph => XGraph}
-    val edgeRdd = pairs.repartition(1).rdd
+    val edgeRdd = pairs.repartition(edgeParts(pairs.count())).rdd
       .map(r => Edge(r.getLong(0), r.getLong(1), ()))
     val cc = XGraph.fromEdges(edgeRdd, defaultValue = ())
       .connectedComponents()

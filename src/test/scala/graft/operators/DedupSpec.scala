@@ -151,6 +151,36 @@ class DedupSpec extends SparkSpec {
     assert(sim == 1.0 - 1.0 / near.length, s"got $sim")
   }
 
+  test("d04 band join input is DISTINCT-fp-sized on a corpus with a large exact-dup class") {
+    import spark.implicits._
+    // 80 copies of one document (the skew hazard: per-document banding
+    // would put all 80 into the same four buckets → a 80²/2 candidate
+    // join) + 40 distinct docs. The two-tier shape must band over
+    // DISTINCT fingerprints only.
+    val popular = (0 until 30).map(i => s"tok$i").mkString(" ")
+    val docs = ((0 until 80).map(i => (i.toLong, popular)) ++
+        (0 until 40).map(i => (1000L + i, (0 until 30).map(j => s"w${i}x$j").mkString(" "))))
+      .map { case (id, t) => (id, t, "en", "syn", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (member, bands, out) = Dedup.simhashTiers(spark, docs)
+    val fps = member.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val nDistinct = fps.map(_._2).distinct.length
+    // the dup class collapses: far fewer fingerprints than documents …
+    assert(nDistinct <= fps.length - 79, s"$nDistinct distinct fps for ${fps.length} docs")
+    // … and the frame BOTH pigeonhole join legs read is 4 rows per
+    // DISTINCT fp, never 4 rows per document
+    assert(bands.count() == 4L * nDistinct)
+    // output ≡ brute-force all-pairs hamming ≤ 3 (incl. the 80·79/2
+    // hamming-0 pairs inside the dup class — they ARE the answer)
+    val expect = (for {
+      (da, fa) <- fps; (db, fb) <- fps if da < db
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (da, db, h.toLong)).toSet
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+    assert(expect.count(_._3 == 0L) >= 80 * 79 / 2)
+  }
+
   test("d15 sweep: candidates nest as rows-per-band grows; recall falls, precision rises") {
     val rows = Dedup.d15.fn(spark, "/root/testdata/sf0.01")
       .orderBy("rows_per_band").collect()
