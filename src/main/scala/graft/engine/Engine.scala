@@ -139,8 +139,8 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
     // trade-off vs a fixed name: a hard driver kill (no cleanup path
     // runs) leaks a uniquely-named `.staging-*` dir instead of being
     // overwritten by the next run — the same residual class as Spark's
-    // own `_temporary` attempt dirs; reap by prefix with a periodic
-    // policy (see docs/S3A.md for the object-store variant).
+    // own `_temporary` attempt dirs; [[vacuumStaging]] is the periodic
+    // reap policy (see docs/S3A.md for the object-store variant).
     val staging = dest + ".staging-" + java.util.UUID.randomUUID()
     // Format on executors (the expensive part), every partition IN
     // PARALLEL in one Spark job, each streaming its rows — joined by
@@ -818,6 +818,52 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
     RetentionReport(expired, kept, files, bytes, remaining)
   }
 
+  /** Reap crash-leaked staging residue under `root` — the periodic
+    * policy [[writeSingleObject]]'s scaladoc promises: a hard driver
+    * kill (no cleanup path runs) leaks a uniquely-named
+    * `<dest>.staging-<uuid>` dir (single-object writes) or
+    * `.compact-<uuid>` dir ([[compactArchive]]), the same residual
+    * class as Spark's own `_temporary` attempt dirs. Sweep rules:
+    *   - only paths matching those two graft-owned staging name
+    *     shapes are ever deleted — `_temporary` and every other
+    *     hidden or data path is untouched (a foreign writer's
+    *     staging is not ours to reap);
+    *   - a staging path younger than `graceMs` is SPARED: age is the
+    *     newest modification time anywhere inside it (a live archive
+    *     is actively creating part files, so its newest touch is
+    *     always recent — mtime is the only signal a concurrent
+    *     writer leaves on a filesystem);
+    *   - findings are returned like [[verifyManifest]] (reaped/spared
+    *     per path, surfaced to the caller, never just logged).
+    */
+  def vacuumStaging(root: String,
+      graceMs: Long = Engine.DefaultVacuumGraceMs): Seq[String] = {
+    require(graceMs >= 0, s"graft: graceMs must be non-negative, got $graceMs")
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val now = System.currentTimeMillis()
+    def isStaging(name: String): Boolean =
+      name.contains(".staging-") || name.startsWith(".compact-")
+    def newestTouch(st: org.apache.hadoop.fs.FileStatus): Long =
+      if (!st.isDirectory) st.getModificationTime
+      else (st.getModificationTime +:
+        fs.listStatus(st.getPath).toSeq.map(newestTouch)).max
+    def sweep(st: org.apache.hadoop.fs.FileStatus): Seq[String] =
+      if (isStaging(st.getPath.getName)) {
+        val age = now - newestTouch(st)
+        if (age < graceMs)
+          Seq(s"spared (within grace): ${st.getPath} — newest touch ${age} ms ago")
+        else {
+          if (!fs.delete(st.getPath, true))
+            throw new ArchiveException("upload", new IllegalStateException(
+              s"staging residue could not be removed: ${st.getPath}"))
+          Seq(s"reaped: ${st.getPath}")
+        }
+      } else if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(sweep)
+      else Seq.empty
+    stage("upload") { fs.listStatus(rootPath).toSeq.flatMap(sweep) }
+  }
+
   /** The `dt=YYYY-MM-DD`-style common case of [[expireArchive]]:
     * drop partitions whose value sorts strictly below the cutoff.
     * Lexicographic compare is exactly right for the zero-padded
@@ -950,6 +996,12 @@ final class ArchiveJob private[engine] (
 
 object Engine {
   val ManifestName = "_MANIFEST.json"
+
+  /** [[Engine.vacuumStaging]]'s default grace window: comfortably
+    * longer than any plausible in-flight archive, short enough that a
+    * daily sweep clears yesterday's crashes.
+    */
+  val DefaultVacuumGraceMs: Long = 24L * 60 * 60 * 1000
 
   /** Z-order (Morton) key: bit-interleave of the low 16 bits of two
     * long-castable columns — a(i) lands at bit 2i+1, b(i) at bit 2i.

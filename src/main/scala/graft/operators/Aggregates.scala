@@ -242,22 +242,53 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
-  /** Approximate percentiles — the sketch path for q26 at 100 TB
-    * (mergeable fixed-size summaries instead of a full sort).
-    * Sketch output is engine-specific → rows-only check; exactness is
-    * pinned by q26 on the same grouping.
+  /** [[q29]]'s documented rank tolerance: approx_percentile at
+    * accuracy 10000 guarantees rank error ≤ n/10000; the pin allows
+    * 0.01 of rank fraction (100× the nominal bound) because
+    * `count(x ≤ v)` overshoots the estimate's rank by the size of
+    * v's tie class — generous for real money values, still two
+    * orders below a wrong-percentile answer.
     */
-  val q29 = QueryDef("q29_approx_percentile", None) { (s, d) =>
-    Tables.lineitem(s, d)
+  private val PctRankTolerance = 0.01
+
+  /** Approximate percentiles — the sketch path for q26 at 100 TB
+    * (mergeable fixed-size summaries instead of a full sort). The
+    * returned values are engine-internal, so the ORACLE-FACING
+    * contract is the RANK PIN: per group, the exact row count
+    * (oracle-computed) plus booleans asserting each estimate's
+    * MEASURED rank fraction — count(x ≤ estimate)/n, one broadcast
+    * join of the 3-row estimate table back over the group — lands
+    * within [[PctRankTolerance]] of its target φ. That is the
+    * sketch's actual contract (rank error, not value error), checked
+    * against the data rather than trusted (rounds ≤ 6 carried this
+    * entry rows-only; exactness on the same grouping is q26, and q36
+    * is the graft-native sketch checked digit-for-digit).
+    */
+  val q29 = QueryDef(
+    "q29_approx_percentile",
+    Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        true AS p50_rank_ok, true AS p90_rank_ok, true AS p99_rank_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, d) =>
+    val li = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
+    val est = li.groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 10000)").as("p"))
+      .select(col("l_returnflag").as("rf"),
+        element_at(col("p"), 1).as("e50"),
+        element_at(col("p"), 2).as("e90"),
+        element_at(col("p"), 3).as("e99"))
+    def rankOk(r: org.apache.spark.sql.Column, phi: Double) =
+      abs(r.cast("double") / col("n").cast("double") - lit(phi)) <=
+        lit(PctRankTolerance)
+    li.join(broadcast(est), col("l_returnflag") === col("rf"))
       .groupBy("l_returnflag")
-      .agg(
-        expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 10000)").as("p"),
-        count(lit(1)).as("n"))
-      .select(col("l_returnflag"),
-        element_at(col("p"), 1).as("ap50"),
-        element_at(col("p"), 2).as("ap90"),
-        element_at(col("p"), 3).as("ap99"),
-        col("n"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") <= col("e50"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("l_extendedprice") <= col("e90"), 1L).otherwise(0L)).as("r90"),
+        sum(when(col("l_extendedprice") <= col("e99"), 1L).otherwise(0L)).as("r99"))
+      .select(col("l_returnflag"), col("n"),
+        rankOk(col("r50"), 0.5).as("p50_rank_ok"),
+        rankOk(col("r90"), 0.9).as("p90_rank_ok"),
+        rankOk(col("r99"), 0.99).as("p99_rank_ok"))
       .orderBy("l_returnflag")
   }
 
@@ -341,19 +372,45 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** [[q10]]'s documented estimate tolerance: HLL++ at rsd=0.05 has
+    * no hard error bound (rsd is one standard deviation), so the pin
+    * uses 3σ = 15% — an estimate drifting past it is a broken sketch,
+    * not noise. Declared above the QueryDef (init-order rule).
+    */
+  private val HllTolerance = 0.15
+
   /** Approximate distinct via HyperLogLog++ — the 100 TB answer to
     * count-distinct (no per-key shuffle of raw values, fixed-size
-    * sketches merge associatively). Sketch estimates are
-    * engine-specific → no SQL oracle; the driver rows-only checks it.
-    * Exactness is covered by q09 on the same grouping, and q35 is the
-    * graft-native sketch whose estimates ARE oracle-checked.
+    * sketches merge associatively). The raw estimate is
+    * engine-internal, so the ORACLE-FACING contract is the
+    * TOLERANCE PIN: exact per-group cardinalities (oracle-computed)
+    * plus booleans asserting Spark's estimate lands within
+    * [[HllTolerance]] of each — the estimate itself is deterministic,
+    * so a sketch regression flips a flag and fails the hash, while
+    * the flags' expected values are engine-independent (rounds ≤ 6
+    * carried this entry rows-only; q35 remains the graft-native
+    * sketch whose ESTIMATES are oracle-checked digit-for-digit).
     */
-  val q10 = QueryDef("q10_approx_distinct", None) { (s, d) =>
+  val q10 = QueryDef(
+    "q10_approx_distinct",
+    Some("""SELECT l_returnflag,
+        CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        true AS parts_within_tol, true AS supps_within_tol
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, d) =>
+    def within(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+      abs(est.cast("double") - exact.cast("double")) <=
+        lit(HllTolerance) * exact.cast("double")
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        big(approx_count_distinct(col("l_partkey"), 0.05)).as("approx_parts"),
-        big(approx_count_distinct(col("l_suppkey"), 0.05)).as("approx_supps"))
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        big(approx_count_distinct(col("l_partkey"), 0.05)).as("ap"),
+        big(approx_count_distinct(col("l_suppkey"), 0.05)).as("as_"))
+      .select(col("l_returnflag"), col("n_parts"), col("n_supps"),
+        within(col("ap"), col("n_parts")).as("parts_within_tol"),
+        within(col("as_"), col("n_supps")).as("supps_within_tol"))
       .orderBy("l_returnflag")
   }
 

@@ -629,14 +629,20 @@ object MultimodalOps {
     * banding self-join over group-table rows (never the corpus) →
     * one anti join → a narrow filter.
     */
-  val m13 = QueryDef(
-    "m13_curation_pipeline",
-    Some {
-      val base = "(doc_id*7 + (k % w)*3 + (k // w)*5)"
-      val luma = s"((299*(($base) % 256) + 587*(($base + 11) % 256) + 114*(($base + 22) % 256)) // 1000)"
-      val bit = s"CASE WHEN ${duckLuma("(((k%10)+1)*w)//11", "((k//10)*h)//6")}" +
-        s" > ${duckLuma("((k%10)*w)//11", "((k//10)*h)//6")} THEN (1::BIGINT << k) ELSE 0 END"
-      s"""WITH g AS (SELECT doc_id, doc_id % 5 + 4 AS w, doc_id % 3 + 3 AS h FROM documents),
+  /** The m13 oracle's shared CTE chain — synthetic-pixel replay of
+    * decode → phash collapse → near-dup prune → entropy inputs,
+    * ending with `reps` (curated groups), `g` (dims), `ent` (nano-
+    * entropy sums). m13 selects per-asset rows from it; c04's landing
+    * report aggregates it per codec ([[graft.operators.Pipeline]]) —
+    * one chain, so the capstone provably lands exactly what the
+    * verdict table shows.
+    */
+  private[operators] val duckCuratedChain: String = {
+    val base = "(doc_id*7 + (k % w)*3 + (k // w)*5)"
+    val luma = s"((299*(($base) % 256) + 587*(($base + 11) % 256) + 114*(($base + 22) % 256)) // 1000)"
+    val bit = s"CASE WHEN ${duckLuma("(((k%10)+1)*w)//11", "((k//10)*h)//6")}" +
+      s" > ${duckLuma("((k%10)*w)//11", "((k//10)*h)//6")} THEN (1::BIGINT << k) ELSE 0 END"
+    s"""WITH g AS (SELECT doc_id, doc_id % 5 + 4 AS w, doc_id % 3 + 3 AS h FROM documents),
       ph AS (SELECT g.doc_id,
           CAST(list_sum(list_transform(range(0, 60), k -> $bit)) AS BIGINT) AS phash
         FROM g),
@@ -656,7 +662,12 @@ object MultimodalOps {
       lt AS (SELECT ${M10LnNano.mkString("[", ", ", "]")} AS a),
       ent AS (SELECT doc_id, n,
           CAST(sum(nb * (lt.a[CAST(n AS INT)] - lt.a[CAST(nb AS INT)])) AS BIGINT) AS s
-        FROM hist CROSS JOIN lt GROUP BY 1, 2)
+        FROM hist CROSS JOIN lt GROUP BY 1, 2)"""
+  }
+
+  val m13 = QueryDef(
+    "m13_curation_pipeline",
+    Some(s"""$duckCuratedChain
       SELECT reps.rep AS asset_id,
         CASE WHEN reps.rep % 2 = 0 THEN 'bmp' ELSE 'png' END AS codec,
         CAST(g.w AS BIGINT) AS width, CAST(g.h AS BIGINT) AS height,
@@ -664,8 +675,29 @@ object MultimodalOps {
         CAST(ent.s AS DOUBLE) / CAST(ent.n * 1000000000 AS DOUBLE) AS entropy
       FROM reps JOIN g ON g.doc_id = reps.rep JOIN ent ON ent.doc_id = reps.rep
       WHERE ent.s >= ent.n * 1000000000
-      ORDER BY asset_id"""
-    }) { (s, d) =>
+      ORDER BY asset_id""")) { (s, d) =>
+    curatedImageMetrics(s, d)
+      .select(col("asset_id"), col("codec"), col("width"), col("height"),
+        col("members"), col("phash"), col("ent_nano"),
+        (col("ent_nano").cast("double") /
+          (col("n_px") * lit(1000000000L)).cast("double")).as("entropy"))
+      .orderBy("asset_id")
+  }
+
+  /** m13's curation chain over ONE CACHED decode pass, shared with
+    * the c04 landing capstone: decode-derived metrics → exact phash
+    * collapse → near-dup keep-lowest over the GROUP table → entropy
+    * gate. Returns the curated frame WITH n_px so consumers derive
+    * their own views (m13 the per-asset verdict table, c04 the
+    * landed archive + per-codec report). The cache is what makes the
+    * "one decode pass" claim literal: every downstream branch —
+    * banding legs, drop anti join, landing, report — reads the
+    * materialized metrics, never the codec path again (PipelineSpec
+    * pins it). Cache lifetime owned by the harness clearCache, as
+    * with c01's attribute frame.
+    */
+  private[graft] def curatedImageMetrics(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val ln = M10LnNano.toArray
     // ONE decode pass yields every downstream metric — codec, dims,
@@ -702,6 +734,7 @@ object MultimodalOps {
         }
       }
       .toDF("asset_id", "codec", "width", "height", "phash", "ent_nano", "n_px")
+      .cache()
     // (1) exact perceptual collapse: lowest-id rep carries its metrics
     val grp = metrics.groupBy("phash")
       .agg(min_by(struct(col("asset_id"), col("codec"), col("width"),
@@ -724,11 +757,6 @@ object MultimodalOps {
     // (3) the m10 entropy gate over what remains
     grp.join(drops, col("asset_id") === col("rb"), "left_anti")
       .where(col("ent_nano") >= col("n_px") * lit(1000000000L))
-      .select(col("asset_id"), col("codec"), col("width"), col("height"),
-        col("members"), col("phash"), col("ent_nano"),
-        (col("ent_nano").cast("double") /
-          (col("n_px") * lit(1000000000L)).cast("double")).as("entropy"))
-      .orderBy("asset_id")
   }
 
   /** m14: audio NEAR-DUP fingerprinting — the third modality's entry

@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  def queries: Seq[QueryDef] = Seq(c01, c02)
+  def queries: Seq[QueryDef] = Seq(c01, c02, c04)
 
   /** Token budget per packed shard — x12's constant, one definition. */
   private val PackBudget = 2000L
@@ -349,5 +349,98 @@ object Pipeline {
           coalesce(col("top_neg_cos"), lit(0.0)).as("top_neg_cos"))
         .orderBy("cell")
     }
+  }
+
+  /** c04's landing memo: content-keyed build-once, the [[landMemo]]
+    * discipline applied to the image archive.
+    */
+  private val imgLandMemo = new graft.engine.CatalogMemo[String]
+
+  /** Land the curated image assets (original encoded bytes + their
+    * decode-derived metadata) as a Z-ORDER-CLUSTERED parquet table —
+    * `archiveClustered` on (width, height), the layout a size-
+    * predicated consumer scans ("all ≥ 512×512 frames") with
+    * row-group skipping on BOTH dims — then write + audit a K1d
+    * `_MANIFEST.json` over the landed directory, the c01/c02 rule:
+    * a landing that fails its own recount audit fails the pipeline.
+    * Returns the content-keyed physical table name.
+    */
+  private def ensureImagesLanded(s: org.apache.spark.sql.SparkSession,
+      d: String, curated: org.apache.spark.sql.DataFrame): String = {
+    val ck = graft.engine.CatalogMemo.contentKey(
+      d, s.sparkContext.hadoopConfiguration)
+    val tbl = graft.engine.CatalogMemo.tableName("graft_c04_images", ck)
+    if (imgLandMemo.get(s.sharedState, ck).isEmpty) {
+      imgLandMemo.invalidate(s.sharedState)
+      val eng = new graft.engine.Engine(s)
+      eng.archiveClustered(curated, tbl, "width", "height")
+      val loc = s.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl)).toString
+      eng.writeManifest(loc, graft.engine.Format.Parquet)
+      val findings = eng.verifyManifest(loc)
+      require(findings.isEmpty,
+        s"graft: c04 landing failed its manifest audit: ${findings.mkString("; ")}")
+      imgLandMemo.put(s.sharedState, ck, tbl)
+    }
+    tbl
+  }
+
+  /** c04: the MULTIMODAL curation-landing capstone — m13 ends at a
+    * verdict table; c04 ends where c01 does, at an AUDITED ARCHIVE:
+    *
+    *   image assets → m13's curation chain over ONE CACHED decode
+    *   pass ([[MultimodalOps.curatedImageMetrics]] — the shipped
+    *   stages: exact phash collapse, near-dup keep-lowest over the
+    *   group table, m10 entropy gate) → curated bytes re-attached
+    *   (a narrow bytes-only second read; NEVER a second decode) →
+    *   landed Z-order-clustered on (width, height) with a K1d
+    *   `_MANIFEST.json` + recount audit → per-codec landing report.
+    *
+    * Output is the report a training run reviews before consuming
+    * the archive: per codec, assets landed, source members they
+    * represent, pixel volume, exact nano-entropy mass, and the id
+    * range. The oracle aggregates the SAME synthetic-pixel chain
+    * m13's verdict table replays ([[MultimodalOps.duckCuratedChain]]),
+    * so the landed set provably equals the curated set.
+    *
+    * Scale shape: curation keeps m13's bounds (group-table banding,
+    * never the corpus); the bytes re-attach is one equi-join where
+    * the curated side is collapse-output-sized (AQE broadcasts it);
+    * the landing inherits archiveClustered's range-partitioned
+    * write (partition count a caller-visible default, data-derived
+    * clustering codes); the report is a per-codec aggregate of the
+    * CACHED metrics — the decode pass stays exactly one
+    * (PipelineSpec pins scan counts and the audit).
+    */
+  val c04 = QueryDef(
+    "c04_multimodal_landing",
+    Some(s"""${MultimodalOps.duckCuratedChain},
+      cur AS (SELECT reps.rep AS asset_id,
+          CASE WHEN reps.rep % 2 = 0 THEN 'bmp' ELSE 'png' END AS codec,
+          reps.members, ent.n, ent.s
+        FROM reps JOIN g ON g.doc_id = reps.rep JOIN ent ON ent.doc_id = reps.rep
+        WHERE ent.s >= ent.n * 1000000000)
+      SELECT codec, CAST(count(*) AS BIGINT) AS n_assets,
+        CAST(sum(members) AS BIGINT) AS n_members,
+        CAST(sum(n) AS BIGINT) AS total_px,
+        CAST(sum(s) AS BIGINT) AS ent_nano_total,
+        min(asset_id) AS first_asset, max(asset_id) AS last_asset
+      FROM cur GROUP BY codec ORDER BY codec""")) { (s, d) =>
+    val curated = MultimodalOps.curatedImageMetrics(s, d)
+    // re-attach the original encoded bytes for a SERVABLE archive: a
+    // bytes-only pass over the asset source (no decode), equi-joined
+    // to the small curated side
+    val withBytes = graft.multimodal.MultimodalPipeline.imageAssets(s, d)
+      .select(col("asset_id"), col("data"))
+      .join(curated, Seq("asset_id"))
+      .select(col("asset_id"), col("codec"), col("width"), col("height"),
+        col("members"), col("phash"), col("ent_nano"), col("data"))
+    if (!curated.isEmpty) ensureImagesLanded(s, d, withBytes)
+    curated.groupBy("codec")
+      .agg(count(lit(1)).as("n_assets"), big(sum("members")).as("n_members"),
+        big(sum("n_px")).as("total_px"),
+        big(sum("ent_nano")).as("ent_nano_total"),
+        min("asset_id").as("first_asset"), max("asset_id").as("last_asset"))
+      .orderBy("codec")
   }
 }

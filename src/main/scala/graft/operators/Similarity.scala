@@ -26,7 +26,7 @@ object Similarity {
 
   def queries: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
-      s15, s16, s17, s18, s19, s20)
+      s15, s16, s17, s18, s19, s20, s21)
 
   /** MMR selection rounds (picks after the pure-relevance first). */
   private val MmrK = 5
@@ -1336,18 +1336,27 @@ object Similarity {
     * bit-identical by construction.
     */
   private def withResidual(e: org.apache.spark.sql.DataFrame,
-      coarse: Seq[(Long, Array[Double], Double)]): org.apache.spark.sql.DataFrame = {
-    // centroid lookup by POSITION in the flattened literal (the cell
-    // id's index in the sorted cells array) — replaces a k-branch
-    // when-chain of 64-double array literals; selected values are the
-    // identical doubles, so residuals stay bit-identical
+      coarse: Seq[(Long, Array[Double], Double)]): org.apache.spark.sql.DataFrame =
+    e.withColumn("cell", cellOf(coarse))
+      .withColumn("r", residualCol(coarse))
+
+  /** r = v − centroid(cell) over an EXISTING `cell` column — the half
+    * of [[withResidual]] s21 needs when the cell assignment already
+    * rides the bucketed index table (recomputing it would break the
+    * scan's bucket pruning). Centroid lookup by POSITION in the
+    * flattened literal (the cell id's index in the sorted cells
+    * array) — replaces a k-branch when-chain of 64-double array
+    * literals; selected values are the identical doubles, so
+    * residuals stay bit-identical.
+    */
+  private def residualCol(
+      coarse: Seq[(Long, Array[Double], Double)]): org.apache.spark.sql.Column = {
     val cells = coarse.map(_._1).toArray
     val flat = coarse.flatMap(_._2).toArray
     val cdCol = slice(lit(flat),
       (((array_position(lit(cells), col("cell")) - 1L) * 64L) + 1L).cast("int"),
       lit(64))
-    e.withColumn("cell", cellOf(coarse))
-      .withColumn("r", zip_with(col("v"), cdCol, (a, b) => a - b))
+    zip_with(col("v"), cdCol, (a, b) => a - b)
   }
 
   /** s15: IVF-PQ — the composition production ANN systems actually
@@ -1397,12 +1406,23 @@ object Similarity {
     * ONE chain, so the two operators provably score the identical
     * candidate set.
     */
-  private def duckIvfPqCand: String = {
+  private def duckIvfPqCand: String = duckIvfPqCandN(2, labeled = false)
+
+  /** The same chain, parameterized: probe width (s15/s16 use 2; s21's
+    * filtered search widens to 4, the s17 selectivity compensation)
+    * and whether `cand` carries the label column + the
+    * [[FilterLabels]] predicate (the s21 hybrid face).
+    */
+  private def duckIvfPqCandN(nprobe: Int, labeled: Boolean): String = {
     val subspaces = (0 until PqM).map(duckSubspaceChain(_, "r", "res", "r")).mkString(",\n      ")
     val joins = (0 until PqM).map(m =>
       s"JOIN rcodes$m rcd$m ON rcd$m.vec_id = res.vec_id JOIN rlut$m ON rlut$m.cell = rcd$m.cell")
-      .mkString("\n        ")
+      .mkString("\n        ") +
+      (if (labeled) "\n          JOIN n xl ON xl.vec_id = res.vec_id" else "")
     val adc = "probe.qc + " + (0 until PqM).map(m => s"rlut$m.val").mkString(" + ")
+    val labelCol = if (labeled) "CAST(xl.label AS BIGINT) AS label, " else ""
+    val labelPred =
+      if (labeled) s" AND xl.label IN (${FilterLabels.mkString(", ")})" else ""
     s"""${Vec.duckNormCte},
       $duckTrainedCells,
       cdt AS (SELECT cell, list_transform(c, y -> y / 1000000.0) AS cd FROM c3),
@@ -1416,14 +1436,14 @@ object Similarity {
         FROM cdt CROSS JOIN qq),
       probe AS (SELECT cell, qc FROM (
           SELECT cell, qc, row_number() OVER (ORDER BY score, cell) AS rn FROM qsc)
-        WHERE rn <= 2),
+        WHERE rn <= $nprobe),
       cand AS (
-        SELECT res.vec_id, res.cell, ($adc) AS adc_dot,
+        SELECT res.vec_id, ${labelCol}res.cell, ($adc) AS adc_dot,
           ${Vec.duckDot("res.v", "qq.v")} / (res.nrm * qq.nrm) AS cos_sim
         FROM res JOIN probe ON probe.cell = res.cell
           $joins
           CROSS JOIN qq
-        WHERE res.vec_id <> 0)"""
+        WHERE res.vec_id <> 0$labelPred)"""
   }
 
   /** The s15/s16-shared candidate frame: every non-query vector in
@@ -1432,11 +1452,16 @@ object Similarity {
     * over the probed cells (the s15 scale shape); typed empty frame
     * when corpus / trained state / query row is missing.
     */
-  private[operators] def ivfPqCandidates(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val e = Vec.withNorm(Tables.embeddings(s, d)).cache()
+  /** Train-or-fetch the IVF-PQ state (coarse quantizer + residual
+    * codebooks) — ONE accessor shared by s15/s16 (via
+    * [[ivfPqCandidates]]) and s21, so the filtered variant provably
+    * scores with the codebooks the unfiltered one ships.
+    */
+  private[operators] def ensureIvfPq(s: org.apache.spark.sql.SparkSession,
+      d: String, e: org.apache.spark.sql.DataFrame)
+      : (Seq[(Long, Array[Double], Double)], Seq[Seq[(Long, Array[Double], Double)]]) = {
     val ck = graft.engine.CatalogMemo.contentKey(d, s.sparkContext.hadoopConfiguration)
-    val (coarse, books) = ivfPqBuilt.get(s.sharedState, ck).getOrElse {
+    ivfPqBuilt.get(s.sharedState, ck).getOrElse {
       val c = trainCoarse(s, d, e)
       val b =
         if (c.isEmpty) Seq.empty[Seq[(Long, Array[Double], Double)]]
@@ -1451,6 +1476,55 @@ object Similarity {
       if (c.nonEmpty && b.forall(_.nonEmpty)) ivfPqBuilt.put(s.sharedState, ck, t)
       t
     }
+  }
+
+  /** Strict left-fold dot of the driver-held query against a codebook
+    * slice — the oracle's list_reduce, the driver way.
+    */
+  private def strictDot(qv: Array[Double], off: Int, cd: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < cd.length) { acc += qv(off + i) * cd(i); i += 1 }
+    acc
+  }
+
+  /** The query's `nprobe` nearest coarse cells by the s05 score/tie
+    * order — shared by s15/s16 (nprobe=2), s17/s21 (nprobe=4).
+    */
+  private def nearestCells(qv: Array[Double],
+      coarse: Seq[(Long, Array[Double], Double)], nprobe: Int): Seq[Long] =
+    coarse.map { case (cell, cd, cn2) => (cn2 - 2.0 * strictDot(qv, 0, cd), cell) }
+      .sorted.take(nprobe).map(_._2)
+
+  /** The residual-ADC score column — q·centroid(cell) (a when-chain
+    * over the probed cells) plus the fixed left-assoc 8-term LUT sum,
+    * the oracle's (probe.qc + rlut0.val + … + rlut7.val) order
+    * exactly. Expects `cell` and `r` columns in scope.
+    */
+  private def adcDotCol(qv: Array[Double],
+      coarse: Seq[(Long, Array[Double], Double)],
+      books: Seq[Seq[(Long, Array[Double], Double)]],
+      probed: Seq[Long]): org.apache.spark.sql.Column = {
+    val qcByCell = coarse.map { case (cell, cd, _) => cell -> strictDot(qv, 0, cd) }.toMap
+    val luts = (0 until PqM).map { m =>
+      val arr = new Array[Double](PqK)
+      books(m).foreach { case (cell, cd, _) => arr(cell.toInt) = strictDot(qv, m * PqSubDim, cd) }
+      arr
+    }
+    val qcCol = probed.tail.foldLeft(
+      when(col("cell") === lit(probed.head), lit(qcByCell(probed.head)))) {
+      (acc, c) => acc.when(col("cell") === lit(c), lit(qcByCell(c)))
+    }
+    (0 until PqM).foldLeft(qcCol: org.apache.spark.sql.Column) { (acc, m) =>
+      acc + element_at(lit(luts(m)),
+        (cellOf(books(m), expr(s"slice(r, ${m * PqSubDim + 1}, $PqSubDim)")) + lit(1L))
+          .cast("int"))
+    }
+  }
+
+  private[operators] def ivfPqCandidates(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val e = Vec.withNorm(Tables.embeddings(s, d)).cache()
+    val (coarse, books) = ensureIvfPq(s, d, e)
     val qRowOpt = e.filter(col("vec_id") === 0)
       .select(col("v"), col("nrm")).collect().headOption
     if (coarse.isEmpty || books.isEmpty || books.exists(_.isEmpty) || qRowOpt.isEmpty)
@@ -1459,35 +1533,11 @@ object Similarity {
     else {
       val qv = qRowOpt.get.getSeq[Double](0).toArray
       val qnrm = qRowOpt.get.getDouble(1)
-      // strict left fold — the oracle's list_reduce, the driver way
-      def fold(off: Int, cd: Array[Double]): Double = {
-        var acc = 0.0; var i = 0
-        while (i < cd.length) { acc += qv(off + i) * cd(i); i += 1 }
-        acc
-      }
-      val qcByCell = coarse.map { case (cell, cd, _) => cell -> fold(0, cd) }.toMap
-      // nprobe=2 nearest cells by the s05 score/tie order
-      val probed = coarse.map { case (cell, cd, cn2) => (cn2 - 2.0 * fold(0, cd), cell) }
-        .sorted.take(2).map(_._2)
-      val luts = (0 until PqM).map { m =>
-        val arr = new Array[Double](PqK)
-        books(m).foreach { case (cell, cd, _) => arr(cell.toInt) = fold(m * PqSubDim, cd) }
-        arr
-      }
-      val qcCol = probed.tail.foldLeft(
-        when(col("cell") === lit(probed.head), lit(qcByCell(probed.head)))) {
-        (acc, c) => acc.when(col("cell") === lit(c), lit(qcByCell(c)))
-      }
-      // fixed left-assoc 9-term chain: qc + 8 LUT lookups — the
-      // oracle's (probe.qc + rlut0.val + … + rlut7.val) order exactly
-      val adc = (0 until PqM).foldLeft(qcCol: org.apache.spark.sql.Column) { (acc, m) =>
-        acc + element_at(lit(luts(m)),
-          (cellOf(books(m), expr(s"slice(r, ${m * PqSubDim + 1}, $PqSubDim)")) + lit(1L))
-            .cast("int"))
-      }
+      val probed = nearestCells(qv, coarse, 2)
       withResidual(e, coarse)
         .filter(col("cell").isin(probed: _*) && col("vec_id") =!= 0)
-        .select(col("vec_id"), col("cell"), adc.as("adc_dot"),
+        .select(col("vec_id"), col("cell"),
+          adcDotCol(qv, coarse, books, probed).as("adc_dot"),
           (call_function("vec_dot", col("v"), lit(qv)) / (col("nrm") * lit(qnrm)))
             .as("cos_sim"))
     }
@@ -1955,6 +2005,68 @@ object Similarity {
             .otherwise(col("err_nano_total").cast("double") / col("n").cast("double"))
             .as("mean_err_nano"))
         .orderBy("bits")
+    }
+  }
+
+  /** s21: FILTERED IVF-PQ — s17's predicate-inside-the-pruned-scan
+    * composed with s15's residual-ADC scoring, the hybrid query a
+    * production vector store actually serves at scale: "nearest docs
+    * WHERE label ∈ {…}" against a COMPRESSED index. One scan does all
+    * three jobs: the probe prunes to the nprobe=4 nearest cells'
+    * buckets (s17's selectivity compensation — a selective predicate
+    * thins cells, so the probe widens; SelectedBucketsCount in the
+    * plan), the label predicate pushes into the parquet read
+    * (PushedFilters — candidates cost probed-share × selectivity,
+    * never scan-then-filter), and the surviving rows are scored by
+    * the s15 residual-ADC identity q·x̂ = q·centroid + Σₘ LUT[m][codeₘ]
+    * as a narrow codegen projection into ONE global top-k
+    * (TakeOrderedAndProject) — no join, no shuffle, nothing exact
+    * until the rode-along cos_sim column. Training is [[ensureIvfPq]]
+    * — the memoized state s15/s16 ship, so the filtered face provably
+    * scores with the same codebooks. The residual is computed from
+    * the index table's OWN cell column ([[residualCol]]): recomputing
+    * the assignment would not change a value, but would stack a
+    * 64-double when-chain on the scan for nothing.
+    *
+    * The oracle is the s15/s16 shared chain with nprobe=4 and the
+    * label predicate threaded through ([[duckIvfPqCandN]]) — one
+    * WITH-chain, so the three operators provably share training,
+    * probe order, encoding, and scoring arithmetic.
+    */
+  val s21 = QueryDef(
+    "s21_filtered_ivfpq",
+    Some(s"""${duckIvfPqCandN(4, labeled = true)}
+      SELECT vec_id, label, cell, adc_dot, cos_sim FROM cand
+      ORDER BY adc_dot DESC, vec_id LIMIT 10""")) { (s, d) =>
+    val co = s.newSession()
+    graft.functions.GraftFunctions.register(co)
+    val e = Vec.withNorm(Tables.embeddings(co, d)).cache()
+    val (centroids, ivfTable) = ensureIvfIndex(co, d, e)
+    val (coarse, books) = ensureIvfPq(co, d, e)
+    val qRowOpt = e.filter(col("vec_id") === 0)
+      .select(col("v"), col("nrm")).collect().headOption
+    if (centroids.isEmpty || coarse.isEmpty || books.exists(_.isEmpty) ||
+        books.isEmpty || qRowOpt.isEmpty)
+      e.limit(0).select(col("vec_id"), lit(0L).as("label"),
+        lit(0L).as("cell"), lit(0.0).as("adc_dot"), lit(0.0).as("cos_sim"))
+    else {
+      val qv = qRowOpt.get.getSeq[Double](0).toArray
+      val qnrm = qRowOpt.get.getDouble(1)
+      val probed = nearestCells(qv, coarse, 4)
+      // force the bucketed scan so cell pruning stays live (the s05
+      // discipline); the label predicate reaches the parquet reader
+      co.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      co.table(ivfTable)
+        .filter(col("cell").isin(probed: _*) && col("vec_id") =!= 0 &&
+          col("label").isin(FilterLabels: _*))
+        .withColumn("r", residualCol(coarse))
+        .select(col("vec_id"), col("label").cast("long").as("label"), col("cell"),
+          adcDotCol(qv, coarse, books, probed).as("adc_dot"),
+          (call_function("vec_dot", col("v"), lit(qv)) / (col("nrm") * lit(qnrm)))
+            .as("cos_sim"))
+        .orderBy(col("adc_dot").desc, col("vec_id"))
+        .limit(10)
+        .orderBy(col("adc_dot").desc, col("vec_id"))
     }
   }
 }

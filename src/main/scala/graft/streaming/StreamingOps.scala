@@ -672,6 +672,89 @@ object StreamingOps {
       }
       .start()
 
+  /** q60's STREAMING face — [[applyChangelog]]'s dual: q43-apply
+    * REPLAYS a kept changelog onto a snapshot; this RECOVERS one
+    * live, maintaining q60's added/removed/changed/unchanged ledger
+    * continuously as micro-batches of the NEW snapshot land against
+    * a static OLD baseline.
+    *
+    * Scale shape — per-batch work ∝ BATCH size, never a re-diff:
+    * every ledger measure q60 emits is group-mergeable (count: add;
+    * key_checksum: XOR, its own inverse; cent totals: add), so a
+    * landing key is a pure DELTA — out of `removed` (where the
+    * baseline starts every old key) and into its real class, or into
+    * `added` when the baseline never held it. One stream-static
+    * left join of the batch against the baseline classifies the
+    * moves (the batch side is micro-batch-sized — AQE broadcasts
+    * it); the 4-row class delta lands as `delta-<batchId>` parquet.
+    * [[diffLedger]] folds baseline + deltas back into q60's exact
+    * output shape — a ≤(4 × batches)-row aggregate.
+    *
+    * Replay-safe under foreachBatch's AT-LEAST-ONCE contract by
+    * IDEMPOTENT NAMING rather than a processed-set probe
+    * (maintainIndex's discipline, cheaper here): the delta object's
+    * name derives from the batch id and the write is mode-overwrite,
+    * so a replayed batch re-writes the same delta instead of
+    * double-counting. The baseline's own aggregate lands ONCE as
+    * `delta-base` before the stream starts (also overwrite — a
+    * restart re-derives the identical rows).
+    */
+  def diffStream(newRows: DataFrame, old: DataFrame,
+      ledgerDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // baseline: every old key opens in 'removed' (nothing has arrived)
+    old.groupBy()
+      .agg(count(lit(1)).as("dn"), expr("bit_xor(key)").as("dkx"),
+        sum(col("cents")).as("doc"), sum(lit(0L)).as("dnc"))
+      .select(lit("removed").as("diff_class"), col("dn"), col("dkx"),
+        col("doc"), col("dnc"))
+      .where(col("dn") > 0)
+      .write.mode("overwrite").parquet(s"$ledgerDir/delta-base")
+    newRows.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val moves = batch.as("b")
+            .join(old.as("o"), col("b.key") === col("o.key"), "left_outer")
+            .select(col("b.key").as("key"), col("o.cents").as("old_cents"),
+              col("b.cents").as("new_cents"))
+            .withColumn("cls",
+              when(col("old_cents").isNull, "added")
+                .when(col("old_cents") =!= col("new_cents"), "changed")
+                .otherwise("unchanged"))
+          // +1 into the landing class; −1 out of 'removed' for keys
+          // the baseline held (XOR cancels the baseline's checksum
+          // contribution, negation cancels its cent total)
+          val pos = moves.select(col("cls").as("diff_class"), lit(1L).as("dn"),
+            col("key"), coalesce(col("old_cents"), lit(0L)).as("doc"),
+            col("new_cents").as("dnc"))
+          val neg = moves.where(col("old_cents").isNotNull)
+            .select(lit("removed").as("diff_class"), lit(-1L).as("dn"),
+              col("key"), (-col("old_cents")).as("doc"), lit(0L).as("dnc"))
+          pos.unionAll(neg)
+            .groupBy("diff_class")
+            .agg(sum("dn").as("dn"), expr("bit_xor(key)").as("dkx"),
+              sum("doc").as("doc"), sum("dnc").as("dnc"))
+            .write.mode("overwrite").parquet(s"$ledgerDir/delta-$batchId")
+          ()
+        }
+      }
+      .start()
+  }
+
+  /** The current q60 ledger from a [[diffStream]] directory: fold the
+    * baseline + per-batch deltas per class (sum / XOR / sum / sum —
+    * the mergeability diffStream's scaladoc argues), drop classes no
+    * key currently occupies (q60 emits no zero-count rows). Once the
+    * full new snapshot has arrived this equals batch q60 row-for-row
+    * (StreamingSpec pins 1-batch ≡ 3-batch ≡ batch).
+    */
+  def diffLedger(s: SparkSession, ledgerDir: String): DataFrame =
+    s.read.parquet(s"$ledgerDir/delta-*")
+      .groupBy("diff_class")
+      .agg(sum("dn").as("n"), expr("bit_xor(dkx)").as("key_checksum"),
+        sum("doc").as("old_cents_total"), sum("dnc").as("new_cents_total"))
+      .where(col("n") > 0)
+      .orderBy("diff_class")
+
   /** Continuous archiving: the reference's whole purpose (archive
     * query results to object storage) lifted to a stream — every
     * micro-batch becomes one archived object

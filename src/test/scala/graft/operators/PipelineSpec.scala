@@ -106,4 +106,48 @@ class PipelineSpec extends SparkSpec {
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
     assert(cat.bucketSpec.exists(_.bucketColumnNames == Seq("cell")))
   }
+
+  test("c04 decodes ONCE: report reads the cached metrics; scan identities stay bounded") {
+    val df = Pipeline.c04.fn(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // every curation branch reads the materialized decode pass…
+    assert(plan.contains("InMemoryTableScan"),
+      s"expected the cached decode-metrics frame in:\n${plan.take(1200)}")
+    // …so the REPORT's plan carries at most the cache-build identity
+    // of the asset source (the textual plan reprints cached subtrees
+    // per reference — count scan identities, not lines), and the
+    // decode mapPartitions appears only under that one build
+    val ids = "FileScan parquet \\[doc_id#(\\d+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(ids.size <= 1, s"expected <= 1 distinct asset-source scan, found ${ids.size}")
+  }
+
+  test("c04 lands the curated images Z-order-clustered with a clean manifest audit") {
+    val summary = Pipeline.c04.fn(spark, dir).collect() // ensure the landing ran
+    val ck = graft.engine.CatalogMemo.contentKey(
+      dir, spark.sparkContext.hadoopConfiguration)
+    val tbl = graft.engine.CatalogMemo.tableName("graft_c04_images", ck)
+    val loc = spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl)).toString
+    val eng = new graft.engine.Engine(spark)
+    val findings = eng.verifyManifest(loc)
+    assert(findings.isEmpty, s"landing audit found: ${findings.mkString("; ")}")
+    val landed = spark.table(tbl)
+    // the archive holds exactly the curated assets the report counted…
+    assert(landed.count() == summary.map(_.getLong(1)).sum)
+    // …it is SERVABLE (original bytes re-attached, decodable to the
+    // recorded dims) and Z-ordered (the clustering key column landed)
+    assert(landed.columns.contains("z") && landed.columns.contains("data"))
+    val sample = landed.orderBy("asset_id").limit(3).collect()
+    sample.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("data")
+      val img = graft.multimodal.ImageCodecs.decodeImage(bytes, 0, bytes.length)
+      assert(img.isDefined, s"asset ${r.getAs[Long]("asset_id")} bytes not decodable")
+      assert(img.get._2.getWidth.toLong == r.getAs[Long]("width"))
+      assert(img.get._2.getHeight.toLong == r.getAs[Long]("height"))
+    }
+    // the landing is curated output, not corpus: strictly fewer
+    // assets than documents (collapse + gates genuinely dropped)
+    assert(landed.count() < graft.Tables.documents(spark, dir).count())
+  }
 }

@@ -474,6 +474,46 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s21 filtered IVF-PQ: bucket pruning AND label pushdown AND zero shuffles in ONE plan") {
+    val df = Similarity.s21.fn(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // (1) the widened nprobe=4 probe still prunes buckets
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(sel.isDefined, s"filtered IVF-PQ should bucket-prune; got:\n${plan.take(1200)}")
+    assert(sel.get.group(1).toInt < sel.get.group(2).toInt)
+    // (2) the label predicate reaches the parquet reader
+    val pushed = df.queryExecution.sparkPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+        sc.metadata.getOrElse("PushedFilters", "")
+    }
+    assert(pushed.exists(_.contains("In(label")),
+      s"label predicate should push into the index scan; pushed=$pushed")
+    // (3) scoring the compressed codes adds no join and no shuffle:
+    // residual + ADC are narrow projections into the fused top-k
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"filtered IVF-PQ must not shuffle:\n${plan.take(900)}")
+    assert(plan.contains("TakeOrderedAndProject"))
+    val rows = df.collect()
+    assert(rows.length == 10)
+    // predicate honored, ADC ordering honored
+    assert(rows.forall(r => Seq(2L, 5L, 7L).contains(r.getLong(1))))
+    val adc = rows.map(_.getDouble(3)).toSeq
+    assert(adc == adc.sorted.reverse)
+    // the rode-along cos_sim is the TRUE cosine vs raw embeddings —
+    // a stale index or mis-assigned cell cannot fake matching values
+    val byId = graft.Vec.withNorm(graft.Tables.embeddings(spark, dir))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Double](2).toArray, r.getDouble(3))).toMap
+    val (qv, qn) = byId(0L)
+    rows.foreach { r =>
+      val (v, nm) = byId(r.getLong(0))
+      var dp = 0.0
+      var i = 0
+      while (i < v.length) { dp += v(i) * qv(i); i += 1 }
+      assert(r.getDouble(4) == dp / (nm * qn))
+    }
+  }
+
   test("s19 grades all 8 subspaces of the shipped codebooks with live codeword usage") {
     val rows = Similarity.s19.fn(spark, "/root/testdata/sf0.001")
       .orderBy("m").collect()

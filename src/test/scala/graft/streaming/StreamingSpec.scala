@@ -607,6 +607,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("diffStream recovers q60's ledger: 1-batch ≡ 3-batch ≡ batch q60") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val expect = graft.operators.Relational.q60.fn(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    // q60's two deterministic snapshots, re-derived with its own rules
+    def snap(missMod: Long, missRes: Long) = graft.Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % missMod =!= missRes)
+      .select(col("o_orderkey").as("key"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val oldS = snap(89L, 3L)
+    val newRows = snap(97L, 5L)
+      .select(col("key"),
+        (col("cents") + when(col("key") % 11 === 0, 100L).otherwise(0L))
+          .as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def run(splits: Seq[Seq[(Long, Long)]]): Seq[Seq[Any]] = {
+      val ledger = java.nio.file.Files
+        .createTempDirectory("graft-diff").toString + "/ledger"
+      val input = MemoryStream[(Long, Long)]
+      val q = StreamingOps.diffStream(
+        input.toDS().toDF("key", "cents"), oldS, ledger)
+      try splits.foreach { s => input.addData(s); q.processAllAvailable() }
+      finally q.stop()
+      StreamingOps.diffLedger(spark, ledger).collect().map(_.toSeq).toSeq
+    }
+    val one = run(Seq(newRows))
+    assert(one == expect, s"1-batch ledger diverges from batch q60:\n$one\nvs\n$expect")
+    // arrival-order/split invariance: the same rows over three batches
+    val n = newRows.length
+    assert(n >= 3)
+    val three = run(Seq(newRows.slice(0, n / 3),
+      newRows.slice(n / 3, 2 * n / 3), newRows.slice(2 * n / 3, n)))
+    assert(three == expect)
+    // all four reconciliation classes genuinely live on this corpus
+    assert(expect.map(_.head).toSet ==
+      Set("added", "removed", "changed", "unchanged"))
+  }
+
   test("enrich broadcasts a small static dimension on batch (plan-asserted)") {
     import spark.implicits._
     val dim = Seq((10L, "gold")).toDF("user_id", "tier")
