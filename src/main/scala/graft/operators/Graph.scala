@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import graft.Qdsl.big
 import org.apache.spark.sql.functions._
 
 /** Link-graph analysis — the crawl-quality capability of a training-
@@ -24,7 +25,7 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  def queries: Seq[QueryDef] = Seq(g01, g02, g03, g04, g05, g06, g07, g08)
+  def queries: Seq[QueryDef] = Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09)
 
   /** Offset that moves supplier ids into their own node-id space;
     * must exceed every custkey at any SF this runs at locally. At
@@ -712,14 +713,20 @@ object Graph {
     * (localCheckpoint, the g01/q46 lesson). The same round is GraphX
     * Pregel's LPA step; this form keeps it in Tungsten rows.
     */
-  val g08 = QueryDef(
-    "g08_label_propagation",
-    Some(s"""WITH ed AS MATERIALIZED (
+  /** The g08 oracle's shared WITH-chain — rare-part co-purchase
+    * pairs, symmetric edges, [[LpRounds]] synchronous majority-vote
+    * rounds — ending with `pairs`, `ue`, and `l{LpRounds}` in scope.
+    * g08 summarizes communities from it; g09's modularity eval
+    * grades the SAME chain, so the readout provably scores the
+    * partition g08 ships.
+    */
+  private def duckLpChain: String =
+    s"""WITH ed AS MATERIALIZED (
       SELECT DISTINCT o_custkey AS c, l_partkey AS p
       FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
     rare AS (SELECT p FROM (SELECT p, count(*) AS dp FROM ed GROUP BY p)
              WHERE dp BETWEEN 2 AND $AaMaxDeg),
-    pairs AS (SELECT DISTINCT a.c AS src, b.c AS dst
+    pairs AS MATERIALIZED (SELECT DISTINCT a.c AS src, b.c AS dst
       FROM ed a JOIN rare r ON a.p = r.p
       JOIN ed b ON b.p = r.p AND a.c < b.c),
     ue AS MATERIALIZED (
@@ -731,20 +738,32 @@ object Graph {
                row_number() OVER (PARTITION BY ue.src
                  ORDER BY count(*) DESC, p.lbl) AS rn
         FROM ue JOIN l${i - 1} p ON ue.dst = p.id
-        GROUP BY ue.src, p.lbl) WHERE rn = 1)""").mkString(",\n    ")}
-    SELECT lbl AS community, count(*) AS n_members,
-      min(id) AS min_member
-    FROM l$LpRounds GROUP BY lbl
-    ORDER BY n_members DESC, community LIMIT 50""")) { (s, d) =>
+        GROUP BY ue.src, p.lbl) WHERE rn = 1)""").mkString(",\n    ")}"""
+
+  /** The rare-part co-purchase PAIR list (src < dst, distinct) — the
+    * ONE construction g08 clusters and g09 grades (factored so the
+    * eval can never drift from the operator).
+    */
+  private def rareCoPurchasePairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val ed = coPurchaseEdges(s, d)
     val rare = ed.groupBy("p").agg(count(lit(1)).as("dp"))
       .where(col("dp").between(2, AaMaxDeg)).select("p")
-    val pairs = ed.join(rare, "p").select(col("p"), col("c").as("ca"))
+    ed.join(rare, "p").select(col("p"), col("c").as("ca"))
       .join(ed.select(col("p"), col("c").as("cb")), "p")
       .where(col("ca") < col("cb"))
       .select(col("ca").as("src"), col("cb").as("dst"))
       .distinct()
-    labelPropagation(pairs, LpRounds)
+  }
+
+  val g08 = QueryDef(
+    "g08_label_propagation",
+    Some(s"""$duckLpChain
+    SELECT lbl AS community, count(*) AS n_members,
+      min(id) AS min_member
+    FROM l$LpRounds GROUP BY lbl
+    ORDER BY n_members DESC, community LIMIT 50""")) { (s, d) =>
+    labelPropagation(rareCoPurchasePairs(s, d), LpRounds)
       .groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"), min("id").as("min_member"))
       .orderBy(col("n_members").desc, col("community"))
@@ -775,5 +794,84 @@ object Graph {
       if (i % 2 == 0 || i == rounds) lbl = lbl.localCheckpoint()
     }
     lbl
+  }
+
+  /** g09: MODULARITY of the g08 partition — the graph family's EVAL
+    * entry (the d12/s10/s11/s19/x22 protocol applied to communities):
+    * Newman–Girvan modularity Q = Σ_c [e_c/m − (d_c/2m)²] of the
+    * SHIPPED label-propagation result over the SHIPPED rare-part
+    * co-purchase graph (one [[rareCoPurchasePairs]] construction,
+    * one [[labelPropagation]] kernel — the eval can never drift from
+    * the operator it grades). All in EXACT BIGINTs: per community,
+    * members, internal edges e_c, degree mass d_c, and the
+    * common-denominator numerator q_num = 4m·e_c − d_c² (Q's
+    * contribution × 4m²) — int64-safe while m < 2³⁰ undirected edges
+    * (|q_num| ≤ 4m²; at 100 TB partition the eval by community
+    * before summing, the counts stay exact). The per-community
+    * double contribution is ONE division of exact BIGINTs
+    * (bit-identical cross-engine, the d12/x11 convention). Global
+    * Q = Σ q_contrib; a partition no better than random reads ≈ 0,
+    * and GraphSpec pins the closed-form faces (two cliques ⇒
+    * Q = 1/2 − 1/(2·clique-edges... see spec), one clique ⇒ Q = 0).
+    *
+    * Scale shape: degree and label tables are node-sized; e_c is one
+    * join of the pair list against two label lookups (both shuffled
+    * on the SAME node key the LP rounds already used); everything
+    * else is per-community arithmetic.
+    */
+  val g09 = QueryDef(
+    "g09_modularity",
+    Some(s"""$duckLpChain,
+    deg AS (SELECT src AS id, count(*) AS degree FROM ue GROUP BY src),
+    mm AS (SELECT count(*) AS m FROM pairs),
+    dc AS (SELECT l.lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
+            CAST(sum(deg.degree) AS BIGINT) AS d_c
+           FROM l$LpRounds l JOIN deg ON deg.id = l.id GROUP BY l.lbl),
+    ec AS (SELECT la.lbl AS community, CAST(count(*) AS BIGINT) AS e_c
+           FROM pairs p JOIN l$LpRounds la ON la.id = p.src
+                        JOIN l$LpRounds lb ON lb.id = p.dst
+           WHERE la.lbl = lb.lbl GROUP BY la.lbl)
+    SELECT dc.community, dc.n_members,
+      CAST(coalesce(ec.e_c, 0) AS BIGINT) AS internal_edges,
+      dc.d_c AS degree_mass,
+      CAST(4 * mm.m * coalesce(ec.e_c, 0) - dc.d_c * dc.d_c AS BIGINT) AS q_num,
+      CAST(4 * mm.m * coalesce(ec.e_c, 0) - dc.d_c * dc.d_c AS DOUBLE)
+        / CAST(4 * mm.m * mm.m AS DOUBLE) AS q_contrib
+    FROM dc LEFT JOIN ec ON ec.community = dc.community CROSS JOIN mm
+    ORDER BY dc.community""")) { (s, d) =>
+    val pairs = rareCoPurchasePairs(s, d).persist()
+    val m = pairs.count()
+    modularity(pairs, labelPropagation(pairs, LpRounds), m)
+  }
+
+  /** The modularity readout on its own, spec-testable on hand-built
+    * graphs with closed-form Q: `pairs` one (src < dst) row per
+    * undirected edge, `lbl` the (id, lbl) partition, `m` the edge
+    * count. Returns one row per community ordered by community id.
+    */
+  private[operators] def modularity(pairs: org.apache.spark.sql.DataFrame,
+      lbl: org.apache.spark.sql.DataFrame, m: Long)
+      : org.apache.spark.sql.DataFrame = {
+    val deg = pairs.select(col("src").as("id"))
+      .unionByName(pairs.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val dc = lbl.join(deg, "id")
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"), sum("degree").as("d_c"))
+    val ec = pairs
+      .join(lbl.toDF("ida", "la"), col("src") === col("ida"))
+      .join(lbl.toDF("idb", "lb"), col("dst") === col("idb"))
+      .where(col("la") === col("lb"))
+      .groupBy(col("la").as("community"))
+      .agg(count(lit(1)).as("e_c"))
+    val qNum = lit(4L * m) * coalesce(col("e_c"), lit(0L)) -
+      col("d_c") * col("d_c")
+    dc.join(ec, Seq("community"), "left")
+      .select(col("community"), big(col("n_members")).as("n_members"),
+        big(coalesce(col("e_c"), lit(0L))).as("internal_edges"),
+        big(col("d_c")).as("degree_mass"),
+        big(qNum).as("q_num"),
+        (qNum.cast("double") / lit((4L * m * m).toDouble)).as("q_contrib"))
+      .orderBy("community")
   }
 }

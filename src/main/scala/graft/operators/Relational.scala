@@ -21,7 +21,7 @@ object Relational {
 
   def queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q33, q37, q39, q42, q43, q44,
-      q46, q48, q49, q50, q53, q54, q58, q59, q60, q61, q63)
+      q46, q48, q49, q50, q53, q54, q58, q59, q60, q61, q63, q64)
 
   /** FULL OUTER join with all three match classes live: customers are
     * filtered to positive balances so orders from excluded customers
@@ -1147,5 +1147,55 @@ object Relational {
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
     Tables.orders(s, d).createOrReplaceTempView("orders")
     s.sql(q61Sql)
+  }
+
+  /** q64: the TPC-H Q22 composition — "global sales opportunity":
+    * customers with an above-average positive account balance and no
+    * urgent order on file, counted per country code. The last classic
+    * subquery shape the q53/q54/q61/q63 family didn't cover: an
+    * UNCORRELATED scalar aggregate over a FILTERED subset of the
+    * same CTE gating the outer rows, composed with a correlated
+    * NOT EXISTS anti join. ONE SQL text shared verbatim with the
+    * oracle (the q53 discipline); two corpus adaptations keep every
+    * clause live: the country code derives from c_nationkey (no
+    * phone column here), and Q22's no-orders test becomes
+    * no-1-URGENT-orders (every customer in the driver data has
+    * orders — the unmodified predicate returns zero rows at every
+    * SF, the vacuous-success SPARK_GRAFT_ONLY rule). The
+    * above-average test multiplies through the count —
+    * `bal · n > Σbal` over exact DECIMALs — because a decimal AVG's
+    * result scale is engine-specific while the cross-multiplied
+    * comparison is exact in both.
+    *
+    * Plan: both scalar subqueries reduce to one-row broadcasts
+    * (q63's shape); NOT EXISTS rewrites to a left-anti join shuffled
+    * on custkey — at 100 TB that is one co-partitioned shuffle of
+    * customers against the orders key, the same clustering an
+    * order-history workload already maintains; the final per-code
+    * aggregate rides the anti join's output.
+    */
+  private val q64Sql =
+    """WITH cust AS (SELECT c_custkey,
+          CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+          CAST(c_nationkey % 7 AS BIGINT) AS cntrycode
+        FROM customer),
+      pos AS (SELECT sum(bal) AS s, count(*) AS n FROM cust
+        WHERE bal > 0 AND cntrycode IN (1, 2, 3, 4, 5))
+      SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+        CAST(sum(bal) AS DOUBLE) AS totacctbal
+      FROM cust
+      WHERE cntrycode IN (1, 2, 3, 4, 5)
+        AND bal * (SELECT n FROM pos) > (SELECT s FROM pos)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = cust.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+      GROUP BY cntrycode ORDER BY cntrycode"""
+
+  val q64 = QueryDef(
+    "q64_sales_opportunity",
+    Some(q64Sql)) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(q64Sql)
   }
 }

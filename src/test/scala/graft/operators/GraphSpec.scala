@@ -227,4 +227,53 @@ class GraphSpec extends SparkSpec {
     assert(rows.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
     assert(rows.map(_._3).distinct.length == rows.length)
   }
+
+  test("g09 modularity is closed-form exact: Q=1/2 on two cliques, Q=0 on one") {
+    import spark.implicits._
+    def q(rows: Array[org.apache.spark.sql.Row]): Double =
+      rows.map(_.getDouble(5)).sum
+    // two disjoint K3s with the perfect 2-community partition:
+    // m=6, each community e_c=3, d_c=6 → per-community contribution
+    // (4·6·3 − 36)/(4·36) = 1/4, Q = 1/2 — the disconnected-cliques
+    // maximum for equal halves
+    val two = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("src", "dst")
+    val lblTwo = Graph.labelPropagation(two, 3) // settles per-clique
+    val rTwo = Graph.modularity(two, lblTwo, 6L).collect()
+    assert(rTwo.length == 2)
+    rTwo.foreach { r =>
+      assert(r.getLong(1) == 3L && r.getLong(2) == 3L && r.getLong(3) == 6L)
+      assert(r.getLong(4) == 36L && r.getDouble(5) == 0.25)
+    }
+    assert(q(rTwo) == 0.5)
+    // one K4 as a single community: e_c = m, d_c = 2m → q_num =
+    // 4m² − 4m² = 0 → Q = 0 (a one-block partition is never better
+    // than random, however dense)
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val oneLbl = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)).toDF("id", "lbl")
+    val rOne = Graph.modularity(k4, oneLbl, 6L).collect()
+    assert(rOne.length == 1 && rOne.head.getLong(4) == 0L && q(rOne) == 0.0)
+  }
+
+  test("g09 corpus readout reconciles with g08's partition and the edge count") {
+    val rows = Graph.g09.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    // degree mass sums to 2m and internal edges never exceed m
+    val m2 = rows.map(_._4).sum
+    val mInternal = rows.map(_._3).sum
+    assert(m2 % 2 == 0 && mInternal <= m2 / 2)
+    // per-community identity: q_num = 4m·e_c − d_c², contribution is
+    // exactly q_num / 4m²
+    val m = m2 / 2
+    rows.foreach { case (_, _, ec, dc, qn, qc) =>
+      assert(qn == 4L * m * ec - dc * dc)
+      assert(qc == qn.toDouble / (4L * m * m).toDouble)
+    }
+    // LP genuinely beats a random partition (Q = 0): 0.12 on this
+    // tiny sf0.001 graph, 0.48 at sf0.1 — the floor pins the sign
+    // and real margin without overfitting the corpus size
+    assert(rows.map(_._6).sum > 0.05, s"Q = ${rows.map(_._6).sum}")
+  }
 }
