@@ -818,6 +818,53 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
     RetentionReport(expired, kept, files, bytes, remaining)
   }
 
+  /** REPAIR a manifested archive that fails its audit with EXTRA
+    * files only — the one finding class a machine may safely fix:
+    * `unexpected file` is exactly what a crash mid-[[compactArchive]]
+    * swap leaves (new files renamed in, old sources not yet deleted —
+    * the crash-safe direction, extras never loss), and deleting the
+    * un-manifested extras restores the audited state byte-for-byte.
+    * Every OTHER finding class is REFUSED: a missing or resized shard
+    * means data the manifest promised is gone or changed — deleting
+    * or re-manifesting over that would LAUNDER loss into a clean
+    * audit, so those need a human (or a re-land), never a repair
+    * call. Returns the repaired paths; re-audits after, and throws if
+    * the archive still fails (repair must not report success it
+    * didn't achieve).
+    */
+  def repairArchive(dest: String): Seq[String] = {
+    val root = new Path(dest)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val findings = verifyManifest(dest)
+    if (findings.isEmpty) return Seq.empty
+    val extras = findings.filter(_.startsWith("unexpected file: "))
+      .map(_.stripPrefix("unexpected file: "))
+    // extras inflate the recount, so a 'row drift' finding rides along
+    // with them — it is recomputed by the post-repair audit below,
+    // which throws if the drift was NOT the extras' doing. Everything
+    // else (missing/resized/manifest missing) is refused outright.
+    val nonRepairable = findings.filterNot(f =>
+      f.startsWith("unexpected file: ") ||
+        (extras.nonEmpty && f.startsWith("row drift:")))
+    if (nonRepairable.nonEmpty || extras.isEmpty)
+      throw new ArchiveException("upload", new IllegalStateException(
+        "refusing to repair: findings other than extra files need a human " +
+          s"(deleting/re-manifesting would launder them): ${findings.mkString("; ")}"))
+    stage("upload") {
+      extras.foreach { rel =>
+        val p = new Path(root, rel)
+        if (!fs.delete(p, false))
+          throw new ArchiveException("upload", new IllegalStateException(
+            s"extra file could not be removed: $p"))
+      }
+    }
+    val post = verifyManifest(dest)
+    if (post.nonEmpty)
+      throw new ArchiveException("upload", new IllegalStateException(
+        s"repair did not restore a clean audit: ${post.mkString("; ")}"))
+    extras.map(e => s"removed extra: $e")
+  }
+
   /** Reap crash-leaked staging residue under `root` — the periodic
     * policy [[writeSingleObject]]'s scaladoc promises: a hard driver
     * kill (no cleanup path runs) leaks a uniquely-named

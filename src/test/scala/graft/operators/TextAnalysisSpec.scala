@@ -69,6 +69,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("x28 batches disjoint local-maxima merges; round 1 contains x14's global argmax") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.x28.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq == (1L to rows.length).toSeq)
+    // the batching is REAL: some round selects more than one merge
+    val byRound = rows.groupBy(_._2)
+    assert(byRound.values.exists(_.length > 1),
+      s"every round selected one pair — no batching happened: $byRound")
+    // within each round, selected pairs are pairwise symbol-DISJOINT —
+    // the property that makes one-pass application exact
+    byRound.foreach { case (round, b) =>
+      val syms = b.flatMap(p => Seq(p._3, p._4))
+      assert(syms.distinct.length == syms.length,
+        s"round $round selected symbol-sharing pairs: $b")
+    }
+    // the global argmax beats every pair, in particular its
+    // symbol-neighbors ⇒ x14's first merge is always in batch 1
+    val first14 = TextAnalysis.x14.fn(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2))).head
+    assert(byRound(1L).exists(p => (p._3, p._4) == first14),
+      s"round 1 ${byRound(1L).toSeq} missing x14's argmax $first14")
+    // within-round counts are not above the round's opening maximum
+    byRound.foreach { case (_, b) =>
+      val cs = b.sortBy(_._1).map(_._5)
+      assert(cs.toSeq == cs.sorted.reverse.toSeq)
+    }
+  }
+
   test("x15 tokenization compresses: tokens <= chars, ratio >= 1 for non-empty docs") {
     val rows = TextAnalysis.x15.fn(spark, "/root/testdata/sf0.001").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
