@@ -21,7 +21,7 @@ object Relational {
 
   def queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q33, q37, q39, q42, q43, q44,
-      q46, q48, q49, q50, q53, q54, q58, q59, q60, q61, q63, q64)
+      q46, q48, q49, q50, q53, q54, q58, q59, q60, q61, q63, q64, q65)
 
   /** FULL OUTER join with all three match classes live: customers are
     * filtered to positive balances so orders from excluded customers
@@ -1197,5 +1197,68 @@ object Relational {
     Tables.customer(s, d).createOrReplaceTempView("customer")
     Tables.orders(s, d).createOrReplaceTempView("orders")
     s.sql(q64Sql)
+  }
+
+  /** q65: the TPC-H Q8 composition — NATIONAL MARKET SHARE: of all
+    * ECONOMY-part revenue sold into AMERICA-region customers' orders
+    * in 1995–1996, what fraction came from NATION_3's suppliers, per
+    * order year. The biggest classic join composition expressible on
+    * this corpus: an EIGHT-table star (part, supplier, lineitem,
+    * orders, customer, nation×2 — the same dimension joined on two
+    * different roles — region) under a conditional-share aggregation.
+    * ONE SQL text shared verbatim with the oracle (the q53/q61/q64
+    * discipline). Determinism: revenue sums ride the q01 exact-
+    * decimal chain (price and discount each cast DECIMAL before the
+    * multiply, summed exactly); the share is ONE IEEE division of
+    * two decimal-exact-then-double values — a decimal division's
+    * result scale would be engine-specific, the double division is
+    * bit-identical.
+    *
+    * Plan: Catalyst orders the star around the lineitem fact — the
+    * part/type filter and the date range prune the fact side early,
+    * every dimension (part after its filter, supplier, customer,
+    * both nation roles, region) broadcasts, so at 100 TB this is ONE
+    * pass over the pruned fact partition range with zero fact
+    * shuffles before the two-row final aggregate (q49's star shape
+    * with a second dimension role added).
+    */
+  private val q65Sql =
+    """SELECT o_year,
+      CAST(sum(volume) AS DOUBLE) AS mkt_volume,
+      CAST(sum(nation_volume) AS DOUBLE) AS nation_volume,
+      CAST(sum(nation_volume) AS DOUBLE) / CAST(sum(volume) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+          (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))) AS volume,
+        CASE WHEN n2.n_name = 'NATION_3'
+             THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                  (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))
+             ELSE CAST(0 AS DECIMAL(12,2)) END AS nation_volume
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'AMERICA'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        AND p.p_type = 'ECONOMY')
+    GROUP BY o_year ORDER BY o_year"""
+
+  val q65 = QueryDef(
+    "q65_market_share",
+    Some(q65Sql)) { (s, d) =>
+    Tables.part(s, d).createOrReplaceTempView("part")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    Tables.region(s, d).createOrReplaceTempView("region")
+    s.sql(q65Sql)
   }
 }

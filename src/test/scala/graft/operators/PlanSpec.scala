@@ -18,6 +18,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q65: the 8-table star broadcasts every dimension role — one fact pass, no fact shuffle before the agg") {
+    val p = plan("q65_market_share")
+    // part (filtered), supplier, orders?, customer, nation×2, region —
+    // at least six broadcast joins; the fact side never hash-exchanges
+    // except into the 2-row final aggregate
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 6, s"\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"star dims must broadcast:\n${p.take(1200)}")
+  }
+
   test("q02: filters and pruning reach the parquet scan") {
     val p = plan("q02_filter_project")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
