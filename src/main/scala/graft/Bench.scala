@@ -66,25 +66,18 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
     val archiveNames = Set("archive_lineitem_csv_sharded", "archive_lineitem_csv_single")
     val (selected, selectedArchives) = SparkEntry.selected(only, archiveNames)
-    // Committed quiet-box steady-states (docs/BUDGET.json, the same
-    // snapshot BudgetLintSpec lints) anchor the sustained-contention
-    // arbitration below; a missing file or entry (operators newer than
-    // the last snapshot) simply means no anchor for that name. Same
-    // minimal no-lib parse as BudgetLintSpec.
-    val committed: Map[String, Double] = {
-      val p = java.nio.file.Paths.get("docs/BUDGET.json")
-      if (!java.nio.file.Files.exists(p)) Map.empty
-      else "\"queries\":\\{([^}]*)\\}".r
-        .findFirstMatchIn(java.nio.file.Files.readString(p)).map(_.group(1))
-        .map(_.split(",").flatMap { kv =>
-          kv.split(":") match {
-            case Array(k, v) =>
-              try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
-              catch { case _: NumberFormatException => None }
-            case _ => None
-          }
-        }.toMap).getOrElse(Map.empty)
-    }
+    // Committed quiet-box steady-states (docs/BUDGET.json, via the
+    // BudgetSnapshot parser BudgetLintSpec shares) anchor the
+    // sustained-contention arbitration below. The anchor only applies
+    // at the snapshot's own scale factor: at a larger SF every entry
+    // legitimately exceeds its sf0.1 value and the 3× trigger would
+    // fire on ALL of them, doubling the run for no signal. A missing
+    // file or entry (operators newer than the last snapshot) simply
+    // means no anchor for that name.
+    val committed: Map[String, Double] =
+      if (sfDir.stripSuffix("/").endsWith(BudgetSnapshot.SnapshotSfDir))
+        BudgetSnapshot.perQuery()
+      else Map.empty
     val queryResults = selected.map { case (name, fn) =>
       // benchmark integrity: queries like d03/x07 cache their shingle
       // tables and d06/d07 reuse d03's entry via plan matching — clear

@@ -684,25 +684,55 @@ object MultimodalOps {
       .orderBy("asset_id")
   }
 
+  /** One memoized decode-metrics PLAN per (catalog, content) —
+    * without the memo, each [[curatedImageMetrics]] call would build
+    * a FRESH mapPartitions closure, whose function identity defeats
+    * CacheManager's sameResult match, so m13 then c04 in one session
+    * would decode the corpus twice and pin two duplicate cache
+    * entries. The memo stores the UNCACHED frame; the caller
+    * re-`persist()`s it per use (idempotent when already cached),
+    * because a harness clearCache UNREGISTERS cache entries — a
+    * memoized pre-cached plan would silently degrade to re-decoding
+    * per branch after the first clearCache.
+    */
+  private val imageMetricsMemo =
+    new graft.engine.CatalogMemo[org.apache.spark.sql.DataFrame]
+
   /** m13's curation chain over ONE CACHED decode pass, shared with
     * the c04 landing capstone: decode-derived metrics → exact phash
     * collapse → near-dup keep-lowest over the GROUP table → entropy
     * gate. Returns the curated frame WITH n_px so consumers derive
     * their own views (m13 the per-asset verdict table, c04 the
-    * landed archive + per-codec report). The cache is what makes the
-    * "one decode pass" claim literal: every downstream branch —
+    * landed archive + per-codec report). The persist is what makes
+    * the "one decode pass" claim literal: every downstream branch —
     * banding legs, drop anti join, landing, report — reads the
     * materialized metrics, never the codec path again (PipelineSpec
-    * pins it). Cache lifetime owned by the harness clearCache, as
-    * with c01's attribute frame.
+    * pins it); the memo above extends the sharing ACROSS operators.
+    * Cache-block lifetime owned by the harness clearCache, as with
+    * c01's attribute frame.
     */
   private[graft] def curatedImageMetrics(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
+    val ck = graft.engine.CatalogMemo.contentKey(
+      d, s.sparkContext.hadoopConfiguration)
+    val metrics = imageMetricsMemo.get(s.sharedState, ck).getOrElse {
+      val frame = buildImageMetrics(s, d)
+      imageMetricsMemo.put(s.sharedState, ck, frame)
+      frame
+    }
+    metrics.persist() // idempotent; re-registers after any clearCache
+    curateFromMetrics(metrics)
+  }
+
+  /** The raw decode pass: ONE mapPartitions yields every downstream
+    * metric — codec, dims, perceptual hash, entropy — so curation
+    * never re-decodes. UNCACHED by design (see [[imageMetricsMemo]]).
+    */
+  private def buildImageMetrics(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val ln = M10LnNano.toArray
-    // ONE decode pass yields every downstream metric — codec, dims,
-    // perceptual hash, entropy — so curation never re-decodes
-    val metrics = graft.multimodal.MultimodalPipeline.imageAssets(s, d)
+    graft.multimodal.MultimodalPipeline.imageAssets(s, d)
       .mapPartitions { it =>
         it.flatMap { a =>
           graft.multimodal.ImageCodecs.decodeImage(a.data, 0, a.data.length)
@@ -734,7 +764,14 @@ object MultimodalOps {
         }
       }
       .toDF("asset_id", "codec", "width", "height", "phash", "ent_nano", "n_px")
-      .cache()
+  }
+
+  /** collapse → near-dup prune → entropy gate over a (persisted)
+    * metrics frame — cheap derivations rebuilt per call; the
+    * expensive operand is the shared memoized metrics plan.
+    */
+  private def curateFromMetrics(
+      metrics: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     // (1) exact perceptual collapse: lowest-id rep carries its metrics
     val grp = metrics.groupBy("phash")
       .agg(min_by(struct(col("asset_id"), col("codec"), col("width"),

@@ -972,13 +972,18 @@ object TextAnalysis {
   /** The LOCAL-MAXIMA batch selection: a pair survives iff it beats —
     * by (count DESC, w1, w2), a strict total order — every other pair
     * sharing one of its symbols. Survivors are therefore pairwise
-    * symbol-DISJOINT (two sharing pairs can't both be maximal), so
-    * the whole batch applies in one pass with NO interaction: merging
-    * (a,b)→"ab" can neither create nor destroy an occurrence of a
-    * disjoint (c,d) — the new token is a new symbol and merges never
-    * bring other tokens adjacent. One narrow explode + one equi-join
-    * on the shared symbol + one anti join; per-symbol neighbor count
-    * is bounded by the adjacent-symbol alphabet, so no skewed key.
+    * symbol-DISJOINT (two sharing pairs can't both be maximal), which
+    * makes the batch's SIMULTANEOUS application well-defined
+    * ([[BpeKernel.applyBatch]] — matches marked against the pre-round
+    * sequence only, the oracle's exact semantics; adjacent matches of
+    * two different pairs would share the middle symbol, so the only
+    * overlap case is the self-run). Note disjointness of the symbol
+    * STRINGS does NOT make sequential per-rule application safe — an
+    * earlier rule's output token can equal a later rule's symbol —
+    * which is why application is batched, not folded. One narrow
+    * explode + one equi-join on the shared symbol + one anti join;
+    * per-symbol neighbor count is bounded by the adjacent-symbol
+    * alphabet, so no skewed key.
     */
   private def bpeLocalMaxima(
       pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -1085,9 +1090,12 @@ object TextAnalysis {
           out += ((rank, round.toLong, r.getString(0), r.getString(1), r.getLong(2)))
           rank += 1
         }
-        // disjoint ⇒ order-free; applied in rank order for determinism
-        val rules = sel.map(r => (r.getString(0), r.getString(1))).toList
-        cur = cur.map { case (ts, n) => (BpeKernel.applyAll(ts, rules), n) }
+        // SIMULTANEOUS application against the pre-round sequence
+        // (applyBatch) — a sequential fold could let one rule's output
+        // token feed another rule whose symbol equals the
+        // concatenation, diverging from the oracle's pre-round marking
+        val rules = sel.map(r => (r.getString(0), r.getString(1))).toSet
+        cur = cur.map { case (ts, n) => (BpeKernel.applyBatch(ts, rules), n) }
           .localCheckpoint(true)
       }
     }
@@ -1941,6 +1949,31 @@ object BpeKernel {
 
   def applyAll(ts: Array[String], merges: List[(String, String)]): Array[String] =
     merges.foldLeft(ts) { case (cur, (a, b)) => applyMerge(cur, a, b) }
+
+  /** Apply a BATCH of merges SIMULTANEOUSLY — one greedy left-to-right
+    * pass marking matches against the ORIGINAL sequence only, exactly
+    * the oracle's gaps-and-islands semantics. This is NOT equivalent
+    * to folding [[applyMerge]] over the batch: sequential application
+    * lets an earlier rule's OUTPUT token feed a later rule whose
+    * symbol happens to equal the concatenation (e.g. (\"ab\",\"c\")
+    * then (\"abc\",\"d\") — string-disjoint, yet the first merge
+    * manufactures \"abc\" tokens the second would then consume),
+    * which the pre-round marking never does. Adjacent matches of two
+    * DIFFERENT pairs still cannot occur (they would share the middle
+    * symbol — excluded by local-maxima disjointness), so the greedy
+    * scan's only overlap case remains the self-run (a,a), handled by
+    * the skip-after-merge exactly like the oracle's odd-island rule.
+    */
+  def applyBatch(ts: Array[String], merges: Set[(String, String)]): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](ts.length)
+    var i = 0
+    while (i < ts.length) {
+      if (i + 1 < ts.length && merges.contains((ts(i), ts(i + 1)))) {
+        out += ts(i) + ts(i + 1); i += 2
+      } else { out += ts(i); i += 1 }
+    }
+    out.toArray
+  }
 
   /** Split by Unicode CODE POINT — the unit Spark's `substring(w,i,1)`
     * (training) and DuckDB's `w[i]` (oracle) both use; a UTF-16 char

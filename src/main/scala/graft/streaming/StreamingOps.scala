@@ -698,9 +698,31 @@ object StreamingOps {
     * double-counting. The baseline's own aggregate lands ONCE as
     * `delta-base` before the stream starts (also overwrite — a
     * restart re-derives the identical rows).
+    *
+    * Idempotent naming covers same-batchId replays WITHIN one
+    * checkpointed run; a RESTART is only consistent if batch ids
+    * continue — so pass `checkpoint` (the q43/applyChangelog
+    * recovery contract) and the restarted query resumes offsets with
+    * prior deltas intact. Without one, Spark restarts from batch 0
+    * with possibly different batch boundaries, so setup DELETES the
+    * prior run's numeric deltas (never `delta-base`): the fresh run
+    * re-derives the full ledger rather than double-counting stale
+    * batches from a dead numbering.
     */
-  def diffStream(newRows: DataFrame, old: DataFrame,
-      ledgerDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+  def diffStream(newRows: DataFrame, old: DataFrame, ledgerDir: String,
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    if (checkpoint.isEmpty) {
+      val dir = new java.io.File(ledgerDir)
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.matches("delta-\\d+"))
+        .foreach { f =>
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).getOrElse(Array.empty).foreach(rm); x.delete(); ()
+          }
+          rm(f)
+        }
+    }
     // baseline: every old key opens in 'removed' (nothing has arrived)
     old.groupBy()
       .agg(count(lit(1)).as("dn"), expr("bit_xor(key)").as("dkx"),
@@ -709,7 +731,9 @@ object StreamingOps {
         col("doc"), col("dnc"))
       .where(col("dn") > 0)
       .write.mode("overwrite").parquet(s"$ledgerDir/delta-base")
-    newRows.writeStream
+    val writer = checkpoint.foldLeft(newRows.writeStream)(
+      (w, c) => w.option("checkpointLocation", c))
+    writer
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val moves = batch.as("b")

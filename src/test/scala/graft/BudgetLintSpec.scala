@@ -56,23 +56,12 @@ class BudgetLintSpec extends AnyFunSuite {
     // c01 justification removed round 6: the capstone's steady state
     // fell under budget once its g/d-family inputs got cheaper.
 
+  // ONE parser definition ([[BudgetSnapshot]]) shared with Bench's
+  // sustained-contention anchor — the two consumers of BUDGET.json
+  // must never drift on the file's shape
   private def snapshot(): Option[Map[String, Double]] = {
-    val p = java.nio.file.Paths.get("docs/BUDGET.json")
-    if (!java.nio.file.Files.exists(p)) None
-    else {
-      val txt = java.nio.file.Files.readString(p)
-      // minimal parse of the one-line bench JSON: "name":seconds pairs
-      // inside the "queries" object (no JSON lib in the build)
-      val q = "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(txt).map(_.group(1))
-      q.map(_.split(",").flatMap { kv =>
-        kv.split(":") match {
-          case Array(k, v) =>
-            try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
-            catch { case _: NumberFormatException => None }
-          case _ => None
-        }
-      }.toMap)
-    }
+    val m = BudgetSnapshot.perQuery()
+    if (m.isEmpty) None else Some(m)
   }
 
   test("every justified name is a live registry entry (stale justifications must go)") {

@@ -52,6 +52,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m("a", "b", "b")("a", "b") == Seq("ab", "b"))
   }
 
+  test("BpeKernel.applyBatch marks against the ORIGINAL sequence — no output-token feeding") {
+    def b(ts: String*)(ms: (String, String)*): Seq[String] =
+      BpeKernel.applyBatch(ts.toArray, ms.toSet).toSeq
+    // the concat-collision case: ("a","b") and ("ab","c") are
+    // string-disjoint, but a sequential fold would manufacture "ab"
+    // and then consume it with the second rule ⇒ ["abc"]. The batch
+    // semantics (the oracle's) marks on the pre-round tokens only.
+    assert(b("a", "b", "c")(("a", "b"), ("ab", "c")) == Seq("ab", "c"))
+    assert(BpeKernel.applyAll(Array("a", "b", "c"),
+      List(("a", "b"), ("ab", "c"))).toSeq == Seq("abc"), "fold MUST differ here")
+    // a pre-existing "ab" token is a legitimate match for ("ab","c")
+    assert(b("ab", "c", "a", "b")(("a", "b"), ("ab", "c")) == Seq("abc", "ab"))
+    // self-run greediness matches applyMerge
+    assert(b("a", "a", "a")(("a", "a")) == Seq("aa", "a"))
+    // two disjoint rules merge independently in one pass
+    assert(b("a", "b", "c", "d")(("a", "b"), ("c", "d")) == Seq("ab", "cd"))
+  }
+
   test("x14 learns deterministic merges with non-increasing selection counts") {
     val rows = TextAnalysis.x14.fn(spark, "/root/testdata/sf0.001").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))

@@ -646,6 +646,24 @@ class StreamingSpec extends SparkSpec {
     // all four reconciliation classes genuinely live on this corpus
     assert(expect.map(_.head).toSet ==
       Set("added", "removed", "changed", "unchanged"))
+    // un-checkpointed RESTART on the SAME ledger dir: batch ids start
+    // over with different boundaries, so setup must clear the dead
+    // run's numeric deltas — the ledger equals batch q60 again rather
+    // than double-counting delta-1/delta-2 of the first numbering
+    val ledger = java.nio.file.Files
+      .createTempDirectory("graft-diff-restart").toString + "/ledger"
+    def runOn(splits: Seq[Seq[(Long, Long)]]): Seq[Seq[Any]] = {
+      val input = MemoryStream[(Long, Long)]
+      val q = StreamingOps.diffStream(
+        input.toDS().toDF("key", "cents"), oldS, ledger)
+      try splits.foreach { s => input.addData(s); q.processAllAvailable() }
+      finally q.stop()
+      StreamingOps.diffLedger(spark, ledger).collect().map(_.toSeq).toSeq
+    }
+    runOn(Seq(newRows.slice(0, n / 3),
+      newRows.slice(n / 3, 2 * n / 3), newRows.slice(2 * n / 3, n)))
+    assert(runOn(Seq(newRows)) == expect,
+      "restart over a stale 3-batch ledger must re-derive, not double-count")
   }
 
   test("enrich broadcasts a small static dimension on batch (plan-asserted)") {
