@@ -30,7 +30,7 @@ object Dedup {
 
   def queries: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d15, d16)
+      d15, d16, d17)
 
   /** DuckDB CTE for distinct 3-token shingles per document — the
     * oracle-side counterpart of the Spark-side native
@@ -1311,5 +1311,69 @@ object Dedup {
           .otherwise(col("n_cand_true").cast("double") / col("n_cand").cast("double"))
           .as("cand_precision"))
       .orderBy("rows_per_band")
+  }
+
+  /** d17: CONTAINMENT near-dup detection — pairs where the SMALLER
+    * shingle set is mostly inside the larger one: i / min(|A|, |B|) ≥
+    * 0.8 over the df-capped distinct-3-gram sets.
+    * The asymmetric complement of d03/d08's Jaccard: a snippet quoted
+    * inside a long page scores near-zero Jaccard (the union is huge)
+    * but containment ≈ 1 — exactly the doc-inside-doc duplication
+    * (quotes, aggregator pages, concatenated dumps) resemblance-based
+    * dedup misses by construction (Broder 1997 distinguishes the two
+    * measures for this reason). Output keeps both set sizes so the
+    * direction (who contains whom) is read off n_a vs n_b.
+    *
+    * Determinism: the threshold test is EXACT — `10·i ≥ 8·min(n_a,
+    * n_b)` in BIGINT (the e25/x18 cleared-denominator discipline);
+    * the reported containment is ONE IEEE division of exact integers.
+    *
+    * Scale shape: d08's skew-valved inverted-index self-join verbatim
+    * — hot shingles (df > [[DfCap]]) leave the index BEFORE the join
+    * via a broadcast anti join, bounding every join bucket at df ≤
+    * cap rows, so the pair enumeration is Σ df² over CAPPED dfs,
+    * never quadratic in a hot key. The df cap is also semantics here
+    * (shared boilerplate shingles shouldn't vote for containment);
+    * at real scale it is set relative to corpus size (df ≤ ε·N).
+    */
+  val d17 = QueryDef(
+    "d17_containment",
+    Some(s"""$gramCte,
+      df AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
+      kept AS (SELECT doc_id, grams.g FROM grams JOIN df ON grams.g = df.g WHERE df <= $DfCap),
+      cnt AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+      inter AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS i
+                FROM kept x JOIN kept y ON x.g = y.g AND x.doc_id < y.doc_id
+                GROUP BY 1, 2)
+      SELECT da, db, CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+        CAST(i AS BIGINT) AS n_shared,
+        CAST(i AS DOUBLE) / least(ca.n, cb.n) AS containment
+      FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+      WHERE i * 10 >= least(ca.n, cb.n) * 8
+      ORDER BY da, db""")) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val g = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr("shingle_hashes(text, 3)")).as("g"))
+      .cache()
+    val hot = g.groupBy("g").agg(count(lit(1)).as("df"))
+      .where(col("df") > DfCap).select("g")
+    val kept = g.join(broadcast(hot), Seq("g"), "left_anti")
+    val n = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = kept.as("x").join(kept.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    // count lookups ride the post-aggregation pair table, UNHINTED
+    // (the jaccardFrom policy: AQE broadcasts n while it is small)
+    inter
+      .join(n.as("na"), col("da") === col("na.doc_id"))
+      .join(n.as("nb"), col("db") === col("nb.doc_id"))
+      .where(col("i") * 10 >= least(col("na.n"), col("nb.n")) * 8)
+      .select(col("da"), col("db"),
+        col("na.n").as("n_a"), col("nb.n").as("n_b"),
+        col("i").as("n_shared"),
+        (col("i").cast("double") / least(col("na.n"), col("nb.n")))
+          .as("containment"))
+      .orderBy("da", "db")
   }
 }

@@ -22,7 +22,7 @@ object EventWindows {
 
   def queries: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
-      e15, e16, e17, e18, e19, e20, e21, e22, e23, e24)
+      e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25)
 
   /** e14: watermark / late-event accounting — the batch twin of the
     * bookkeeping every Structured Streaming job does implicitly
@@ -1224,6 +1224,68 @@ object EventWindows {
       .select(col("event_id"), col("user_id"), col("ts_us"), col("cents"),
         col("s_cents"))
       .orderBy("event_id")
+  }
+
+  /** e25: BURST DETECTION — per-user activity hours whose event count
+    * exceeds the user's mean active-hour rate by more than 3σ. The
+    * static-threshold dual of e23's CUSUM (which catches slow drift;
+    * a burst is the opposite shape — one hour of anomalous volume:
+    * scraping, replay attacks, runaway clients — the per-entity rate
+    * anomaly every ingestion pipeline screens for). Contract: the
+    * baseline is the user's OBSERVED ACTIVE hours (zero-event hours
+    * contribute nothing — a sparse user's quiet hours don't dilute
+    * σ), and users with a single active hour have no variance to test
+    * and are excluded.
+    *
+    * Determinism — the g06/x18 exact-integer discipline applied to a
+    * variance test: `cnt > μ + 3σ` is evaluated ENTIRELY in BIGINT by
+    * clearing denominators and squaring the (guaranteed non-negative)
+    * deviation — `cnt·n > S` first, then `(cnt·n − S)² > 9·(n·Q − S²)`
+    * with S = Σcnt, Q = Σcnt², n = active hours. No float ever enters
+    * the predicate; the reported mean is ONE IEEE division of exact
+    * integers. Overflow bound: the squared term needs (cnt·n)² <
+    * 2⁶³ — safe to ~3M events/user-hour at ~1k active hours; beyond
+    * that scale the counts first (the g01 MassUnit argument).
+    *
+    * Scale shape: two partial+final aggregations (events → hour
+    * counts → per-user moments) and one node-sized join back, all on
+    * the user_id key — ONE shuffle family end-to-end, no windows, no
+    * sorts until the presentation ORDER BY. At 100 TB the hour-count
+    * aggregation is the only fact-sized stage, and it combines
+    * map-side.
+    */
+  private val HourUs = 3600000000L
+
+  val e25 = QueryDef(
+    "e25_burst_detect",
+    Some(s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+      hc AS (SELECT user_id, ts_us - ts_us % $HourUs AS hour_us,
+             CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1, 2),
+      st AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cnt) AS BIGINT) AS s, CAST(sum(cnt*cnt) AS BIGINT) AS q
+             FROM hc GROUP BY 1)
+      SELECT h.user_id, h.hour_us, h.cnt, st.n AS n_hours,
+        CAST(st.s AS DOUBLE) / st.n AS mean_cnt
+      FROM hc h JOIN st ON h.user_id = st.user_id
+      WHERE st.n >= 2 AND h.cnt * st.n > st.s
+        AND (h.cnt * st.n - st.s) * (h.cnt * st.n - st.s)
+              > 9 * (st.n * st.q - st.s * st.s)
+      ORDER BY h.user_id, h.hour_us""")) { (s, d) =>
+    val hc = Tables.events(s, d)
+      .select(col("user_id"), (col("ts_us") - col("ts_us") % HourUs).as("hour_us"))
+      .groupBy("user_id", "hour_us")
+      .agg(count(lit(1)).as("cnt"))
+    val st = hc.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("cnt").as("s"),
+        sum(col("cnt") * col("cnt")).as("q"))
+    val dev = col("cnt") * col("n") - col("s")
+    hc.join(st, Seq("user_id"))
+      .where(col("n") >= 2 && dev > 0 &&
+        dev * dev > lit(9L) * (col("n") * col("q") - col("s") * col("s")))
+      .select(col("user_id"), col("hour_us"), col("cnt"),
+        col("n").as("n_hours"),
+        (col("s").cast("double") / col("n")).as("mean_cnt"))
+      .orderBy("user_id", "hour_us")
   }
 
 }

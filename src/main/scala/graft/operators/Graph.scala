@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  def queries: Seq[QueryDef] = Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09)
+  def queries: Seq[QueryDef] =
+    Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, g10)
 
   /** Offset that moves supplier ids into their own node-id space;
     * must exceed every custkey at any SF this runs at locally. At
@@ -285,10 +286,16 @@ object Graph {
     * surface (chiv.go:96–140 delegates relational work to its RDBMS);
     * this is pipeline capability beyond it.
     */
-  val g03 = QueryDef(
-    "g03_triangle_count",
-    Some(s"""${Dedup.gramCte},
-      cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+  /** The g03 oracle's shared WITH-chain over `grams` (from
+    * [[Dedup.gramCte]]): similarity edges → degrees → degree-ordered
+    * orientation → triangles → per-node counts, ending with `deg` and
+    * `pern` in scope. g03 reads the triangle counts from it; g10's
+    * clustering coefficient grades the SAME chain, so the two
+    * readouts provably score one graph (the g08/g09 sharing
+    * discipline).
+    */
+  private val triChainCte =
+    """cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
       inter AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS i
                 FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
                 GROUP BY 1, 2),
@@ -311,12 +318,69 @@ object Graph {
                    JOIN oe e3 ON e3.src = e1.src AND e3.dst = e2.dst),
       pern AS (SELECT id, count(*) AS n_triangles FROM (
         SELECT a AS id FROM tri UNION ALL SELECT b AS id FROM tri
-        UNION ALL SELECT c AS id FROM tri) GROUP BY 1)
+        UNION ALL SELECT c AS id FROM tri) GROUP BY 1)"""
+
+  val g03 = QueryDef(
+    "g03_triangle_count",
+    Some(s"""${Dedup.gramCte},
+      $triChainCte
       SELECT pern.id AS doc_id, deg.degree, pern.n_triangles
       FROM pern JOIN deg ON deg.id = pern.id
       ORDER BY n_triangles DESC, doc_id""")) { (s, d) =>
     triangleCounts(simEdges(s, d))
       .orderBy(col("n_triangles").desc, col("doc_id"))
+  }
+
+  /** g10: LOCAL CLUSTERING COEFFICIENT over the d03 document-
+    * similarity graph — the normalized form of g03's raw triangle
+    * counts: lcc(v) = T(v) / C(deg(v), 2), the fraction of a node's
+    * neighbor pairs that are themselves connected (Watts & Strogatz
+    * 1998). This is the per-node readout the g03 scaladoc motivates
+    * but doesn't emit: a doc with lcc ≈ 1 sits inside a closed
+    * duplicate clique (collapse-safe), one with high degree but
+    * lcc ≈ 0 is a boilerplate hub stitching unrelated texts — the
+    * normalization is what makes the two separable at a glance, and
+    * unlike g03 it also SURFACES the zero-triangle hubs (g03's inner
+    * join drops them; the left join here is the point). Nodes of
+    * degree 1 have no wedge to close and are excluded by contract.
+    *
+    * Determinism: triangles and degrees are exact BIGINT counts;
+    * n_wedges = deg·(deg−1) DIV 2 is exact integer arithmetic; lcc is
+    * ONE IEEE division of the two exact integers (the g06 aa_score
+    * discipline). Oracle: the SAME [[triChainCte]] chain as g03, so
+    * the coefficient provably grades g03's graph.
+    *
+    * Scale shape: everything up to `pern` is g03's O(m^{3/2})
+    * degree-ordered enumeration (one memoized edge operand, see
+    * [[simEdges]]); the readout adds one node-sized left join — no
+    * new fact-sized work.
+    */
+  val g10 = QueryDef(
+    "g10_clustering_coef",
+    Some(s"""${Dedup.gramCte},
+      $triChainCte
+      SELECT deg.id AS doc_id, CAST(deg.degree AS BIGINT) AS degree,
+        CAST(coalesce(pern.n_triangles, 0) AS BIGINT) AS n_triangles,
+        CAST((deg.degree * (deg.degree - 1)) // 2 AS BIGINT) AS n_wedges,
+        CAST(coalesce(pern.n_triangles, 0) AS DOUBLE)
+          / ((deg.degree * (deg.degree - 1)) // 2) AS lcc
+      FROM deg LEFT JOIN pern ON pern.id = deg.id
+      WHERE deg.degree >= 2
+      ORDER BY doc_id""")) { (s, d) =>
+    val e = simEdges(s, d)
+    val deg = e.select(col("da").as("id"))
+      .unionByName(e.select(col("db").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val tri = triangleCounts(e)
+      .select(col("doc_id").as("id"), col("n_triangles"))
+    deg.where(col("degree") >= 2)
+      .join(tri, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        expr("(degree * (degree - 1)) DIV 2").as("n_wedges"),
+        (coalesce(col("n_triangles"), lit(0L)).cast("double") /
+          expr("(degree * (degree - 1)) DIV 2")).as("lcc"))
+      .orderBy("doc_id")
   }
 
   /** g04: K-CORE PEELING over the d03 similarity graph — the third

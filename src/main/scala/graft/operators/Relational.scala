@@ -21,7 +21,8 @@ object Relational {
 
   def queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q33, q37, q39, q42, q43, q44,
-      q46, q48, q49, q50, q53, q54, q58, q59, q60, q61, q63, q64, q65)
+      q46, q48, q49, q50, q53, q54, q58, q59, q60, q61, q63, q64, q65,
+      q66, q67, q68, q69)
 
   /** FULL OUTER join with all three match classes live: customers are
     * filtered to positive balances so orders from excluded customers
@@ -1260,5 +1261,171 @@ object Relational {
     Tables.nation(s, d).createOrReplaceTempView("nation")
     Tables.region(s, d).createOrReplaceTempView("region")
     s.sql(q65Sql)
+  }
+
+  /** q66: the TPC-H Q17 composition — SMALL-QUANTITY-ORDER REVENUE:
+    * the average yearly revenue that would be lost if orders below
+    * 20% of a part's average order quantity were no longer filled.
+    * The signature shape is a CORRELATED SCALAR AGGREGATE over the
+    * SAME FACT TABLE being scanned — Catalyst decorrelates it into a
+    * per-partkey aggregate joined back to the filtered fact rows, so
+    * the plan is two passes over the lineitem key range (one to build
+    * per-part averages, one for the probe side), never a per-row
+    * subquery execution. ONE SQL text shared verbatim with the oracle
+    * (the q53/q61/q64 discipline).
+    *
+    * Determinism: `l_quantity` is integral-valued doubles (1..50), so
+    * its sums stay exact integers < 2^53 at any summation order in
+    * both engines; `avg` is that exact sum over an exact count — one
+    * IEEE division — and `0.2 * avg` one IEEE multiply, bit-identical
+    * cross-engine. The revenue sum rides the q01 exact-decimal chain
+    * (DECIMAL(12,2) sum → one cast to double → one division by 7.0).
+    *
+    * Plan at 100 TB: the part filter broadcasts (brand+size prunes
+    * ~0.5% of parts); the decorrelated per-part aggregate shuffles
+    * lineitem once on l_partkey and the probe side reuses that same
+    * clustering — two scans, one shuffle key, no row-at-a-time
+    * subqueries anywhere.
+    */
+  private val q66Sql =
+    """SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+          / 7.0 AS avg_yearly
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#16' AND p.p_size <= 25
+        AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+              FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)"""
+
+  val q66 = QueryDef(
+    "q66_small_qty_revenue",
+    Some(q66Sql)) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.part(s, d).createOrReplaceTempView("part")
+    s.sql(q66Sql)
+  }
+
+  /** q67: the TPC-H Q13 composition — CUSTOMER ORDER-COUNT
+    * DISTRIBUTION: how many customers have 0, 1, 2, … qualifying
+    * orders. The distinctive shape is a GROUP BY OF A GROUP BY with a
+    * LEFT OUTER join whose predicate lives IN THE JOIN CONDITION (not
+    * the WHERE clause — moving it would silently drop the zero-order
+    * customers the query exists to count). ONE SQL text shared
+    * verbatim with the oracle.
+    *
+    * Plan at 100 TB: one shuffle of orders on o_custkey against the
+    * customer key (both sides co-partitioned on the same key), the
+    * inner count riding that clustering; the outer histogram
+    * aggregate is over at most max-orders-per-customer distinct
+    * groups — a broadcast-scale reduction. All counts are exact
+    * BIGINTs on both engines.
+    */
+  private val q67Sql =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      FROM (SELECT c.c_custkey,
+              CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+            FROM customer c LEFT OUTER JOIN orders o
+              ON c.c_custkey = o.o_custkey
+              AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey) cc
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC"""
+
+  val q67 = QueryDef(
+    "q67_order_count_dist",
+    Some(q67Sql)) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(q67Sql)
+  }
+
+  /** q68: the TPC-H Q7 composition — VOLUME SHIPPING between two
+    * trading nations: revenue shipped in either direction of the
+    * NATION_1↔NATION_2 pair, per supplier-nation / customer-nation /
+    * ship year. Distinct from q65's Q8 star by the SYMMETRIC
+    * DISJUNCTIVE pair predicate over TWO ROLES of the same dimension
+    * — the filter can't push into either nation scan alone, it gates
+    * the combination after both joins. ONE SQL text shared verbatim
+    * with the oracle.
+    *
+    * Determinism: volume rides the q65 decimal chain — price and
+    * discount each cast exact before the multiply, summed in the
+    * decimal domain, ONE cast to double at the end.
+    *
+    * Plan at 100 TB: nation broadcasts into both roles; the
+    * lineitem⋈orders fact-fact join shuffles once on the orderkey
+    * with the date range pruning the fact scan; supplier and customer
+    * broadcast after their nation-pair semi-reduction, so the pair
+    * predicate evaluates in the mappers — no post-join re-shuffle.
+    */
+  private val q68Sql =
+    """SELECT supp_nation, cust_nation, l_year,
+        CAST(sum(volume) AS DOUBLE) AS revenue
+      FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+          CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+            (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))) AS volume
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+            OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+          AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01') shipping
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year"""
+
+  val q68 = QueryDef(
+    "q68_volume_shipping",
+    Some(q68Sql)) { (s, d) =>
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    s.sql(q68Sql)
+  }
+
+  /** q69: the TPC-H Q18 composition — LARGE-VOLUME CUSTOMERS: the
+    * top-100 orders by total price among orders whose total line
+    * quantity exceeds a threshold. The signature shape is an IN
+    * predicate over a GROUPED-HAVING subquery ON THE SAME FACT TABLE
+    * — Spark plans it as a semi join of lineitem's own aggregate back
+    * onto the orders⋈lineitem join. ONE SQL text shared verbatim with
+    * the oracle.
+    *
+    * Determinism: quantity sums are exact (integral doubles, see
+    * q66), emitted BIGINT; o_totalprice is a per-row stored double
+    * passed through raw; the LIMIT boundary is total-ordered by the
+    * unique o_orderkey tiebreak.
+    *
+    * Plan at 100 TB: the HAVING aggregate and the orders⋈lineitem
+    * join share one l_orderkey/o_orderkey clustering — a single
+    * shuffle key end-to-end — and the final top-100 is a TakeOrdered
+    * over the per-order aggregate, never a global sort.
+    */
+  private val q69Sql =
+    """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        o.o_totalprice, CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 300)
+      GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        o.o_totalprice
+      ORDER BY o.o_totalprice DESC, o.o_orderkey
+      LIMIT 100"""
+
+  val q69 = QueryDef(
+    "q69_large_volume_cust",
+    Some(q69Sql)) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(q69Sql)
   }
 }

@@ -26,7 +26,7 @@ object Similarity {
 
   def queries: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
-      s15, s16, s17, s18, s19, s20, s21)
+      s15, s16, s17, s18, s19, s20, s21, s22)
 
   /** MMR selection rounds (picks after the pure-relevance first). */
   private val MmrK = 5
@@ -2067,6 +2067,83 @@ object Similarity {
         .orderBy(col("adc_dot").desc, col("vec_id"))
         .limit(10)
         .orderBy(col("adc_dot").desc, col("vec_id"))
+    }
+  }
+
+  /** s22: MUTUAL-kNN GRAPH over the IVF index — undirected pairs
+    * where EACH vector is in the OTHER's probed top-3. The symmetric
+    * core of the kNN graph: one-directional edges include hub
+    * neighbors (a centroid-ish vector appears in hundreds of top-3
+    * lists without reciprocating), while mutual edges mark genuinely
+    * paired content — the graph SemDeDup-style semantic clustering
+    * and diversity sampling actually build on (cf. the mutual-kNN
+    * construction in agglomerative/spectral clustering practice).
+    * Composes the SHIPPED s06 probe machinery verbatim
+    * ([[probeStructs]], the persistent bucketed index), then one
+    * self-join on the reversed key — so the mutuality readout grades
+    * the operator users actually run, not a twin.
+    *
+    * Determinism: cos(a,b) ≡ cos(b,a) BITWISE — the strict-fold dot
+    * multiplies the same elements in the same index order in both
+    * directions and the norm product multiplies the same two doubles
+    * — so emitting the a→b copy is well-defined; ties in the top-3
+    * break on the lowest neighbor id (the s06 order), and the oracle
+    * replays training, probe selection, top-3, and the mutual join.
+    *
+    * Scale shape: s06's plan (narrow probe selection, bucketed-index
+    * candidate join, partial-aggregating top-3) plus ONE kNN-sized
+    * (≤ 3N rows) self-join hash-shuffled on the pair key — no new
+    * fact-sized stage. Empty corpus → no centroids → empty result.
+    */
+  val s22 = QueryDef(
+    "s22_mutual_knn",
+    Some(s"""${Vec.duckNormCte},
+      $duckTrainedCells,
+      ${duckProbes("c3", "pr", 2)},
+      cand AS (
+        SELECT a.vec_id AS va, x.vec_id AS nn,
+               ${Vec.duckDot("a.v", "x.v")} / (a.nrm * x.nrm) AS c
+        FROM n a JOIN pr ON pr.vec_id = a.vec_id
+        JOIN cells x ON x.cell = pr.cell AND x.vec_id <> a.vec_id),
+      knn AS (
+        SELECT va, nn, c FROM (
+          SELECT va, nn, c,
+                 row_number() OVER (PARTITION BY va ORDER BY c DESC, nn) AS rn
+          FROM cand)
+        WHERE rn <= 3)
+      SELECT a.va, a.nn AS vb, a.c AS cos_sim
+      FROM knn a JOIN knn b ON a.va = b.nn AND a.nn = b.va AND a.va < a.nn
+      ORDER BY a.va, vb""")) { (s, d) =>
+    val co = s.newSession()
+    graft.functions.GraftFunctions.register(co)
+    val e = Vec.withNorm(Tables.embeddings(co, d)).cache()
+    val (centroids, ivfTable) = ensureIvfIndex(co, d, e)
+    if (centroids.isEmpty)
+      e.limit(0).select(col("vec_id").as("va"), col("vec_id").as("vb"),
+        lit(0.0).as("cos_sim"))
+    else {
+      // force the bucketed layout on the index side (the s05/s06
+      // discipline — autoBucketedScan can forfeit it)
+      co.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val probes = e.select(col("vec_id").as("va"), col("v").as("qv"),
+          col("nrm").as("qn"),
+          explode(slice(array_sort(array(probeStructs(centroids): _*)), 1, 2)).as("p"))
+        .select(col("va"), col("qv"), col("qn"), col("p.cell").as("pcell"))
+      val knn = probes.join(co.table(ivfTable),
+          col("pcell") === col("cell") && col("vec_id") =!= col("va"))
+        .select(col("va"), col("vec_id").as("nn"),
+          (call_function("vec_dot", col("qv"), col("v")) /
+            (col("qn") * col("nrm"))).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("va").orderBy(col("c").desc, col("nn"))))
+        .where(col("rn") <= 3)
+        .select(col("va"), col("nn"), col("c"))
+      knn.as("a").join(knn.as("b"),
+          col("a.va") === col("b.nn") && col("a.nn") === col("b.va") &&
+            col("a.va") < col("a.nn"))
+        .select(col("a.va").as("va"), col("a.nn").as("vb"),
+          col("a.c").as("cos_sim"))
+        .orderBy("va", "vb")
     }
   }
 }

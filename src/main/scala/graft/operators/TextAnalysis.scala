@@ -17,7 +17,7 @@ object TextAnalysis {
 
   def queries: Seq[QueryDef] =
     Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15,
-      x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28)
+      x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29)
 
   /** x13's ln lookup table: round(ln(n)·10⁹) for n = 1..4094, computed
     * ONCE here and embedded as a literal in BOTH the Spark plan and
@@ -1929,6 +1929,56 @@ object TextAnalysis {
             col("n_planted").cast("double"))
           .as("miss_rate"))
       .orderBy("n_docs")
+  }
+
+  /** x29: N-GRAM NOVELTY scoring — per document, the fraction of its
+    * distinct 3-token shingles that appear in NO other document
+    * (document frequency 1). The memorization-risk / boilerplate dual
+    * of x08's within-doc repetition: novelty ≈ 0 means every shingle
+    * the doc contributes already exists elsewhere in the corpus (a
+    * template or near-copy — nothing new to learn, high dup-cluster
+    * affinity), novelty ≈ 1 means the doc is the corpus's sole source
+    * for its content (high training value, and high memorization risk
+    * if it contains secrets — the x10/x27 redaction surface). Classic
+    * corpus-curation signal (cf. the n-gram-overlap novelty filters
+    * in public LLM-data pipelines); chiv has no text surface at all.
+    *
+    * Determinism: both counts are exact BIGINTs over the SAME
+    * distinct-shingle relation the dedup family uses (Spark: the
+    * codegen'd `shingle_hashes` kernel; oracle: [[Dedup.gramCte]] —
+    * equivalence pinned in ExpressionsSpec); novelty is ONE IEEE
+    * division of the two exact integers. Docs under 3 tokens have no
+    * shingles and are absent by contract in both engines.
+    *
+    * Scale shape: ONE inverted-index aggregation (shingle → df) and
+    * one re-join to the doc side — both shuffles on the shingle hash,
+    * the d08 index shape WITHOUT the quadratic self-join (df counting
+    * is linear in corpus shingles; hot shingles cost one combiner
+    * row each thanks to partial aggregation, so no df cap is needed
+    * here). At 100 TB: identical plan, partition count from data
+    * size, no driver-side state.
+    */
+  val x29 = QueryDef(
+    "x29_ngram_novelty",
+    Some(s"""${Dedup.gramCte},
+      df AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
+      per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+              CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+              FROM grams JOIN df ON grams.g = df.g GROUP BY doc_id)
+      SELECT doc_id, n_grams, n_unique,
+        CAST(n_unique AS DOUBLE) / n_grams AS novelty
+      FROM per ORDER BY doc_id""")) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val g = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr("shingle_hashes(text, 3)")).as("g"))
+    val df = g.groupBy("g").agg(count(lit(1)).as("df"))
+    g.join(df, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_grams"), col("n_unique"),
+        (col("n_unique").cast("double") / col("n_grams")).as("novelty"))
+      .orderBy("doc_id")
   }
 }
 
