@@ -1254,7 +1254,27 @@ object EventWindows {
     * aggregation is the only fact-sized stage, and it combines
     * map-side.
     */
-  private val HourUs = 3600000000L
+  private[graft] val HourUs = 3600000000L
+
+  /** The e25 readout over ANY (user_id, hour_us, cnt) hour-count table
+    * — factored so the streaming face ([[graft.streaming.StreamingOps
+    * .burstLedger]]) provably applies the SHIPPED predicate to its
+    * merged ledger, never a twin. Output: flagged hours only,
+    * (user_id, hour_us, cnt, n_hours, mean_cnt), unsorted.
+    */
+  private[graft] def burstFlags(hc: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val st = hc.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("cnt").as("s"),
+        sum(col("cnt") * col("cnt")).as("q"))
+    val dev = col("cnt") * col("n") - col("s")
+    hc.join(st, Seq("user_id"))
+      .where(col("n") >= 2 && dev > 0 &&
+        dev * dev > lit(9L) * (col("n") * col("q") - col("s") * col("s")))
+      .select(col("user_id"), col("hour_us"), col("cnt"),
+        col("n").as("n_hours"),
+        (col("s").cast("double") / col("n")).as("mean_cnt"))
+  }
 
   val e25 = QueryDef(
     "e25_burst_detect",
@@ -1275,17 +1295,7 @@ object EventWindows {
       .select(col("user_id"), (col("ts_us") - col("ts_us") % HourUs).as("hour_us"))
       .groupBy("user_id", "hour_us")
       .agg(count(lit(1)).as("cnt"))
-    val st = hc.groupBy("user_id")
-      .agg(count(lit(1)).as("n"), sum("cnt").as("s"),
-        sum(col("cnt") * col("cnt")).as("q"))
-    val dev = col("cnt") * col("n") - col("s")
-    hc.join(st, Seq("user_id"))
-      .where(col("n") >= 2 && dev > 0 &&
-        dev * dev > lit(9L) * (col("n") * col("q") - col("s") * col("s")))
-      .select(col("user_id"), col("hour_us"), col("cnt"),
-        col("n").as("n_hours"),
-        (col("s").cast("double") / col("n")).as("mean_cnt"))
-      .orderBy("user_id", "hour_us")
+    burstFlags(hc).orderBy("user_id", "hour_us")
   }
 
 }

@@ -10,14 +10,14 @@ import org.apache.spark.sql.functions._
 object MultimodalOps {
 
   def queries: Seq[QueryDef] =
-    Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14)
+    Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, m15)
 
   /** DuckDB luma at synthetic sample point (gx, gy): replays the
     * m05 pixel arithmetic through the same integer (299r+587g+114b)/
     * 1000 luma the Spark side computes from DECODED pixels.
     */
-  private def duckLuma(gx: String, gy: String): String = {
-    val base = s"(doc_id*7+($gx)*3+($gy)*5)"
+  private def duckLuma(gx: String, gy: String, id: String = "doc_id"): String = {
+    val base = s"($id*7+($gx)*3+($gy)*5)"
     s"((299*(($base)%256) + 587*(($base+11)%256) + 114*(($base+22)%256)) // 1000)"
   }
 
@@ -883,5 +883,102 @@ object MultimodalOps {
       .select(col("rep"), col("fp"), big(col("members")).as("members"),
         big(coalesce(col("n_near"), lit(0L))).as("n_near"))
       .orderBy("rep")
+  }
+
+  /** Hub cap for m15's shared-fingerprint join: frame phashes held by
+    * more videos than this are dropped before pairing (the d08/d17 df
+    * cap applied to the fingerprint index) — they are intros/outros/
+    * test-cards shared corpus-wide, which carry no near-dup signal
+    * AND would make the join bucket quadratic. At real scale the cap
+    * is set relative to catalog size (df ≤ ε·N).
+    */
+  private val VideoDfCap = 10
+
+  /** m15: VIDEO near-dup via frame-fingerprint overlap — two videos
+    * are near-duplicates when the df-capped DISTINCT frame-phash sets
+    * overlap by ≥ 0.8 of the smaller set (re-encodes, trims, and
+    * re-edits share most frames; the d17 containment measure applied
+    * to the visual domain — the standard shot-level CBCD shape:
+    * fingerprint frames, invert, score shared frames). Composes the
+    * SHIPPED decode path end-to-end: m08's GVID demux + frame decode
+    * (`javax.imageio`, zero-copy slices) feeding m06's pHash60 —
+    * every fingerprint comes off REAL decoded pixels, and the oracle
+    * replays the whole chain arithmetically from the frame-id pixel
+    * function (the m08 discipline: any demux/codec/hash bug breaks
+    * the hash).
+    *
+    * Determinism: fingerprints and counts are exact BIGINTs; the
+    * threshold is the cleared-denominator `10·i ≥ 8·min` (d17);
+    * `overlap` is ONE IEEE division of exact integers. Undecodable
+    * containers/frames quarantine out of the fingerprint space (none
+    * in the synthetic corpus, so the oracle sees every frame).
+    *
+    * Scale shape: decode is the one asset-sized pass (narrow,
+    * partition-parallel); the fingerprint index self-join is bounded
+    * by [[VideoDfCap]] per bucket — Σ df² over capped dfs, never
+    * quadratic in a hub fingerprint; everything after is pair-sized.
+    */
+  val m15 = QueryDef(
+    "m15_video_neardup",
+    Some {
+      val bit = s"CASE WHEN ${duckLuma("(((k%10)+1)*w)//11", "((k//10)*h)//6", "fid")}" +
+        s" > ${duckLuma("((k%10)*w)//11", "((k//10)*h)//6", "fid")} THEN (1::BIGINT << k) ELSE 0 END"
+      s"""WITH f AS (SELECT doc_id, unnest(range(0, doc_id % 4 + 2)) AS k2 FROM documents),
+      d AS (SELECT doc_id, doc_id*97 + k2 AS fid FROM f),
+      g AS (SELECT doc_id, fid, fid % 5 + 4 AS w, fid % 3 + 3 AS h FROM d),
+      ph AS (SELECT doc_id,
+          CAST(list_sum(list_transform(range(0, 60), k -> $bit)) AS BIGINT) AS phash
+        FROM g),
+      vp AS (SELECT DISTINCT doc_id, phash FROM ph),
+      dfc AS (SELECT phash, count(*) AS df FROM vp GROUP BY 1),
+      kept AS (SELECT doc_id, vp.phash FROM vp JOIN dfc ON vp.phash = dfc.phash
+               WHERE df <= $VideoDfCap),
+      vc AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
+      shared AS (SELECT a.doc_id AS va, b.doc_id AS vb, count(*) AS i
+        FROM kept a JOIN kept b ON a.phash = b.phash AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT va, vb, CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+        CAST(i AS BIGINT) AS n_shared,
+        CAST(i AS DOUBLE) / least(ca.n, cb.n) AS overlap
+      FROM shared JOIN vc ca ON ca.doc_id = va JOIN vc cb ON cb.doc_id = vb
+      WHERE i * 10 >= least(ca.n, cb.n) * 8
+      ORDER BY va, vb"""
+    }) { (s, d) =>
+    import org.apache.spark.sql.Encoders
+    val fp = graft.multimodal.MultimodalPipeline.videoAssets(s, d)
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          graft.multimodal.VideoCodecs.decodeFrames(a.data).iterator.flatMap {
+            frames =>
+              frames.iterator.flatMap { case (off, len) =>
+                graft.multimodal.ImageCodecs.decodeImage(a.data, off, len).map {
+                  case (_, img) =>
+                    (a.asset_id, graft.multimodal.ImageCodecs.pHash60(img))
+                }
+              }
+          }
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("doc_id", "phash")
+      .distinct()
+    val hot = fp.groupBy("phash").agg(count(lit(1)).as("df"))
+      .where(col("df") > VideoDfCap).select("phash")
+    val kept = fp.join(broadcast(hot), Seq("phash"), "left_anti")
+    val vc = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = kept.as("a").join(kept.as("b"),
+        col("a.phash") === col("b.phash") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("va"), col("b.doc_id").as("vb"))
+      .agg(count(lit(1)).as("i"))
+    // count lookups ride the pair table, UNHINTED (the jaccardFrom
+    // policy: AQE broadcasts vc while it is small)
+    shared.join(vc.as("ca"), col("va") === col("ca.doc_id"))
+      .join(vc.as("cb"), col("vb") === col("cb.doc_id"))
+      .where(col("i") * 10 >= least(col("ca.n"), col("cb.n")) * 8)
+      .select(col("va"), col("vb"),
+        col("ca.n").as("n_a"), col("cb.n").as("n_b"),
+        col("i").as("n_shared"),
+        (col("i").cast("double") / least(col("ca.n"), col("cb.n")))
+          .as("overlap"))
+      .orderBy("va", "vb")
   }
 }

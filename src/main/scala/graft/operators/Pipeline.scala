@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  def queries: Seq[QueryDef] = Seq(c01, c02, c04)
+  def queries: Seq[QueryDef] = Seq(c01, c02, c04, c05)
 
   /** Token budget per packed shard — x12's constant, one definition. */
   private val PackBudget = 2000L
@@ -442,5 +442,79 @@ object Pipeline {
         big(sum("ent_nano")).as("ent_nano_total"),
         min("asset_id").as("first_asset"), max("asset_id").as("last_asset"))
       .orderBy("codec")
+  }
+
+  /** c05: the corpus DATA CARD — the datasheet a training run
+    * publishes with its corpus (Gebru et al., "Datasheets for
+    * Datasets", 2021; model cards cite exactly this table): per
+    * predicted language, document/token/char volume, the quality-
+    * class mix, and the exact-duplicate rate. Where c01 EXECUTES the
+    * curation, c05 REPORTS what a corpus contains before/after it —
+    * the first artifact a data audit asks for. Composed from the
+    * SHIPPED stages (the x09/c01 discipline, never twins): language
+    * from x02's scorer ([[TextAnalysis.langidScored]]), quality from
+    * x03's ([[TextAnalysis.qualityScored]]), duplication from d01's
+    * min-id-per-text rule; the oracle chains the SAME shared
+    * fragments (duckLangidCte, duckQualityCase), so the card cannot
+    * drift from the operators it summarizes.
+    *
+    * Determinism: every count is an exact BIGINT; dup_rate is ONE
+    * IEEE division of exact integers (the g06/d17 discipline).
+    *
+    * Scale shape: two narrow per-document scoring passes (langid +
+    * quality fuse with their scans; no shuffle until the final
+    * aggregate) plus d01's one text-keyed aggregation for the dup
+    * index; the per-language rollup is a ≤6-group reduction. The
+    * three corpus scans are stage families, the c01 budget. At 100 TB
+    * the card costs one pass per scoring family — the same plan.
+    */
+  val c05 = QueryDef(
+    "c05_data_card",
+    Some(s"""WITH ${TextAnalysis.duckLangidCte},
+      q AS (SELECT doc_id, n_chars, n_tokens,
+          ${TextAnalysis.duckQualityCase} AS quality FROM (
+        SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          len(list_distinct(string_split(text, ' ')))::DOUBLE / len(string_split(text, ' ')) AS diversity,
+          len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to')))::DOUBLE / len(string_split(text, ' ')) AS stop_ratio
+        FROM documents)),
+      dup AS (SELECT doc_id,
+          CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY text) THEN 1 ELSE 0 END AS is_dup
+        FROM documents)
+      SELECT s.pred_lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(q.n_tokens) AS BIGINT) AS n_tokens,
+        CAST(sum(q.n_chars) AS BIGINT) AS n_chars,
+        CAST(sum(CASE WHEN q.quality = 'high' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        CAST(sum(CASE WHEN q.quality = 'medium' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+        CAST(sum(CASE WHEN q.quality = 'low' THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        CAST(sum(dup.is_dup) AS BIGINT) AS n_dup,
+        CAST(sum(dup.is_dup) AS DOUBLE) / count(*) AS dup_rate
+      FROM scored s JOIN q ON q.doc_id = s.doc_id
+      JOIN dup ON dup.doc_id = s.doc_id
+      GROUP BY s.pred_lang ORDER BY s.pred_lang""")) { (s, d) =>
+    val lang = TextAnalysis.langidScored(s, d)
+      .select(col("doc_id"), col("pred_lang"))
+    val q = TextAnalysis.qualityScored(Tables.documents(s, d))
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("quality"))
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val keep = docs.groupBy("text").agg(min("doc_id").as("keep_id"))
+    val dup = docs.join(keep, Seq("text"))
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L).as("is_dup"))
+    lang.join(q, Seq("doc_id")).join(dup, Seq("doc_id"))
+      .groupBy("pred_lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("n_chars").as("n_chars"),
+        sum(when(col("quality") === "high", 1L).otherwise(0L)).as("n_high"),
+        sum(when(col("quality") === "medium", 1L).otherwise(0L)).as("n_medium"),
+        sum(when(col("quality") === "low", 1L).otherwise(0L)).as("n_low"),
+        sum("is_dup").as("n_dup"))
+      .select(col("pred_lang"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_high"), col("n_medium"), col("n_low"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_docs")).as("dup_rate"))
+      .orderBy("pred_lang")
   }
 }

@@ -540,7 +540,7 @@ object TextAnalysis {
     * the Spark DF both come from here, so x22's evaluation provably
     * grades the shipped classifier (the d12/s10 discipline).
     */
-  private def duckLangidCte: String =
+  private[operators] def duckLangidCte: String =
     """scored AS (SELECT doc_id, lang, s_en, s_de, s_es, s_fr, ratio_nonascii,
       CASE WHEN ratio_nonascii > 0.3 THEN 'zh'
            WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'

@@ -779,6 +779,72 @@ object StreamingOps {
       .where(col("n") > 0)
       .orderBy("diff_class")
 
+  /** e25's STREAMING face, part 1 — maintain the per-(user, hour)
+    * event-count ledger continuously as micro-batches land (the
+    * diffStream ledger discipline): each batch reduces to its own
+    * (user_id, hour_us, cnt) delta, written `delta-<batchId>` with
+    * overwrite — so an at-least-once REPLAY of a batch rewrites the
+    * same file instead of double-counting (idempotent by naming, the
+    * diffStream/c03 contract). Hour counts merge ADDITIVELY across
+    * deltas, which is the whole reason the ledger is count-shaped:
+    * the burst predicate itself (a variance test) is not mergeable,
+    * but its sufficient statistics are.
+    *
+    * Scale shape: per batch ONE partial+final count aggregation of
+    * the batch's own rows (never the history) and one delta-sized
+    * write; the ledger grows by touched (user, hour) keys only. A
+    * production deployment would periodically compact `delta-*` into
+    * a base (K1e's compactArchive shape).
+    */
+  def burstStream(events: Dataset[Event], ledgerDir: String,
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    if (checkpoint.isEmpty) {
+      val dir = new java.io.File(ledgerDir)
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.matches("delta-\\d+"))
+        .foreach { f =>
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).getOrElse(Array.empty).foreach(rm); x.delete(); ()
+          }
+          rm(f)
+        }
+    }
+    val hourUs = graft.operators.EventWindows.HourUs
+    val writer = checkpoint.foldLeft(events.writeStream)(
+      (w, c) => w.option("checkpointLocation", c))
+    writer
+      .foreachBatch { (batch: Dataset[Event], batchId: Long) =>
+        if (!batch.isEmpty) {
+          batch
+            .select(col("user_id"),
+              (unix_micros(col("ts")) - unix_micros(col("ts")) % hourUs)
+                .as("hour_us"))
+            .groupBy("user_id", "hour_us")
+            .agg(count(lit(1)).as("cnt"))
+            .write.mode("overwrite").parquet(s"$ledgerDir/delta-$batchId")
+          ()
+        }
+      }
+      .start()
+  }
+
+  /** e25's STREAMING face, part 2 — the current burst readout from a
+    * [[burstStream]] ledger: fold the per-batch deltas additively per
+    * (user, hour), then apply the SHIPPED e25 predicate
+    * ([[graft.operators.EventWindows.burstFlags]] — the same exact-
+    * BIGINT variance test, never a twin). Once all events have
+    * arrived this equals batch e25 row-for-row under ANY batch split
+    * (counts are order-independent; StreamingSpec pins 1-batch ≡
+    * 3-batch ≡ batch).
+    */
+  def burstLedger(s: SparkSession, ledgerDir: String): DataFrame =
+    graft.operators.EventWindows.burstFlags(
+      s.read.parquet(s"$ledgerDir/delta-*")
+        .groupBy("user_id", "hour_us")
+        .agg(sum("cnt").as("cnt")))
+      .orderBy("user_id", "hour_us")
+
   /** Continuous archiving: the reference's whole purpose (archive
     * query results to object storage) lifted to a stream — every
     * micro-batch becomes one archived object

@@ -666,6 +666,41 @@ class StreamingSpec extends SparkSpec {
       "restart over a stale 3-batch ledger must re-derive, not double-count")
   }
 
+  test("burstStream recovers e25's flags: 1-batch ≡ 3-batch ≡ batch e25") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sql = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val expect = graft.operators.EventWindows.e25.fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(expect.nonEmpty, "batch e25 found no bursts — corpus degenerate")
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .collect()
+      .map(r => Event(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+      .toSeq
+    def run(splits: Seq[Seq[Event]]): Seq[Seq[Any]] = {
+      val ledger = java.nio.file.Files
+        .createTempDirectory("graft-burst").toString + "/ledger"
+      val input = MemoryStream[Event]
+      val q = StreamingOps.burstStream(input.toDS(), ledger)
+      try splits.foreach { s => input.addData(s: _*); q.processAllAvailable() }
+      finally q.stop()
+      StreamingOps.burstLedger(spark, ledger).collect().map(_.toSeq).toSeq
+    }
+    assert(run(Seq(evs)) == expect,
+      "1-batch burst ledger diverges from batch e25")
+    // split invariance: counts merge additively across batch boundaries
+    val n = evs.length
+    assert(n >= 3)
+    val three = run(Seq(evs.slice(0, n / 3), evs.slice(n / 3, 2 * n / 3),
+      evs.slice(2 * n / 3, n)))
+    assert(three == expect,
+      "3-batch burst ledger diverges from batch e25")
+  }
+
   test("enrich broadcasts a small static dimension on batch (plan-asserted)") {
     import spark.implicits._
     val dim = Seq((10L, "gold")).toDF("user_id", "tier")
