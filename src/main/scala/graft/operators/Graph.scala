@@ -367,7 +367,18 @@ object Graph {
       FROM deg LEFT JOIN pern ON pern.id = deg.id
       WHERE deg.degree >= 2
       ORDER BY doc_id""")) { (s, d) =>
-    val e = simEdges(s, d)
+    clusteringCoefficients(simEdges(s, d)).orderBy("doc_id")
+  }
+
+  /** Per-node local clustering coefficient over ANY undirected edge
+    * list (da, db), da < db, no duplicates — g10's body, factored so
+    * GraphSpec can pin closed-form values on hand graphs (K4 → 1.0, a
+    * path → 0.0-but-present, a pendant → excluded). Output: one row
+    * per node of degree ≥ 2 — (doc_id, degree, n_triangles, n_wedges,
+    * lcc), unsorted.
+    */
+  private[operators] def clusteringCoefficients(
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val deg = e.select(col("da").as("id"))
       .unionByName(e.select(col("db").as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree"))
@@ -380,7 +391,6 @@ object Graph {
         expr("(degree * (degree - 1)) DIV 2").as("n_wedges"),
         (coalesce(col("n_triangles"), lit(0L)).cast("double") /
           expr("(degree * (degree - 1)) DIV 2")).as("lcc"))
-      .orderBy("doc_id")
   }
 
   /** g04: K-CORE PEELING over the d03 similarity graph — the third

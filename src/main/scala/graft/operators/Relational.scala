@@ -22,7 +22,7 @@ object Relational {
   def queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q33, q37, q39, q42, q43, q44,
       q46, q48, q49, q50, q53, q54, q58, q59, q60, q61, q63, q64, q65,
-      q66, q67, q68, q69)
+      q66, q67, q68, q69, q70)
 
   /** FULL OUTER join with all three match classes live: customers are
     * filtered to positive balances so orders from excluded customers
@@ -1427,5 +1427,50 @@ object Relational {
     Tables.orders(s, d).createOrReplaceTempView("orders")
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
     s.sql(q69Sql)
+  }
+
+  /** q70: the TPC-H Q10 composition — RETURNED-ITEM REPORTING: the
+    * top-20 customers by revenue lost to returned items in a quarter
+    * window (the churn-risk report). The shape q16/q32 don't cover:
+    * a GROUPED TOP-K whose grouping key is wide (customer identity +
+    * dimension attributes ride the GROUP BY, the classic Q10 trap —
+    * every non-aggregate output column must group, and the group key
+    * is customer-cardinality, not a small dimension). ONE SQL text
+    * shared verbatim with the oracle.
+    *
+    * Determinism: revenue rides the q65/q68 exact-decimal chain (ONE
+    * cast to double per group); c_acctbal is a stored per-row double
+    * passed through raw; the LIMIT boundary is total-ordered by the
+    * unique c_custkey tiebreak.
+    *
+    * Plan at 100 TB: the returnflag filter and date range prune the
+    * fact side at the scan; nation broadcasts; orders⋈lineitem and
+    * the customer join share key clusterings; the top-20 is a
+    * TakeOrdered over per-customer aggregates — no global sort.
+    */
+  private val q70Sql =
+    """SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+      CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20"""
+
+  val q70 = QueryDef(
+    "q70_returned_items",
+    Some(q70Sql)) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    s.sql(q70Sql)
   }
 }

@@ -217,4 +217,29 @@ class DedupSpec extends SparkSpec {
     assert(out.length == n + 1)
     assert(out.forall(_._2 == 0L), "every node must label to the chain min")
   }
+  test("d17 rows are arithmetically consistent and reconcile with d08's jaccard") {
+    val d17 = graft.Registry.byName("d17_containment").fn(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(d17.nonEmpty)
+    d17.foreach { case ((da, db), (na, nb, i, c)) =>
+      assert(da < db)
+      assert(i <= math.min(na, nb))
+      assert(10 * i >= 8 * math.min(na, nb))
+      assert(c == i.toDouble / math.min(na, nb))
+    }
+    // d17 counts over the SAME capped shingle sets as d08: where a
+    // pair also clears d08's J >= 0.1, d08's jaccard must be exactly
+    // i/(na+nb-i) recomputed from d17's integers
+    val d08 = graft.Registry.byName("d08_dfcap_jaccard").fn(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val overlap = d17.keySet.intersect(d08.keySet)
+    assert(overlap.nonEmpty)
+    overlap.foreach { k =>
+      val (na, nb, i, _) = d17(k)
+      assert(d08(k) == i.toDouble / (na + nb - i),
+        s"d08/d17 shingle-count drift on $k")
+    }
+  }
+
 }

@@ -81,6 +81,32 @@ class GraphSpec extends SparkSpec {
     assert(outP.length == 4)
   }
 
+  test("g10 clustering coefficients are closed-form exact on K4, a path, and a pendant") {
+    import spark.implicits._
+    // K4: deg 3, 3 triangles, 3 wedges → lcc = 1.0 everywhere
+    val k4 = (for { a <- 0L to 3L; b <- (a + 1) to 3L } yield (a, b))
+      .toDF("da", "db")
+    val outK4 = Graph.clusteringCoefficients(k4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1)
+    assert(outK4.toSeq == Seq((0L, 3L, 3L, 3L, 1.0), (1L, 3L, 3L, 3L, 1.0),
+      (2L, 3L, 3L, 3L, 1.0), (3L, 3L, 3L, 3L, 1.0)))
+    // a path: interior nodes have a wedge but no triangle — they must
+    // APPEAR with lcc = 0 (the left join is the point; g03 drops them)
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("da", "db")
+    val outP = Graph.clusteringCoefficients(path).collect()
+      .map(r => (r.getLong(0), r.getDouble(4))).sortBy(_._1)
+    assert(outP.toSeq == Seq((1L, 0.0), (2L, 0.0)))
+    // K4 + pendant on node 3: node 3's degree rises to 4 → 6 wedges,
+    // still 3 triangles → lcc = 0.5; the degree-1 pendant is excluded
+    val pendant = k4.union(Seq((3L, 9L)).toDF("da", "db"))
+    val outPen = Graph.clusteringCoefficients(pendant).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4))).sortBy(_._1)
+    assert(!outPen.map(_._1).contains(9L))
+    assert(outPen.find(_._1 == 3L).contains((3L, 6L, 0.5)))
+    assert(outPen.filter(_._1 < 3L).forall(_._3 == 1.0))
+  }
+
   test("g03 per-node counts triple-count each triangle on the corpus") {
     val out = Graph.g03.fn(spark, dir).collect()
     assert(out.nonEmpty)

@@ -542,4 +542,22 @@ class SimilaritySpec extends SparkSpec {
     // the 1/L² law: each +2 bits should cut error by well over 10×
     assert(errs(0) > 10 * errs(1) && errs(1) > 10 * errs(2), s"law violated: $errs")
   }
+  test("s22 mutual edges are exactly the reciprocated s06 top-3 pairs") {
+    val knn = graft.Registry.byName("s06_ivf_batch_probe").fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val mutual = graft.Registry.byName("s22_mutual_knn").fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(mutual.nonEmpty)
+    mutual.foreach { case (a, b, c) =>
+      assert(a < b)
+      // the emitted cosine is the SAME double both directions hold
+      assert(knn.get((a, b)).contains(c), s"$a->$b missing from s06's top-3")
+      assert(knn.get((b, a)).contains(c), s"$b->$a missing from s06's top-3")
+    }
+    // completeness: every reciprocated s06 pair appears exactly once
+    val expected = knn.keySet.filter { case (a, b) => a < b && knn.contains((b, a)) }
+    assert(mutual.map(t => (t._1, t._2)).toSet == expected)
+    assert(mutual.size == expected.size)
+  }
+
 }

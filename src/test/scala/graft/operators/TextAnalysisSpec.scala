@@ -231,4 +231,30 @@ class TextAnalysisSpec extends SparkSpec {
       // separated repeat: first copy + separator survive
       (5L, (words("s", 8) ++ Seq("gap")).mkString(" "), 17L, 9L, 8L)))
   }
+  test("x29 novelty is exact, bounded, and 0 for exact-duplicate representatives") {
+    val sf = "/root/testdata/sf0.001"
+    val nov = graft.Registry.byName("x29_ngram_novelty").fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(nov.nonEmpty)
+    nov.values.foreach { case (ng, nu, v) =>
+      assert(nu <= ng)
+      assert(v >= 0.0 && v <= 1.0)
+      assert(v == nu.toDouble / ng)
+    }
+    // planted corpus: a text with an exact copy shares EVERY shingle
+    // with its twin (df >= 2 for all of them) -> novelty exactly 0;
+    // a text sharing nothing -> novelty exactly 1
+    import spark.implicits._
+    val dst = java.nio.file.Files.createTempDirectory("graft-x29").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", "web", 30L),
+      (2L, "alpha beta gamma delta epsilon", "en", "web", 30L),
+      (3L, "zeta eta theta iota kappa", "en", "web", 25L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    val planted = graft.Registry.byName("x29_ngram_novelty").fn(spark, dst)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(planted == Map(1L -> 0.0, 2L -> 0.0, 3L -> 1.0))
+  }
+
 }
