@@ -22,7 +22,7 @@ object EventWindows {
 
   def queries: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
-      e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25)
+      e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26)
 
   /** e14: watermark / late-event accounting — the batch twin of the
     * bookkeeping every Structured Streaming job does implicitly
@@ -1296,6 +1296,76 @@ object EventWindows {
       .groupBy("user_id", "hour_us")
       .agg(count(lit(1)).as("cnt"))
     burstFlags(hc).orderBy("user_id", "hour_us")
+  }
+
+  /** e26: LAST-TOUCH ATTRIBUTION — every purchase attributed to the
+    * user's most recent click within a 7-day lookback, plus the
+    * time-to-convert readout (attribution rate, total and mean gap).
+    * The marketing dual of e11's funnel: e11 asks "who completed the
+    * sequence", e26 asks "which touchpoint gets credit and how long
+    * did conversion take" — the report attribution models start from.
+    *
+    * Scale shape — the e21 lesson applied to what is naively a
+    * per-purchase RANGE JOIN (purchases × clicks within 7 days, the
+    * quadratic hazard on active users): a conditional running max
+    * (`max(CASE click THEN ts)` over the per-user event order, frame
+    * ROWS UNBOUNDED..1 PRECEDING) turns it into ONE window over ONE
+    * per-user sort — each purchase reads its latest preceding click
+    * in O(1), the lookback bound is a post-filter, and the final
+    * readout is a one-row aggregate. ONE SQL text shared verbatim
+    * with the oracle.
+    *
+    * Determinism: the window order carries the family's (ts_us,
+    * event_id) total tiebreak; all gaps are exact BIGINT micros;
+    * mean_gap_us is ONE IEEE division guarded by the d12 zero-case.
+    */
+  private val e26Sql =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+         FROM events),
+      w AS (SELECT user_id, event_type, ts_us, event_id,
+          max(CASE WHEN event_type = 'click' THEN ts_us END) OVER (
+            PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+        FROM e)
+      SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+        CAST(sum(CASE WHEN last_click_us IS NOT NULL
+            AND ts_us - last_click_us <= 604800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+        CAST(sum(CASE WHEN last_click_us IS NOT NULL
+            AND ts_us - last_click_us <= 604800000000 THEN ts_us - last_click_us ELSE 0 END) AS BIGINT) AS gap_us_total,
+        CASE WHEN sum(CASE WHEN last_click_us IS NOT NULL
+            AND ts_us - last_click_us <= 604800000000 THEN 1 ELSE 0 END) = 0 THEN 0.0
+          ELSE CAST(sum(CASE WHEN last_click_us IS NOT NULL
+            AND ts_us - last_click_us <= 604800000000 THEN ts_us - last_click_us ELSE 0 END) AS DOUBLE)
+            / sum(CASE WHEN last_click_us IS NOT NULL
+            AND ts_us - last_click_us <= 604800000000 THEN 1 ELSE 0 END) END AS mean_gap_us
+      FROM w WHERE event_type = 'purchase'"""
+
+  val e26 = QueryDef(
+    "e26_attribution",
+    Some(e26Sql)) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val weekUs = 604800000000L
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val attributed = col("last_click_us").isNotNull &&
+      col("ts_us") - col("last_click_us") <= weekUs
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+      .withColumn("last_click_us",
+        max(when(col("event_type") === "click", col("ts_us"))).over(w))
+      .where(col("event_type") === "purchase")
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        // the d12 coalesce discipline: zero purchases → 0, not NULL
+        coalesce(sum(when(attributed, 1L).otherwise(0L)), lit(0L))
+          .as("n_attributed"),
+        coalesce(sum(when(attributed, col("ts_us") - col("last_click_us"))
+          .otherwise(0L)), lit(0L)).as("gap_us_total"))
+      .select(col("n_purchases"), col("n_attributed"), col("gap_us_total"),
+        when(col("n_attributed") === 0L, lit(0.0))
+          .otherwise(col("gap_us_total").cast("double") / col("n_attributed"))
+          .as("mean_gap_us"))
   }
 
 }

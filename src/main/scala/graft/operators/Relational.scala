@@ -22,7 +22,7 @@ object Relational {
   def queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q33, q37, q39, q42, q43, q44,
       q46, q48, q49, q50, q53, q54, q58, q59, q60, q61, q63, q64, q65,
-      q66, q67, q68, q69, q70)
+      q66, q67, q68, q69, q70, q71, q72)
 
   /** FULL OUTER join with all three match classes live: customers are
     * filtered to positive balances so orders from excluded customers
@@ -1472,5 +1472,80 @@ object Relational {
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
     Tables.nation(s, d).createOrReplaceTempView("nation")
     s.sql(q70Sql)
+  }
+
+  /** q71: the TPC-H Q19 composition — DISCOUNTED REVENUE under an
+    * OR-OF-ANDS predicate spanning BOTH join sides: three (brand,
+    * size-range, quantity-range) bands, each clause mixing part
+    * attributes with lineitem attributes. The optimizer shape none of
+    * q01–q70 exercises: a disjunction that can't push whole into
+    * either scan — Catalyst must extract the COMMON residue per side
+    * (the brand/size union prunes the part build side, the quantity
+    * union the fact side) and evaluate the full disjunction at the
+    * join. ONE SQL text shared verbatim with the oracle.
+    *
+    * Determinism: the single revenue sum rides the q65/q68 exact-
+    * decimal chain; quantity bounds compare integral doubles (exact).
+    *
+    * Plan at 100 TB: part (after its three-brand union filter)
+    * broadcasts; the fact side reads ONE scan with the quantity-union
+    * residue pushed down — never three passes unioned.
+    */
+  private val q71Sql =
+    """SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#16' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)"""
+
+  val q71 = QueryDef(
+    "q71_disjunctive_bands",
+    Some(q71Sql)) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.part(s, d).createOrReplaceTempView("part")
+    s.sql(q71Sql)
+  }
+
+  /** q72: the TPC-H Q16 composition — PARTS/SUPPLIER RELATIONSHIP:
+    * how many qualified suppliers can supply each (brand, type, size)
+    * part class, excluding a complaint blacklist. Two shapes new to
+    * the q-family in combination: COUNT(DISTINCT) whose distinct key
+    * is NOT the grouping key (Spark plans the two-phase Expand/
+    * partial-distinct aggregate), and a NOT IN subquery (null-aware
+    * anti join — the blacklist is provably non-null here, but the
+    * planner must still prove it). ONE SQL text shared verbatim with
+    * the oracle; the blacklist leg is live at every SF (negative-
+    * balance suppliers exist in the corpus).
+    *
+    * Plan at 100 TB: the blacklist is supplier-sized (broadcast anti);
+    * the part filter broadcasts into the fact scan; the distinct
+    * aggregate shuffles once on the (class, suppkey) pair then once
+    * on the class — the standard two-exchange distinct topology; the
+    * top-40 is a TakeOrdered under a total order.
+    */
+  private val q72Sql =
+    """SELECT p.p_brand, p.p_type, p.p_size,
+      CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#3' AND p.p_type <> 'ECONOMY'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 40"""
+
+  val q72 = QueryDef(
+    "q72_supplier_parts",
+    Some(q72Sql)) { (s, d) =>
+    Tables.part(s, d).createOrReplaceTempView("part")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+    s.sql(q72Sql)
   }
 }

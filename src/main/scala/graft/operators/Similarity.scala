@@ -26,7 +26,7 @@ object Similarity {
 
   def queries: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
-      s15, s16, s17, s18, s19, s20, s21, s22)
+      s15, s16, s17, s18, s19, s20, s21, s22, s23)
 
   /** MMR selection rounds (picks after the pure-relevance first). */
   private val MmrK = 5
@@ -2144,6 +2144,71 @@ object Similarity {
         .select(col("a.va").as("va"), col("a.nn").as("vb"),
           col("a.c").as("cos_sim"))
         .orderBy("va", "vb")
+    }
+  }
+
+  /** s23: TOMBSTONED ANN — the DELETE face completing the index
+    * lifecycle (s05 build, s06 probe, s14/maintainIndex append, s23
+    * delete): a deterministic deletion feed (vec_id ≡ 0 mod 9, ~11%)
+    * is anti-joined against the PERSISTENT bucketed index at probe
+    * time, so deleted vectors neither answer queries nor issue them —
+    * the standard production deletion mechanic (Faiss IDSelector /
+    * vector-store tombstones): the index file is NEVER rewritten and
+    * the centroids stay FROZEN (deletion doesn't retrain — the s14
+    * contract from the other direction); a compaction that physically
+    * drops tombstoned rows is the K1e shape, run on its own schedule.
+    *
+    * Plan shape: the tombstone set broadcasts (it is deletion-sized,
+    * not corpus-sized) into a LEFT ANTI join INSIDE the bucket-pruned
+    * index scan, so probe cost stays probed-share-sized; everything
+    * else is s06's plan verbatim. The oracle replays training, probe
+    * selection, both-side tombstone exclusion, and the top-3.
+    */
+  val s23 = QueryDef(
+    "s23_tombstone_ann",
+    Some(s"""${Vec.duckNormCte},
+      $duckTrainedCells,
+      ${duckProbes("c3", "pr", 2)},
+      cand AS (
+        SELECT a.vec_id AS va, x.vec_id AS nn, x.cell AS nn_cell,
+               ${Vec.duckDot("a.v", "x.v")} / (a.nrm * x.nrm) AS c
+        FROM n a JOIN pr ON pr.vec_id = a.vec_id
+        JOIN cells x ON x.cell = pr.cell AND x.vec_id <> a.vec_id
+        WHERE a.vec_id % 9 <> 0 AND x.vec_id % 9 <> 0)
+      SELECT va, nn, nn_cell, c AS cos_sim FROM (
+        SELECT va, nn, nn_cell, c,
+               row_number() OVER (PARTITION BY va ORDER BY c DESC, nn) AS rn
+        FROM cand)
+      WHERE rn <= 3 ORDER BY va, cos_sim DESC, nn""")) { (s, d) =>
+    val co = s.newSession()
+    graft.functions.GraftFunctions.register(co)
+    val e = Vec.withNorm(Tables.embeddings(co, d)).cache()
+    val (centroids, ivfTable) = ensureIvfIndex(co, d, e)
+    if (centroids.isEmpty)
+      e.limit(0).select(col("vec_id").as("va"), col("vec_id").as("nn"),
+        lit(0L).as("nn_cell"), lit(0.0).as("cos_sim"))
+    else {
+      co.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      // the deletion feed — in production an arriving id stream; here
+      // the deterministic mod-9 subset so the oracle replays it
+      val tomb = e.select(col("vec_id").as("t_id"))
+        .where(col("t_id") % 9 === 0)
+      val live = co.table(ivfTable)
+        .join(broadcast(tomb), col("vec_id") === col("t_id"), "left_anti")
+      val probes = e.where(col("vec_id") % 9 =!= 0)
+        .select(col("vec_id").as("va"), col("v").as("qv"), col("nrm").as("qn"),
+          explode(slice(array_sort(array(probeStructs(centroids): _*)), 1, 2)).as("p"))
+        .select(col("va"), col("qv"), col("qn"), col("p.cell").as("pcell"))
+      probes.join(live,
+          col("pcell") === col("cell") && col("vec_id") =!= col("va"))
+        .select(col("va"), col("vec_id").as("nn"), col("cell").as("nn_cell"),
+          (call_function("vec_dot", col("qv"), col("v")) /
+            (col("qn") * col("nrm"))).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("va").orderBy(col("c").desc, col("nn"))))
+        .where(col("rn") <= 3)
+        .select(col("va"), col("nn"), col("nn_cell"), col("c").as("cos_sim"))
+        .orderBy(col("va"), col("cos_sim").desc, col("nn"))
     }
   }
 }

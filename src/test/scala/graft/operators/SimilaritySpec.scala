@@ -560,4 +560,32 @@ class SimilaritySpec extends SparkSpec {
     assert(mutual.size == expected.size)
   }
 
+  test("s23 tombstones vanish from both sides; untouched queries equal s06 exactly") {
+    val s06 = graft.Registry.byName("s06_ivf_batch_probe").fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    val s23 = graft.Registry.byName("s23_tombstone_ann").fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    assert(s23.nonEmpty)
+    // no deleted id on either side
+    s23.foreach { case (va, rows) =>
+      assert(va % 9 != 0)
+      assert(rows.forall(_._2 % 9 != 0))
+    }
+    // a surviving query whose s06 top-3 held no tombstone is untouched
+    val untouched = s06.filter { case (va, rows) =>
+      va % 9 != 0 && rows.forall(_._2 % 9 != 0)
+    }
+    assert(untouched.nonEmpty)
+    untouched.foreach { case (va, rows) =>
+      assert(s23(va).toSet == rows.toSet, s"query $va drifted without cause")
+    }
+    // a query that DID lose a neighbor to a tombstone refills from the
+    // probed cells (still 3 rows unless the cells ran dry)
+    val touched = s06.keys.filter(va =>
+      va % 9 != 0 && s06(va).exists(_._2 % 9 == 0))
+    assert(touched.nonEmpty, "no query lost a neighbor -- fixture degenerate")
+  }
+
 }
