@@ -1312,12 +1312,16 @@ object EventWindows {
     * ROWS UNBOUNDED..1 PRECEDING) turns it into ONE window over ONE
     * per-user sort — each purchase reads its latest preceding click
     * in O(1), the lookback bound is a post-filter, and the final
-    * readout is a one-row aggregate. ONE SQL text shared verbatim
-    * with the oracle.
+    * readout is a one-row aggregate. The oracle is the same program
+    * as SQL (DuckDB's `epoch_us` keeps it oracle-side-only; the
+    * window frame, tiebreak, and every aggregate mirror the
+    * DataFrame plan clause for clause).
     *
     * Determinism: the window order carries the family's (ts_us,
     * event_id) total tiebreak; all gaps are exact BIGINT micros;
-    * mean_gap_us is ONE IEEE division guarded by the d12 zero-case.
+    * mean_gap_us is ONE IEEE division guarded by the d12 zero-case —
+    * the zero-purchase readout is the same (0, 0, 0, 0.0) row on
+    * BOTH sides (sums coalesced in both texts).
     */
   private val e26Sql =
     """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
@@ -1328,12 +1332,12 @@ object EventWindows {
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
         FROM e)
       SELECT CAST(count(*) AS BIGINT) AS n_purchases,
-        CAST(sum(CASE WHEN last_click_us IS NOT NULL
-            AND ts_us - last_click_us <= 604800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
-        CAST(sum(CASE WHEN last_click_us IS NOT NULL
-            AND ts_us - last_click_us <= 604800000000 THEN ts_us - last_click_us ELSE 0 END) AS BIGINT) AS gap_us_total,
-        CASE WHEN sum(CASE WHEN last_click_us IS NOT NULL
-            AND ts_us - last_click_us <= 604800000000 THEN 1 ELSE 0 END) = 0 THEN 0.0
+        CAST(coalesce(sum(CASE WHEN last_click_us IS NOT NULL
+            AND ts_us - last_click_us <= 604800000000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_attributed,
+        CAST(coalesce(sum(CASE WHEN last_click_us IS NOT NULL
+            AND ts_us - last_click_us <= 604800000000 THEN ts_us - last_click_us ELSE 0 END), 0) AS BIGINT) AS gap_us_total,
+        CASE WHEN coalesce(sum(CASE WHEN last_click_us IS NOT NULL
+            AND ts_us - last_click_us <= 604800000000 THEN 1 ELSE 0 END), 0) = 0 THEN 0.0
           ELSE CAST(sum(CASE WHEN last_click_us IS NOT NULL
             AND ts_us - last_click_us <= 604800000000 THEN ts_us - last_click_us ELSE 0 END) AS DOUBLE)
             / sum(CASE WHEN last_click_us IS NOT NULL

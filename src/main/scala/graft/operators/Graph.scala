@@ -379,10 +379,10 @@ object Graph {
     */
   private[operators] def clusteringCoefficients(
       e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val deg = e.select(col("da").as("id"))
-      .unionByName(e.select(col("db").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("degree"))
-    val tri = triangleCounts(e)
+    // ONE degree aggregation feeds both the wedge denominator and the
+    // orientation inside triangleCounts (cached: two consumers)
+    val deg = degreesOf(e).cache()
+    val tri = triangleCounts(e, deg)
       .select(col("doc_id").as("id"), col("n_triangles"))
     deg.where(col("degree") >= 2)
       .join(tri, Seq("id"), "left")
@@ -728,10 +728,22 @@ object Graph {
     * in ≥ 1 triangle — (doc_id, degree, n_triangles), unsorted.
     */
   private[operators] def triangleCounts(
-      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val deg = e.select(col("da").as("id"))
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    triangleCounts(e, degreesOf(e))
+
+  /** (id, degree) of ANY undirected (da, db) edge list — one
+    * definition shared by triangleCounts and clusteringCoefficients
+    * so g10 computes the degree aggregation ONCE per run.
+    */
+  private[operators] def degreesOf(
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    e.select(col("da").as("id"))
       .unionByName(e.select(col("db").as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree"))
+
+  private[operators] def triangleCounts(
+      e: org.apache.spark.sql.DataFrame,
+      deg: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     // orient low-(degree, id) → high: acyclic, one wedge per triangle
     val fwd = col("ga") < col("gb") ||
       (col("ga") === col("gb") && col("da") < col("db"))

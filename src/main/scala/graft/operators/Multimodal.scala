@@ -21,6 +21,16 @@ object MultimodalOps {
     s"((299*(($base)%256) + 587*(($base+11)%256) + 114*(($base+22)%256)) // 1000)"
   }
 
+  /** The pHash60 bit k replayed in DuckDB over the synthetic pixel
+    * function of `id` (w/h in scope) — ONE definition of the dHash
+    * sample-point comparison shared by m06, m15, and the m13/c04
+    * curated chain, so the sample grid cannot drift between the
+    * oracles that all claim to replay the same shipped kernel.
+    */
+  private def duckPhashBit(id: String = "doc_id"): String =
+    s"CASE WHEN ${duckLuma("(((k%10)+1)*w)//11", "((k//10)*h)//6", id)}" +
+      s" > ${duckLuma("((k%10)*w)//11", "((k//10)*h)//6", id)} THEN (1::BIGINT << k) ELSE 0 END"
+
   /** Binary payload features computed relationally: byte length, head
     * bytes as hex, and an additive codepoint checksum — all
     * oracle-checkable (the corpus is ASCII, so codepoints = bytes).
@@ -176,8 +186,7 @@ object MultimodalOps {
   val m06 = QueryDef(
     "m06_phash_neardup",
     Some {
-      val bit = s"CASE WHEN ${duckLuma("(((k%10)+1)*w)//11", "((k//10)*h)//6")}" +
-        s" > ${duckLuma("((k%10)*w)//11", "((k//10)*h)//6")} THEN (1::BIGINT << k) ELSE 0 END"
+      val bit = duckPhashBit()
       s"""WITH g AS (SELECT doc_id, doc_id % 5 + 4 AS w, doc_id % 3 + 3 AS h FROM documents),
       ph AS (SELECT doc_id,
           CAST(list_sum(list_transform(range(0, 60), k -> $bit)) AS BIGINT) AS phash
@@ -640,8 +649,7 @@ object MultimodalOps {
   private[operators] val duckCuratedChain: String = {
     val base = "(doc_id*7 + (k % w)*3 + (k // w)*5)"
     val luma = s"((299*(($base) % 256) + 587*(($base + 11) % 256) + 114*(($base + 22) % 256)) // 1000)"
-    val bit = s"CASE WHEN ${duckLuma("(((k%10)+1)*w)//11", "((k//10)*h)//6")}" +
-      s" > ${duckLuma("((k%10)*w)//11", "((k//10)*h)//6")} THEN (1::BIGINT << k) ELSE 0 END"
+    val bit = duckPhashBit()
     s"""WITH g AS (SELECT doc_id, doc_id % 5 + 4 AS w, doc_id % 3 + 3 AS h FROM documents),
       ph AS (SELECT g.doc_id,
           CAST(list_sum(list_transform(range(0, 60), k -> $bit)) AS BIGINT) AS phash
@@ -921,8 +929,7 @@ object MultimodalOps {
   val m15 = QueryDef(
     "m15_video_neardup",
     Some {
-      val bit = s"CASE WHEN ${duckLuma("(((k%10)+1)*w)//11", "((k//10)*h)//6", "fid")}" +
-        s" > ${duckLuma("((k%10)*w)//11", "((k//10)*h)//6", "fid")} THEN (1::BIGINT << k) ELSE 0 END"
+      val bit = duckPhashBit("fid")
       s"""WITH f AS (SELECT doc_id, unnest(range(0, doc_id % 4 + 2)) AS k2 FROM documents),
       d AS (SELECT doc_id, doc_id*97 + k2 AS fid FROM f),
       g AS (SELECT doc_id, fid, fid % 5 + 4 AS w, fid % 3 + 3 AS h FROM d),

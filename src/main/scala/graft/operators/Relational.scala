@@ -1519,8 +1519,10 @@ object Relational {
     * partial-distinct aggregate), and a NOT IN subquery (null-aware
     * anti join — the blacklist is provably non-null here, but the
     * planner must still prove it). ONE SQL text shared verbatim with
-    * the oracle; the blacklist leg is live at every SF (negative-
-    * balance suppliers exist in the corpus).
+    * the oracle; the blacklist threshold (balance < 600) is chosen so
+    * the leg is LIVE at every SF — 1 / 10 / 135 blacklisted suppliers
+    * at sf0.001/0.01/0.1 (a negative-balance rule would be vacuous at
+    * sf0.001, where the minimum balance is 537.46).
     *
     * Plan at 100 TB: the blacklist is supplier-sized (broadcast anti);
     * the part filter broadcasts into the fact scan; the distinct
@@ -1535,7 +1537,7 @@ object Relational {
     WHERE p.p_brand <> 'Brand#3' AND p.p_type <> 'ECONOMY'
       AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
       AND l.l_suppkey NOT IN (
-        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 600)
     GROUP BY p.p_brand, p.p_type, p.p_size
     ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
     LIMIT 40"""

@@ -565,20 +565,38 @@ object Similarity {
       // layout when it judges the scan cheaper unbucketed; force it so
       // the index side joins exchange-free (the s05 discipline)
       co.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-      val probes = e.select(col("vec_id").as("va"), col("v").as("qv"),
-          col("nrm").as("qn"),
-          explode(slice(array_sort(array(probeStructs(centroids): _*)), 1, 2)).as("p"))
-        .select(col("va"), col("qv"), col("qn"), col("p.cell").as("pcell"))
-      probes.join(co.table(ivfTable),
-          col("pcell") === col("cell") && col("vec_id") =!= col("va"))
-        .select(col("va"), col("vec_id").as("nn"), col("cell").as("nn_cell"),
-          (call_function("vec_dot", col("qv"), col("v")) / (col("qn") * col("nrm"))).as("c"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("va").orderBy(col("c").desc, col("nn"))))
-        .where(col("rn") <= 3)
+      probeTop3(e, co.table(ivfTable), centroids)
         .select(col("va"), col("nn"), col("nn_cell"), col("c").as("cos_sim"))
         .orderBy(col("va"), col("cos_sim").desc, col("nn"))
     }
+  }
+
+  /** THE nprobe=2 / top-3 probe body — ONE definition of s06's probe
+    * selection, candidate join, and partial-top-k, shared by s06, s22
+    * (mutual filter on top), and s23 (tombstone-filtered operands), so
+    * a probe-policy change cannot silently desynchronize the faces
+    * whose contracts are stated AGAINST s06 (SimilaritySpec pins
+    * both). Queries carry the [[graft.Vec.withNorm]] shape (vec_id, v,
+    * nrm); the index side is any (vec_id, cell, v, nrm, …) table.
+    * Output: (va, nn, nn_cell, c), unsorted.
+    */
+  private def probeTop3(queries: org.apache.spark.sql.DataFrame,
+      index: org.apache.spark.sql.DataFrame,
+      centroids: Seq[(Long, Array[Double], Double)])
+      : org.apache.spark.sql.DataFrame = {
+    val probes = queries.select(col("vec_id").as("va"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        explode(slice(array_sort(array(probeStructs(centroids): _*)), 1, 2)).as("p"))
+      .select(col("va"), col("qv"), col("qn"), col("p.cell").as("pcell"))
+    probes.join(index,
+        col("pcell") === col("cell") && col("vec_id") =!= col("va"))
+      .select(col("va"), col("vec_id").as("nn"), col("cell").as("nn_cell"),
+        (call_function("vec_dot", col("qv"), col("v")) /
+          (col("qn") * col("nrm"))).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("va").orderBy(col("c").desc, col("nn"))))
+      .where(col("rn") <= 3)
+      .select(col("va"), col("nn"), col("nn_cell"), col("c"))
   }
 
   /** s10: recall@3 EVALUATION of the IVF probe (s06's nprobe=2 path)
@@ -2125,18 +2143,7 @@ object Similarity {
       // force the bucketed layout on the index side (the s05/s06
       // discipline — autoBucketedScan can forfeit it)
       co.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-      val probes = e.select(col("vec_id").as("va"), col("v").as("qv"),
-          col("nrm").as("qn"),
-          explode(slice(array_sort(array(probeStructs(centroids): _*)), 1, 2)).as("p"))
-        .select(col("va"), col("qv"), col("qn"), col("p.cell").as("pcell"))
-      val knn = probes.join(co.table(ivfTable),
-          col("pcell") === col("cell") && col("vec_id") =!= col("va"))
-        .select(col("va"), col("vec_id").as("nn"),
-          (call_function("vec_dot", col("qv"), col("v")) /
-            (col("qn") * col("nrm"))).as("c"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("va").orderBy(col("c").desc, col("nn"))))
-        .where(col("rn") <= 3)
+      val knn = probeTop3(e, co.table(ivfTable), centroids)
         .select(col("va"), col("nn"), col("c"))
       knn.as("a").join(knn.as("b"),
           col("a.va") === col("b.nn") && col("a.nn") === col("b.va") &&
@@ -2195,18 +2202,7 @@ object Similarity {
         .where(col("t_id") % 9 === 0)
       val live = co.table(ivfTable)
         .join(broadcast(tomb), col("vec_id") === col("t_id"), "left_anti")
-      val probes = e.where(col("vec_id") % 9 =!= 0)
-        .select(col("vec_id").as("va"), col("v").as("qv"), col("nrm").as("qn"),
-          explode(slice(array_sort(array(probeStructs(centroids): _*)), 1, 2)).as("p"))
-        .select(col("va"), col("qv"), col("qn"), col("p.cell").as("pcell"))
-      probes.join(live,
-          col("pcell") === col("cell") && col("vec_id") =!= col("va"))
-        .select(col("va"), col("vec_id").as("nn"), col("cell").as("nn_cell"),
-          (call_function("vec_dot", col("qv"), col("v")) /
-            (col("qn") * col("nrm"))).as("c"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("va").orderBy(col("c").desc, col("nn"))))
-        .where(col("rn") <= 3)
+      probeTop3(e.where(col("vec_id") % 9 =!= 0), live, centroids)
         .select(col("va"), col("nn"), col("nn_cell"), col("c").as("cos_sim"))
         .orderBy(col("va"), col("cos_sim").desc, col("nn"))
     }

@@ -709,20 +709,28 @@ object StreamingOps {
     * re-derives the full ledger rather than double-counting stale
     * batches from a dead numbering.
     */
+  /** Clear a ledger dir's NUMERIC deltas (`delta-<batchId>`) — the
+    * un-checkpointed-restart guard both delta-ledger families
+    * (diffStream, burstStream) share: a dead run's batch numbering
+    * starts over, so its stale numeric deltas would double-count;
+    * non-numeric names (delta-base) survive.
+    */
+  private def clearNumericDeltas(ledgerDir: String): Unit = {
+    val dir = new java.io.File(ledgerDir)
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("delta-\\d+"))
+      .foreach { f =>
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm); x.delete(); ()
+        }
+        rm(f)
+      }
+  }
+
   def diffStream(newRows: DataFrame, old: DataFrame, ledgerDir: String,
       checkpoint: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    if (checkpoint.isEmpty) {
-      val dir = new java.io.File(ledgerDir)
-      Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.matches("delta-\\d+"))
-        .foreach { f =>
-          def rm(x: java.io.File): Unit = {
-            Option(x.listFiles()).getOrElse(Array.empty).foreach(rm); x.delete(); ()
-          }
-          rm(f)
-        }
-    }
+    if (checkpoint.isEmpty) clearNumericDeltas(ledgerDir)
     // baseline: every old key opens in 'removed' (nothing has arrived)
     old.groupBy()
       .agg(count(lit(1)).as("dn"), expr("bit_xor(key)").as("dkx"),
@@ -799,17 +807,7 @@ object StreamingOps {
   def burstStream(events: Dataset[Event], ledgerDir: String,
       checkpoint: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    if (checkpoint.isEmpty) {
-      val dir = new java.io.File(ledgerDir)
-      Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.matches("delta-\\d+"))
-        .foreach { f =>
-          def rm(x: java.io.File): Unit = {
-            Option(x.listFiles()).getOrElse(Array.empty).foreach(rm); x.delete(); ()
-          }
-          rm(f)
-        }
-    }
+    if (checkpoint.isEmpty) clearNumericDeltas(ledgerDir)
     val hourUs = graft.operators.EventWindows.HourUs
     val writer = checkpoint.foldLeft(events.writeStream)(
       (w, c) => w.option("checkpointLocation", c))
@@ -838,12 +836,24 @@ object StreamingOps {
     * (counts are order-independent; StreamingSpec pins 1-batch ≡
     * 3-batch ≡ batch).
     */
-  def burstLedger(s: SparkSession, ledgerDir: String): DataFrame =
-    graft.operators.EventWindows.burstFlags(
-      s.read.parquet(s"$ledgerDir/delta-*")
-        .groupBy("user_id", "hour_us")
-        .agg(sum("cnt").as("cnt")))
+  def burstLedger(s: SparkSession, ledgerDir: String): DataFrame = {
+    import s.implicits._
+    // a ledger with no delta yet (only empty batches so far) is a
+    // valid state whose readout is "no bursts" — not a path error
+    // (diffStream never hits this: it pre-writes delta-base)
+    val dir = new java.io.File(ledgerDir)
+    val hasDelta = Option(dir.listFiles()).getOrElse(Array.empty)
+      .exists(_.getName.matches("delta-\\d+"))
+    val hc =
+      if (!hasDelta)
+        Seq.empty[(Long, Long, Long)].toDF("user_id", "hour_us", "cnt")
+      else
+        s.read.parquet(s"$ledgerDir/delta-*")
+          .groupBy("user_id", "hour_us")
+          .agg(sum("cnt").as("cnt"))
+    graft.operators.EventWindows.burstFlags(hc)
       .orderBy("user_id", "hour_us")
+  }
 
   /** Continuous archiving: the reference's whole purpose (archive
     * query results to object storage) lifted to a stream — every

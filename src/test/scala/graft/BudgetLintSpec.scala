@@ -50,7 +50,14 @@ class BudgetLintSpec extends AnyFunSuite {
     "x25_nb_domain" ->
       ("trains a naive-Bayes domain classifier (token×class count model) AND " +
         "scores the corpus with a confusion readout — two full token passes " +
-        "by definition of train-then-evaluate"))
+        "by definition of train-then-evaluate"),
+    "m15_video_neardup" ->
+      ("demuxes and GENUINELY decodes every frame of every video " +
+        "(javax.imageio per frame, ~3.5 frames/video — the honest decode " +
+        "cost of a real CBCD fingerprint pass); everything after the decode " +
+        "is fingerprint-sized; oscillates 1.7–2.1 s across quiet runs, AT " +
+        "the budget boundary — the g07 convention: justified until the " +
+        "decode pass cheapens"))
     // x09's justification removed round 6 with the same memo: its d07
     // input now reads the persisted edge operand (2.2 s -> 0.7 s).
     // c01 justification removed round 6: the capstone's steady state
