@@ -30,7 +30,7 @@ object Dedup {
 
   def queries: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d15, d16, d17)
+      d15, d16, d17, d18)
 
   /** DuckDB CTE for distinct 3-token shingles per document — the
     * oracle-side counterpart of the Spark-side native
@@ -1374,6 +1374,71 @@ object Dedup {
         col("i").as("n_shared"),
         (col("i").cast("double") / least(col("na.n"), col("nb.n")))
           .as("containment"))
+      .orderBy("da", "db")
+  }
+
+  /** d18: CONTAINMENT-ESTIMATE evaluation — the d12 protocol applied
+    * to d17's measure: MinHash signatures estimate RESEMBLANCE (Ĵ),
+    * not containment, but with the exact set sizes (which a dedup
+    * index stores anyway) containment derives algebraically —
+    * J = i/(|A|+|B|−i) ⟹ i = J·(|A|+|B|)/(1+J) ⟹
+    * Ĉ = Ĵ·(|A|+|B|) / ((1+Ĵ)·min) (Broder 1997's size-augmented
+    * containment estimator). d18 grades that estimator per SHIPPED
+    * d02 candidate pair against the exact full-set containment —
+    * the readout that decides whether the cheap signature path can
+    * replace d17's exact index join at scale. NOTE the semantics
+    * difference from d17: signatures see ALL shingles, so the truth
+    * leg here is FULL-set containment, not d17's df-capped variant.
+    *
+    * Determinism: Ĵ is an exact k/32 double; the estimator is the
+    * IDENTICAL formula text in both engines (same IEEE op order);
+    * the exact leg is integer counts and ONE division; band-collision
+    * pairs with zero shared shingles coalesce to exact 0 (LEFT join).
+    *
+    * Scale shape: candidates are the bounded d02 banding output; the
+    * truth leg pays d03's documented exactness-join cost ONCE (the
+    * d12 convention for evaluation ground truth — an eval runs
+    * offline, not per-query).
+    */
+  val d18 = QueryDef(
+    "d18_containment_eval",
+    Some(s"""$gramCte,
+      $duckMinhashChain,
+      $duckJaccardChain
+      SELECT da, db, n_a, n_b, n_shared, est_jaccard,
+        est_containment, exact_containment,
+        abs(est_containment - exact_containment) AS abs_err
+      FROM (
+        SELECT c.da, c.db,
+          CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+          CAST(coalesce(iv.i, 0) AS BIGINT) AS n_shared, c.est_jaccard,
+          c.est_jaccard * (ca.n + cb.n) / ((1 + c.est_jaccard) * least(ca.n, cb.n)) AS est_containment,
+          CAST(coalesce(iv.i, 0) AS DOUBLE) / least(ca.n, cb.n) AS exact_containment
+        FROM ce c JOIN cnt ca ON ca.doc_id = c.da
+        JOIN cnt cb ON cb.doc_id = c.db
+        LEFT JOIN inter iv ON iv.da = c.da AND iv.db = c.db)
+      ORDER BY da, db""")) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val cand = minhashCandidates(s, d).select("da", "db", "est_jaccard")
+    val g = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr("shingle_hashes(text, 3)")).as("g"))
+      .cache()
+    val n = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = g.as("x").join(g.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    cand
+      .join(n.as("na"), col("da") === col("na.doc_id"))
+      .join(n.as("nb"), col("db") === col("nb.doc_id"))
+      .join(inter, Seq("da", "db"), "left")
+      .select(col("da"), col("db"), col("na.n").as("n_a"), col("nb.n").as("n_b"),
+        coalesce(col("i"), lit(0L)).as("n_shared"), col("est_jaccard"))
+      .withColumn("est_containment",
+        expr("est_jaccard * (n_a + n_b) / ((1 + est_jaccard) * least(n_a, n_b))"))
+      .withColumn("exact_containment",
+        expr("CAST(n_shared AS DOUBLE) / least(n_a, n_b)"))
+      .withColumn("abs_err", expr("abs(est_containment - exact_containment)"))
       .orderBy("da", "db")
   }
 }

@@ -22,7 +22,7 @@ object Relational {
   def queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q33, q37, q39, q42, q43, q44,
       q46, q48, q49, q50, q53, q54, q58, q59, q60, q61, q63, q64, q65,
-      q66, q67, q68, q69, q70, q71, q72)
+      q66, q67, q68, q69, q70, q71, q72, q73)
 
   /** FULL OUTER join with all three match classes live: customers are
     * filtered to positive balances so orders from excluded customers
@@ -1549,5 +1549,49 @@ object Relational {
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
     Tables.supplier(s, d).createOrReplaceTempView("supplier")
     s.sql(q72Sql)
+  }
+
+  /** q73: the TPC-H Q3 composition — SHIPPING PRIORITY: the 10
+    * highest-revenue orders from one market segment booked before a
+    * date but not yet shipped by it. The canonical "unshipped
+    * backlog" report and the one classic shape left uncovered: a
+    * SEGMENTED two-fact join where the date predicate CROSSES the
+    * join (o_orderdate before, l_shipdate after — neither side's
+    * filter implies the other's), grouped per ORDER (fact-cardinality
+    * keys, like q70's customer-wide group) with a fused top-10. ONE
+    * SQL text shared verbatim with the oracle.
+    *
+    * Determinism: revenue rides the exact-decimal chain; the LIMIT
+    * boundary is total-ordered by (revenue DESC, o_orderdate,
+    * l_orderkey — unique per group).
+    *
+    * Plan at 100 TB: both date filters push into their scans; the
+    * segment-filtered customer side broadcasts; orders⋈lineitem
+    * shares the orderkey clustering with the per-order aggregate; the
+    * top-10 is a TakeOrdered, never a global sort.
+    */
+  private val q73Sql =
+    """SELECT l.l_orderkey,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        AS revenue,
+      o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND l.l_shipdate > TIMESTAMP '1997-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10"""
+
+  val q73 = QueryDef(
+    "q73_shipping_priority",
+    Some(q73Sql)) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(q73Sql)
   }
 }
