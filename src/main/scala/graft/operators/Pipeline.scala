@@ -461,12 +461,13 @@ object Pipeline {
     * Determinism: every count is an exact BIGINT; dup_rate is ONE
     * IEEE division of exact integers (the g06/d17 discipline).
     *
-    * Scale shape: two narrow per-document scoring passes (langid +
-    * quality fuse with their scans; no shuffle until the final
-    * aggregate) plus d01's one text-keyed aggregation for the dup
-    * index; the per-language rollup is a ≤6-group reduction. The
-    * three corpus scans are stage families, the c01 budget. At 100 TB
-    * the card costs one pass per scoring family — the same plan.
+    * Scale shape: ONE cached per-document scoring pass — x03's
+    * quality features and x02's language scores FUSE into a single
+    * scan-and-project ([[TextAnalysis.langidScoredDf]], the c01
+    * fused-attribute-pass discipline) — plus d01's one text-keyed
+    * aggregation over that same cached frame for the dup index; the
+    * per-language rollup is a ≤6-group reduction. At 100 TB the card
+    * costs one corpus read — the same plan.
     */
   val c05 = QueryDef(
     "c05_data_card",
@@ -494,16 +495,19 @@ object Pipeline {
       FROM scored s JOIN q ON q.doc_id = s.doc_id
       JOIN dup ON dup.doc_id = s.doc_id
       GROUP BY s.pred_lang ORDER BY s.pred_lang""")) { (s, d) =>
-    val lang = TextAnalysis.langidScored(s, d)
-      .select(col("doc_id"), col("pred_lang"))
-    val q = TextAnalysis.qualityScored(Tables.documents(s, d))
-      .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("quality"))
-    val docs = Tables.documents(s, d).select("doc_id", "text")
-    val keep = docs.groupBy("text").agg(min("doc_id").as("keep_id"))
-    val dup = docs.join(keep, Seq("text"))
+    // ONE fused scoring pass: quality features + language scores in a
+    // single scan-and-project, cached for its two consumers (the
+    // rollup and the dup index)
+    val perDoc = TextAnalysis.langidScoredDf(
+        TextAnalysis.qualityScored(Tables.documents(s, d)))
+      .select(col("doc_id"), col("text"), col("pred_lang"),
+        col("n_chars"), col("n_tokens"), col("quality"))
+      .cache()
+    val keep = perDoc.groupBy("text").agg(min("doc_id").as("keep_id"))
+    val dup = perDoc.select("doc_id", "text").join(keep, Seq("text"))
       .select(col("doc_id"),
         when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L).as("is_dup"))
-    lang.join(q, Seq("doc_id")).join(dup, Seq("doc_id"))
+    perDoc.join(dup, Seq("doc_id"))
       .groupBy("pred_lang")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("n_tokens"),

@@ -557,18 +557,30 @@ object TextAnalysis {
         FROM documents))"""
 
   private[operators] def langidScored(
-      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    langidScoredDf(Tables.documents(s, d))
+      .select("doc_id", "lang", "s_en", "s_de", "s_es", "s_fr",
+        "ratio_nonascii", "pred_lang")
+
+  /** x02's scorer over ANY frame carrying (doc_id, text, …) — the
+    * DataFrame-in face, so a composer (c05) can FUSE language scoring
+    * into an existing per-document scan instead of paying a second
+    * corpus read; other columns pass through.
+    */
+  private[operators] def langidScoredDf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     def score(name: String, words: String) =
-      expr(s"CAST(size(filter(toks, t -> t IN ($words))) AS DOUBLE) / size(toks)").as(name)
-    Tables.documents(s, d)
-      .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), col("lang"),
-        score("s_en", "'the', 'a', 'of', 'and', 'to'"),
-        score("s_de", "'der', 'die', 'und', 'das', 'ist'"),
-        score("s_es", "'el', 'la', 'de', 'que', 'y'"),
-        score("s_fr", "'le', 'les', 'et', 'un', 'une'"),
-        (regexp_count(col("text"), lit("[^ -~]")).cast("double") /
-          length(col("text"))).as("ratio_nonascii"))
+      expr(s"CAST(size(filter(lid_toks, t -> t IN ($words))) AS DOUBLE) / size(lid_toks)").as(name)
+    docs
+      .withColumn("lid_toks", split(col("text"), " "))
+      .withColumns(Map(
+        "s_en" -> score("s_en", "'the', 'a', 'of', 'and', 'to'"),
+        "s_de" -> score("s_de", "'der', 'die', 'und', 'das', 'ist'"),
+        "s_es" -> score("s_es", "'el', 'la', 'de', 'que', 'y'"),
+        "s_fr" -> score("s_fr", "'le', 'les', 'et', 'un', 'une'"),
+        "ratio_nonascii" -> (regexp_count(col("text"), lit("[^ -~]")).cast("double") /
+          length(col("text")))))
+      .drop("lid_toks")
       .withColumn("pred_lang",
         when(col("ratio_nonascii") > 0.3, "zh")
           .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
