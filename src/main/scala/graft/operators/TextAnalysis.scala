@@ -567,7 +567,7 @@ object TextAnalysis {
     * into an existing per-document scan instead of paying a second
     * corpus read; other columns pass through.
     */
-  private[operators] def langidScoredDf(
+  private[graft] def langidScoredDf(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     def score(name: String, words: String) =
       expr(s"CAST(size(filter(lid_toks, t -> t IN ($words))) AS DOUBLE) / size(lid_toks)").as(name)

@@ -977,6 +977,117 @@ object StreamingOps {
       }
       .start()
 
+  /** c05's STREAMING face, part 1 — maintain the corpus DATA CARD
+    * continuously as document micro-batches land. Per batch: the
+    * SHIPPED fused scoring pass (qualityScored ∘ langidScoredDf — the
+    * same one-scan attribute projection batch c05 runs), duplicate
+    * classification against a PERSISTENT bucketed text index (the
+    * d09/curateStream discipline: a text already indexed is a dup of
+    * an earlier arrival; within the batch the min id keeps), then ONE
+    * per-language sufficient-statistics delta written
+    * `delta-<batchId>` with overwrite (the burstStream/diffStream
+    * ledger discipline — every card measure is an additive count, so
+    * deltas merge) and the batch's novel texts APPENDED to the index
+    * batch_id-guarded.
+    *
+    * Replay safety (at-least-once foreachBatch): the delta write
+    * precedes the index append — a replay after a crash BETWEEN them
+    * recomputes against an index that does not yet hold this batch
+    * (identical delta, overwritten in place, then the append); a
+    * replay AFTER the append sees its batch_id in the index and skips
+    * entirely (the delta is already on disk from the first attempt).
+    *
+    * Equality contract: on a stream whose batches respect doc-id
+    * order (the family's split-invariance contract), the ledger
+    * equals batch c05 over the arrived docs — first arrival = min id,
+    * so index-based dup flags reproduce d01's min-id rule exactly
+    * (StreamingSpec pins 1-batch ≡ 3-batch ≡ batch c05).
+    */
+  def dataCardStream(docs: DataFrame, indexTable: String, ledgerDir: String,
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    if (checkpoint.isEmpty) clearNumericDeltas(ledgerDir)
+    val writer = checkpoint.foldLeft(docs.writeStream)(
+      (w, c) => w.option("checkpointLocation", c))
+    writer
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val idxExists = s.catalog.tableExists(indexTable)
+          val alreadyApplied = idxExists &&
+            !s.table(indexTable).where(col("batch_id") === batchId).isEmpty
+          if (!alreadyApplied) {
+            val scored = graft.operators.TextAnalysis.langidScoredDf(
+                graft.operators.TextAnalysis.qualityScored(batch))
+              .select(col("doc_id"), col("text"), col("pred_lang"),
+                col("n_chars"), col("n_tokens"), col("quality"))
+              .cache()
+            val keep = scored.groupBy("text").agg(min("doc_id").as("keep_id"))
+            val seen =
+              if (idxExists)
+                s.table(indexTable).select(col("text")).distinct()
+                  .withColumn("seen", lit(true))
+              else scored.limit(0).select(col("text"), lit(true).as("seen"))
+            val flagged = scored.join(keep, Seq("text"))
+              .join(seen, Seq("text"), "left")
+              .withColumn("is_dup",
+                when(col("seen").isNotNull || col("doc_id") =!= col("keep_id"), 1L)
+                  .otherwise(0L))
+            flagged
+              .groupBy("pred_lang")
+              .agg(count(lit(1)).as("n_docs"),
+                sum("n_tokens").as("n_tokens"),
+                sum("n_chars").as("n_chars"),
+                sum(when(col("quality") === "high", 1L).otherwise(0L)).as("n_high"),
+                sum(when(col("quality") === "medium", 1L).otherwise(0L)).as("n_medium"),
+                sum(when(col("quality") === "low", 1L).otherwise(0L)).as("n_low"),
+                sum("is_dup").as("n_dup"))
+              .write.mode("overwrite").parquet(s"$ledgerDir/delta-$batchId")
+            // novel texts (in-batch keepers not previously indexed)
+            // enter the index so the NEXT batch sees them
+            val novel = flagged
+              .where(col("seen").isNull && col("doc_id") === col("keep_id"))
+              .select(col("text"), col("doc_id"), lit(batchId).as("batch_id"))
+            if (!novel.isEmpty)
+              novel.write.format("parquet").mode("append")
+                .bucketBy(8, "text").saveAsTable(indexTable)
+            scored.unpersist(blocking = false)
+          }
+          ()
+        }
+      }
+      .start()
+  }
+
+  /** c05's STREAMING face, part 2 — the current data card from a
+    * [[dataCardStream]] ledger: fold the per-batch deltas additively
+    * per language and emit batch c05's exact readout (dup_rate as the
+    * same guarded single division). Empty ledger → empty card.
+    */
+  def dataCardLedger(s: SparkSession, ledgerDir: String): DataFrame = {
+    import s.implicits._
+    val dir = new java.io.File(ledgerDir)
+    val hasDelta = Option(dir.listFiles()).getOrElse(Array.empty)
+      .exists(_.getName.matches("delta-\\d+"))
+    val folded =
+      if (!hasDelta)
+        Seq.empty[(String, Long, Long, Long, Long, Long, Long, Long)]
+          .toDF("pred_lang", "n_docs", "n_tokens", "n_chars",
+            "n_high", "n_medium", "n_low", "n_dup")
+      else
+        s.read.parquet(s"$ledgerDir/delta-*")
+          .groupBy("pred_lang")
+          .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+            sum("n_chars").as("n_chars"), sum("n_high").as("n_high"),
+            sum("n_medium").as("n_medium"), sum("n_low").as("n_low"),
+            sum("n_dup").as("n_dup"))
+    folded
+      .select(col("pred_lang"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_high"), col("n_medium"), col("n_low"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_docs")).as("dup_rate"))
+      .orderBy("pred_lang")
+  }
+
   def archiveStream(events: DataFrame, engine: graft.engine.Engine,
       destDir: String, table: String): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream

@@ -344,6 +344,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dataCardStream recovers c05's card: 1-batch ≡ 3-batch ≡ batch c05") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val expect = graft.operators.Pipeline.c05.fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(expect.nonEmpty)
+    // ascending-id arrival (the family's ordered-split contract):
+    // first arrival = min id, so the index dup rule ≡ d01's min-id rule
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").orderBy("doc_id").collect()
+      .map(r => StreamingOps.Doc(r.getLong(0), r.getString(1))).toSeq
+    def run(splits: Seq[Seq[StreamingOps.Doc]]): Seq[Seq[Any]] = {
+      val ledger = java.nio.file.Files
+        .createTempDirectory("graft-card").toString + "/ledger"
+      val idx = s"graft_card_idx_${System.nanoTime}"
+      val input = MemoryStream[StreamingOps.Doc]
+      val q = StreamingOps.dataCardStream(input.toDF(), idx, ledger)
+      try splits.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      StreamingOps.dataCardLedger(spark, ledger).collect().map(_.toSeq).toSeq
+    }
+    assert(run(Seq(docs)) == expect,
+      "1-batch data-card ledger diverges from batch c05")
+    val m = docs.length
+    assert(m >= 3)
+    assert(run(Seq(docs.slice(0, m / 3), docs.slice(m / 3, 2 * m / 3),
+      docs.slice(2 * m / 3, m))) == expect,
+      "3-batch data-card ledger diverges from batch c05")
+  }
+
   test("curateStream: gate + dedup + index + landing across batches, re-crawls dropped") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, min => fmin}
