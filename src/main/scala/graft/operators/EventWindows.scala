@@ -22,7 +22,7 @@ object EventWindows {
 
   def queries: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
-      e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26)
+      e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27)
 
   /** e14: watermark / late-event accounting — the batch twin of the
     * bookkeeping every Structured Streaming job does implicitly
@@ -1370,6 +1370,86 @@ object EventWindows {
         when(col("n_attributed") === 0L, lit(0.0))
           .otherwise(col("gap_us_total").cast("double") / col("n_attributed"))
           .as("mean_gap_us"))
+  }
+
+  /** e27: ROBUST (median/MAD) outlier profile per event type — the
+    * distribution-free complement to e18's rolling z-score: the mean
+    * and variance e18 leans on are themselves dragged by the outliers
+    * they're meant to catch, while the median and the Median Absolute
+    * Deviation have a 50% breakdown point (Hampel's robust-statistics
+    * argument) — this is the gate data-quality pipelines run when a
+    * feed is ALREADY suspected dirty. Flag: |x − med| > 3·1.4826·MAD
+    * (1.4826 = 1/Φ⁻¹(¾) makes MAD a consistent σ estimate under
+    * normality).
+    *
+    * Exactness discipline (the e18/e23 cent arithmetic, pushed one
+    * step further — no float appears ANYWHERE, not even one division):
+    * values become BIGINT cents; the median is the LOWER median — the
+    * rank-⌊(n+1)/2⌋ element under the total order (cents, event_id) —
+    * selected, never interpolated, so it is an exact lake value; MAD
+    * is the lower median of the exact |cents − med| deviations; and
+    * the flag cross-multiplies the constant away:
+    * 10000·|x − med| > 44478·MAD  (3·1.4826 = 4.4478 exactly).
+    * Worst magnitude 44478·MAD ≈ 2·10⁹ — five orders inside int64.
+    *
+    * Scale shape: ONE exchange keyed by event_type carries both
+    * rank-selection sorts (the med side is a 5-row broadcast back);
+    * exact medians genuinely need a per-key sort — a hot key costs
+    * its own row count, never a cross-key sort — and the sketch twins
+    * (q36/q38 KLL) are the registry's documented approximate path
+    * when even that sort is too dear.
+    */
+  val e27 = QueryDef(
+    "e27_mad_outliers",
+    Some("""WITH b AS (
+      SELECT event_type AS t, event_id,
+        CAST(round(value * 100) AS BIGINT) AS c FROM events),
+    r1 AS (SELECT t, event_id, c,
+        row_number() OVER (PARTITION BY t ORDER BY c, event_id) AS rn,
+        count(*) OVER (PARTITION BY t) AS n FROM b),
+    med AS (SELECT t, c AS med FROM r1 WHERE rn = (n + 1) // 2),
+    dev AS (SELECT b.t, b.event_id, abs(b.c - m.med) AS ad, m.med
+      FROM b JOIN med m ON b.t = m.t),
+    r2 AS (SELECT t, event_id, ad, med,
+        row_number() OVER (PARTITION BY t ORDER BY ad, event_id) AS rn,
+        count(*) OVER (PARTITION BY t) AS n FROM dev),
+    mad AS (SELECT t, med, ad AS mad FROM r2 WHERE rn = (n + 1) // 2)
+    SELECT d.t AS event_type, count(*) AS n_events,
+      m.med AS med_cents, m.mad AS mad_cents,
+      CAST(sum(CASE WHEN 10000 * d.ad > 44478 * m.mad
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON d.t = m.t
+    GROUP BY d.t, m.med, m.mad
+    ORDER BY event_type""")) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val rankW = Window.partitionBy("t").orderBy("c", "event_id")
+    val cntW = Window.partitionBy("t")
+    val b = Tables.events(s, d)
+      .select(col("event_type").as("t"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    val med = b
+      .withColumn("rn", row_number().over(rankW))
+      .withColumn("n", count(lit(1)).over(cntW))
+      .where(col("rn") === expr("(n + 1) div 2"))
+      .select(col("t"), col("c").as("med"))
+    val dev = b.join(med, Seq("t"))
+      .select(col("t"), col("event_id"), abs(col("c") - col("med")).as("ad"),
+        col("med"))
+    val adW = Window.partitionBy("t").orderBy("ad", "event_id")
+    val mad = dev
+      .withColumn("rn", row_number().over(adW))
+      .withColumn("n", count(lit(1)).over(cntW))
+      .where(col("rn") === expr("(n + 1) div 2"))
+      .select(col("t"), col("ad").as("mad"))
+    dev.join(mad, Seq("t"))
+      .groupBy(col("t").as("event_type"), col("med").as("med_cents"),
+        col("mad").as("mad_cents"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(lit(10000L) * col("ad") > lit(44478L) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n_events"), col("med_cents"),
+        col("mad_cents"), col("n_outliers"))
+      .orderBy("event_type")
   }
 
 }

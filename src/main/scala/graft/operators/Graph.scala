@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   def queries: Seq[QueryDef] =
-    Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, g10)
+    Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11)
 
   /** Offset that moves supplier ids into their own node-id space;
     * must exceed every custkey at any SF this runs at locally. At
@@ -391,6 +391,81 @@ object Graph {
         expr("(degree * (degree - 1)) DIV 2").as("n_wedges"),
         (coalesce(col("n_triangles"), lit(0L)).cast("double") /
           expr("(degree * (degree - 1)) DIV 2")).as("lcc"))
+  }
+
+  /** g11: DEGREE ASSORTATIVITY over the customer↔supplier fulfilment
+    * graph — the one-number structural readout the family still
+    * lacked: do high-degree nodes attach to other hubs (assortative,
+    * r > 0 — social-network shape) or to leaves (disassortative,
+    * r < 0 — the hub-and-spoke shape bipartite commerce graphs show)?
+    * Newman 2002 defines r as the Pearson correlation of the degree
+    * pairs at the two ends of every edge.
+    *
+    * Exactness: over the SYMMETRIZED directed edge list the
+    * source-degree and destination-degree multisets are identical, so
+    * the two marginal means and variances coincide and the
+    * correlation collapses to r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²) —
+    * every sufficient statistic an exact BIGINT (counts and
+    * count-products only), the coefficient ONE IEEE division of two
+    * exact integers (the g10 lcc discipline). No sqrt, no float
+    * accumulation anywhere; the emitted statistics make the row
+    * self-auditing. Overflow bound: n·Σxy < 2⁶³ holds while
+    * Σ_u deg(u)³ · m < 2⁶³ — at ~10⁹ edges with max degree ~10⁴ the
+    * statistics need the same DECIMAL(38) widening the MassUnit note
+    * describes; the shape is unchanged.
+    *
+    * Scale shape: degrees ride ALONG the memoized bucketed operand
+    * (ued already carries deg(src)); attaching deg(dst) is the one
+    * node-table join on dst, then a partial+final global aggregate —
+    * one exchange beyond the shared operand, output one row.
+    */
+  val g11 = QueryDef(
+    "g11_assortativity",
+    Some(s"""WITH e AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS src, $SuppBase + l_suppkey AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    ue AS MATERIALIZED (
+      SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+    deg AS MATERIALIZED (
+      SELECT src AS id, count(*) AS d FROM ue GROUP BY 1),
+    ed AS (SELECT da.d AS dx, db.d AS dy
+      FROM ue JOIN deg da ON ue.src = da.id JOIN deg db ON ue.dst = db.id),
+    st AS (SELECT count(*) AS n_edges,
+        CAST(sum(dx * dy) AS BIGINT) AS sxy,
+        CAST(sum(dx) AS BIGINT) AS sx,
+        CAST(sum(dx * dx) AS BIGINT) AS sxx
+      FROM ed)
+    SELECT n_edges, sxy, sx, sxx,
+      CAST(n_edges * sxy - sx * sx AS DOUBLE) /
+        CAST(n_edges * sxx - sx * sx AS DOUBLE) AS assortativity
+    FROM st""")) { (s, d) =>
+    val (ued, _) = fulfilmentGraph(s, d)
+    assortativityOf(ued.select("src", "dst"))
+  }
+
+  /** Degree-assortativity statistics over ANY symmetrized directed
+    * edge list (src, dst) — g11's body, factored so GraphSpec can pin
+    * closed forms on hand graphs (a star → −1, a 4-path → −0.5).
+    * Output: ONE row (n_edges, sxy, sx, sxx, assortativity). The
+    * degree table is derived once; deg(src) attaches along the edge
+    * operand's own src clustering, deg(dst) is the one extra join.
+    */
+  private[operators] def assortativityOf(
+      ue: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val deg = ue.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    val dx = deg.select(col("id").as("xid"), col("d").as("dx"))
+    val dy = deg.select(col("id").as("yid"), col("d").as("dy"))
+    ue.join(dx, ue("src") === col("xid"))
+      .join(dy, ue("dst") === col("yid"))
+      .select(col("dx"), col("dy"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(expr("dx * dy")).as("sxy"),
+        sum(col("dx")).as("sx"),
+        sum(expr("dx * dx")).as("sxx"))
+      .select(col("n_edges"), col("sxy"), col("sx"), col("sxx"),
+        (expr("CAST(n_edges * sxy - sx * sx AS DOUBLE)") /
+          expr("CAST(n_edges * sxx - sx * sx AS DOUBLE)"))
+          .as("assortativity"))
   }
 
   /** g04: K-CORE PEELING over the d03 similarity graph — the third

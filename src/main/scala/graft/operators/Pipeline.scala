@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  def queries: Seq[QueryDef] = Seq(c01, c02, c04, c05)
+  def queries: Seq[QueryDef] = Seq(c01, c02, c04, c05, c06)
 
   /** Token budget per packed shard — x12's constant, one definition. */
   private val PackBudget = 2000L
@@ -184,20 +184,23 @@ object Pipeline {
     */
   private val idxMemo = new graft.engine.CatalogMemo[String]
 
-  /** Land the SemDeDup-survivor index as a bucketed catalog table
-    * (bucketed by cell — the s05 probe layout) and audit the landed
-    * directory with a K1d `_MANIFEST.json` recount, exactly as c01
-    * audits its shard landing: an index a retrieval service will
-    * trust must prove it is still the index that was written.
+  /** Land an index frame as a bucketed catalog table (bucketed by
+    * cell — the s05 probe layout) and audit the landed directory with
+    * a K1d `_MANIFEST.json` recount, exactly as c01 audits its shard
+    * landing: an index a retrieval service will trust must prove it
+    * is still the index that was written. One memo + table-name base
+    * per consumer (c02's survivor index, c06's lifecycle base).
     * Returns the content-keyed physical table name.
     */
   private def ensureIndexLanded(s: org.apache.spark.sql.SparkSession,
-      d: String, surv: org.apache.spark.sql.DataFrame, buckets: Int): String = {
+      d: String, surv: org.apache.spark.sql.DataFrame, buckets: Int,
+      memo: graft.engine.CatalogMemo[String] = idxMemo,
+      tableBase: String = "graft_c02_index"): String = {
     val ck = graft.engine.CatalogMemo.contentKey(
       d, s.sparkContext.hadoopConfiguration)
-    val tbl = graft.engine.CatalogMemo.tableName("graft_c02_index", ck)
-    if (idxMemo.get(s.sharedState, ck).isEmpty) {
-      idxMemo.invalidate(s.sharedState)
+    val tbl = graft.engine.CatalogMemo.tableName(tableBase, ck)
+    if (memo.get(s.sharedState, ck).isEmpty) {
+      memo.invalidate(s.sharedState)
       val eng = new graft.engine.Engine(s)
       eng.archiveBucketed(surv, tbl, "cell", buckets)
       val loc = s.sessionState.catalog.defaultTablePath(
@@ -205,8 +208,8 @@ object Pipeline {
       eng.writeManifest(loc, graft.engine.Format.Parquet)
       val findings = eng.verifyManifest(loc)
       require(findings.isEmpty,
-        s"graft: c02 index landing failed its manifest audit: ${findings.mkString("; ")}")
-      idxMemo.put(s.sharedState, ck, tbl)
+        s"graft: $tableBase landing failed its manifest audit: ${findings.mkString("; ")}")
+      memo.put(s.sharedState, ck, tbl)
     }
     tbl
   }
@@ -520,5 +523,106 @@ object Pipeline {
         col("n_high"), col("n_medium"), col("n_low"), col("n_dup"),
         (col("n_dup").cast("double") / col("n_docs")).as("dup_rate"))
       .orderBy("pred_lang")
+  }
+
+  private val lifecycleMemo = new graft.engine.CatalogMemo[String]
+
+  /** c06: the INDEX-LIFECYCLE capstone — the full operational arc a
+    * production vector index lives through, composed from the SHIPPED
+    * stages (never reimplementations, the c01/c02 discipline):
+    *
+    *   BUILD: train the coarse quantizer on the base corpus
+    *   (vec_id ≢ 0 mod 37 — s14's split, and literally s14's
+    *   training: [[Similarity.trainCoarse]] tag "base37", so ONE
+    *   training serves both operators) and LAND the base index
+    *   bucketed-by-cell with a K1d manifest + recount audit
+    *   ([[ensureIndexLanded]], c02's landing verbatim) →
+    *   MAINTAIN: arrivals (vec_id ≡ 0 mod 37) assigned under FROZEN
+    *   centroids (s14's incremental-insert rule) append to the landed
+    *   table →
+    *   TOMBSTONE: the s23 deletion feed (vec_id ≡ 0 mod 9) anti-joins
+    *   the maintained index →
+    *   READOUT: the per-cell lifecycle ledger — base/arrived/
+    *   tombstoned/live counts plus a live-membership CHECKSUM (sum of
+    *   live vec_ids), so the row proves exact membership, not just
+    *   cardinality.
+    *
+    * The base counts are read back from the LANDED catalog table (the
+    * landing is load-bearing, not ceremony); K1e compaction and K1f
+    * retention apply to the landed directory unchanged — EngineSpec
+    * covers them on their own entries.
+    *
+    * Determinism: everything is BIGINT counting and id sums over
+    * deterministic subsets; the only floats (centroid training) are
+    * the shared fixed-point chain every consumer replays.
+    *
+    * Scale shape: training is sampled/memoized as in s04; the landing
+    * writes each cell's bucket once; arrival assignment is a narrow
+    * baked-literal argmin (no shuffle); the tombstone anti join and
+    * the two ledgers group on the index's own bucket key, so the
+    * whole lifecycle costs one corpus pass plus node-sized
+    * bookkeeping at any scale.
+    */
+  val c06 = QueryDef(
+    "c06_index_lifecycle",
+    Some(s"""WITH nb AS (${Vec.duckNormSelect}),
+      n AS (SELECT * FROM nb WHERE vec_id % 37 <> 0),
+      arr AS (SELECT * FROM nb WHERE vec_id % 37 = 0),
+      ${Similarity.duckTrainedCells},
+      ${Similarity.duckAssign("c3", "acell", "arr")},
+      all_rows AS (
+        SELECT vec_id, cell FROM cells
+        UNION ALL SELECT vec_id, cell FROM acell)
+      SELECT cell,
+        CAST(sum(CASE WHEN vec_id % 37 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+        CAST(sum(CASE WHEN vec_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_arrived,
+        CAST(sum(CASE WHEN vec_id % 9 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstoned,
+        CAST(sum(CASE WHEN vec_id % 9 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+        CAST(sum(CASE WHEN vec_id % 9 <> 0 THEN vec_id ELSE 0 END) AS BIGINT) AS live_checksum
+      FROM all_rows GROUP BY cell ORDER BY cell""")) { (s, d) =>
+    val co = s.newSession()
+    graft.functions.GraftFunctions.register(co)
+    val e = Vec.withNorm(Tables.embeddings(co, d)).cache()
+    val base = e.where(pmod(col("vec_id"), lit(37)) =!= 0)
+    val arr = e.where(pmod(col("vec_id"), lit(37)) === 0)
+    // ONE training with s14 (same content key, same "base37" tag)
+    val centroids = Similarity.trainCoarse(co, d, base, "base37")
+    if (centroids.isEmpty)
+      e.limit(0).select(lit(0L).as("cell"), lit(0L).as("n_base"),
+        lit(0L).as("n_arrived"), lit(0L).as("n_tombstoned"),
+        lit(0L).as("n_live"), lit(0L).as("live_checksum"))
+    else {
+      co.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      // BUILD + LAND (manifest-audited, memoized per content)
+      val baseIdx = base.withColumn("cell", Similarity.cellOf(centroids))
+        .select(col("vec_id"), col("cell"), col("v"), col("nrm"))
+      val idxTable = ensureIndexLanded(co, d, baseIdx,
+        Similarity.ivfBuckets(centroids), lifecycleMemo, "graft_c06_index")
+      // MAINTAIN: frozen-centroid arrival assignment appends
+      val acell = arr.withColumn("cell", Similarity.cellOf(centroids))
+        .select(col("vec_id"), col("cell"))
+      val maintained = co.table(idxTable).select(
+          col("vec_id"), col("cell"), lit(false).as("arrived"))
+        .unionByName(acell.withColumn("arrived", lit(true)))
+      // TOMBSTONE: the s23 feed, applied structurally (anti join)
+      val tomb = maintained.where(col("vec_id") % 9 === 0)
+        .select(col("vec_id").as("t_id"))
+      val live = maintained.join(tomb,
+        maintained("vec_id") === col("t_id"), "left_anti")
+      // READOUT: both ledgers group on the bucket key, then one
+      // cell-sized join (a cell can tombstone away entirely -> left)
+      val fullLed = maintained.groupBy("cell").agg(
+        sum(when(!col("arrived"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("arrived"), 1L).otherwise(0L)).as("n_arrived"),
+        sum(when(col("vec_id") % 9 === 0, 1L).otherwise(0L)).as("n_tombstoned"))
+      val liveLed = live.groupBy("cell").agg(
+        count(lit(1)).as("n_live"), sum("vec_id").as("live_checksum"))
+      fullLed.join(liveLed, Seq("cell"), "left")
+        .select(col("cell"), col("n_base"), col("n_arrived"),
+          col("n_tombstoned"),
+          coalesce(col("n_live"), lit(0L)).as("n_live"),
+          coalesce(col("live_checksum"), lit(0L)).as("live_checksum"))
+        .orderBy("cell")
+    }
   }
 }

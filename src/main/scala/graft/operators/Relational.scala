@@ -22,7 +22,7 @@ object Relational {
   def queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q33, q37, q39, q42, q43, q44,
       q46, q48, q49, q50, q53, q54, q58, q59, q60, q61, q63, q64, q65,
-      q66, q67, q68, q69, q70, q71, q72, q73)
+      q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76)
 
   /** FULL OUTER join with all three match classes live: customers are
     * filtered to positive balances so orders from excluded customers
@@ -1593,5 +1593,131 @@ object Relational {
     Tables.orders(s, d).createOrReplaceTempView("orders")
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
     s.sql(q73Sql)
+  }
+
+  /** q74: the TPC-H Q5 composition — LOCAL SUPPLIER VOLUME: revenue
+    * per nation from orders where the supplier and the customer share
+    * a nation, restricted to one region and one order year. The one
+    * classic shape still uncovered after q73: a join whose equality
+    * predicate SPANS TWO DIMENSION PATHS (l_suppkey = s_suppkey AND
+    * c_nationkey = s_nationkey) — the customer→nation and
+    * supplier→nation arms must agree, so the nation key acts as a
+    * second join column on the fact-side composite rather than a
+    * filter on either dimension alone. ONE SQL text shared verbatim
+    * with the oracle.
+    *
+    * Determinism: revenue rides the exact-decimal chain
+    * (DECIMAL(12,2) × DECIMAL(3,2) sums, cast double once at the end);
+    * groups total-ordered by the unique n_name.
+    *
+    * Plan at 100 TB: region⋈nation collapses to a handful of rows and
+    * broadcasts into customer and supplier; both enriched dimensions
+    * broadcast into the fact side; orders⋈lineitem is the single
+    * orderkey shuffle; the nation-equality predicate evaluates inside
+    * that join's output without any extra exchange. The orderdate
+    * range pushes into the orders scan.
+    */
+  private val q74Sql =
+    """SELECT n.n_name,
+      CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name"""
+
+  val q74 = QueryDef(
+    "q74_local_supplier_volume",
+    Some(q74Sql)) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    Tables.region(s, d).createOrReplaceTempView("region")
+    s.sql(q74Sql)
+  }
+
+  /** q75: the TPC-H Q14 composition — PROMOTION EFFECT: the percentage
+    * of one month's discounted revenue attributable to promotional
+    * parts. The uncovered micro-shape is a CONDITIONAL-NUMERATOR
+    * RATIO: two aggregates over the same rows where the numerator
+    * keys off a dimension attribute (p_type = 'PROMO'), i.e. a
+    * filtered and an unfiltered sum sharing one scan — the classic
+    * campaign-attribution readout. ONE SQL text shared verbatim.
+    *
+    * Determinism: numerator and denominator each ride the
+    * exact-decimal chain to a float64, then ONE IEEE division — both
+    * engines divide the identical doubles, so the quotient is
+    * bit-identical (the q65 market-share discipline).
+    *
+    * Plan at 100 TB: the shipdate month pushes into the fact scan;
+    * part broadcasts; the whole query is scan → broadcast-join → one
+    * partial+final aggregate with no group key (a two-row exchange).
+    */
+  private val q75Sql =
+    """SELECT CAST(100 AS DOUBLE) *
+        CAST(sum(CASE WHEN p.p_type = 'PROMO'
+          THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+            (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))
+          ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE) /
+        CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+          (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01'"""
+
+  val q75 = QueryDef(
+    "q75_promo_effect",
+    Some(q75Sql)) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.part(s, d).createOrReplaceTempView("part")
+    s.sql(q75Sql)
+  }
+
+  /** q76: the TPC-H Q6 composition — FORECAST REVENUE CHANGE: the
+    * revenue delta from hypothetically lifting discounts in a band,
+    * for one year and small quantities. Deliberately the SIMPLEST
+    * classic: a single-table scan-filter-aggregate with three
+    * range predicates and NO join — the registry's canonical
+    * full-pushdown showcase (every predicate parquet-pushable, the
+    * plan one WholeStageCodegen span over the scan). The count rider
+    * makes the single row self-describing. ONE SQL text shared.
+    *
+    * Determinism: l_quantity and l_discount are exact at DECIMAL
+    * granularity (integral quantities, cent discounts); the revenue
+    * sum rides the decimal chain to one float64.
+    *
+    * Plan at 100 TB: no exchange before the two-row final aggregate —
+    * the query's cost IS the scan, and the scan reads three columns
+    * under pushed row-group pruning.
+    */
+  private val q76Sql =
+    """SELECT
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue_delta,
+      count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24"""
+
+  val q76 = QueryDef(
+    "q76_forecast_revenue",
+    Some(q76Sql)) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(q76Sql)
   }
 }

@@ -26,7 +26,7 @@ object Similarity {
 
   def queries: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
-      s15, s16, s17, s18, s19, s20, s21, s22, s23)
+      s15, s16, s17, s18, s19, s20, s21, s22, s23, s24)
 
   /** MMR selection rounds (picks after the pure-relevance first). */
   private val MmrK = 5
@@ -315,7 +315,7 @@ object Similarity {
     * truncating integral division (Spark's double→long cast ≡ DuckDB
     * `trunc`+CAST since the quotient is then integral).
     */
-  private def duckAssign(cents: String, name: String, src: String = "n"): String =
+  private[operators] def duckAssign(cents: String, name: String, src: String = "n"): String =
     s"""$name AS (
        |  SELECT vec_id, v, nrm, cell FROM (
        |    SELECT $src.vec_id, $src.v, $src.nrm, q.cell,
@@ -2204,6 +2204,73 @@ object Similarity {
         .join(broadcast(tomb), col("vec_id") === col("t_id"), "left_anti")
       probeTop3(e.where(col("vec_id") % 9 =!= 0), live, centroids)
         .select(col("va"), col("nn"), col("nn_cell"), col("c").as("cos_sim"))
+        .orderBy(col("va"), col("cos_sim").desc, col("nn"))
+    }
+  }
+
+  /** Radius threshold for s24 — measured against the lake's cosine
+    * distribution (p99 ≈ 0.28, max ≈ 0.40 at sf0.01): 0.2 keeps the
+    * result RESULT-SIZE-DRIVEN (a few hundred rows per thousand
+    * queries), which is the defining property of a range query.
+    */
+  private val RangeTau = 0.2
+
+  /** s24: RANGE (radius) SEARCH — the k-free dual of the top-k probe:
+    * return EVERY indexed vector within cos ≥ τ of each query, however
+    * many or few that is. This is the query near-dup candidate
+    * generation and policy filters actually want (s06's top-k forces
+    * exactly k answers whether the neighborhood holds 0 or 500; a
+    * radius returns the true neighborhood), and the second of the two
+    * canonical ANN query types (FAISS `range_search` vs `search`).
+    * Queries are the s10 sample (vec_id ≡ 0 mod 37); candidates come
+    * from each query's nprobe=2 IVF cells — the documented
+    * approximation contract shared with s06 (a neighbor outside the
+    * probed cells is not returned; s10/s18 measure that miss rate).
+    *
+    * Exactness: probe selection and cosine are [[probeTop3]]'s own
+    * pieces ([[probeStructs]], the strict-fold `vec_dot`), so scores
+    * are bit-identical cross-engine; the τ comparison is one literal
+    * double both engines parse identically. No row_number cut at all —
+    * the predicate IS the operator.
+    *
+    * Scale shape: identical to s06 — queries broadcast against the
+    * bucket-pruned persistent index, cost |Q|·(2/k of the corpus);
+    * output is result-sized, so a pipeline can safely range-search a
+    * million queries where a top-k would manufacture k·10⁶ rows of
+    * mostly-irrelevant padding.
+    */
+  val s24 = QueryDef(
+    "s24_range_search",
+    Some(s"""${Vec.duckNormCte},
+      $duckTrainedCells,
+      qs AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 37 = 0),
+      ${duckProbes("c3", "pr", 2, "qs")}
+      SELECT qs.vec_id AS va, x.vec_id AS nn, x.cell AS nn_cell,
+             ${Vec.duckDot("qs.v", "x.v")} / (qs.nrm * x.nrm) AS cos_sim
+      FROM qs JOIN pr ON pr.vec_id = qs.vec_id
+      JOIN cells x ON x.cell = pr.cell AND x.vec_id <> qs.vec_id
+      WHERE ${Vec.duckDot("qs.v", "x.v")} / (qs.nrm * x.nrm) >= $RangeTau
+      ORDER BY va, cos_sim DESC, nn""")) { (s, d) =>
+    val co = s.newSession()
+    graft.functions.GraftFunctions.register(co)
+    val e = Vec.withNorm(Tables.embeddings(co, d)).cache()
+    val (centroids, ivfTable) = ensureIvfIndex(co, d, e)
+    if (centroids.isEmpty)
+      e.limit(0).select(col("vec_id").as("va"), col("vec_id").as("nn"),
+        lit(0L).as("nn_cell"), lit(0.0).as("cos_sim"))
+    else {
+      co.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val queries = e.where(col("vec_id") % 37 === 0)
+        .select(col("vec_id").as("va"), col("v").as("qv"), col("nrm").as("qn"),
+          explode(slice(array_sort(array(probeStructs(centroids): _*)), 1, 2))
+            .as("p"))
+        .select(col("va"), col("qv"), col("qn"), col("p.cell").as("pcell"))
+      queries.join(co.table(ivfTable),
+          col("pcell") === col("cell") && col("vec_id") =!= col("va"))
+        .select(col("va"), col("vec_id").as("nn"), col("cell").as("nn_cell"),
+          (call_function("vec_dot", col("qv"), col("v")) /
+            (col("qn") * col("nrm"))).as("cos_sim"))
+        .where(col("cos_sim") >= RangeTau)
         .orderBy(col("va"), col("cos_sim").desc, col("nn"))
     }
   }

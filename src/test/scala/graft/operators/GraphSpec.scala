@@ -302,4 +302,41 @@ class GraphSpec extends SparkSpec {
     // and real margin without overfitting the corpus size
     assert(rows.map(_._6).sum > 0.05, s"Q = ${rows.map(_._6).sum}")
   }
+
+  /** Symmetrize an undirected edge list for [[Graph.assortativityOf]]. */
+  private def sym(edges: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    (edges ++ edges.map { case (a, b) => (b, a) }).toDF("src", "dst")
+  }
+
+  test("g11 closed forms: star K1,3 -> -1, 4-path -> -0.5") {
+    // star: center 0, leaves 1..3. Degrees (3,1,1,1); every edge pairs
+    // a hub with a leaf -> perfectly disassortative.
+    val star = Graph.assortativityOf(sym(Seq((0L, 1L), (0L, 2L), (0L, 3L))))
+      .head()
+    assert(star.getLong(0) == 6 && star.getLong(1) == 18 &&
+      star.getLong(2) == 12 && star.getLong(3) == 30)
+    assert(star.getDouble(4) == -1.0)
+    // path 0-1-2-3: degrees (1,2,2,1); by hand n=6, sxy=16, sx=10,
+    // sxx=18 -> r = (96-100)/(108-100) = -0.5
+    val path = Graph.assortativityOf(
+      sym(Seq((0L, 1L), (1L, 2L), (2L, 3L)))).head()
+    assert(path.getLong(0) == 6 && path.getLong(1) == 16 &&
+      path.getLong(2) == 10 && path.getLong(3) == 18)
+    assert(path.getDouble(4) == -0.5)
+  }
+
+  test("g11 corpus row is self-consistent and strongly disassortative") {
+    val r = Graph.g11.fn(spark, dir).head()
+    val (n, sxy, sx, sxx) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // symmetrized edge list: n is even, statistics positive
+    assert(n > 0 && n % 2 == 0 && sxy > 0 && sx > 0 && sxx >= sx)
+    // Cauchy-Schwarz: n·sxy ≤ n·sxx (degree products can't beat squares
+    // on a symmetric list) and the coefficient reproduces the integers
+    assert(r.getDouble(4) ==
+      (n * sxy - sx * sx).toDouble / (n * sxx - sx * sx).toDouble)
+    // bipartite hub-and-spoke commerce graph: firmly negative
+    assert(r.getDouble(4) < -0.5, s"r = ${r.getDouble(4)}")
+  }
 }

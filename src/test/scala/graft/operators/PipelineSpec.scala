@@ -150,4 +150,33 @@ class PipelineSpec extends SparkSpec {
     // assets than documents (collapse + gates genuinely dropped)
     assert(landed.count() < graft.Tables.documents(spark, dir).count())
   }
+
+  test("c06 ledger reconciles cell-by-cell: base+arrived = tombstoned+live, checksum exact") {
+    val led = Pipeline.c06.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(led.nonEmpty)
+    led.foreach { case (cell, nb, na, nt, nl, _) =>
+      assert(nb + na == nt + nl, s"cell $cell leaks rows")
+      assert(nb >= 0 && na >= 0 && nt >= 0 && nl >= 0)
+    }
+    // global reconciliation against the deterministic subsets
+    val n = graft.Tables.embeddings(spark, dir).count()
+    assert(led.map(t => t._2 + t._3).sum == n, "every vector lives in exactly one cell")
+    val ids = graft.Tables.embeddings(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(led.map(_._4).sum == ids.count(_ % 9 == 0))
+    assert(led.map(_._6).sum == ids.filter(_ % 9 != 0).sum,
+      "live checksum must equal the sum of non-tombstoned ids")
+    // the landed base index exists and passed its audit (fn ran it);
+    // re-verify the manifest from this session
+    val ck = graft.engine.CatalogMemo.contentKey(
+      dir, spark.sparkContext.hadoopConfiguration)
+    val tbl = graft.engine.CatalogMemo.tableName("graft_c06_index", ck)
+    val loc = spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl)).toString
+    assert(new graft.engine.Engine(spark).verifyManifest(loc).isEmpty)
+    // the landed table holds exactly the base rows
+    assert(spark.table(tbl).count() == led.map(_._2).sum)
+  }
 }

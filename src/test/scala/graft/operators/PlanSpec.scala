@@ -28,6 +28,44 @@ class PlanSpec extends SparkSpec {
       s"star dims must broadcast:\n${p.take(1200)}")
   }
 
+  test("q74: both dimension paths broadcast; the nation-agreement predicate adds no exchange") {
+    val p = plan("q74_local_supplier_volume")
+    // customer+nation+region and supplier+nation collapse to broadcasts;
+    // only the orders⋈lineitem fact join may sort-merge
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, s"\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+    // the orderdate range reaches the orders scan
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") &&
+      p.contains("LessThan(o_orderdate"), s"\n${p.take(1500)}")
+  }
+
+  test("q76: every predicate pushes into ONE scan; no exchange before the final agg") {
+    val exec = Registry.byName("q76_forecast_revenue").fn(spark, dir)
+      .queryExecution.executedPlan
+    val p = exec.toString
+    // the PushedFilters list is elided in toString; read the scan's
+    // own metadata for the full pushed set (unwrapping AQE)
+    val inner = exec match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case o => o
+    }
+    val scans = inner.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1)
+    val pushed = scans.head.metadata("PushedFilters")
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)", "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)"))
+      assert(pushed.contains(f), s"missing pushed filter $f in: $pushed")
+    // read schema restricted to the four referenced columns
+    assert(scans.head.requiredSchema.fieldNames.toSet ==
+      Set("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"))
+    // single-row aggregate: partial+final, no other exchange
+    assert("HashAggregate".r.findAllIn(p).size == 2)
+  }
+
   test("q02: filters and pruning reach the parquet scan") {
     val p = plan("q02_filter_project")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))

@@ -588,4 +588,32 @@ class SimilaritySpec extends SparkSpec {
     assert(touched.nonEmpty, "no query lost a neighbor -- fixture degenerate")
   }
 
+  test("s24 radius results are sound (>= tau, sampled queries) and complete vs s06") {
+    val s24 = graft.Registry.byName("s24_range_search").fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(s24.nonEmpty)
+    // soundness: sampled queries only, never self, cosine >= tau
+    s24.foreach { case (va, nn, _, c) =>
+      assert(va % 37 == 0 && nn != va && c >= 0.2)
+    }
+    // completeness against the shipped top-k on the SAME probed cells:
+    // any s06 top-3 neighbor of a sampled query with c >= tau must
+    // appear in the radius result with the identical double
+    val s06 = graft.Registry.byName("s06_ivf_batch_probe").fn(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .filter(t => t._1 % 37 == 0 && t._3 >= 0.2)
+    assert(s06.nonEmpty, "no sampled s06 row clears tau -- fixture degenerate")
+    val got = s24.map(t => (t._1, t._2, t._4)).toSet
+    s06.foreach { t =>
+      assert(got.contains(t), s"s06 row $t missing from the radius result")
+    }
+    // and the radius result genuinely exceeds any top-3 cut for at
+    // least one query OR returns sub-3 neighborhoods -- i.e. it is
+    // result-driven, not k-driven (both directions legal; the corpus
+    // decides)
+    val perQuery = s24.groupBy(_._1).map(_._2.length)
+    assert(perQuery.exists(_ != 3) || perQuery.isEmpty)
+  }
+
 }
