@@ -11,7 +11,7 @@ object Aggregates {
 
   def queries: Seq[QueryDef] =
     Seq(q09, q10, q11, q12, q21, q26, q27, q28, q29, q35, q36, q38, q40, q41,
-      q45, q47, q51, q52, q56, q57, q62)
+      q45, q47, q51, q52, q56, q57, q62, q77)
 
   /** q51: exact equi-depth binning (feature discretization) — assign
     * every row its decile of `l_extendedprice`, then summarize each
@@ -1039,5 +1039,54 @@ object Aggregates {
           .otherwise((col("p.est") - col("p.exact")).cast("double")
             / col("p.exact").cast("double")).as("rel_err"))
       .orderBy("join_name")
+  }
+
+  /** q77: ARG-EXTREMUM aggregation (max_by/min_by) — "which row holds
+    * the extreme", the lookup every leaderboard and freshness query
+    * runs. q41 computes latest-per-key as a window rank; this is the
+    * AGGREGATE form — one partial+final hash aggregate carrying an
+    * O(1) (value, key) state per group, no sort, no second pass: the
+    * shape that wins at 100 TB when only the extreme row is wanted
+    * (a window must sort every group; max_by keeps 16 bytes).
+    *
+    * Tie discipline: Spark's max_by/min_by are non-deterministic
+    * under ties, so the ordering operand is a STRUCT with the unique
+    * key as tiebreak (max side negates it: highest balance, then
+    * LOWEST custkey — the s14 idiom), making the result total. The
+    * oracle expresses the identical selection as rank-1 windows —
+    * same rows, different mechanism, which is the point: the entry
+    * pins that the aggregate form AGREES with the window form.
+    *
+    * Determinism: balances are raw lake doubles (copied, never
+    * computed); counts BIGINT.
+    */
+  val q77 = QueryDef(
+    "q77_argmax",
+    Some("""WITH r AS (SELECT c_mktsegment, c_custkey, c_acctbal,
+        row_number() OVER (PARTITION BY c_mktsegment
+          ORDER BY c_acctbal DESC, c_custkey) AS rt,
+        row_number() OVER (PARTITION BY c_mktsegment
+          ORDER BY c_acctbal, c_custkey) AS rb,
+        count(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM customer)
+    SELECT c_mktsegment, CAST(max(n) AS BIGINT) AS n_customers,
+      max(CASE WHEN rt = 1 THEN c_custkey END) AS top_custkey,
+      max(CASE WHEN rt = 1 THEN c_acctbal END) AS top_acctbal,
+      max(CASE WHEN rb = 1 THEN c_custkey END) AS bottom_custkey,
+      max(CASE WHEN rb = 1 THEN c_acctbal END) AS bottom_acctbal
+    FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment""")) { (s, d) =>
+    Tables.customer(s, d)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        max_by(struct(col("c_custkey"), col("c_acctbal")),
+          struct(col("c_acctbal"), (-col("c_custkey")).as("nk"))).as("t"),
+        min_by(struct(col("c_custkey"), col("c_acctbal")),
+          struct(col("c_acctbal"), col("c_custkey"))).as("b"))
+      .select(col("c_mktsegment"), col("n_customers"),
+        col("t.c_custkey").as("top_custkey"),
+        col("t.c_acctbal").as("top_acctbal"),
+        col("b.c_custkey").as("bottom_custkey"),
+        col("b.c_acctbal").as("bottom_acctbal"))
+      .orderBy("c_mktsegment")
   }
 }

@@ -30,7 +30,7 @@ object Dedup {
 
   def queries: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d15, d16, d17, d18)
+      d15, d16, d17, d18, d19)
 
   /** DuckDB CTE for distinct 3-token shingles per document — the
     * oracle-side counterpart of the Spark-side native
@@ -1440,5 +1440,49 @@ object Dedup {
         expr("CAST(n_shared AS DOUBLE) / least(n_a, n_b)"))
       .withColumn("abs_err", expr("abs(est_containment - exact_containment)"))
       .orderBy("da", "db")
+  }
+
+  /** d19: DUPLICATE-CLUSTER SIZE PROFILE — the capacity-planning
+    * readout over the SHIPPED component assignment: how many clusters
+    * exist at each size, how many documents they hold, and how many
+    * rows deduplication would actually remove (n_docs − n_clusters
+    * per size). This is the histogram every dedup rollout decision
+    * reads first — a corpus whose mass sits in a few giant clusters
+    * dedups cheaply and dangerously (one bad edge merges unrelated
+    * docs); one dominated by pairs dedups safely but saves little.
+    * Singletons are INCLUDED (size-1 clusters = the untouched corpus
+    * mass): components only label docs that have an edge, so the
+    * corpus left-join is the operator's point, not decoration.
+    *
+    * Stage reuse: the labels ARE d16's output (the O(log d)
+    * pointer-jumping face — the family's scale path), which itself
+    * reads the memoized near-dup edge operand; this entry adds one
+    * corpus-keyed left join and two bounded aggregations. All counts
+    * exact BIGINTs.
+    */
+  val d19 = QueryDef(
+    "d19_cluster_profile",
+    Some(s"""$gramCte,
+      $survivorCtes,
+      surv AS (SELECT a AS doc_id, least(a, min(b)) AS survivor
+        FROM reach GROUP BY a),
+      allv AS (SELECT d.doc_id, coalesce(s.survivor, d.doc_id) AS survivor
+        FROM documents d LEFT JOIN surv s ON s.doc_id = d.doc_id),
+      cl AS (SELECT survivor, count(*) AS sz FROM allv GROUP BY survivor)
+      SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        CAST(sum(sz) AS BIGINT) AS n_docs,
+        CAST(sum(sz - 1) AS BIGINT) AS n_collapsible
+      FROM cl GROUP BY sz ORDER BY sz""")) { (s, d) =>
+    val labels = d16.fn(s, d).select(col("doc_id"), col("survivor"))
+    val allv = Tables.documents(s, d).select(col("doc_id").as("did"))
+      .join(labels, col("did") === col("doc_id"), "left")
+      .select(col("did"),
+        coalesce(col("survivor"), col("did")).as("survivor"))
+    allv.groupBy("survivor").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum("sz").as("n_docs"),
+        sum(col("sz") - 1).as("n_collapsible"))
+      .orderBy("cluster_size")
   }
 }

@@ -22,7 +22,7 @@ object EventWindows {
 
   def queries: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
-      e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27)
+      e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28)
 
   /** e14: watermark / late-event accounting — the batch twin of the
     * bookkeeping every Structured Streaming job does implicitly
@@ -1450,6 +1450,58 @@ object EventWindows {
       .select(col("event_type"), col("n_events"), col("med_cents"),
         col("mad_cents"), col("n_outliers"))
       .orderBy("event_type")
+  }
+
+  /** e28: DAU/WAU STICKINESS — the canonical product-engagement ratio:
+    * per day, the distinct active users that day (DAU) over the
+    * distinct users active in the TRAILING 7 days (rolling WAU);
+    * stickiness = DAU/WAU ∈ (1/7, 1] measures how much of the weekly
+    * audience shows up daily. The hard part is that COUNT(DISTINCT)
+    * does not slide: a distinct count over a moving window can't be
+    * window-aggregated (users repeat across days), so the exact form
+    * here first collapses the corpus to USER-DAYS (one fact-sized
+    * dedup — the only big shuffle), then joins that bounded table
+    * (|U|·days rows) to the day grid with a ≤7-day band — each
+    * user-day lands in at most 7 output days, so the join is 7·|ud|,
+    * independent of raw event volume. At extreme |U| the documented
+    * approximate path is a per-day HLL sketch union over the trailing
+    * week (q35's mergeability is exactly what sliding distinct needs).
+    *
+    * Determinism: pure BIGINT day-µs arithmetic (the e01 window
+    * idiom) and exact distinct counts; stickiness is ONE IEEE
+    * division of two exact BIGINTs.
+    */
+  val e28 = QueryDef(
+    "e28_stickiness",
+    Some("""WITH ud AS (
+      SELECT DISTINCT user_id,
+        epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us FROM events),
+    days AS (SELECT DISTINCT day_us FROM ud),
+    dau AS (SELECT day_us, count(*) AS dau FROM ud GROUP BY day_us),
+    wau AS (SELECT g.day_us, count(DISTINCT u.user_id) AS wau
+      FROM days g JOIN ud u
+        ON u.day_us BETWEEN g.day_us - 518400000000 AND g.day_us
+      GROUP BY g.day_us)
+    SELECT d.day_us AS day_us, d.dau, w.wau,
+      CAST(d.dau AS DOUBLE) / w.wau AS stickiness
+    FROM dau d JOIN wau w ON d.day_us = w.day_us
+    ORDER BY d.day_us""")) { (s, d) =>
+    val ud = Tables.events(s, d)
+      .select(col("user_id"),
+        (col("ts_us") - col("ts_us") % 86400000000L).as("day_us"))
+      .distinct()
+      .cache()
+    val days = ud.select("day_us").distinct()
+    val dau = ud.groupBy("day_us").agg(count(lit(1)).as("dau"))
+    val wau = days.select(col("day_us").as("g_day"))
+      .join(ud, col("day_us").between(
+        col("g_day") - 518400000000L, col("g_day")))
+      .groupBy(col("g_day"))
+      .agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, dau("day_us") === col("g_day"))
+      .select(col("day_us"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau")).as("stickiness"))
+      .orderBy("day_us")
   }
 
 }

@@ -242,4 +242,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d19 profile reconciles with the corpus and d16's labels, singletons included") {
+    val sf = "/root/testdata/sf0.001"
+    val prof = graft.Registry.byName("d19_cluster_profile").fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(prof.nonEmpty)
+    // per-row identity and the size-1 row carries the edge-free mass
+    prof.foreach { case (sz, nc, nd, coll) =>
+      assert(nd == sz * nc && coll == nd - nc)
+    }
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(prof.map(_._3).sum == nDocs, "every document in exactly one cluster")
+    // docs in clusters of size >= 2 are exactly d16's labeled docs
+    val labeled = graft.Registry.byName("d16_cc_pointer_jumping")
+      .fn(spark, sf).count()
+    assert(prof.filter(_._1 >= 2).map(_._3).sum == labeled)
+    assert(prof.exists(_._1 == 1), "singleton row must be present")
+  }
+
 }
