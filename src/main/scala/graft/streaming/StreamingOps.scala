@@ -181,6 +181,45 @@ object StreamingOps {
       }
   }
 
+  final case class StickinessEstimate(day_us: Long, role: String,
+      approx_users: Double)
+
+  /** The streaming face of e28's DAU/WAU stickiness — its scaladoc's
+    * documented approximate path made real: exact sliding COUNT
+    * DISTINCT is un-streamable (O(distinct users) state per live
+    * window), so each event fans out to its OWN day (role "dau") and
+    * the 7 week-ending days it covers (role "wau" — the
+    * [[streamingSketchRollup]] fan-out generalized to a week), and
+    * the state per (day, role) key is ONE 1 KiB HLL register array.
+    * [[graft.functions.HllAgg.update]] is order-independent and
+    * idempotent per key, so final estimates are bit-identical to a
+    * batch HLL fold over the same rows under ANY micro-batch split
+    * (StreamingSpec pins both). Downstream, stickiness(day) =
+    * latest dau estimate / latest wau estimate for days that have a
+    * dau row — the division stays with the consumer because the two
+    * roles complete at different watermarks on a live stream.
+    */
+  def stickinessStream(events: Dataset[Event]): Dataset[StickinessEstimate] = {
+    import events.sparkSession.implicits._
+    val DayUs = 86400000000L
+    events
+      .flatMap { e =>
+        val day = { val u = us(e.ts); u - java.lang.Math.floorMod(u, DayUs) }
+        (day, "dau", e.user_id) +:
+          (0 to 6).map(k => (day + k * DayUs, "wau", e.user_id))
+      }
+      .groupByKey(r => (r._1, r._2))
+      .mapGroupsWithState[Array[Byte], StickinessEstimate](
+        GroupStateTimeout.NoTimeout()) { (key, it, state) =>
+        val regs = state.getOption.getOrElse(
+          new Array[Byte](graft.functions.HllAgg.M))
+        it.foreach(r => graft.functions.HllAgg.update(regs, r._3))
+        state.update(regs)
+        StickinessEstimate(key._1, key._2,
+          graft.functions.HllAgg.estimate(regs))
+      }
+  }
+
   /** File-source entry: tail a parquet events directory as a stream
     * (the production pattern for continuous ingest of landed files).
     * Normalizes `ts` the same way as [[graft.Tables.events]] — both

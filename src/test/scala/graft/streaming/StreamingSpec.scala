@@ -168,6 +168,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stickinessStream's final estimates equal a batch HLL fold per day and per trailing week") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val DayUs = 86400000000L
+    def ev(id: Long, day: Long, user: Long) =
+      Event(id, Timestamp.from(Instant.ofEpochSecond(day * 86400 + 1)),
+        user, "view", 1.0)
+    // three active days: day 0 (users 1,2), day 1 (user 3), day 8
+    // (user 1) — day 8's trailing week excludes day 0/1 entirely
+    val evs = Seq(ev(1, 0, 1), ev(2, 0, 1), ev(3, 0, 2),
+      ev(4, 1, 3), ev(5, 8, 1))
+    val input = MemoryStream[Event]
+    val q = StreamingOps.stickinessStream(input.toDS())
+      .writeStream.format("memory").queryName("stick")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // arbitrary split: order independence is the claim
+      input.addData(evs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(evs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("stick")
+        .as[StreamingOps.StickinessEstimate].collect()
+        .groupBy(e => (e.day_us, e.role))
+        .map { case (k, rows) => k -> rows.last.approx_users }
+      def hll(users: Seq[Long]): Double = {
+        val agg = new graft.functions.HllAgg
+        agg.finish(users.foldLeft(agg.zero)(agg.reduce))
+      }
+      // dau rows exist exactly for the active days, bit-equal to the
+      // batch fold over that day's users
+      assert(streamed((0L, "dau")) == hll(Seq(1L, 1L, 2L)))
+      assert(streamed((1L * DayUs, "dau")) == hll(Seq(3L)))
+      assert(streamed((8L * DayUs, "dau")) == hll(Seq(1L)))
+      // wau at day 1 covers days 0..1; at day 8 only day 8 (days 2..8)
+      assert(streamed((1L * DayUs, "wau")) == hll(Seq(1L, 1L, 2L, 3L)))
+      assert(streamed((8L * DayUs, "wau")) == hll(Seq(1L)))
+      // fan-out emits week-ending keys for 7 days after an active day
+      assert(streamed.keys.count(_._2 == "wau") == 7 + 7 + 7 - 6) // days 0-7, 1-7 overlap, 8-14
+    } finally q.stop()
+  }
+
   test("streaming signature fold equals batch MinHashAgg over the same shingle kernel") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
