@@ -1432,16 +1432,21 @@ object EventWindows {
       .withColumn("n", count(lit(1)).over(cntW))
       .where(col("rn") === expr("(n + 1) div 2"))
       .select(col("t"), col("c").as("med"))
-    val dev = b.join(med, Seq("t"))
+    // med is type-cardinality rows — broadcast; dev feeds BOTH the MAD
+    // rank pass and the final readout, so cache it (one corpus scan +
+    // one t-sort build the deviations; without the cache the whole
+    // med+join chain re-runs inside the mad branch)
+    val dev = b.join(broadcast(med), Seq("t"))
       .select(col("t"), col("event_id"), abs(col("c") - col("med")).as("ad"),
         col("med"))
+      .cache()
     val adW = Window.partitionBy("t").orderBy("ad", "event_id")
     val mad = dev
       .withColumn("rn", row_number().over(adW))
       .withColumn("n", count(lit(1)).over(cntW))
       .where(col("rn") === expr("(n + 1) div 2"))
       .select(col("t"), col("ad").as("mad"))
-    dev.join(mad, Seq("t"))
+    dev.join(broadcast(mad), Seq("t"))
       .groupBy(col("t").as("event_type"), col("med").as("med_cents"),
         col("mad").as("mad_cents"))
       .agg(count(lit(1)).as("n_events"),

@@ -22,7 +22,7 @@ object Relational {
   def queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q33, q37, q39, q42, q43, q44,
       q46, q48, q49, q50, q53, q54, q58, q59, q60, q61, q63, q64, q65,
-      q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76)
+      q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q78)
 
   /** FULL OUTER join with all three match classes live: customers are
     * filtered to positive balances so orders from excluded customers
@@ -1719,5 +1719,52 @@ object Relational {
     Some(q76Sql)) { (s, d) =>
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
     s.sql(q76Sql)
+  }
+
+  /** q78: NATIVE RECURSIVE CTE — Spark 4's `WITH RECURSIVE` executed
+    * by Catalyst itself (UnionLoop), ONE SQL text shared verbatim
+    * with DuckDB, over the same synthetic parent function as q46
+    * (parent(n) = 1 + (n·2654435761) mod (n−1), a deterministic
+    * forest over part keys both engines derive row-by-row). The
+    * readout is the per-ROOT subtree rollup (node count, max depth,
+    * summed path sizes) — the BOM-explosion aggregate, distinct from
+    * q46's per-node closure rows.
+    *
+    * q46 vs q78 is a deliberate contrast: q46 is the DISTRIBUTED
+    * closure algorithm (pointer doubling, O(log depth) self-joins —
+    * the shape you run at 100 TB); q78 is the EXPRESSIVENESS face —
+    * the engine-native iteration (one join per DEPTH level, ~11 here)
+    * that makes ad-hoc hierarchy SQL portable without hand-rolling
+    * the loop. RecursiveSpec pins the two agree on the forest they
+    * both define.
+    *
+    * Determinism: all columns are exact BIGINT counts/sums of lake
+    * integers; the recursion's row set is uniquely defined by the
+    * parent function (each non-root has exactly one parent, so no
+    * duplicate paths).
+    */
+  private val q78Sql =
+    """WITH RECURSIVE r AS (
+      SELECT CAST(p_partkey AS BIGINT) AS node,
+             CAST(p_partkey AS BIGINT) AS root,
+             CAST(0 AS BIGINT) AS depth,
+             CAST(p_size AS BIGINT) AS path_size
+      FROM part WHERE p_partkey <= 5
+      UNION ALL
+      SELECT CAST(p.p_partkey AS BIGINT), r.root, r.depth + 1,
+             r.path_size + p.p_size
+      FROM part p JOIN r
+        ON 1 + (CAST(p.p_partkey AS BIGINT) * 2654435761) % (CAST(p.p_partkey AS BIGINT) - 1) = r.node
+      WHERE p.p_partkey > 5)
+    SELECT root, CAST(count(*) AS BIGINT) AS n_nodes,
+      max(depth) AS max_depth,
+      CAST(sum(path_size) AS BIGINT) AS total_path_size
+    FROM r GROUP BY root ORDER BY root"""
+
+  val q78 = QueryDef(
+    "q78_recursive_cte",
+    Some(q78Sql)) { (s, d) =>
+    Tables.part(s, d).createOrReplaceTempView("part")
+    s.sql(q78Sql)
   }
 }

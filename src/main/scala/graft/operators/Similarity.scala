@@ -26,7 +26,7 @@ object Similarity {
 
   def queries: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
-      s15, s16, s17, s18, s19, s20, s21, s22, s23, s24)
+      s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25)
 
   /** MMR selection rounds (picks after the pure-relevance first). */
   private val MmrK = 5
@@ -2272,6 +2272,95 @@ object Similarity {
             (col("qn") * col("nrm"))).as("cos_sim"))
         .where(col("cos_sim") >= RangeTau)
         .orderBy(col("va"), col("cos_sim").desc, col("nn"))
+    }
+  }
+
+  /** s25: RANGE-SEARCH RECALL evaluation — s24 graded against exact
+    * radius ground truth, the fifth member of the eval family (s10
+    * ANN recall, d12 LSH quality, d18 containment error, s19 PQ
+    * quality): per sampled query, how much of the TRUE cos ≥ τ
+    * neighborhood do the two probed cells actually hold? Radius
+    * queries need their own eval because top-k recall (s10) says
+    * nothing about the tail: a query whose neighborhood has 40
+    * members can score 3/3 on s10 yet miss 30 of them here.
+    * PRECISION is 1 by construction — cosines are exact, so every
+    * returned row genuinely clears τ; the only error mode is misses
+    * (bucket pruning), which is exactly what this measures.
+    *
+    * The exact leg is the s10 protocol: |Q|·N dots over the FIXED
+    * sample — linear in the corpus, never all-pairs; the measured leg
+    * replays s24's own probe selection and threshold (shared
+    * [[probeStructs]]/[[duckProbes]] fragments), so the graded
+    * operator is the shipped one. recall = ONE IEEE division; empty
+    * true neighborhoods read 1.0 by contract.
+    */
+  val s25 = QueryDef(
+    "s25_range_recall",
+    Some(s"""${Vec.duckNormCte},
+      $duckTrainedCells,
+      qs AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 37 = 0),
+      ${duckProbes("c3", "pr", 2, "qs")},
+      tr AS (SELECT qs.vec_id AS va, count(*) AS n_true
+        FROM qs JOIN n x ON x.vec_id <> qs.vec_id
+        WHERE ${Vec.duckDot("qs.v", "x.v")} / (qs.nrm * x.nrm) >= $RangeTau
+        GROUP BY qs.vec_id),
+      fo AS (SELECT qs.vec_id AS va, count(*) AS n_found
+        FROM qs JOIN pr ON pr.vec_id = qs.vec_id
+        JOIN cells x ON x.cell = pr.cell AND x.vec_id <> qs.vec_id
+        WHERE ${Vec.duckDot("qs.v", "x.v")} / (qs.nrm * x.nrm) >= $RangeTau
+        GROUP BY qs.vec_id)
+      SELECT qs.vec_id AS va,
+        CAST(coalesce(tr.n_true, 0) AS BIGINT) AS n_true,
+        CAST(coalesce(fo.n_found, 0) AS BIGINT) AS n_found,
+        CASE WHEN coalesce(tr.n_true, 0) = 0 THEN 1.0
+          ELSE CAST(coalesce(fo.n_found, 0) AS DOUBLE) / tr.n_true
+        END AS recall
+      FROM qs LEFT JOIN tr ON tr.va = qs.vec_id
+      LEFT JOIN fo ON fo.va = qs.vec_id
+      ORDER BY va""")) { (s, d) =>
+    val co = s.newSession()
+    graft.functions.GraftFunctions.register(co)
+    val e = Vec.withNorm(Tables.embeddings(co, d)).cache()
+    val (centroids, ivfTable) = ensureIvfIndex(co, d, e)
+    if (centroids.isEmpty)
+      e.limit(0).select(col("vec_id").as("va"), lit(0L).as("n_true"),
+        lit(0L).as("n_found"), lit(0.0).as("recall"))
+    else {
+      co.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val q = e.where(pmod(col("vec_id"), lit(37)) === 0)
+        .select(col("vec_id").as("va"), col("v"), col("nrm").as("qn"))
+      // exact leg: the s10 broadcast-sample corpus scan, τ-filtered
+      val nTrue = e.crossJoin(
+          broadcast(q.select(col("va"), col("v").as("qv"), col("qn"))))
+        .where(col("vec_id") =!= col("va"))
+        .select(col("va"),
+          (call_function("vec_dot", col("v"), col("qv")) /
+            (col("nrm") * col("qn"))).as("c"))
+        .where(col("c") >= RangeTau)
+        .groupBy("va").agg(count(lit(1)).as("n_true"))
+      // measured leg: s24's probe selection and threshold verbatim
+      val nFound = q
+        .select(col("va"), col("v").as("qv"), col("qn"),
+          explode(slice(array_sort(array(probeStructs(centroids): _*)), 1, 2))
+            .as("p"))
+        .select(col("va"), col("qv"), col("qn"), col("p.cell").as("pcell"))
+        .join(co.table(ivfTable),
+          col("pcell") === col("cell") && col("vec_id") =!= col("va"))
+        .select(col("va"),
+          (call_function("vec_dot", col("qv"), col("v")) /
+            (col("qn") * col("nrm"))).as("c"))
+        .where(col("c") >= RangeTau)
+        .groupBy("va").agg(count(lit(1)).as("n_found"))
+      q.select("va")
+        .join(nTrue, Seq("va"), "left")
+        .join(nFound, Seq("va"), "left")
+        .select(col("va"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"),
+          coalesce(col("n_found"), lit(0L)).as("n_found"),
+          when(coalesce(col("n_true"), lit(0L)) === 0L, lit(1.0))
+            .otherwise(coalesce(col("n_found"), lit(0L)).cast("double") /
+              col("n_true")).as("recall"))
+        .orderBy("va")
     }
   }
 }

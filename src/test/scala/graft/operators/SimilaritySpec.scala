@@ -616,4 +616,23 @@ class SimilaritySpec extends SparkSpec {
     assert(perQuery.exists(_ != 3) || perQuery.isEmpty)
   }
 
+  test("s25 grades the shipped s24: n_found equals s24's per-query rows, misses only") {
+    val s24 = graft.Registry.byName("s24_range_search").fn(spark, dir).collect()
+      .map(r => r.getLong(0)).groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val s25 = graft.Registry.byName("s25_range_recall").fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(s25.nonEmpty)
+    s25.foreach { case (va, nTrue, nFound, recall) =>
+      // the measured leg IS s24's result set for this query
+      assert(nFound == s24.getOrElse(va, 0L), s"query $va drifted from s24")
+      // precision 1 by construction: only misses are possible
+      assert(nFound <= nTrue)
+      assert(recall ==
+        (if (nTrue == 0) 1.0 else nFound.toDouble / nTrue))
+    }
+    // the fixture must exercise both a hit and (bucket pruning being
+    // real) at least one miss somewhere, else the eval grades nothing
+    assert(s25.exists(_._3 > 0))
+  }
+
 }

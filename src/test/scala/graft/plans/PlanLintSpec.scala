@@ -28,7 +28,9 @@ class PlanLintSpec extends SparkSpec {
     "s10_recall_eval" -> "exact-ground-truth leg broadcasts the FIXED query sample (|Q| = N/37); linear in the corpus, the documented eval protocol",
     "s18_nprobe_sweep" -> "same exact-ground-truth leg as s10 (broadcast 1/37 sample x one corpus scan); the sweep itself is one bucketed candidate join",
     "x25_nb_domain" -> "docs × per-domain base-score table: the broadcast side is domain-cardinality-sized by construction",
-    "q62_join_size" -> "cross joins of ONE-row sketch/exact aggregates (driver-sized by construction)")
+    "q62_join_size" -> "cross joins of ONE-row sketch/exact aggregates (driver-sized by construction)",
+    "e28_stickiness" -> "trailing-week band join: the broadcast side is the DISTINCT-days grid (calendar-bounded); the probe side is deduped user-days, never raw events",
+    "s25_range_recall" -> "s10's exact-ground-truth leg (broadcast 1/37 sample x one corpus scan), threshold-filtered")
 
   test("no registry query plans a cartesian product or unlisted nested-loop join") {
     val offenders = scala.collection.mutable.ListBuffer[String]()
