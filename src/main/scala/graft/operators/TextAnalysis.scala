@@ -17,7 +17,8 @@ object TextAnalysis {
 
   def queries: Seq[QueryDef] =
     Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15,
-      x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29)
+      x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
+      x30)
 
   /** x13's ln lookup table: round(ln(n)·10⁹) for n = 1..4094, computed
     * ONCE here and embedded as a literal in BOTH the Spark plan and
@@ -222,6 +223,66 @@ object TextAnalysis {
         .when(col("n_chars") >= QCharsMed && col("diversity") >= QDivMed, "medium")
         .otherwise("low"))
 
+
+  /** x30: QUALITY-GATE EXPLAIN — the rejection-reason histogram behind
+    * x03's verdict: per document, a BITMASK of which individual
+    * high-bar conditions fail (bit 0 too short, 1 too long, 2 low
+    * diversity, 3 stopwords too rare, 4 stopwords too dense), rolled
+    * up to one row per distinct failure pattern with decoded flag
+    * columns. x03 says WHAT a document scored; this says WHY — the
+    * first thing a curation engineer reads when a gate suddenly drops
+    * 30% of a feed (is it one condition, or a co-failure pattern?),
+    * and the evidence for tuning any threshold: each row prices a
+    * rule change in documents. The thresholds are THE x03 constants
+    * (same interpolated literals on both engines), so the explain
+    * provably describes the shipped gate: mask 0 ⟺ x03 'high'
+    * (TextAnalysisSpec pins the equivalence).
+    *
+    * Shape: one narrow scan-and-project into a ≤32-group aggregate —
+    * the explain costs one corpus pass at any scale. The mask
+    * arithmetic is exact-integer; flags decode from the mask by
+    * integer division, so the row is self-consistent by construction.
+    */
+  val x30 = QueryDef(
+    "x30_gate_explain",
+    Some(s"""WITH f AS (SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        len(list_distinct(string_split(text, ' ')))::DOUBLE / len(string_split(text, ' ')) AS diversity,
+        len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to')))::DOUBLE / len(string_split(text, ' ')) AS stop_ratio
+      FROM documents),
+    m AS (SELECT doc_id,
+        CAST(CASE WHEN n_chars < $QCharsLo THEN 1 ELSE 0 END
+           + CASE WHEN n_chars > $QCharsHi THEN 2 ELSE 0 END
+           + CASE WHEN diversity < $QDivHigh THEN 4 ELSE 0 END
+           + CASE WHEN stop_ratio < $QStopLo THEN 8 ELSE 0 END
+           + CASE WHEN stop_ratio > $QStopHi THEN 16 ELSE 0 END AS BIGINT)
+          AS fail_mask
+      FROM f)
+    SELECT fail_mask, CAST(count(*) AS BIGINT) AS n_docs,
+      fail_mask % 2 = 1 AS too_short,
+      (fail_mask // 2) % 2 = 1 AS too_long,
+      (fail_mask // 4) % 2 = 1 AS low_diversity,
+      (fail_mask // 8) % 2 = 1 AS stop_too_low,
+      (fail_mask // 16) % 2 = 1 AS stop_too_high
+    FROM m GROUP BY fail_mask ORDER BY fail_mask""")) { (s, d) =>
+    qualityScored(Tables.documents(s, d))
+      .select(col("doc_id"),
+        (when(col("n_chars") < QCharsLo, 1L).otherwise(0L)
+          + when(col("n_chars") > QCharsHi, 2L).otherwise(0L)
+          + when(col("diversity") < QDivHigh, 4L).otherwise(0L)
+          + when(col("stop_ratio") < QStopLo, 8L).otherwise(0L)
+          + when(col("stop_ratio") > QStopHi, 16L).otherwise(0L))
+          .as("fail_mask"))
+      .groupBy("fail_mask")
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("fail_mask"), col("n_docs"),
+        (col("fail_mask") % 2 === 1).as("too_short"),
+        (expr("fail_mask div 2") % 2 === 1).as("too_long"),
+        (expr("fail_mask div 4") % 2 === 1).as("low_diversity"),
+        (expr("fail_mask div 8") % 2 === 1).as("stop_too_low"),
+        (expr("fail_mask div 16") % 2 === 1).as("stop_too_high"))
+      .orderBy("fail_mask")
+  }
 
   /** Repetition filters (the Gopher-rules complement to x03's quality
     * score): duplicate-word fraction and most-frequent-bigram mass per

@@ -51,6 +51,12 @@ class BudgetLintSpec extends AnyFunSuite {
       ("trains a naive-Bayes domain classifier (token×class count model) AND " +
         "scores the corpus with a confusion readout — two full token passes " +
         "by definition of train-then-evaluate"),
+    "q78_recursive_cte" ->
+      ("engine-native WITH RECURSIVE (Catalyst UnionLoop): one join per " +
+        "DEPTH level — 11 levels on this forest, each a scheduled job over " +
+        "tiny data, so the cost is the g01 per-round floor, not volume. " +
+        "Deliberate: q78 is the expressiveness face; q46 is the O(log d) " +
+        "pointer-doubling form of the SAME closure and stays under budget"),
     "m15_video_neardup" ->
       ("demuxes and GENUINELY decodes every frame of every video " +
         "(javax.imageio per frame, ~3.5 frames/video — the honest decode " +

@@ -257,4 +257,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(planted == Map(1L -> 0.0, 2L -> 0.0, 3L -> 1.0))
   }
 
+  test("x30 explains the shipped x03 gate: mask 0 count = 'high' count, flags decode the mask") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.Registry.byName("x30_gate_explain").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    // flags are the mask's own bits — self-consistency
+    rows.foreach { case (m, _, b0, b1, b2, b3, b4) =>
+      assert(Seq(b0, b1, b2, b3, b4).zipWithIndex.forall { case (b, i) =>
+        b == (((m >> i) & 1L) == 1L)
+      }, s"mask $m flags drifted")
+      // too_short and too_long are mutually exclusive, as are the
+      // two stop-ratio bits
+      assert(!(b0 && b1) && !(b3 && b4))
+    }
+    // partition of the corpus, and mask 0 <=> x03's 'high'
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum == nDocs)
+    val nHigh = graft.Registry.byName("x03_quality").fn(spark, sf).collect()
+      .count(_.getString(5) == "high")
+    assert(rows.find(_._1 == 0L).map(_._2).getOrElse(0L) == nHigh,
+      "mask 0 must count exactly the x03 'high' documents")
+  }
+
 }
