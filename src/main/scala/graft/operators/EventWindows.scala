@@ -22,7 +22,8 @@ object EventWindows {
 
   def queries: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
-      e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28)
+      e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28,
+      e29)
 
   /** e14: watermark / late-event accounting — the batch twin of the
     * bookkeeping every Structured Streaming job does implicitly
@@ -1507,6 +1508,82 @@ object EventWindows {
       .select(col("day_us"), col("dau"), col("wau"),
         (col("dau").cast("double") / col("wau")).as("stickiness"))
       .orderBy("day_us")
+  }
+
+  /** e29: FUNNEL TIME-TO-CONVERT — the latency distribution between a
+    * user's FIRST click and their first purchase AT OR AFTER it: the
+    * readout growth teams put next to e11's conversion counts (how
+    * many convert) and e26's attribution (which click gets credit) —
+    * this one answers HOW LONG conversion takes, as exact order
+    * statistics, because conversion latencies are heavy-tailed and a
+    * mean (e26's readout) hides exactly the tail that matters.
+    *
+    * Exactness: latencies are BIGINT µs differences of exact min()s;
+    * the median is the e27 lower-median rank ⌊(n+1)/2⌋ and p90 the
+    * lower rank ⌊(9n+9)/10⌋ — selected lake values, never
+    * interpolated; ties break on user_id. No float anywhere.
+    *
+    * Scale shape: two fact-sized aggregations (first click / first
+    * qualifying purchase per user, one user-keyed exchange each — and
+    * the second reuses the first's clustering), then ONE global sort
+    * over USER-level rows — converter-cardinality, orders of
+    * magnitude below event volume; the final row is a cross of
+    * one-row aggregates (bounded by construction, the q50 shape).
+    */
+  val e29 = QueryDef(
+    "e29_time_to_convert",
+    Some("""WITH fc AS (SELECT user_id, min(epoch_us(ts)) AS t_click
+      FROM events WHERE event_type = 'click' GROUP BY user_id),
+    fp AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_conv
+      FROM events e JOIN fc ON fc.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fc.t_click
+      GROUP BY e.user_id),
+    lat AS (SELECT fp.user_id, fp.t_conv - fc.t_click AS lat_us
+      FROM fp JOIN fc ON fc.user_id = fp.user_id),
+    r AS (SELECT lat_us,
+        row_number() OVER (ORDER BY lat_us, user_id) AS rn,
+        count(*) OVER () AS n FROM lat),
+    s AS (SELECT CAST(max(n) AS BIGINT) AS n_converted,
+        CAST(max(CASE WHEN rn = (n + 1) // 2 THEN lat_us END) AS BIGINT) AS med_lat_us,
+        CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN lat_us END) AS BIGINT) AS p90_lat_us,
+        CAST(max(lat_us) AS BIGINT) AS max_lat_us
+      FROM r),
+    c AS (SELECT count(*) AS n_clickers FROM fc)
+    SELECT c.n_clickers,
+      coalesce(s.n_converted, 0) AS n_converted,
+      coalesce(s.med_lat_us, 0) AS med_lat_us,
+      coalesce(s.p90_lat_us, 0) AS p90_lat_us,
+      coalesce(s.max_lat_us, 0) AS max_lat_us
+    FROM c CROSS JOIN s""")) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val fc = ev.where(col("event_type") === "click")
+      .groupBy("user_id").agg(min("ts_us").as("t_click"))
+    val fp = ev.where(col("event_type") === "purchase")
+      .join(fc, Seq("user_id"))
+      .where(col("ts_us") >= col("t_click"))
+      .groupBy("user_id").agg(min("ts_us").as("t_conv"),
+        min("t_click").as("t_click0"))
+    val lat = fp.select(col("user_id"),
+      (col("t_conv") - col("t_click0")).as("lat_us"))
+    val r = lat
+      .withColumn("rn", row_number().over(
+        Window.orderBy("lat_us", "user_id")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val stats = r.agg(
+      max("n").as("n_converted"),
+      max(when(col("rn") === expr("(n + 1) div 2"), col("lat_us")))
+        .as("med_lat_us"),
+      max(when(col("rn") === expr("(9 * n + 9) div 10"), col("lat_us")))
+        .as("p90_lat_us"),
+      max("lat_us").as("max_lat_us"))
+    fc.agg(count(lit(1)).as("n_clickers"))
+      .crossJoin(stats)
+      .select(col("n_clickers"),
+        coalesce(col("n_converted"), lit(0L)).as("n_converted"),
+        coalesce(col("med_lat_us"), lit(0L)).as("med_lat_us"),
+        coalesce(col("p90_lat_us"), lit(0L)).as("p90_lat_us"),
+        coalesce(col("max_lat_us"), lit(0L)).as("max_lat_us"))
   }
 
 }

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   */
 object Windows {
 
-  def queries: Seq[QueryDef] = Seq(q13, q14, q15, q16, q22, q32, q34, q55)
+  def queries: Seq[QueryDef] = Seq(q13, q14, q15, q16, q22, q32, q34, q55, q79)
 
   /** q55: time-interval RANGE frame — the frame mode q14's ROWS frames
     * can't express: each event sees the trailing 30 MINUTES of its
@@ -241,5 +241,38 @@ object Windows {
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(100)
+  }
+
+  /** q79: DISTRIBUTION window functions — percent_rank, cume_dist,
+    * and per-partition ntile(10): the normalized-position family q13's
+    * rank/dense_rank doesn't cover, and the standard feature-
+    * engineering move ("customer's balance percentile within their
+    * segment") that turns raw magnitudes into model-ready [0,1]
+    * features without any global statistics pass.
+    *
+    * Determinism: the window ORDER BY ends in the unique c_custkey, so
+    * every rank is total; percent_rank = (rank−1)/(n−1) and cume_dist
+    * = rank/n are each ONE IEEE division of exact integers (the g10
+    * discipline), and ntile over a total order is a pure integer
+    * formula — all three bit-identical cross-engine by construction.
+    *
+    * Scale shape: ONE exchange on the partition key carrying all three
+    * functions in a single Window operator over a single sort; a hot
+    * segment costs its own row count, never a cross-segment sort.
+    */
+  private val q79Sql =
+    """SELECT c_custkey, c_mktsegment, c_acctbal,
+      percent_rank() OVER w AS pct_rank,
+      cume_dist() OVER w AS cume,
+      ntile(10) OVER w AS decile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_custkey"""
+
+  val q79 = QueryDef(
+    "q79_distribution_ranks",
+    Some(q79Sql)) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql(q79Sql)
   }
 }
