@@ -1461,8 +1461,10 @@ object EventWindows {
   /** e28: DAU/WAU STICKINESS — the canonical product-engagement ratio:
     * per day, the distinct active users that day (DAU) over the
     * distinct users active in the TRAILING 7 days (rolling WAU);
-    * stickiness = DAU/WAU ∈ (1/7, 1] measures how much of the weekly
-    * audience shows up daily. The hard part is that COUNT(DISTINCT)
+    * stickiness = DAU/WAU ∈ (0, 1] measures how much of the weekly
+    * audience shows up daily (the folkloric 1/7 floor only holds for
+    * the period AVERAGE under steady DAU — a quiet day after a busy
+    * week reads arbitrarily close to 0, which is the signal). The hard part is that COUNT(DISTINCT)
     * does not slide: a distinct count over a moving window can't be
     * window-aggregated (users repeat across days), so the exact form
     * here first collapses the corpus to USER-DAYS (one fact-sized

@@ -440,23 +440,36 @@ object Graph {
         CAST(n_edges * sxx - sx * sx AS DOUBLE) AS assortativity
     FROM st""")) { (s, d) =>
     val (ued, _) = fulfilmentGraph(s, d)
-    assortativityOf(ued.select("src", "dst"))
+    // the memoized operand already carries deg(src) — no recomputation
+    assortativityOfCarried(
+      ued.select(col("src"), col("dst"), col("d").as("dx")))
   }
 
   /** Degree-assortativity statistics over ANY symmetrized directed
-    * edge list (src, dst) — g11's body, factored so GraphSpec can pin
-    * closed forms on hand graphs (a star → −1, a 4-path → −0.5).
-    * Output: ONE row (n_edges, sxy, sx, sxx, assortativity). The
-    * degree table is derived once; deg(src) attaches along the edge
-    * operand's own src clustering, deg(dst) is the one extra join.
+    * edge list (src, dst) — the raw-edge face for GraphSpec's hand
+    * graphs (a star → −1, a 4-path → −0.5): attaches deg(src) with
+    * one aggregation, then delegates to [[assortativityOfCarried]].
     */
   private[operators] def assortativityOf(
       ue: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val deg = ue.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
-    val dx = deg.select(col("id").as("xid"), col("d").as("dx"))
-    val dy = deg.select(col("id").as("yid"), col("d").as("dy"))
-    ue.join(dx, ue("src") === col("xid"))
-      .join(dy, ue("dst") === col("yid"))
+    assortativityOfCarried(
+      ue.join(deg.select(col("id"), col("d").as("dx")), ue("src") === col("id"))
+        .select(col("src"), col("dst"), col("dx")))
+  }
+
+  /** g11's body over an edge list that ALREADY carries deg(src) as
+    * `dx` (the memoized operand's layout). deg(dst) derives from the
+    * same frame — each (src, *) row repeats src's degree, so the node
+    * table is a src-clustered max (exchange-free over the bucketed
+    * layout) — leaving ONE dst-keyed join + one global aggregate, the
+    * documented shape. Output: ONE row
+    * (n_edges, sxy, sx, sxx, assortativity).
+    */
+  private[operators] def assortativityOfCarried(
+      ued: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val dy = ued.groupBy(col("src").as("yid")).agg(max("dx").as("dy"))
+    ued.join(dy, ued("dst") === col("yid"))
       .select(col("dx"), col("dy"))
       .agg(count(lit(1)).as("n_edges"),
         sum(expr("dx * dy")).as("sxy"),

@@ -199,19 +199,28 @@ object Pipeline {
     val ck = graft.engine.CatalogMemo.contentKey(
       d, s.sparkContext.hadoopConfiguration)
     val tbl = graft.engine.CatalogMemo.tableName(tableBase, ck)
-    if (memo.get(s.sharedState, ck).isEmpty) {
-      memo.invalidate(s.sharedState)
-      val eng = new graft.engine.Engine(s)
-      eng.archiveBucketed(surv, tbl, "cell", buckets)
-      val loc = s.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(tbl)).toString
-      eng.writeManifest(loc, graft.engine.Format.Parquet)
-      val findings = eng.verifyManifest(loc)
-      require(findings.isEmpty,
-        s"graft: $tableBase landing failed its manifest audit: ${findings.mkString("; ")}")
-      memo.put(s.sharedState, ck, tbl)
+    memo.get(s.sharedState, ck) match {
+      case Some(stored) =>
+        // the (memo, tableBase) pairing is one-to-one BY CONTRACT — a
+        // caller reusing a memo under a different base would otherwise
+        // be handed a name that was never landed; make that loud
+        require(stored == tbl,
+          s"graft: memo/tableBase mismatch: memo holds $stored but " +
+            s"caller derives $tbl — use one CatalogMemo per tableBase")
+        stored
+      case None =>
+        memo.invalidate(s.sharedState)
+        val eng = new graft.engine.Engine(s)
+        eng.archiveBucketed(surv, tbl, "cell", buckets)
+        val loc = s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)).toString
+        eng.writeManifest(loc, graft.engine.Format.Parquet)
+        val findings = eng.verifyManifest(loc)
+        require(findings.isEmpty,
+          s"graft: $tableBase landing failed its manifest audit: ${findings.mkString("; ")}")
+        memo.put(s.sharedState, ck, tbl)
+        tbl
     }
-    tbl
   }
 
   /** c02: the RETRIEVAL-INDEX capstone — c01's end-to-end discipline

@@ -2260,20 +2260,35 @@ object Similarity {
         lit(0L).as("nn_cell"), lit(0.0).as("cos_sim"))
     else {
       co.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-      val queries = e.where(col("vec_id") % 37 === 0)
-        .select(col("vec_id").as("va"), col("v").as("qv"), col("nrm").as("qn"),
-          explode(slice(array_sort(array(probeStructs(centroids): _*)), 1, 2))
-            .as("p"))
-        .select(col("va"), col("qv"), col("qn"), col("p.cell").as("pcell"))
-      queries.join(co.table(ivfTable),
-          col("pcell") === col("cell") && col("vec_id") =!= col("va"))
-        .select(col("va"), col("vec_id").as("nn"), col("cell").as("nn_cell"),
-          (call_function("vec_dot", col("qv"), col("v")) /
-            (col("qn") * col("nrm"))).as("cos_sim"))
-        .where(col("cos_sim") >= RangeTau)
+      rangeMatches(e.where(col("vec_id") % 37 === 0),
+          co.table(ivfTable), centroids)
         .orderBy(col("va"), col("cos_sim").desc, col("nn"))
     }
   }
+
+  /** THE radius-query body — ONE definition of s24's probe selection,
+    * candidate join, and τ cut, shared with s25 so the eval provably
+    * grades the shipped operator (the probeTop3 discipline applied to
+    * the range family). Queries carry the [[graft.Vec.withNorm]]
+    * shape; the index side is any (vec_id, cell, v, nrm, …) table.
+    * Output: (va, nn, nn_cell, cos_sim) with cos_sim ≥ [[RangeTau]],
+    * unsorted.
+    */
+  private def rangeMatches(queries: org.apache.spark.sql.DataFrame,
+      index: org.apache.spark.sql.DataFrame,
+      centroids: Seq[(Long, Array[Double], Double)])
+      : org.apache.spark.sql.DataFrame =
+    queries
+      .select(col("vec_id").as("va"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(slice(array_sort(array(probeStructs(centroids): _*)), 1, 2))
+          .as("p"))
+      .select(col("va"), col("qv"), col("qn"), col("p.cell").as("pcell"))
+      .join(index,
+        col("pcell") === col("cell") && col("vec_id") =!= col("va"))
+      .select(col("va"), col("vec_id").as("nn"), col("cell").as("nn_cell"),
+        (call_function("vec_dot", col("qv"), col("v")) /
+          (col("qn") * col("nrm"))).as("cos_sim"))
+      .where(col("cos_sim") >= RangeTau)
 
   /** s25: RANGE-SEARCH RECALL evaluation — s24 graded against exact
     * radius ground truth, the fifth member of the eval family (s10
@@ -2338,18 +2353,11 @@ object Similarity {
             (col("nrm") * col("qn"))).as("c"))
         .where(col("c") >= RangeTau)
         .groupBy("va").agg(count(lit(1)).as("n_true"))
-      // measured leg: s24's probe selection and threshold verbatim
-      val nFound = q
-        .select(col("va"), col("v").as("qv"), col("qn"),
-          explode(slice(array_sort(array(probeStructs(centroids): _*)), 1, 2))
-            .as("p"))
-        .select(col("va"), col("qv"), col("qn"), col("p.cell").as("pcell"))
-        .join(co.table(ivfTable),
-          col("pcell") === col("cell") && col("vec_id") =!= col("va"))
-        .select(col("va"),
-          (call_function("vec_dot", col("qv"), col("v")) /
-            (col("qn") * col("nrm"))).as("c"))
-        .where(col("c") >= RangeTau)
+      // measured leg: the SHARED s24 body ([[rangeMatches]]) — the
+      // eval cannot drift from the operator it grades
+      val nFound = rangeMatches(
+          e.where(pmod(col("vec_id"), lit(37)) === 0),
+          co.table(ivfTable), centroids)
         .groupBy("va").agg(count(lit(1)).as("n_found"))
       q.select("va")
         .join(nTrue, Seq("va"), "left")
