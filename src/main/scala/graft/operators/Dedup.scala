@@ -30,7 +30,7 @@ object Dedup {
 
   def queries: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d15, d16, d17, d18, d19)
+      d15, d16, d17, d18, d19, d20)
 
   /** DuckDB CTE for distinct 3-token shingles per document — the
     * oracle-side counterpart of the Spark-side native
@@ -1484,5 +1484,72 @@ object Dedup {
         sum("sz").as("n_docs"),
         sum(col("sz") - 1).as("n_collapsible"))
       .orderBy("cluster_size")
+  }
+
+  /** d20: the DEDUP DIVIDEND — what deduplication is actually worth,
+    * priced in TOKENS: near-dup clusters weighted by token mass, not
+    * document count (d19's histogram), because training budgets are
+    * token budgets — 50 duplicate tweets and 2 duplicate books are
+    * the same d19 rows-removed story but a 1000× different training
+    * story. One corpus row: cluster/doc counts from the SHIPPED d16
+    * labels, tokens held by dup clusters, tokens REMOVABLE
+    * (everything but each cluster's survivor), and the dividend —
+    * removable tokens as a fraction of the whole corpus — the number
+    * that decides whether the dedup pass pays for itself.
+    *
+    * Exactness: token counts and sums are exact BIGINTs; the dividend
+    * is ONE IEEE division against the one-row corpus-token aggregate
+    * (the q50 cross shape, bounded by construction).
+    *
+    * Scale shape: d16's labels are dup-cluster-sized; the token join
+    * touches only labeled docs (broadcast-or-hash by AQE); the corpus
+    * total is one partial+final aggregate over a single column.
+    */
+  val d20 = QueryDef(
+    "d20_dedup_dividend",
+    Some(s"""$gramCte,
+      $survivorCtes,
+      surv AS (SELECT a AS doc_id, least(a, min(b)) AS survivor
+        FROM reach GROUP BY a),
+      tok AS (SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
+      cl AS (SELECT s.survivor,
+          count(*) AS sz,
+          CAST(sum(t.nt) AS BIGINT) AS tot,
+          CAST(sum(CASE WHEN s.doc_id <> s.survivor THEN t.nt ELSE 0 END)
+            AS BIGINT) AS rem
+        FROM surv s JOIN tok t ON t.doc_id = s.doc_id
+        GROUP BY s.survivor),
+      agg AS (SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+          CAST(sum(sz) AS BIGINT) AS n_docs,
+          CAST(sum(sz) - count(*) AS BIGINT) AS n_removable,
+          CAST(sum(tot) AS BIGINT) AS dup_tokens,
+          CAST(sum(rem) AS BIGINT) AS tokens_removable
+        FROM cl),
+      tt AS (SELECT CAST(sum(nt) AS BIGINT) AS corpus_tokens FROM tok)
+      SELECT agg.n_clusters, agg.n_docs, agg.n_removable,
+        agg.dup_tokens, agg.tokens_removable, tt.corpus_tokens,
+        CAST(agg.tokens_removable AS DOUBLE) / tt.corpus_tokens AS dividend
+      FROM agg CROSS JOIN tt""")) { (s, d) =>
+    val labels = d16.fn(s, d).select(col("doc_id"), col("survivor"))
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id").as("tid"),
+        graft.Qdsl.big(size(split(col("text"), " "))).as("nt"))
+    val cl = labels.join(tok, col("doc_id") === col("tid"))
+      .groupBy("survivor")
+      .agg(count(lit(1)).as("sz"), sum("nt").as("tot"),
+        sum(when(col("doc_id") =!= col("survivor"), col("nt"))
+          .otherwise(0L)).as("rem"))
+    val agg = cl.agg(count(lit(1)).as("n_clusters"),
+      sum("sz").as("n_docs"),
+      (sum("sz") - count(lit(1))).as("n_removable"),
+      sum("tot").as("dup_tokens"),
+      sum("rem").as("tokens_removable"))
+    val tt = tok.agg(sum("nt").as("corpus_tokens"))
+    agg.crossJoin(broadcast(tt))
+      .select(col("n_clusters"), col("n_docs"), col("n_removable"),
+        col("dup_tokens"), col("tokens_removable"), col("corpus_tokens"),
+        (col("tokens_removable").cast("double") / col("corpus_tokens"))
+          .as("dividend"))
   }
 }

@@ -26,7 +26,7 @@ object Similarity {
 
   def queries: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
-      s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25)
+      s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26)
 
   /** MMR selection rounds (picks after the pure-relevance first). */
   private val MmrK = 5
@@ -2369,6 +2369,59 @@ object Similarity {
             .otherwise(coalesce(col("n_found"), lit(0L)).cast("double") /
               col("n_true")).as("recall"))
         .orderBy("va")
+    }
+  }
+
+  /** s26: INDEX OCCUPANCY CARD — the physical-layout health readout
+    * of the shipped IVF index: per cell, how many vectors it holds,
+    * its share of the corpus, and its relative occupancy (n·k/total —
+    * 1.0 = perfectly balanced). Cell skew IS probe latency at scale:
+    * a cell holding 10× its fair share makes every probe that selects
+    * it scan 10× the vectors (and its bucket file 10× the bytes), so
+    * this card is what decides a retrain/re-shard BEFORE the p99
+    * regresses — the layout-side complement to s11 (geometry
+    * cohesion) and s18 (recall-vs-cost). Reads the LANDED index table
+    * (the layout being graded is the one probes actually scan).
+    *
+    * Exactness: counts are exact BIGINTs; share and occupancy are
+    * each ONE IEEE division of exact integers. k_live counts cells
+    * that actually hold vectors — the denominator a rebalance
+    * decision cares about.
+    *
+    * Scale shape: one exchange-free aggregate over the bucketed index
+    * (grouping key = bucket key) plus a k-row broadcast of the
+    * one-row total; cost is one index scan at any scale.
+    */
+  val s26 = QueryDef(
+    "s26_index_card",
+    Some(s"""${Vec.duckNormCte},
+      $duckTrainedCells,
+      occ AS (SELECT cell, count(*) AS n_vectors FROM cells GROUP BY cell),
+      tot AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS total,
+          count(*) AS k_live FROM occ)
+      SELECT occ.cell, CAST(occ.n_vectors AS BIGINT) AS n_vectors,
+        CAST(occ.n_vectors AS DOUBLE) / tot.total AS share,
+        CAST(occ.n_vectors * tot.k_live AS DOUBLE) / tot.total AS occupancy
+      FROM occ, tot ORDER BY occ.cell""")) { (s, d) =>
+    val co = s.newSession()
+    graft.functions.GraftFunctions.register(co)
+    val e = Vec.withNorm(Tables.embeddings(co, d)).cache()
+    val (centroids, ivfTable) = ensureIvfIndex(co, d, e)
+    if (centroids.isEmpty)
+      e.limit(0).select(lit(0L).as("cell"), lit(0L).as("n_vectors"),
+        lit(0.0).as("share"), lit(0.0).as("occupancy"))
+    else {
+      co.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val occ = co.table(ivfTable).groupBy("cell")
+        .agg(count(lit(1)).as("n_vectors"))
+      val tot = occ.agg(sum("n_vectors").as("total"),
+        count(lit(1)).as("k_live"))
+      occ.crossJoin(broadcast(tot))
+        .select(col("cell"), col("n_vectors"),
+          (col("n_vectors").cast("double") / col("total")).as("share"),
+          ((col("n_vectors") * col("k_live")).cast("double") / col("total"))
+            .as("occupancy"))
+        .orderBy("cell")
     }
   }
 }

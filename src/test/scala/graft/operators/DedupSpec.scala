@@ -261,4 +261,22 @@ class DedupSpec extends SparkSpec {
     assert(prof.exists(_._1 == 1), "singleton row must be present")
   }
 
+  test("d20 dividend reconciles with d19's histogram and the corpus token mass") {
+    val sf = "/root/testdata/sf0.001"
+    val d20 = graft.Registry.byName("d20_dedup_dividend").fn(spark, sf).head()
+    val (nc, nd, nr, dupTok, remTok, corpTok, div) =
+      (d20.getLong(0), d20.getLong(1), d20.getLong(2), d20.getLong(3),
+        d20.getLong(4), d20.getLong(5), d20.getDouble(6))
+    // counts equal d19's dup-cluster rows (sizes >= 2)
+    val d19 = graft.Registry.byName("d19_cluster_profile").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(_._1 >= 2)
+    assert(nc == d19.map(_._2).sum && nd == d19.map(_._3).sum &&
+      nr == d19.map(_._4).sum)
+    // token identities: removable < held-by-dups <= corpus; at least
+    // one survivor's tokens stay per cluster
+    assert(0 < remTok && remTok < dupTok && dupTok <= corpTok)
+    assert(div == remTok.toDouble / corpTok && div > 0.0 && div < 1.0)
+  }
+
 }

@@ -635,4 +635,21 @@ class SimilaritySpec extends SparkSpec {
     assert(s25.exists(_._3 > 0))
   }
 
+  test("s26 card partitions the corpus; shares and occupancies carry their identities") {
+    val card = graft.Registry.byName("s26_index_card").fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(card.nonEmpty)
+    val total = card.map(_._2).sum
+    // every vector lives in exactly one cell
+    assert(total == graft.Tables.embeddings(spark, dir).count())
+    val k = card.length
+    card.foreach { case (_, n, share, occ) =>
+      assert(n > 0 && share == n.toDouble / total)
+      assert(occ == (n * k).toDouble / total)
+    }
+    // shares sum to 1, occupancies to k (up to float addition)
+    assert(math.abs(card.map(_._3).sum - 1.0) < 1e-9)
+    assert(math.abs(card.map(_._4).sum - k) < 1e-9)
+  }
+
 }

@@ -31,7 +31,9 @@ class PlanLintSpec extends SparkSpec {
     "q62_join_size" -> "cross joins of ONE-row sketch/exact aggregates (driver-sized by construction)",
     "e28_stickiness" -> "trailing-week band join: the broadcast side is the DISTINCT-days grid (calendar-bounded); the probe side is deduped user-days, never raw events",
     "s25_range_recall" -> "s10's exact-ground-truth leg (broadcast 1/37 sample x one corpus scan), threshold-filtered",
-    "e29_time_to_convert" -> "the q50 shape: cross of TWO one-row aggregates (clicker count x latency order statistics)")
+    "e29_time_to_convert" -> "the q50 shape: cross of TWO one-row aggregates (clicker count x latency order statistics)",
+    "d20_dedup_dividend" -> "the q50 shape: one-row dup-cluster aggregate x one-row corpus-token aggregate",
+    "s26_index_card" -> "k-row occupancy table x broadcast ONE-row total (k = trained cell count)")
 
   test("no registry query plans a cartesian product or unlisted nested-loop join") {
     val offenders = scala.collection.mutable.ListBuffer[String]()
