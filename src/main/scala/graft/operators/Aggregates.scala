@@ -782,7 +782,7 @@ object Aggregates {
     import graft.functions.CountMinAgg
     val keys = Tables.lineitem(s, d).select(col("l_partkey").cast("long").as("key"))
     val sk = keys.agg(CountMinAgg.cms(col("key")).as("sk"))
-      .head.getSeq[Long](0).toArray
+      .head().getSeq[Long](0).toArray
     val ests = (0 until CountMinAgg.D).map { j =>
       element_at(
         typedLit(sk.slice(j * CountMinAgg.W, (j + 1) * CountMinAgg.W).toSeq),
@@ -916,7 +916,7 @@ object Aggregates {
     if (n == 0)
       li.limit(0).select(lit(0L).as("pct"), col("l_extendedprice").as("price"))
     else {
-      val tw = li.agg(sum("w")).head.getLong(0)
+      val tw = li.agg(sum("w")).head().getLong(0)
       val targets = Seq(25L, 50L, 75L).map(p => p -> (tw * p + 99L) / 100L)
       val tEnc = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong,
         Encoders.scalaLong, Encoders.scalaLong)

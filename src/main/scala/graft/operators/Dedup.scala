@@ -1085,7 +1085,7 @@ object Dedup {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     // τ for the banded DP: the corpus-wide max length bounds every
     // pair's own 0.2·max(la,lb) budget (one column-pruned scan)
-    val maxLen = docs.agg(max(length(col("text")))).head.get(0) match {
+    val maxLen = docs.agg(max(length(col("text")))).head().get(0) match {
       case null => 0
       case n: Int => n
     }

@@ -1343,7 +1343,7 @@ object TextAnalysis {
       .cache()
     // N: one driver-side Long (bounded metadata, the g02/s07 pattern);
     // None on an empty corpus — no bigram row flows, emit 0
-    val n = uni.agg(sum("c")).head.get(0) match {
+    val n = uni.agg(sum("c")).head().get(0) match {
       case l: java.lang.Long => l.longValue(); case _ => 0L
     }
     // guard size ≥ 2 BEFORE sequence(0, size-2): Spark's sequence
