@@ -48,14 +48,19 @@ object Bench {
       try Registry.byName(n).fn(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
-    // two timed runs per query, report the min: steady-state cost,
-    // robust to one-off JIT/GC/IO interference on a shared box
-    // two timed runs per query, min reported; a failed query is
-    // marked -1 so a breakage can never read as a speedup
-    def time(name: String,
-        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+    // Timing structure (round 8): the suite runs as FULL INTERLEAVED
+    // PASSES and each entry reports its min ACROSS passes. Rounds 5–7
+    // showed the old per-entry consecutive min-of-N is structurally
+    // blind to SUSTAINED host contention: all retries of one entry run
+    // back-to-back inside the same multi-second contention window, so
+    // they inflate together and agree (r7: 11 entries read 3–14× their
+    // committed quiet-box anchors in the driver run; every one
+    // re-measured clean on a quiet window). With whole-suite passes, a
+    // contention window lands on DIFFERENT entries in each pass, so the
+    // cross-pass min recovers the quiet number for all of them.
+    def timeOnce(name: String)(body: => Unit): Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      try { body; Some((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         None
@@ -78,62 +83,64 @@ object Bench {
       if (sfDir.stripSuffix("/").endsWith(BudgetSnapshot.SnapshotSfDir))
         BudgetSnapshot.perQuery()
       else Map.empty
-    val queryResults = selected.map { case (name, fn) =>
-      // benchmark integrity: queries like d03/x07 cache their shingle
-      // tables and d06/d07 reuse d03's entry via plan matching — clear
-      // Spark-level caches before each entry so no query's number
-      // silently excludes work a previous entry materialized
-      spark.sharedState.cacheManager.clearCache()
-      val measured = (time(name, fn), time(name, fn)) match {
-        case (Some(a), Some(b)) =>
-          var mn = math.min(a, b)
-          // the two runs disagreeing badly on a non-trivial query means
-          // a co-load spike polluted one of them — arbitrate with a
-          // third run instead of reporting a lucky/unlucky min-of-2
-          if (mn > 1.0 && math.max(a, b) > 1.5 * mn)
-            mn = time(name, fn).map(math.min(mn, _)).getOrElse(mn)
-          // SUSTAINED contention defeats the disagreement trigger: both
-          // runs inflate together and agree. Anchor on the committed
-          // quiet-box value — min-so-far above 3× the committed steady
-          // state forces two more timings unconditionally (round 6: 8
-          // entries read 3–6× in one driver window while the same
-          // commit's snapshot cleared the lint; d04 survived min-of-2
-          // at 18×)
-          if (committed.get(name).exists(c => c > 0 && mn > 3 * c))
-            mn = (Seq(time(name, fn), time(name, fn)).flatten :+ mn).min
-          mn
-        case _ => -1.0
-      }
-      name -> measured
-    }
-    // archive throughput — the reference's own workload (format rows,
-    // write one object / sharded parts); measured on lineitem
-    def timeArchive(name: String)(body: => Unit): (String, Double) = {
-      def once(): Option[Double] =
-        try {
-          val t0 = System.nanoTime()
-          body; Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          None
-        }
-      // min-of-2 like the queries (archive entries are the flagship,
-      // most co-load-sensitive numbers); one successful run still
-      // counts if the other fails transiently
-      val runs = Seq(once(), once()).flatten
-      name -> (if (runs.isEmpty) -1.0 else runs.min)
-    }
+    // Unified entry list: queries + the archive throughput entries
+    // (the reference's own workload — format rows, write one object /
+    // sharded parts; measured on lineitem) run inside the SAME passes.
     val engine = new graft.engine.Engine(spark)
     val out = java.nio.file.Files.createTempDirectory("graft-bench-archive").toString
-    val archives = Seq(
+    val archiveBodies: Seq[(String, () => Unit)] = Seq(
       "archive_lineitem_csv_sharded" -> { () =>
         engine.archive(sfDir, "lineitem", out, _.copy(sharded = true)); () },
       "archive_lineitem_csv_single" -> { () =>
         engine.archive(sfDir, "lineitem", out,
           _.copy(key = Some("lineitem_single.csv"))); () })
       .filter { case (n, _) => selectedArchives(n) }
-      .map { case (n, body) => timeArchive(n)(body()) }
-    val results = queryResults ++ archives
+    val entries: Seq[(String, () => Unit)] =
+      selected.toSeq.map { case (name, fn) =>
+        (name, { () => fn(spark, sfDir).count(); () }: () => Unit)
+      } ++ archiveBodies
+    // benchmark integrity: queries like d03/x07 cache their shingle
+    // tables and d06/d07 reuse d03's entry via plan matching — clear
+    // Spark-level caches before each entry so no query's number
+    // silently excludes work a previous entry materialized
+    def onePass(names: Seq[(String, () => Unit)]): Map[String, Option[Double]] =
+      names.map { case (name, body) =>
+        spark.sharedState.cacheManager.clearCache()
+        name -> timeOnce(name)(body())
+      }.toMap
+    val pass1 = onePass(entries)
+    val pass2 = onePass(entries)
+    // Third pass ONLY for entries still suspect after two passes:
+    // the two pass-values disagree >1.5× on a non-trivial entry (a
+    // spike hit one pass — min may still be the inflated-both case if
+    // the window spanned both), or the cross-pass min still exceeds 3×
+    // its committed quiet-box anchor (sustained contention across both
+    // passes). The flagged subset runs as its own interleaved sub-pass,
+    // so a window during arbitration again spreads across entries
+    // instead of landing wholly on one.
+    val suspect = entries.filter { case (name, _) =>
+      (pass1(name), pass2(name)) match {
+        case (Some(a), Some(b)) =>
+          val mn = math.min(a, b)
+          (mn > 1.0 && math.max(a, b) > 1.5 * mn) ||
+            committed.get(name).exists(c => c > 0 && mn > 3 * c)
+        case _ => false
+      }
+    }
+    val pass3 = onePass(suspect)
+    // A query failing in ANY pass reports -1 — a breakage can never
+    // read as a speedup. Archive entries tolerate one transient-pass
+    // failure (filesystem flakes) as long as one pass succeeded.
+    val archiveNameSet = archiveBodies.map(_._1).toSet
+    val results: Map[String, Double] = entries.map { case (name, _) =>
+      val runs = Seq(pass1(name), pass2(name)) ++ pass3.get(name)
+      val ok = runs.flatten
+      val v =
+        if (archiveNameSet(name)) { if (ok.isEmpty) -1.0 else ok.min }
+        else if (ok.size < runs.size) -1.0
+        else ok.min
+      name -> v
+    }.toMap
     val total = results.values.filter(_ >= 0).sum
     // One JSON line, two renderings of the same numbers. The driver
     // tail-parses the LAST ≤2000 stdout chars (BENCH_r0{1,2,3} all
@@ -144,13 +151,17 @@ object Bench {
     // work. (build.sbt's `showSuccess := false` removes the other
     // killer: sbt's trailing "[success] Total time: …" line, which
     // used to follow the JSON as the true last line.)
-    def render(perQuery: Double => String, key: String => String): String = {
-      val qs = results.map { case (k, v) =>
+    def renderOf(subset: Seq[(String, Double)], omitted: Int)(
+        perQuery: Double => String, key: String => String): String = {
+      val qs = subset.map { case (k, v) =>
         "\"" + key(k) + "\":" + (if (v < 0) "-1" else perQuery(v))
       }.mkString("{", ",", "}")
       val t = "%.3f".formatLocal(java.util.Locale.ROOT, total)
-      s"""{"metric":"total","value":$t,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      val omit = if (omitted > 0) s""","omitted_fast":$omitted""" else ""
+      s"""{"metric":"total","value":$t,"unit":"sec","n_queries":${results.size},"queries":$qs$omit,"sf":"$sfDir"}"""
     }
+    def render(perQuery: Double => String, key: String => String): String =
+      renderOf(results.toSeq, 0)(perQuery, key)
     val full = render(_.toString, identity)
     // Stdout keys compress to the registry short id (the prefix
     // before the first '_': "g02_personalized_pagerank" → "g02") —
@@ -167,13 +178,29 @@ object Bench {
     val key: String => String = n => {
       val s = shortKey(n); if (shortCounts(s) == 1) s else n
     }
-    // Adaptive stdout precision on top of short keys: 2-decimal
-    // detail while it fits, 1-decimal when tight; full precision
-    // always lives in bench.json.
+    // Adaptive stdout detail on top of short keys: 2-decimal detail
+    // while it fits, 1-decimal when tight — and past ~215 entries even
+    // that overflows the driver's ~2000-char tail window (round 7's
+    // BENCH json records "parsed": null for exactly this reason), so
+    // the last resort keeps the line PARSEABLE by listing only the
+    // SLOWEST entries (the ones a performance reader needs in-window)
+    // plus an explicit omitted_fast count; every omitted number still
+    // lives at full precision in bench.json, which is committed.
     val compact = {
       val two = render(v => "%.2f".formatLocal(java.util.Locale.ROOT, v), key)
+      lazy val one = render(v => "%.1f".formatLocal(java.util.Locale.ROOT, v), key)
       if (two.length <= 1900) two
-      else render(v => "%.1f".formatLocal(java.util.Locale.ROOT, v), key)
+      else if (one.length <= 1900) one
+      else {
+        // slowest-first (failures sort first so a -1 is never hidden),
+        // largest prefix that fits the window
+        val ordered = results.toSeq.sortBy { case (_, v) => if (v < 0) -1e18 else -v }
+        val fit = (ordered.length to 1 by -1).view.map { k =>
+          renderOf(ordered.take(k), ordered.length - k)(
+            v => "%.1f".formatLocal(java.util.Locale.ROOT, v), key)
+        }.find(_.length <= 1900)
+        fit.getOrElse(renderOf(Seq.empty, ordered.length)(_.toString, key))
+      }
     }
     // Persist to a well-known file as well. A filtered run must NOT
     // clobber the canonical full-suite snapshot — partial results go
@@ -184,12 +211,11 @@ object Bench {
     // Spark shutdown chatter can land between it and process exit: the
     // line the driver's tail-parse sees last is the JSON itself.
     spark.stop()
-    // Headroom guard: even 1-decimal rendering has a ceiling (~26
-    // chars/entry) — warn when THAT nears the window so the next fix
-    // (drop stdout detail, keep bench.json) happens before truncation.
+    // Headroom guard: the slowest-prefix fallback makes overflow
+    // structurally impossible, so this only fires on a logic error.
     if (compact.length > 1900)
       System.err.println(s"[bench] WARNING compact line ${compact.length} chars " +
-        "— approaching the driver's ~2000-char tail window")
+        "— exceeds the driver's ~2000-char tail window despite the fallback")
     println(compact)
   }
 }

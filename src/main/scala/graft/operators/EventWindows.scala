@@ -1436,7 +1436,9 @@ object EventWindows {
     // med is type-cardinality rows — broadcast; dev feeds BOTH the MAD
     // rank pass and the final readout, so cache it (one corpus scan +
     // one t-sort build the deviations; without the cache the whole
-    // med+join chain re-runs inside the mad branch)
+    // med+join chain re-runs inside the mad branch). Lifetime:
+    // Bench/Verify clearCache between entries owns release, as with
+    // the memoized-operand caches (q51/e14 pattern)
     val dev = b.join(broadcast(med), Seq("t"))
       .select(col("t"), col("event_id"), abs(col("c") - col("med")).as("ad"),
         col("med"))
@@ -1468,10 +1470,14 @@ object EventWindows {
     * does not slide: a distinct count over a moving window can't be
     * window-aggregated (users repeat across days), so the exact form
     * here first collapses the corpus to USER-DAYS (one fact-sized
-    * dedup — the only big shuffle), then joins that bounded table
-    * (|U|·days rows) to the day grid with a ≤7-day band — each
-    * user-day lands in at most 7 output days, so the join is 7·|ud|,
-    * independent of raw event volume. At extreme |U| the documented
+    * dedup — the only big shuffle), then EXPANDS each user-day into
+    * the ≤7 trailing-window grid days it serves (a 7-way generator,
+    * exactly 7·|ud| rows by construction) and EQUI-joins that to the
+    * day grid — a hash join on day_us, never a broadcast nested loop:
+    * the naive `BETWEEN g−6d AND g` band formulation costs |days|·|ud|
+    * comparisons under Spark's BNLJ even though its OUTPUT is 7·|ud|,
+    * which is the difference between a week and a year of history at
+    * scale. At extreme |U| the documented
     * approximate path is a per-day HLL sketch union over the trailing
     * week (q35's mergeability is exactly what sliding distinct needs).
     *
@@ -1486,14 +1492,18 @@ object EventWindows {
         epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us FROM events),
     days AS (SELECT DISTINCT day_us FROM ud),
     dau AS (SELECT day_us, count(*) AS dau FROM ud GROUP BY day_us),
-    wau AS (SELECT g.day_us, count(DISTINCT u.user_id) AS wau
-      FROM days g JOIN ud u
-        ON u.day_us BETWEEN g.day_us - 518400000000 AND g.day_us
-      GROUP BY g.day_us)
+    cov AS (SELECT u.user_id,
+        u.day_us + k.off * 86400000000 AS g_day
+      FROM ud u CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6)) k(off)),
+    wau AS (SELECT c.g_day AS day_us, count(DISTINCT c.user_id) AS wau
+      FROM cov c JOIN days g ON g.day_us = c.g_day
+      GROUP BY c.g_day)
     SELECT d.day_us AS day_us, d.dau, w.wau,
       CAST(d.dau AS DOUBLE) / w.wau AS stickiness
     FROM dau d JOIN wau w ON d.day_us = w.day_us
     ORDER BY d.day_us""")) { (s, d) =>
+    // lifetime: Bench/Verify clearCache between entries owns release,
+    // as with the memoized-operand caches (q51/e14 pattern)
     val ud = Tables.events(s, d)
       .select(col("user_id"),
         (col("ts_us") - col("ts_us") % 86400000000L).as("day_us"))
@@ -1501,9 +1511,16 @@ object EventWindows {
       .cache()
     val days = ud.select("day_us").distinct()
     val dau = ud.groupBy("day_us").agg(count(lit(1)).as("dau"))
-    val wau = days.select(col("day_us").as("g_day"))
-      .join(ud, col("day_us").between(
-        col("g_day") - 518400000000L, col("g_day")))
+    // each user-day serves at most the 7 grid days [d, d+6]: expand
+    // with a 7-way generator (exactly 7·|ud| rows) and EQUI-join the
+    // small distinct-day grid (broadcast) to prune phantom days past
+    // the grid — a hash join, not the |days|·|ud| BNLJ the BETWEEN
+    // band formulation executes as
+    val wau = ud
+      .select(col("user_id"), explode(expr(
+        "transform(sequence(0L, 6L), k -> day_us + k * 86400000000)"))
+        .as("g_day"))
+      .join(broadcast(days.select(col("day_us").as("g_day"))), Seq("g_day"))
       .groupBy(col("g_day"))
       .agg(countDistinct("user_id").as("wau"))
     dau.join(wau, dau("day_us") === col("g_day"))

@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   * discipline applied to an iterative fixpoint). The deliberate
   * rounding loss (≤ deg units per node per round) is part of the
   * operator's CONTRACT, identical in both engines.
+  *
+  * Fixed round budgets are deliberate, and convergence early-exit was
+  * MEASURED AND REJECTED (docs/MICROBENCH.md, round 8): the integer
+  * quantization that buys bit-exact oracle replay also removes
+  * PageRank's exact fixpoint (all nodes keep changing through round
+  * 8 at sf0.1), and the monotone loops (BFS/SSSP) reach their exact
+  * fixpoint only AT the final budgeted round — an unchanged-state
+  * test can never skip work here, only add a per-round diff job.
   */
 object Graph {
 
@@ -437,7 +445,7 @@ object Graph {
       FROM ed)
     SELECT n_edges, sxy, sx, sxx,
       CAST(n_edges * sxy - sx * sx AS DOUBLE) /
-        CAST(n_edges * sxx - sx * sx AS DOUBLE) AS assortativity
+        NULLIF(CAST(n_edges * sxx - sx * sx AS DOUBLE), 0) AS assortativity
     FROM st""")) { (s, d) =>
     val (ued, _) = fulfilmentGraph(s, d)
     // the memoized operand already carries deg(src) — no recomputation
@@ -476,8 +484,13 @@ object Graph {
         sum(col("dx")).as("sx"),
         sum(expr("dx * dx")).as("sxx"))
       .select(col("n_edges"), col("sxy"), col("sx"), col("sxx"),
+        // REGULAR graphs (all degrees equal — a cycle, a clique) have
+        // exactly zero degree variance, so the Pearson denominator
+        // n·Σx²−(Σx)² is 0 and assortativity is UNDEFINED: NULLIF
+        // emits NULL instead of Spark's NaN (which would also diverge
+        // from DuckDB's division semantics in the shared oracle text).
         (expr("CAST(n_edges * sxy - sx * sx AS DOUBLE)") /
-          expr("CAST(n_edges * sxx - sx * sx AS DOUBLE)"))
+          expr("NULLIF(CAST(n_edges * sxx - sx * sx AS DOUBLE), 0)"))
           .as("assortativity"))
   }
 

@@ -547,8 +547,12 @@ object Pipeline {
     *   bucketed-by-cell with a K1d manifest + recount audit
     *   ([[ensureIndexLanded]], c02's landing verbatim) →
     *   MAINTAIN: arrivals (vec_id ≡ 0 mod 37) assigned under FROZEN
-    *   centroids (s14's incremental-insert rule) append to the landed
-    *   table →
+    *   centroids (s14's incremental-insert rule) are unioned
+    *   LOGICALLY over the landed base index — the on-disk table stays
+    *   base-only (PipelineSpec pins that); a production deployment
+    *   would route arrivals through the same bucketed-append path the
+    *   landing used, which is mechanical, while the cell assignment
+    *   rule is the part this entry oracle-checks →
     *   TOMBSTONE: the s23 deletion feed (vec_id ≡ 0 mod 9) anti-joins
     *   the maintained index →
     *   READOUT: the per-cell lifecycle ledger — base/arrived/

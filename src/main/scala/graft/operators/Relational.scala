@@ -22,7 +22,8 @@ object Relational {
   def queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q33, q37, q39, q42, q43, q44,
       q46, q48, q49, q50, q53, q54, q58, q59, q60, q61, q63, q64, q65,
-      q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q78)
+      q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q78,
+      q80, q81, q82, q83, q84, q85)
 
   /** FULL OUTER join with all three match classes live: customers are
     * filtered to positive balances so orders from excluded customers
@@ -1742,7 +1743,27 @@ object Relational {
     * integers; the recursion's row set is uniquely defined by the
     * parent function (each non-root has exactly one parent, so no
     * duplicate paths).
+    *
+    * THE CLIFF (documented per the q46 contrast): UnionLoop cost is
+    * LINEAR IN HIERARCHY DEPTH — one sequential join round per level,
+    * each a separate Spark job against the full part table. The
+    * synthetic forest's depth grows ~log(N) (≤ 20 at sf0.1), but a
+    * pathological hierarchy (a chain) would run N sequential rounds —
+    * so the body PINS `spark.sql.cteRecursionLevelLimit` to
+    * [[RecursionDepthGuard]]: a runaway recursion FAILS FAST at the
+    * guard instead of grinding through thousands of driver-scheduled
+    * rounds (RecursiveSpec pins both the guard value and the failure
+    * mode). Hierarchies deeper than the guard are q46's job — pointer
+    * doubling reaches depth 2^k in k rounds.
     */
+
+  /** Recursion-level cap for the q78 native CTE: generous headroom
+    * over the corpus forest's ~log(N) depth (≤ 20 at sf0.1), small
+    * enough that a chain-shaped hierarchy fails in seconds. Shared
+    * with RecursiveSpec so the pinned guard and the shipped guard
+    * cannot drift.
+    */
+  private[operators] val RecursionDepthGuard = 64
   private val q78Sql =
     """WITH RECURSIVE r AS (
       SELECT CAST(p_partkey AS BIGINT) AS node,
@@ -1764,7 +1785,301 @@ object Relational {
   val q78 = QueryDef(
     "q78_recursive_cte",
     Some(q78Sql)) { (s, d) =>
+    // depth guard: fail fast on runaway recursion (see scaladoc CLIFF)
+    s.conf.set("spark.sql.cteRecursionLevelLimit", RecursionDepthGuard.toString)
     Tables.part(s, d).createOrReplaceTempView("part")
     s.sql(q78Sql)
+  }
+
+  /** q80: the TPC-H Q2 composition — MINIMUM-COST SUPPLIER: for each
+    * qualifying part, the European supplier(s) offering it at the
+    * lowest cost, ranked by account balance. Completes the classic-22
+    * family's last missing SUBQUERY shape: a CORRELATED scalar MIN
+    * over the SAME multi-dimension join chain as the outer query
+    * (supply → supplier → nation → region, region-filtered on both
+    * sides) — Catalyst decorrelates it into a per-partkey min
+    * aggregate joined back, never a per-row execution. ONE SQL text
+    * shared verbatim with the oracle (the q53/q61/q64 discipline).
+    *
+    * Corpus adaptation: this lake has no `partsupp` table, so the
+    * supply relation derives from lineitem — ps_supplycost :=
+    * min(l_extendedprice) per (partkey, suppkey), an exact
+    * DECIMAL(12,2) min both engines compute identically (the q61
+    * lateness-surrogate precedent for missing TPC-H columns).
+    *
+    * Determinism: cost is an exact decimal min; s_acctbal is a raw
+    * lake double; LIMIT 100 rides a TOTAL order (balance desc, then
+    * nation, supplier name, partkey — unique by construction).
+    *
+    * Plan at 100 TB: the supply CTE is ONE shuffle of lineitem on
+    * (partkey, suppkey); supplier/nation/region broadcast everywhere
+    * they appear; the decorrelated min groups the already-clustered
+    * supply rows; the final TopK is q70's TakeOrdered — no global
+    * sort materializes.
+    */
+  private val q80Sql =
+    """WITH supply AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        min(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_supplycost
+      FROM lineitem GROUP BY 1, 2)
+    SELECT s.s_acctbal, s.s_name, n.n_name,
+      p.p_partkey, p.p_type,
+      CAST(ps.ps_supplycost AS DOUBLE) AS supplycost
+    FROM part p
+    JOIN supply ps ON p.p_partkey = ps.ps_partkey
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE p.p_size <= 15 AND p.p_type = 'STANDARD'
+      AND r.r_name = 'EUROPE'
+      AND ps.ps_supplycost = (
+        SELECT min(ps2.ps_supplycost)
+        FROM supply ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100"""
+
+  val q80 = QueryDef(
+    "q80_min_cost_supplier",
+    Some(q80Sql)) { (s, d) =>
+    Tables.part(s, d).createOrReplaceTempView("part")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    Tables.region(s, d).createOrReplaceTempView("region")
+    s.sql(q80Sql)
+  }
+
+  /** q81: the TPC-H Q4 composition — ORDER-PRIORITY CHECKING: per
+    * priority class, how many orders placed in one quarter had at
+    * least one lineitem shipped late. The canonical EXISTS shape:
+    * a correlated EXISTS whose predicate references BOTH relations
+    * (l_shipdate vs the outer o_orderdate), which Catalyst rewrites
+    * to a left SEMI join — each order counted once no matter how many
+    * lines were late. ONE SQL text shared verbatim with the oracle.
+    *
+    * Corpus adaptation: the lake carries no commit/receipt dates, so
+    * "late" is l_shipdate > o_orderdate + 30 days — exactly q61's Q21
+    * lateness surrogate, keeping the cross-relation correlation that
+    * makes Q4's EXISTS non-trivial to decorrelate.
+    *
+    * Plan at 100 TB: the quarter filter prunes orders at the scan
+    * (partition pruning on o_orderdate); the semi join shuffles on
+    * orderkey — the clustering every order-history workload already
+    * maintains; the final aggregate is 5 groups.
+    */
+  private val q81Sql =
+    """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority"""
+
+  val q81 = QueryDef(
+    "q81_order_priority",
+    Some(q81Sql)) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(q81Sql)
+  }
+
+  /** q82: the TPC-H Q9 composition — PRODUCT-TYPE PROFIT: per nation
+    * and order year, the profit on parts matching a name pattern —
+    * the widest fact-side star after q65's Q8 (part, lineitem,
+    * supplier, orders, nation) with the classic non-pushable LIKE
+    * '%…%' dimension filter and a two-term profit expression. ONE SQL
+    * text shared verbatim with the oracle.
+    *
+    * Corpus adaptation: no `partsupp`, so supply cost is priced off
+    * the part's own list price — cost := 0.1 · p_retailprice ·
+    * l_quantity, every factor an exact DECIMAL so the profit sum is
+    * exact in both engines (revenue DECIMAL(12,2)·(1−disc) scale 4,
+    * cost scale 6 → difference scale 6, summed exactly, ONE final
+    * cast to double).
+    *
+    * Plan at 100 TB: part (LIKE-filtered, ~¼ of parts), supplier and
+    * nation broadcast; lineitem⋈orders is the one fact shuffle on
+    * orderkey; the aggregate is nation×year-sized. The infix LIKE
+    * can't push to parquet (verified: it evaluates post-scan against
+    * the broadcast-sized dimension, where it's free).
+    */
+  private val q82Sql =
+    """SELECT n.n_name AS nation,
+      CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+      CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+          (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))) -
+          CAST(p.p_retailprice AS DECIMAL(12,2)) *
+            CAST(l.l_quantity AS DECIMAL(12,2)) *
+            CAST(0.1 AS DECIMAL(3,2))) AS DOUBLE) AS sum_profit
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    ORDER BY nation, o_year"""
+
+  val q82 = QueryDef(
+    "q82_product_profit",
+    Some(q82Sql)) { (s, d) =>
+    Tables.part(s, d).createOrReplaceTempView("part")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    s.sql(q82Sql)
+  }
+
+  /** q83: the TPC-H Q11 composition — IMPORTANT STOCK: parts whose
+    * European supply value exceeds a multiple of the AVERAGE part's
+    * value. The defining shape is a grouped aggregate gated by an
+    * UNCORRELATED GLOBAL scalar over the same grouped CTE — the q64
+    * above-average discipline applied to a HAVING: the threshold is
+    * cross-multiplied (2·v·n > 3·Σv, i.e. v > 1.5× the mean) over
+    * exact DECIMALs and BIGINTs, because a decimal AVG's result scale
+    * is engine-specific while the cross-multiplied comparison is
+    * exact in both. ONE SQL text shared verbatim with the oracle.
+    *
+    * Corpus adaptation: no `partsupp`, so per-part value is the
+    * discounted revenue supplied by EUROPE-region suppliers (the Q11
+    * single-nation filter widened to a region so the supplier subset
+    * is non-empty at every SF); the fixed 1.5×-mean threshold
+    * replaces Q11's SF-dependent fraction so selectivity is
+    * volume-stable (14 parts at sf0.001, ~15% of parts at sf0.1).
+    *
+    * Plan at 100 TB: supplier/nation/region broadcast into the fact
+    * scan; ONE shuffle of the region-pruned lineitem on partkey; the
+    * global total is a one-row broadcast over the part-sized CTE.
+    */
+  private val q83Sql =
+    """WITH val AS (
+      SELECT l.l_partkey AS partkey,
+        sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+            (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS v
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+      GROUP BY l.l_partkey),
+    tot AS (SELECT sum(v) AS s, count(*) AS n FROM val)
+    SELECT partkey, CAST(v AS DOUBLE) AS value
+    FROM val
+    WHERE 2 * v * (SELECT n FROM tot) > 3 * (SELECT s FROM tot)
+    ORDER BY value DESC, partkey"""
+
+  val q83 = QueryDef(
+    "q83_important_stock",
+    Some(q83Sql)) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    Tables.region(s, d).createOrReplaceTempView("region")
+    s.sql(q83Sql)
+  }
+
+  /** q84: the TPC-H Q12 composition — SHIPPING-CLASS PRIORITY MIX:
+    * per shipping class, how many LATE-shipped lineitems belonged to
+    * critical-priority orders vs the rest — the classic TWO-WAY
+    * CONDITIONAL COUNT (paired CASE sums over one join) that turns a
+    * pivot into a single aggregation pass. ONE SQL text shared
+    * verbatim with the oracle.
+    *
+    * Corpus adaptations: no l_shipmode column — l_returnflag is the
+    * grouping surrogate (a real lake column with Q12's small
+    * cardinality); no commit/receipt dates — "late" is q61/q81's
+    * shipdate > orderdate + 60 days, windowed to one ship year.
+    *
+    * Plan at 100 TB: the ship-year range prunes the fact scan
+    * (PushedFilters); ONE orderkey shuffle joins orders (priority is
+    * the only order column read — column pruning keeps the build side
+    * two columns wide); the output is 3 groups.
+    */
+  private val q84Sql =
+    """SELECT l.l_returnflag,
+      CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag"""
+
+  val q84 = QueryDef(
+    "q84_priority_shipclass",
+    Some(q84Sql)) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(q84Sql)
+  }
+
+  /** q85: the TPC-H Q20 composition — POTENTIAL PART PROMOTION:
+    * European suppliers holding excess stock of pattern-named parts
+    * relative to one year's demand. The deepest classic NESTING:
+    * an IN over a grouped derived table, which itself filters by a
+    * second IN (the part-name subset) AND a CORRELATED scalar
+    * aggregate back into the fact table — Catalyst turns the chain
+    * into semi joins plus one decorrelated per-(supp,part) aggregate,
+    * never nested execution. ONE SQL text shared verbatim with the
+    * oracle.
+    *
+    * Corpus adaptation: no `partsupp`, so availability is what the
+    * pair shipped OUTSIDE the demand year (exact integral-double
+    * quantity sums) and Q20's half-of-demand test compares it to
+    * 0.5 × the year's shipments — 0.5 is binary-exact, so the
+    * comparison is bit-identical cross-engine; pairs with no in-year
+    * demand yield a NULL subquery and drop, exactly Q20's own
+    * semantics on empty supply windows.
+    *
+    * Plan at 100 TB: both grouped views shuffle lineitem on the SAME
+    * (suppkey, partkey) key — one clustering, two aggregates; the
+    * part-name semi join broadcasts; the supplier-level IN reduces to
+    * a semi join against a supplier-cardinality set; nation/region
+    * broadcast on the outer edge.
+    */
+  private val q85Sql =
+    """WITH ps AS (
+      SELECT l_suppkey, l_partkey,
+        sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+             THEN 0 ELSE l_quantity END) AS avail_qty
+      FROM lineitem GROUP BY l_suppkey, l_partkey)
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND s.s_suppkey IN (
+        SELECT ps.l_suppkey FROM ps
+        WHERE ps.l_partkey IN
+            (SELECT p_partkey FROM part WHERE p_name LIKE 'large%')
+          AND ps.avail_qty > (
+            SELECT 0.5 * sum(l.l_quantity) FROM lineitem l
+            WHERE l.l_partkey = ps.l_partkey
+              AND l.l_suppkey = ps.l_suppkey
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1997-01-01'))
+    ORDER BY s.s_name"""
+
+  val q85 = QueryDef(
+    "q85_part_promotion",
+    Some(q85Sql)) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.part(s, d).createOrReplaceTempView("part")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    Tables.region(s, d).createOrReplaceTempView("region")
+    s.sql(q85Sql)
   }
 }

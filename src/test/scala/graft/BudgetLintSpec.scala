@@ -29,7 +29,11 @@ class BudgetLintSpec extends AnyFunSuite {
       ("6 fixed-point PageRank rounds: per-round edge⋈rank join + agg + " +
         "localCheckpoint scheduling is a flat ~0.5 s floor at ANY data size " +
         "(microbenched flat 2.2–2.9 s/iter at 20M edges, docs/MICROBENCH.md); " +
-        "the cost is round count, not volume"),
+        "the cost is round count, not volume. Convergence early-exit was " +
+        "MEASURED and rejected round 8 (docs/MICROBENCH.md): integer ranks " +
+        "never reach an exact fixpoint on this corpus (15999/15999 nodes " +
+        "still changing at round 8 at sf0.1), so a d16-style unchanged-state " +
+        "test can never fire and would only add a per-round job"),
     "g02_personalized_pagerank" ->
       "g01's loop with a teleport term — same 6-round scheduling floor",
     // g08's justification removed round 6: the half-rate
@@ -43,7 +47,11 @@ class BudgetLintSpec extends AnyFunSuite {
     "g07_weighted_sssp" ->
       ("4 Bellman-Ford relaxation rounds on the weighted operand — the g01 " +
         "per-round floor; oscillates 1.8–2.0 s across quiet runs, i.e. AT the " +
-        "budget boundary, so the justification stays until the floor drops"),
+        "budget boundary, so the justification stays until the floor drops. " +
+        "Early-exit measured and rejected round 8: BFS and SSSP both reach " +
+        "their exact fixpoint only AT round 4 of 4 at sf0.1 (the round-3→4 " +
+        "delta is the last non-zero one), so a converged-early check can " +
+        "never skip a round on this corpus (docs/MICROBENCH.md)"),
     // d06/d16 justifications removed round 6: the memoized near-dup
     // edge operand (one build, three consumers) brought the whole
     // components family under budget — the whitelist shrinks.

@@ -326,6 +326,17 @@ class GraphSpec extends SparkSpec {
     assert(path.getDouble(4) == -0.5)
   }
 
+  test("g11 regular graph (zero degree variance) -> NULL, not NaN") {
+    // 4-cycle: every degree is 2, so the Pearson denominator
+    // n·Σx²−(Σx)² is exactly 0 — assortativity is undefined and the
+    // NULLIF guard must emit NULL (NaN would diverge from DuckDB's
+    // division semantics in the shared oracle text)
+    val cyc = Graph.assortativityOf(
+      sym(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)))).head()
+    assert(cyc.getLong(0) == 8)
+    assert(cyc.isNullAt(4), "regular graph must yield NULL assortativity")
+  }
+
   test("g11 corpus row is self-consistent and strongly disassortative") {
     val r = Graph.g11.fn(spark, dir).head()
     val (n, sxy, sx, sxx) =

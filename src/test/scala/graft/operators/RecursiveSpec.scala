@@ -27,4 +27,39 @@ class RecursiveSpec extends SparkSpec {
     val nParts = graft.Tables.part(spark, dir).count()
     assert(byRoot.values.map(_.length.toLong).sum == nParts)
   }
+
+  test("q78 pins the recursion depth guard on the session it runs in") {
+    graft.Registry.byName("q78_recursive_cte").fn(spark, dir).count()
+    assert(spark.conf.get("spark.sql.cteRecursionLevelLimit") ==
+      Relational.RecursionDepthGuard.toString)
+  }
+
+  test("q78 cliff: a chain deeper than the guard FAILS FAST, not grinds") {
+    // a pure chain is the pathological hierarchy the scaladoc
+    // documents: depth = N, one sequential join round per level —
+    // the guard must turn it into a fast error
+    spark.conf.set("spark.sql.cteRecursionLevelLimit",
+      Relational.RecursionDepthGuard.toString)
+    val chain =
+      s"""WITH RECURSIVE c AS (
+        SELECT CAST(0 AS BIGINT) AS n
+        UNION ALL
+        SELECT n + 1 FROM c
+        WHERE n < ${Relational.RecursionDepthGuard * 3})
+      SELECT count(*) FROM c"""
+    val e = intercept[Exception](spark.sql(chain).collect())
+    assert(e.getMessage.toLowerCase.contains("recursion"),
+      s"expected a recursion-limit error, got: ${e.getMessage.take(200)}")
+  }
+
+  test("q78 plan at sf0.1 stays UnionLoop with broadcast-shaped legs") {
+    // plan-only (never executed): the recursive leg must not regress
+    // to a shuffled SortMergeJoin per level — at one join PER DEPTH
+    // LEVEL a per-round exchange would multiply the cliff
+    val p = graft.Registry.byName("q78_recursive_cte")
+      .fn(spark, "/root/testdata/sf0.1").queryExecution.executedPlan.toString
+    assert(p.contains("UnionLoop"), "native recursion must plan as UnionLoop")
+    assert(!p.contains("SortMergeJoin"),
+      "recursive leg regressed to a per-level shuffle join")
+  }
 }

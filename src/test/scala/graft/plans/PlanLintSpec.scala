@@ -29,7 +29,9 @@ class PlanLintSpec extends SparkSpec {
     "s18_nprobe_sweep" -> "same exact-ground-truth leg as s10 (broadcast 1/37 sample x one corpus scan); the sweep itself is one bucketed candidate join",
     "x25_nb_domain" -> "docs × per-domain base-score table: the broadcast side is domain-cardinality-sized by construction",
     "q62_join_size" -> "cross joins of ONE-row sketch/exact aggregates (driver-sized by construction)",
-    "e28_stickiness" -> "trailing-week band join: the broadcast side is the DISTINCT-days grid (calendar-bounded); the probe side is deduped user-days, never raw events",
+    // e28_stickiness left the whitelist in round 8: the trailing-week
+    // band join was rewritten as a 7-way generator + EQUI-join on the
+    // day grid, so its plan no longer contains a nested loop at all
     "s25_range_recall" -> "s10's exact-ground-truth leg (broadcast 1/37 sample x one corpus scan), threshold-filtered",
     "e29_time_to_convert" -> "the q50 shape: cross of TWO one-row aggregates (clicker count x latency order statistics)",
     "d20_dedup_dividend" -> "the q50 shape: one-row dup-cluster aggregate x one-row corpus-token aggregate",
