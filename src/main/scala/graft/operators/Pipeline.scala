@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  def queries: Seq[QueryDef] = Seq(c01, c02, c04, c05, c06)
+  def queries: Seq[QueryDef] = Seq(c01, c02, c04, c05, c06, c07)
 
   /** Token budget per packed shard — x12's constant, one definition. */
   private val PackBudget = 2000L
@@ -637,5 +637,156 @@ object Pipeline {
           coalesce(col("live_checksum"), lit(0L)).as("live_checksum"))
         .orderBy("cell")
     }
+  }
+
+  /** c07's landing memo: content-keyed build-once, the [[landMemo]]
+    * discipline applied to the training-pair table.
+    */
+  private val pairLandMemo = new graft.engine.CatalogMemo[String]
+
+  /** Land the cross-modal training pairs as a sharded parquet archive
+    * with a K1d manifest + recount audit — the c01 landing rule: a
+    * pair table that fails its own audit fails the pipeline. Returns
+    * the landed directory.
+    */
+  private def ensurePairsLanded(s: org.apache.spark.sql.SparkSession,
+      d: String, pairs: org.apache.spark.sql.DataFrame): String = {
+    val ck = graft.engine.CatalogMemo.contentKey(
+      d, s.sparkContext.hadoopConfiguration)
+    val destDir = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+      "/" + graft.engine.CatalogMemo.tableName("graft_c07_pairs", ck)
+    if (pairLandMemo.get(s.sharedState, ck).isEmpty) {
+      pairLandMemo.invalidate(s.sharedState)
+      val eng = new graft.engine.Engine(s)
+      val dest = eng.archiveDF(pairs, destDir, "train_pairs",
+        _.copy(sharded = true, format = graft.engine.Format.Parquet))
+      eng.writeManifest(dest, graft.engine.Format.Parquet)
+      val findings = eng.verifyManifest(dest)
+      require(findings.isEmpty,
+        s"graft: c07 landing failed its manifest audit: ${findings.mkString("; ")}")
+      pairLandMemo.put(s.sharedState, ck, destDir)
+    }
+    destDir
+  }
+
+  /** c07: the PAIRED CROSS-MODAL capstone — the composition a
+    * multimodal training run needs that no single-family entry
+    * covers: an (image, caption) TRAINING-PAIR table where BOTH sides
+    * are dedup survivors, landed audited with its own data card.
+    *
+    *   image side — the c04-curated archive content verbatim
+    *   ([[MultimodalOps.curatedImageMetrics]]: ONE cached decode pass
+    *   → m06 exact-phash collapse → pigeonhole near-dup keep-lowest →
+    *   m10 entropy gate) →
+    *   caption pairing — deterministic on the synthetic keys (asset
+    *   asset_id ≡ caption doc_id, the corpus's own construction: the
+    *   image lake is derived per document) →
+    *   text side — the caption must be its OWN d01 exact-dedup keeper
+    *   (min doc_id per identical text) AND not the shadow (greater
+    *   id) of any d02 near-dup candidate at the est-J ≥ 0.5 working
+    *   threshold — pairs where EITHER side is a near-dup survivor's
+    *   shadow are dropped, so the pair space collapses with BOTH
+    *   modalities' dedup verdicts (the c01 keep-lowest rule applied
+    *   cross-modally) →
+    *   landing — the surviving pairs as a sharded parquet archive
+    *   with a K1d manifest + recount audit ([[ensurePairsLanded]]) →
+    *   readout — the c05-style PAIR CARD: per (pred_lang, codec),
+    *   pair/member/token/pixel volume and the quality-class mix, so
+    *   the card reconciles against c05's per-language document counts
+    *   on the shared corpus (PipelineSpec pins n_pairs ≤ n_docs per
+    *   language, plus the decode-pass and audit contracts).
+    *
+    * Every stage is the SHIPPED operator (the c01/x09 discipline):
+    * the oracle chains gramCte + duckMinhashChain (text shadows),
+    * duckCuratedChain (image curation), duckLangidCte + the c05
+    * quality CTE — one set of shared fragments, so no side of the
+    * pair can drift from the family that owns it.
+    *
+    * Determinism: counts are exact BIGINTs; language/quality labels
+    * come from the shared exact scorers; ids are lake integers.
+    *
+    * Scale shape: the image side is curated-output-sized (collapse +
+    * gates ran before any pairing); the text attribute pass is ONE
+    * fused scan (langid + quality + d01 key in a single project, the
+    * c05 discipline, cached for its two consumers); the d02 shadow
+    * set arrives from the banded signature shuffle, never an
+    * all-pairs join; the final pair join keys on the lake's own id,
+    * so at 100 TB it is one co-partitioned equi-join of two already-
+    * reduced sides, and the card is a ≤|langs|·|codecs| rollup.
+    */
+  val c07 = QueryDef(
+    "c07_crossmodal_pairs",
+    Some(s"""${Dedup.gramCte},
+      ${Dedup.duckMinhashChain},
+      ${MultimodalOps.duckCuratedChain.stripPrefix("WITH ")},
+      ${TextAnalysis.duckLangidCte},
+      q AS (SELECT doc_id, n_chars, n_tokens,
+          ${TextAnalysis.duckQualityCase} AS quality FROM (
+        SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          len(list_distinct(string_split(text, ' ')))::DOUBLE / len(string_split(text, ' ')) AS diversity,
+          len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to')))::DOUBLE / len(string_split(text, ' ')) AS stop_ratio
+        FROM documents)),
+      keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+      shadow AS (SELECT DISTINCT db AS doc_id FROM ce WHERE est_jaccard >= 0.5),
+      txt AS (SELECT k.doc_id FROM keep1 k
+        WHERE NOT EXISTS (SELECT 1 FROM shadow sh WHERE sh.doc_id = k.doc_id)),
+      img AS (SELECT reps.rep AS pair_id,
+          CASE WHEN reps.rep % 2 = 0 THEN 'bmp' ELSE 'png' END AS codec,
+          reps.members, CAST(g.w * g.h AS BIGINT) AS n_px
+        FROM reps JOIN g ON g.doc_id = reps.rep JOIN ent ON ent.doc_id = reps.rep
+        WHERE ent.s >= ent.n * 1000000000),
+      pairs AS (SELECT i.pair_id, i.codec, i.members, i.n_px,
+          s.pred_lang, q.quality, q.n_tokens, q.n_chars
+        FROM img i
+        JOIN txt t ON t.doc_id = i.pair_id
+        JOIN scored s ON s.doc_id = i.pair_id
+        JOIN q ON q.doc_id = i.pair_id)
+      SELECT pred_lang, codec,
+        CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(sum(members) AS BIGINT) AS n_members,
+        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        CAST(sum(n_px) AS BIGINT) AS total_px,
+        CAST(sum(CASE WHEN quality = 'high' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        min(pair_id) AS first_pair, max(pair_id) AS last_pair
+      FROM pairs GROUP BY pred_lang, codec
+      ORDER BY pred_lang, codec""")) { (s, d) =>
+    // image side: the c04 curated set (already collapse+prune+gated),
+    // sharing the memoized ONE-decode metrics frame with m13/c04
+    val curated = MultimodalOps.curatedImageMetrics(s, d)
+    // text side: ONE fused attribute scan (langid + quality), cached
+    // for its two consumers (the d01 keeper aggregate and the pair
+    // join). Lifetime: Bench/Verify clearCache between entries owns
+    // release, as with c01's attribute frame.
+    val scored = TextAnalysis.langidScoredDf(
+        TextAnalysis.qualityScored(Tables.documents(s, d)))
+      .select(col("doc_id"), col("text"), col("pred_lang"), col("quality"),
+        col("n_tokens"), col("n_chars"))
+      .cache()
+    val keep1 = scored.groupBy("text").agg(min("doc_id").as("keep_id"))
+    val own = scored.join(keep1, Seq("text"))
+      .where(col("doc_id") === col("keep_id"))
+    val shadows = Dedup.minhashCandidates(s, d)
+      .where(col("est_jaccard") >= 0.5)
+      .select(col("db").as("doc_id")).distinct()
+    val txt = own.join(shadows, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("pred_lang"), col("quality"),
+        col("n_tokens"), col("n_chars"))
+    val pairs = curated.join(txt, curated("asset_id") === txt("doc_id"))
+      .select(col("asset_id").as("pair_id"), col("codec"), col("width"),
+        col("height"), col("members"), col("n_px"), col("pred_lang"),
+        col("quality"), col("n_tokens"), col("n_chars"))
+    if (!pairs.isEmpty) ensurePairsLanded(s, d, pairs)
+    pairs.groupBy("pred_lang", "codec")
+      .agg(count(lit(1)).as("n_pairs"),
+        big(sum("members")).as("n_members"),
+        big(sum("n_tokens")).as("n_tokens"),
+        big(sum("n_chars")).as("n_chars"),
+        big(sum("n_px")).as("total_px"),
+        sum(when(col("quality") === "high", 1L).otherwise(0L)).as("n_high"),
+        min("pair_id").as("first_pair"), max("pair_id").as("last_pair"))
+      .orderBy("pred_lang", "codec")
   }
 }

@@ -1127,6 +1127,70 @@ object StreamingOps {
       .orderBy("pred_lang")
   }
 
+  /** c06's STREAMING face, part 1 — the INDEX LIFECYCLE as a stream:
+    * the BASE index's per-cell ledger lands ONCE as `delta-base`
+    * (overwrite — a restart re-derives identical rows); each
+    * micro-batch of ARRIVALS is assigned its cell under the FROZEN
+    * centroids (s14's incremental-insert rule — the caller passes the
+    * trained centroid literals, so training never reruns per batch)
+    * and folds ADDITIVELY into the occupancy ledger with s23's
+    * tombstone verdict (vec_id ≡ 0 mod 9) applied per row. Every c06
+    * measure is additive — counts and an id-sum checksum — which is
+    * exactly what makes the lifecycle streamable as a delta ledger
+    * (the diffStream discipline): no per-cell state store, just one
+    * grouped SUM per batch, replay-safe via idempotent
+    * `delta-<batchId>` overwrite naming. [[lifecycleLedger]] folds
+    * base + deltas back into batch c06's per-cell rows
+    * (StreamingSpec pins 1-batch ≡ 3-batch ≡ batch c06).
+    *
+    * Restart contract: same as diffStream — pass `checkpoint` to
+    * resume batch numbering; without one, setup deletes the dead
+    * run's numeric deltas (never `delta-base`).
+    */
+  def lifecycleStream(arrivals: DataFrame, base: DataFrame,
+      centroids: Seq[(Long, Array[Double], Double)], ledgerDir: String,
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(centroids.nonEmpty, "graft: lifecycleStream needs trained centroids")
+    if (checkpoint.isEmpty) clearNumericDeltas(ledgerDir)
+    def cellLedger(rows: DataFrame, arrived: Boolean): DataFrame =
+      rows.withColumn("cell", graft.operators.Similarity.cellOf(centroids))
+        .groupBy("cell")
+        .agg(
+          sum(lit(if (arrived) 0L else 1L)).as("n_base"),
+          sum(lit(if (arrived) 1L else 0L)).as("n_arrived"),
+          sum(when(col("vec_id") % 9 === 0, 1L).otherwise(0L)).as("n_tombstoned"),
+          sum(when(col("vec_id") % 9 =!= 0, 1L).otherwise(0L)).as("n_live"),
+          sum(when(col("vec_id") % 9 =!= 0, col("vec_id")).otherwise(0L))
+            .as("live_checksum"))
+    cellLedger(base, arrived = false)
+      .write.mode("overwrite").parquet(s"$ledgerDir/delta-base")
+    val writer = checkpoint.foldLeft(arrivals.writeStream)(
+      (w, c) => w.option("checkpointLocation", c))
+    writer
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          cellLedger(batch, arrived = true)
+            .write.mode("overwrite").parquet(s"$ledgerDir/delta-$batchId")
+          ()
+        }
+      }
+      .start()
+  }
+
+  /** c06's STREAMING face, part 2 — the current lifecycle ledger from
+    * a [[lifecycleStream]] directory: fold base + per-batch deltas
+    * per cell (every measure additive by construction) into batch
+    * c06's exact per-cell output shape.
+    */
+  def lifecycleLedger(s: SparkSession, ledgerDir: String): DataFrame =
+    s.read.parquet(s"$ledgerDir/delta-*")
+      .groupBy("cell")
+      .agg(sum("n_base").as("n_base"), sum("n_arrived").as("n_arrived"),
+        sum("n_tombstoned").as("n_tombstoned"), sum("n_live").as("n_live"),
+        sum("live_checksum").as("live_checksum"))
+      .orderBy("cell")
+
   def archiveStream(events: DataFrame, engine: graft.engine.Engine,
       destDir: String, table: String): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream

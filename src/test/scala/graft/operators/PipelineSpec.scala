@@ -151,6 +151,66 @@ class PipelineSpec extends SparkSpec {
     assert(landed.count() < graft.Tables.documents(spark, dir).count())
   }
 
+  test("c07 pairs: both sides are dedup survivors; landing audits clean; scans stay bounded") {
+    import org.apache.spark.sql.functions._
+    val card = Pipeline.c07.fn(spark, dir)
+    val plan = card.queryExecution.executedPlan.toString
+    // both cached operands (decode metrics + text attribute frame)
+    // feed the pair join — never a re-decode or a corpus rescan
+    assert(plan.contains("InMemoryTableScan"),
+      s"expected the cached operands in:\n${plan.take(1200)}")
+    // scan identities: the asset build + the fused text attribute
+    // pass + the shingle pass (d02's shadows — whose band self-join
+    // re-aliases its second side with fresh expr ids, so the ONE
+    // signature subtree prints as two identities) — and nothing else
+    val ids = "FileScan parquet \\[doc_id#(\\d+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(ids.size <= 4, s"expected <= 4 distinct corpus scans, found ${ids.size}")
+    val rows = card.collect()
+    assert(rows.nonEmpty)
+    // the landing ran and audits clean
+    val ck = graft.engine.CatalogMemo.contentKey(
+      dir, spark.sparkContext.hadoopConfiguration)
+    val dest = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+      "/" + graft.engine.CatalogMemo.tableName("graft_c07_pairs", ck) +
+      "/train_pairs.parquet"
+    val eng = new graft.engine.Engine(spark)
+    assert(eng.verifyManifest(dest).isEmpty, "c07 landing audit found issues")
+    val landed = spark.read.parquet(dest)
+    assert(landed.count() == rows.map(_.getLong(2)).sum,
+      "landed pair count must equal the card's n_pairs total")
+    // every pair id is a curated image rep AND its own d01 keeper AND
+    // not a d02 shadow — both modalities' survivor verdicts hold
+    val pairIds = landed.select("pair_id").collect().map(_.getLong(0)).toSet
+    val curatedIds = MultimodalOps.curatedImageMetrics(spark, dir)
+      .select("asset_id").collect().map(_.getLong(0)).toSet
+    assert(pairIds.subsetOf(curatedIds), "pair image side must be curated reps")
+    val keepers = graft.Registry.byName("d01_exact_dedup").fn(spark, dir)
+      .select("keep_id").collect().map(_.getLong(0)).toSet
+    assert(pairIds.subsetOf(keepers), "pair text side must be d01 keepers")
+    val shadows = graft.Registry.byName("d02_minhash_lsh").fn(spark, dir)
+      .select("db").collect().map(_.getLong(0)).toSet
+    assert(pairIds.intersect(shadows).isEmpty,
+      "no pair may carry a d02 near-dup shadow as its caption")
+  }
+
+  test("c07 card reconciles with c05's per-language counts on the shared corpus") {
+    val c07 = Pipeline.c07.fn(spark, dir).collect()
+      .groupBy(_.getString(0))
+      .map { case (lang, rs) =>
+        lang -> ((rs.map(_.getLong(2)).sum, rs.map(_.getLong(7)).sum))
+      }
+    val c05 = Pipeline.c05.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(4)))).toMap
+    c07.foreach { case (lang, (nPairs, nHigh)) =>
+      assert(c05.contains(lang), s"c07 language $lang missing from c05's card")
+      assert(nPairs <= c05(lang)._1,
+        s"$lang: pairs ($nPairs) exceed the corpus documents (${c05(lang)._1})")
+      assert(nHigh <= c05(lang)._2,
+        s"$lang: high-quality pairs exceed the corpus high-quality docs")
+    }
+  }
+
   test("c06 ledger reconciles cell-by-cell: base+arrived = tombstoned+live, checksum exact") {
     val led = Pipeline.c06.fn(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -739,6 +739,44 @@ class StreamingSpec extends SparkSpec {
       "restart over a stale 3-batch ledger must re-derive, not double-count")
   }
 
+  test("lifecycleStream recovers c06's ledger: 1-batch ≡ 3-batch ≡ batch c06 per cell") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val expect = graft.operators.Pipeline.c06.fn(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    // the SAME base/arrival split and the SAME memoized training c06
+    // uses (tag "base37"), so the stream maintains the identical index
+    val e = graft.Vec.withNorm(graft.Tables.embeddings(spark, dir))
+    val base = e.where(pmod(col("vec_id"), lit(37)) =!= 0)
+    val centroids = graft.operators.Similarity
+      .trainCoarse(spark, dir, base, "base37")
+    assert(centroids.nonEmpty)
+    val arrivals = e.where(pmod(col("vec_id"), lit(37)) === 0)
+      .select(col("vec_id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    def run(splits: Seq[Seq[(Long, Array[Double])]]): Seq[Seq[Any]] = {
+      val ledger = java.nio.file.Files
+        .createTempDirectory("graft-lifecycle").toString + "/ledger"
+      val input = MemoryStream[(Long, Array[Double])]
+      val q = StreamingOps.lifecycleStream(
+        input.toDS().toDF("vec_id", "v"),
+        base.select(col("vec_id"), col("v")), centroids, ledger)
+      try splits.foreach { s => input.addData(s); q.processAllAvailable() }
+      finally q.stop()
+      StreamingOps.lifecycleLedger(spark, ledger).collect().map(_.toSeq).toSeq
+    }
+    val one = run(Seq(arrivals))
+    assert(one == expect, s"1-batch ledger diverges from batch c06:\n$one\nvs\n$expect")
+    val n = arrivals.length
+    assert(n >= 3)
+    val three = run(Seq(arrivals.slice(0, n / 3),
+      arrivals.slice(n / 3, 2 * n / 3), arrivals.slice(2 * n / 3, n)))
+    assert(three == expect,
+      "3-batch ledger must fold to the same per-cell rows — every c06 measure is additive")
+  }
+
   test("burstStream recovers e25's flags: 1-batch ≡ 3-batch ≡ batch e25") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
