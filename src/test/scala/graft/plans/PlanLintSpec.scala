@@ -35,7 +35,8 @@ class PlanLintSpec extends SparkSpec {
     "s25_range_recall" -> "s10's exact-ground-truth leg (broadcast 1/37 sample x one corpus scan), threshold-filtered",
     "e29_time_to_convert" -> "the q50 shape: cross of TWO one-row aggregates (clicker count x latency order statistics)",
     "d20_dedup_dividend" -> "the q50 shape: one-row dup-cluster aggregate x one-row corpus-token aggregate",
-    "s26_index_card" -> "k-row occupancy table x broadcast ONE-row total (k = trained cell count)")
+    "s26_index_card" -> "k-row occupancy table x broadcast ONE-row total (k = trained cell count)",
+    "m16_neardup_eval" -> "exact all-pairs hamming ground truth over DISTINCT fingerprints (group-table-sized, the d03/d05 exactness-baseline rule) + crossJoins of ONE-row aggregates (the q50 shape)")
 
   test("no registry query plans a cartesian product or unlisted nested-loop join") {
     val offenders = scala.collection.mutable.ListBuffer[String]()
