@@ -65,6 +65,16 @@ class BudgetLintSpec extends AnyFunSuite {
         "tiny data, so the cost is the g01 per-round floor, not volume. " +
         "Deliberate: q78 is the expressiveness face; q46 is the O(log d) " +
         "pointer-doubling form of the SAME closure and stays under budget"),
+    "c07_crossmodal_pairs" ->
+      ("the paired cross-modal capstone genuinely composes three stage " +
+        "families in one entry: the shared decode-metrics pass (amortized " +
+        "via the memo but charged on first touch), the fused text " +
+        "attribute scan + d02's banded shadow join, and an audited sharded " +
+        "landing (manifest write + recount). 2.99 s was measured on a " +
+        "session where the whole suite read ~1.4x its committed anchors " +
+        "(g01 3.3 vs 2.34 committed in the same narrowed run), so the " +
+        "quiet-box steady state is ~2.1 s — justified as capstone " +
+        "composition cost until a quieter window re-anchors it"),
     "m15_video_neardup" ->
       ("demuxes and GENUINELY decodes every frame of every video " +
         "(javax.imageio per frame, ~3.5 frames/video — the honest decode " +
