@@ -128,16 +128,21 @@ object Bench {
       }
     }
     val pass3 = onePass(suspect)
-    // A query failing in ANY pass reports -1 — a breakage can never
-    // read as a speedup. Archive entries tolerate one transient-pass
-    // failure (filesystem flakes) as long as one pass succeeded.
+    // A query failing in pass 1 or 2 reports -1 — a breakage can never
+    // read as a speedup (a deterministic failure fails both). The
+    // ARBITRATION pass is different: an entry only reaches pass 3 with
+    // two valid timings in hand, so a transient pass-3 failure
+    // (contention flake) keeps the measured min rather than branding
+    // the entry broken — the old arbitration's getOrElse semantics.
+    // Archive entries tolerate one transient-pass failure anywhere
+    // (filesystem flakes) as long as one pass succeeded.
     val archiveNameSet = archiveBodies.map(_._1).toSet
     val results: Map[String, Double] = entries.map { case (name, _) =>
-      val runs = Seq(pass1(name), pass2(name)) ++ pass3.get(name)
-      val ok = runs.flatten
+      val mandatory = Seq(pass1(name), pass2(name))
+      val ok = (mandatory ++ pass3.get(name)).flatten
       val v =
         if (archiveNameSet(name)) { if (ok.isEmpty) -1.0 else ok.min }
-        else if (ok.size < runs.size) -1.0
+        else if (mandatory.exists(_.isEmpty)) -1.0
         else ok.min
       name -> v
     }.toMap

@@ -198,25 +198,25 @@ object MultimodalOps {
         FROM g)"""
   }
 
-  /** The decoded (doc_id, phash) frame — m06's fingerprint pass over
-    * the REAL `javax.imageio` decode path, factored so m16's eval
-    * grades exactly the shipped fingerprints.
+  /** The decoded (doc_id, phash) frame — a narrow projection of the
+    * MEMOIZED one-decode metrics frame ([[imageMetricsMemo]] /
+    * [[buildImageMetrics]], which already carries the pHash60 per
+    * decoded asset), so m06 and m16 share the SAME decode pass as
+    * m13/c04/c07 instead of running a second `javax.imageio` sweep
+    * per call (undecodable assets quarantine out identically — the
+    * metrics frame only holds decoded rows).
     */
   private def imagePhashes(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.Encoders
-    graft.multimodal.MultimodalPipeline.imageAssets(s, d)
-      .mapPartitions { it =>
-        it.flatMap { a =>
-          // undecodable assets quarantine out of the fingerprint space
-          // (none in the synthetic corpus; the oracle sees all rows)
-          graft.multimodal.ImageCodecs.decodeImage(a.data, 0, a.data.length)
-            .map { case (_, img) =>
-              (a.asset_id, graft.multimodal.ImageCodecs.pHash60(img))
-            }
-        }
-      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
-      .toDF("doc_id", "phash")
+    val ck = graft.engine.CatalogMemo.contentKey(
+      d, s.sparkContext.hadoopConfiguration)
+    val metrics = imageMetricsMemo.get(s.sharedState, ck).getOrElse {
+      val frame = buildImageMetrics(s, d)
+      imageMetricsMemo.put(s.sharedState, ck, frame)
+      frame
+    }
+    metrics.persist() // idempotent; re-registers after any clearCache
+    metrics.select(col("asset_id").as("doc_id"), col("phash"))
   }
 
   val m06 = QueryDef(
@@ -1067,7 +1067,7 @@ object MultimodalOps {
         CASE WHEN n_true = 0 THEN 1.0
              ELSE CAST(n_cand_true AS DOUBLE) / CAST(n_true AS DOUBLE) END AS cand_recall,
         CASE WHEN n_cand = 0 THEN 1.0
-             ELSE CAST(n_true AS DOUBLE) / CAST(n_cand AS DOUBLE) END AS cand_precision,
+             ELSE CAST(n_cand_true AS DOUBLE) / CAST(n_cand AS DOUBLE) END AS cand_precision,
         CAST(max_bucket AS BIGINT) AS max_bucket
       FROM m""")) { (s, d) =>
     // distinct fingerprints: the space both legs run on (cached — the
@@ -1104,8 +1104,11 @@ object MultimodalOps {
         when(col("n_true") === 0L, lit(1.0))
           .otherwise(col("n_cand_true").cast("double") / col("n_true").cast("double"))
           .as("cand_recall"),
+        // n_cand_true (NOT n_true) over n_cand: the two only agree
+        // while recall is 1.0 — a broken band geometry must not let
+        // never-candidate true pairs inflate the efficiency readout
         when(col("n_cand") === 0L, lit(1.0))
-          .otherwise(col("n_true").cast("double") / col("n_cand").cast("double"))
+          .otherwise(col("n_cand_true").cast("double") / col("n_cand").cast("double"))
           .as("cand_precision"),
         col("max_bucket"))
   }

@@ -1862,9 +1862,11 @@ object Relational {
     * lines were late. ONE SQL text shared verbatim with the oracle.
     *
     * Corpus adaptation: the lake carries no commit/receipt dates, so
-    * "late" is l_shipdate > o_orderdate + 30 days — exactly q61's Q21
-    * lateness surrogate, keeping the cross-relation correlation that
-    * makes Q4's EXISTS non-trivial to decorrelate.
+    * "late" is l_shipdate > o_orderdate + 30 DAYS — q61's Q21
+    * lateness-surrogate IDEA at q81's own tighter window (q61 uses
+    * 60 days; 30 keeps the quarter-scoped EXISTS selective), keeping
+    * the cross-relation correlation that makes Q4's EXISTS
+    * non-trivial to decorrelate.
     *
     * Plan at 100 TB: the quarter filter prunes orders at the scan
     * (partition pruning on o_orderdate); the semi join shuffles on
@@ -1995,8 +1997,9 @@ object Relational {
     *
     * Corpus adaptations: no l_shipmode column — l_returnflag is the
     * grouping surrogate (a real lake column with Q12's small
-    * cardinality); no commit/receipt dates — "late" is q61/q81's
-    * shipdate > orderdate + 60 days, windowed to one ship year.
+    * cardinality); no commit/receipt dates — "late" is q61's
+    * shipdate > orderdate + 60-day surrogate (q81 runs the same idea
+    * at 30 days), windowed to one ship year.
     *
     * Plan at 100 TB: the ship-year range prunes the fact scan
     * (PushedFilters); ONE orderkey shuffle joins orders (priority is

@@ -119,4 +119,22 @@ class MultimodalSpec extends SparkSpec {
       .map(g => g.size.toLong * (ln(lums.size - 1) - ln(g.size - 1))).sum
     assert(entNano == s, s"asset $id entropy sum diverged from pixel replay")
   }
+
+  test("m16 eval: pigeonhole recall is exactly 1.0 and the counts reconcile") {
+    val r = graft.Registry.byName("m16_neardup_eval")
+      .fn(spark, "/root/testdata/sf0.001").head()
+    val (nHashes, nTrue, nCand, nCandTrue) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nHashes > 0 && nTrue > 0, "eval must run on a live fingerprint space")
+    // the pigeonhole theorem as data: 4 bands x 15 bits surface EVERY
+    // hamming<=3 pair — a band-geometry edit that breaks the
+    // guarantee fails here, in-repo, not only at the external oracle
+    assert(nCandTrue == nTrue && r.getDouble(4) == 1.0,
+      s"banding missed ${nTrue - nCandTrue} of $nTrue true pairs")
+    // precision is candidate-true over candidates (never n_true/n_cand
+    // — those only agree while recall is 1.0) and bounded by both
+    assert(nCand >= nCandTrue)
+    assert(r.getDouble(5) == nCandTrue.toDouble / nCand)
+    assert(r.getLong(6) >= 1L, "occupancy max must see at least one hash")
+  }
 }
