@@ -38,6 +38,35 @@ object PlanFingerprint {
     ofExplain(df.queryExecution.explainString(
       org.apache.spark.sql.execution.SimpleMode))
 
+  /** AQE-runtime artifacts that appear in an entry's explain ONLY
+    * when part of its plan already executed (capstones that cache or
+    * land eagerly during construction): materialized query stages and
+    * exchange reuse depend on SESSION HISTORY — which suites ran
+    * first, which memoized operands exist — not on the operator's
+    * design, and the explain text reprints cached subtrees a
+    * history-dependent number of times.
+    */
+  private val RuntimeMarkers = Set(
+    "AQEShuffleRead", "ShuffleQueryStage", "BroadcastQueryStage",
+    "ResultQueryStage", "TableCacheQueryStage", "ReusedExchange")
+
+  private def isVolatile(fp: Map[String, Int]): Boolean =
+    fp.keys.exists(RuntimeMarkers)
+
+  /** Drift test: exact operator-count equality for pure-plan entries;
+    * entries carrying runtime markers on EITHER side (eagerly-executed
+    * capstones) compare on the DISTINCT operator-name set with the
+    * markers removed — still catches a join-strategy change, a new
+    * CartesianProduct, or a lost custom operator, while staying
+    * immune to history-dependent stage materialization and subtree
+    * reprint counts (round-8 lesson: c01's Exchange count read 21 or
+    * 22 depending on which suite had already built its memo caches).
+    */
+  def matches(a: Map[String, Int], b: Map[String, Int]): Boolean =
+    if (isVolatile(a) || isVolatile(b))
+      (a.keySet -- RuntimeMarkers) == (b.keySet -- RuntimeMarkers)
+    else a == b
+
   /** Render all fingerprints as one stable JSON document: entries and
     * operator keys both sorted, so the committed file diffs cleanly.
     */

@@ -37,7 +37,7 @@ class PlanDriftSpec extends SparkSpec {
       val drifted = live.flatMap { case (name, fp) =>
         locked.get(name) match {
           case None => Some(s"$name: NEW entry not in lock (regen the lock)")
-          case Some(l) if l != fp =>
+          case Some(l) if !PlanFingerprint.matches(l, fp) =>
             val gained = (fp.toSet -- l.toSet).toSeq.sorted
             val lost = (l.toSet -- fp.toSet).toSeq.sorted
             Some(s"$name: +${gained.mkString(",")} -${lost.mkString(",")}")
