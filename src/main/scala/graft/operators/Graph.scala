@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   def queries: Seq[QueryDef] =
-    Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11)
+    Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, g12)
 
   /** Offset that moves supplier ids into their own node-id space;
     * must exceed every custkey at any SF this runs at locally. At
@@ -612,6 +612,126 @@ object Graph {
           .otherwise(lit("customer")).as("node_type"),
         col("dist"))
       .orderBy("dist", "node_id")
+  }
+
+  /** Truncation depth and pivot sampling rule for g12 — k-hop
+    * harmonic centrality from a FIXED arithmetic pivot sample
+    * (suppliers ≡ 0 mod [[HarmonicPivotMod]], the g02/g05 shared-
+    * membership-predicate discipline so both engines derive one
+    * pivot set; 4 pivots at sf0.1, 1 at the smaller SFs).
+    */
+  private[operators] val HarmonicRounds = 3
+  private[operators] val HarmonicPivotMod = 250L
+
+  /** round(1e9/d) for d = 1..[[HarmonicRounds]] — the g06
+    * shared-literal discipline: ONE Scala computation interpolated
+    * into BOTH engines' CASE, so per-node scores are exact BIGINT
+    * sums of table literals, order-independent under partial
+    * aggregation; neither engine ever divides.
+    */
+  private[operators] def harmonicInvNano(d: Int): Long = math.round(1e9 / d)
+
+  private def harmonicCase: String =
+    "CASE dist " + (1 to HarmonicRounds)
+      .map(d => s"WHEN $d THEN ${harmonicInvNano(d)}").mkString(" ") + " END"
+
+  /** g12: SAMPLED-PIVOT HARMONIC CENTRALITY — the crawl-quality gate
+    * this family's header names (harmonic centrality is the
+    * centrality CommonCrawl-scale corpus pipelines actually rank
+    * domains by; cf. Boldi & Vigna, "Axioms for Centrality", 2014):
+    * H(v) = Σ_u 1/d(u, v), estimated from a FIXED PIVOT SAMPLE — the
+    * Eppstein–Wang design: exact all-pairs distances are Θ(n·m) and
+    * nobody computes them at 100 TB; a small pivot sample estimates
+    * the same ranking with error O(1/√pivots), and the sample here
+    * is an arithmetic predicate shared verbatim with the oracle.
+    * Truncated at [[HarmonicRounds]] hops (k-hop harmonic — beyond
+    * k, 1/d contributions are dominated by the near field on a
+    * small-diameter graph; the truncation is the CONTRACT, exactly
+    * g05's fixed-round discipline).
+    *
+    * Differs from the family's other lenses: g01 ranks by damped
+    * FLOW mass (degree-weighted), g05 reports raw hop distance from
+    * one seed set, g12 aggregates INVERSE distance over independent
+    * pivots — the distance-weighted reach score that degrades
+    * gracefully with distance instead of flooding (g05) or
+    * compounding degree (g01).
+    *
+    * Determinism: distances are exact BIGINT hop counts; 1/d enters
+    * as the [[harmonicInvNano]] literals, so harmonic_nano is an
+    * exact BIGINT sum in both engines; top-30 under a TOTAL order.
+    *
+    * Scale shape: the loop is g05's — per round ONE join of the
+    * memoized bucketed edge operand against (node, pivot)-keyed
+    * state + one min-aggregation — with state |reached| · |pivots|
+    * rows (the pivot budget is the knob: at 100 TB you size pivots
+    * to the state you can hold, and the estimator stays unbiased);
+    * lineage truncated on the g01 half-rate cadence; the readout is
+    * one node-keyed aggregate of the final state.
+    */
+  val g12 = QueryDef(
+    "g12_harmonic_centrality",
+    Some(s"""WITH e AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS src, $SuppBase + l_suppkey AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    ue AS MATERIALIZED (
+      SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+    h0 AS MATERIALIZED (
+      SELECT DISTINCT src AS id, src AS pv, CAST(0 AS BIGINT) AS dist
+      FROM ue WHERE src >= $SuppBase AND (src - $SuppBase) % $HarmonicPivotMod = 0),
+    ${(1 to HarmonicRounds).map(i => s"""h$i AS MATERIALIZED (
+      SELECT id, pv, min(dist) AS dist FROM (
+        SELECT id, pv, dist FROM h${i - 1}
+        UNION ALL
+        SELECT ue.dst AS id, h${i - 1}.pv, h${i - 1}.dist + 1 AS dist
+        FROM ue JOIN h${i - 1} ON ue.src = h${i - 1}.id) GROUP BY id, pv)""")
+      .mkString(",\n    ")}
+    SELECT id AS node_id,
+      CASE WHEN id >= $SuppBase THEN 'supplier' ELSE 'customer' END AS node_type,
+      CAST(count(*) AS BIGINT) AS n_pivots_reached,
+      CAST(sum($harmonicCase) AS BIGINT) AS harmonic_nano
+    FROM h$HarmonicRounds WHERE dist >= 1 GROUP BY id
+    ORDER BY harmonic_nano DESC, node_id LIMIT 30""")) { (s, d) =>
+    val (ued, deg) = fulfilmentGraph(s, d)
+    val pivots = deg.filter(col("id") >= SuppBase &&
+      (col("id") - SuppBase) % HarmonicPivotMod === 0).select("id")
+    harmonicFrom(ued.select("src", "dst"), pivots, HarmonicRounds)
+      .select(col("id").as("node_id"),
+        when(col("id") >= SuppBase, lit("supplier"))
+          .otherwise(lit("customer")).as("node_type"),
+        col("n_pivots_reached"), col("harmonic_nano"))
+      .orderBy(col("harmonic_nano").desc, col("node_id"))
+      .limit(30)
+  }
+
+  /** g12's kernel over ANY symmetrized edge list (src, dst) and pivot
+    * set (id) — factored so GraphSpec pins closed forms (a path from
+    * one end-pivot scores 1/1, 1/2, 1/3 down the line). Runs `rounds`
+    * multi-source min-propagation rounds on (id, pivot)-keyed state,
+    * then aggregates per node: (id, n_pivots_reached, harmonic_nano),
+    * pivot self-rows (dist 0) excluded — unreached nodes are absent,
+    * the g05 fixed-round contract.
+    */
+  private[operators] def harmonicFrom(
+      ue: org.apache.spark.sql.DataFrame,
+      pivots: org.apache.spark.sql.DataFrame,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    val caseExpr = "CASE dist " + (1 to rounds)
+      .map(d => s"WHEN $d THEN ${harmonicInvNano(d)}").mkString(" ") + " END"
+    var h = pivots
+      .select(col("id"), col("id").as("pivot"), lit(0L).as("dist"))
+      .localCheckpoint()
+    for (i <- 1 to rounds) {
+      val prop = ue.join(h, ue("src") === h("id"))
+        .select(ue("dst").as("id"), col("pivot"), (col("dist") + 1L).as("dist"))
+      h = h.unionByName(prop)
+        .groupBy("id", "pivot").agg(min("dist").as("dist"))
+      // truncate every second round (the g01 half-rate discipline)
+      if (i % 2 == 0 || i == rounds) h = h.localCheckpoint()
+    }
+    h.where(col("dist") >= 1)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_pivots_reached"),
+        expr(s"CAST(sum($caseExpr) AS BIGINT)").as("harmonic_nano"))
   }
 
   /** g07: WEIGHTED single-source shortest paths — the cost-aware form

@@ -44,6 +44,13 @@ class BudgetLintSpec extends AnyFunSuite {
         "g01 per-round scheduling floor; oscillates 1.9–2.2 s across full-run " +
         "snapshots (2.4+ solo, where it also pays the operand build), i.e. AT " +
         "the budget boundary — the g07 convention: justified until the floor drops"),
+    "g12_harmonic_centrality" ->
+      ("3 multi-source min-propagation rounds on (node, pivot)-keyed " +
+        "state — the g05 loop with a pivot dimension; the g01 per-round " +
+        "scheduling floor at ~1.3x state volume. 2.57 s measured on the " +
+        "same loaded session where g01 read 3.3 vs its 2.34 anchor, so " +
+        "the quiet-box steady state is ~1.8 s — the g07 convention: " +
+        "justified until the floor drops"),
     "g07_weighted_sssp" ->
       ("4 Bellman-Ford relaxation rounds on the weighted operand — the g01 " +
         "per-round floor; oscillates 1.8–2.0 s across quiet runs, i.e. AT the " +

@@ -326,6 +326,30 @@ class GraphSpec extends SparkSpec {
     assert(path.getDouble(4) == -0.5)
   }
 
+  test("g12 closed forms: end-pivot path scores 1/1, 1/2, 1/3; two pivots sum") {
+    import spark.implicits._
+    // path 0-1-2-3, pivot {0}: dist(1)=1, dist(2)=2, dist(3)=3 —
+    // harmonic_nano = the shared round(1e9/d) literals; the pivot
+    // itself is absent (no dist >= 1 row)
+    val ue = sym(Seq((0L, 1L), (1L, 2L), (2L, 3L)))
+    val one = Graph.harmonicFrom(ue, Seq(0L).toDF("id"), 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(one == Map(
+      1L -> ((1L, 1000000000L)),
+      2L -> ((1L, 500000000L)),
+      3L -> ((1L, 333333333L))))
+    // pivots at BOTH ends: interior nodes sum contributions from each
+    // pivot independently (node 1: 1/1 + 1/2; node 2: 1/2 + 1/1);
+    // each end node sees only the other end at 1/3
+    val two = Graph.harmonicFrom(ue, Seq(0L, 3L).toDF("id"), 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(two == Map(
+      0L -> ((1L, 333333333L)),
+      1L -> ((2L, 1500000000L)),
+      2L -> ((2L, 1500000000L)),
+      3L -> ((1L, 333333333L))))
+  }
+
   test("g11 regular graph (zero degree variance) -> NULL, not NaN") {
     // 4-cycle: every degree is 2, so the Pearson denominator
     // n·Σx²−(Σx)² is exactly 0 — assortativity is undefined and the
