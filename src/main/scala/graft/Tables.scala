@@ -56,4 +56,35 @@ object Tables {
     raw.withColumn("ts_us", tsUs)
       .withColumn("ts", timestamp_micros(col("ts_us")))
   }
+
+  /** Adaptive compute-spread for CPU-dense narrow stages over tiny
+    * scans (optimization guide §2.5 "input skew" / §2.6 stragglers).
+    * `documents.parquet` is ONE parquet row group at every test SF,
+    * so every downstream tokenize / shingle / codec-synthesis /
+    * decode / DP stage inherits a ONE-task scan and runs
+    * single-threaded regardless of core count — the per-row work,
+    * not the bytes, is the cost. When the plan yields fewer
+    * partitions than the session's parallelism, hash-repartition on
+    * `key` (deterministic placement — no round-robin, so no
+    * sort-before-repartition pass and retry-safe row assignment)
+    * with an EXPLICIT partition count, which AQE's byte-based
+    * coalescing (blind to per-row CPU cost) never re-merges. At
+    * scale the scan already splits into ≥ parallelism tasks and this
+    * returns the input unchanged — no exchange is ever added on the
+    * 100 TB path, where moving payload bytes twice would be the real
+    * cost (guide §8).
+    */
+  def spreadForCompute(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p, key)
+  }
+
+  /** [[documents]] with [[spreadForCompute]] applied — the loader for
+    * operators whose per-row CPU (shingling, tokenization, simhash,
+    * codec work) dominates the scan. Cheap metadata-style readers
+    * keep using [[documents]]: for them the exchange would be pure
+    * overhead.
+    */
+  def documentsSpread(s: SparkSession, d: String): DataFrame =
+    spreadForCompute(documents(s, d), col("doc_id"))
 }

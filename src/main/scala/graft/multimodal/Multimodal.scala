@@ -106,8 +106,12 @@ object MultimodalPipeline {
     */
   def imageAssets(spark: SparkSession, dir: String): Dataset[Asset] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+    // spread the id scan BEFORE the codec map: the single-row-group
+    // documents scan is one task, and encode/decode is the cost (the
+    // ids crossing the exchange are 8 bytes/row) — guide §2.5
+    graft.Tables.spreadForCompute(
+      spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id")),
+      col("doc_id")).as[Long]
       .map { id =>
         val (w, h) = ImageCodecs.dims(id)
         Asset(id, "image", ImageCodecs.encode(id), w, h)
@@ -124,6 +128,15 @@ object MultimodalPipeline {
     */
   def audioAssets(spark: SparkSession, dir: String): Dataset[Asset] = {
     import spark.implicits._
+    // NO compute-spread here, unlike imageAssets/videoAssets: measured
+    // r8 (A/B, warm min-of-3 at sf0.1/local[32]) the audio family gets
+    // 2–2.5× SLOWER spread 32-way (m07 2.2→5.7 s, m11 1.9→3.5,
+    // m14 2.0→4.0) — javax.sound's AudioSystem provider registry is a
+    // process-global synchronized service lookup on EVERY
+    // encode/write/sniff call, so concurrent tasks convoy on the lock
+    // and pay contention on top of serialization. The production shape
+    // plugs a native (lock-free) decoder into the same batch seam, and
+    // THEN the imageAssets spread applies verbatim.
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id")).as[Long]
       .map { id =>
@@ -139,8 +152,10 @@ object MultimodalPipeline {
     */
   def videoAssets(spark: SparkSession, dir: String): Dataset[Asset] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+    // id-scan spread before the codec map (see imageAssets)
+    graft.Tables.spreadForCompute(
+      spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id")),
+      col("doc_id")).as[Long]
       .map { id =>
         Asset(id, "video", VideoCodecs.encode(id), VideoCodecs.nFrames(id), 0)
       }

@@ -259,7 +259,9 @@ object Dedup {
     */
   private[operators] def minhashSignatures(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    Tables.documents(s, d)
+    // documentsSpread: the polyhash shingling is the CPU, and the
+    // single-row-group scan would run it on one task (guide §2.5)
+    Tables.documentsSpread(s, d)
       .select(col("doc_id"), explode(expr("shingle_polyhashes(text, 3)")).as("g"))
       .groupBy("doc_id")
       .agg(graft.functions.MinHashAgg.minhash(col("g")).as("sig"))
@@ -360,7 +362,9 @@ object Dedup {
 
   private[operators] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    jaccardFrom(Tables.documents(s, d)
+    // documentsSpread: one-task scan would otherwise single-thread the
+    // shingle kernel that feeds the cached index (guide §2.5)
+    jaccardFrom(Tables.documentsSpread(s, d)
       .select(col("doc_id"), explode(expr("shingle_hashes(text, 3)")).as("g"))
       .cache())
   }
@@ -375,7 +379,7 @@ object Dedup {
     */
   private def sampledJaccardPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val g = Tables.documents(s, d)
+    val g = Tables.documentsSpread(s, d)
       .select(col("doc_id"), explode(expr("shingle_hashes(text, 3)")).as("g"))
       .cache()
     val n = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -1089,7 +1093,17 @@ object Dedup {
       case null => 0
       case n: Int => n
     }
+    // Spread the CANDIDATE PAIRS (ids only — 16 bytes/row) across the
+    // cluster BEFORE attaching texts: the banded DP below is the cost
+    // center, and without this the pair table arrives AQE-coalesced to
+    // a byte-sized partition count (byte-based coalescing is blind to
+    // per-row CPU — guide §2.5/§2.6), serializing the O(τ·len) DP. The
+    // explicit count is never re-coalesced; the text join-backs are
+    // broadcast-shaped and preserve it.
+    val dpParts = math.max(s.sparkContext.defaultParallelism,
+      s.sessionState.conf.numShufflePartitions)
     minhashCandidates(s, d).select("da", "db")
+      .repartition(dpParts, col("da"), col("db"))
       .join(docs.select(col("doc_id").as("da"), col("text").as("ta")), "da")
       .join(docs.select(col("doc_id").as("db"), col("text").as("tb")), "db")
       // exact prune: lev ≥ |la−lb|, so 5·|la−lb| > max(la,lb) can't

@@ -122,7 +122,9 @@ object Pipeline {
     graft.functions.GraftFunctions.register(s)
     // stage family 1 — per-document attributes: quality features,
     // split fingerprint, token count, fused into ONE corpus scan
-    val perDoc = TextAnalysis.qualityScored(Tables.documents(s, d))
+    // (documentsSpread: the per-char rolling hash + tokenize is the
+    // CPU, and the one-task scan would serialize it — guide §2.5)
+    val perDoc = TextAnalysis.qualityScored(Tables.documentsSpread(s, d))
       .withColumn("m", TextAnalysis.splitFingerprint)
       .select(col("doc_id"), col("quality"), col("m"), col("n_tokens"))
       .cache()
@@ -760,8 +762,10 @@ object Pipeline {
     // for its two consumers (the d01 keeper aggregate and the pair
     // join). Lifetime: Bench/Verify clearCache between entries owns
     // release, as with c01's attribute frame.
+    // (documentsSpread: langid + quality scoring are per-row CPU over
+    // the one-task scan — guide §2.5)
     val scored = TextAnalysis.langidScoredDf(
-        TextAnalysis.qualityScored(Tables.documents(s, d)))
+        TextAnalysis.qualityScored(Tables.documentsSpread(s, d)))
       .select(col("doc_id"), col("text"), col("pred_lang"), col("quality"),
         col("n_tokens"), col("n_chars"))
       .cache()

@@ -355,7 +355,8 @@ object TextAnalysis {
       WHERE i::DOUBLE / c.n >= 0.5
       ORDER BY eval_id, train_id""")) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
-    val g = Tables.documents(s, d)
+    // documentsSpread: the 5-gram shingle kernel is the CPU (guide §2.5)
+    val g = Tables.documentsSpread(s, d)
       .select(col("doc_id"), explode(expr("shingle_hashes(text, 5)")).as("g"))
       .cache()
     val ev = g.where(col("doc_id") % 50 === 0)
@@ -1274,7 +1275,9 @@ object TextAnalysis {
       FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""")) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val nDocs = Tables.documents(s, d).count() // parquet footer metadata only
-    val tf = Tables.documents(s, d)
+    // documentsSpread: tokenize+explode over the one-task scan is the
+    // CPU-dense stage (guide §2.5)
+    val tf = Tables.documentsSpread(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -1465,7 +1468,9 @@ object TextAnalysis {
         FROM isl GROUP BY doc_id, island)
       ORDER BY doc_id, span_start""")) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val pos = Tables.documents(s, d)
+    // documentsSpread: the span-gram explode (one row per token
+    // position, string slicing per row) is the CPU (guide §2.5)
+    val pos = Tables.documentsSpread(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .where(size(col("ts")) >= SpanTokens)
       .select(col("doc_id"), col("ts"),
@@ -1753,6 +1758,10 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val lnArr = lit(LnNano)
     def ln9(c: org.apache.spark.sql.Column) = element_at(lnArr, c.cast("int"))
+    // no compute-spread: measured r8 (A/B warm min-of-3) x25 runs
+    // 2.25 s unspread vs 4.10 s spread — the tokenize is cheap next to
+    // the cached multi-consumer frame, and the extra exchange + 32-way
+    // stages lose to the 1-task scan here
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("ts"))
     // per-doc distinct tokens WITHOUT a distinct shuffle: array_distinct
