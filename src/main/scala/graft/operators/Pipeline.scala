@@ -121,10 +121,13 @@ object Pipeline {
       FROM packed GROUP BY shard_id ORDER BY shard_id""")) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
     // stage family 1 — per-document attributes: quality features,
-    // split fingerprint, token count, fused into ONE corpus scan
-    // (documentsSpread: the per-char rolling hash + tokenize is the
-    // CPU, and the one-task scan would serialize it — guide §2.5)
-    val perDoc = TextAnalysis.qualityScored(Tables.documentsSpread(s, d))
+    // split fingerprint, token count, fused into ONE corpus scan.
+    // NOT documentsSpread: measured r8 (surgical interleaved A/B)
+    // c01 runs 2.41 s unspread vs 3.33 s spread — the attribute frame
+    // here is slim (no text carried) and TwoPhase's range sampling
+    // pays for the extra exchange; contrast c07, where the SAME feed
+    // carries text into a text-keyed aggregate and the spread wins.
+    val perDoc = TextAnalysis.qualityScored(Tables.documents(s, d))
       .withColumn("m", TextAnalysis.splitFingerprint)
       .select(col("doc_id"), col("quality"), col("m"), col("n_tokens"))
       .cache()
@@ -763,9 +766,11 @@ object Pipeline {
     // join). Lifetime: Bench/Verify clearCache between entries owns
     // release, as with c01's attribute frame.
     // (documentsSpread: langid + quality scoring are per-row CPU over
-    // the one-task scan — guide §2.5)
+    // the one-task scan, and the frame carries text into the d01
+    // keeper aggregate — surgical interleaved A/B: 6.67 s spread vs
+    // 10.68 s unspread — guide §2.5)
     val scored = TextAnalysis.langidScoredDf(
-        TextAnalysis.qualityScored(Tables.documentsSpread(s, d)))
+      TextAnalysis.qualityScored(Tables.documentsSpread(s, d)))
       .select(col("doc_id"), col("text"), col("pred_lang"), col("quality"),
         col("n_tokens"), col("n_chars"))
       .cache()

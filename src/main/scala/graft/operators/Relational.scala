@@ -1850,6 +1850,12 @@ object Relational {
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
     Tables.nation(s, d).createOrReplaceTempView("nation")
     Tables.region(s, d).createOrReplaceTempView("region")
+    // Kept as ONE inlined text although `supply` is referenced twice:
+    // materializing it through a cached view was A/B-measured SLOWER
+    // at sf0.1 (interleaved min 1.13 s inline vs 1.53 s cached — the
+    // cache encode + pipeline break costs more than the second
+    // fact-aggregate here). Contrast q83, where THREE references make
+    // the same materialization win and it ships.
     s.sql(q80Sql)
   }
 
@@ -1961,9 +1967,12 @@ object Relational {
     * scan; ONE shuffle of the region-pruned lineitem on partkey; the
     * global total is a one-row broadcast over the part-sized CTE.
     */
-  private val q83Sql =
-    """WITH val AS (
-      SELECT l.l_partkey AS partkey,
+  /** q83's `val` relation — ONE fragment interpolated into the
+    * oracle's WITH and registered (cached) as the Spark side's view
+    * (the q80 shared-fragment discipline).
+    */
+  private val q83ValSql =
+    """SELECT l.l_partkey AS partkey,
         sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
             (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS v
       FROM lineitem l
@@ -1971,12 +1980,17 @@ object Relational {
       JOIN nation n ON s.s_nationkey = n.n_nationkey
       JOIN region r ON n.n_regionkey = r.r_regionkey
       WHERE r.r_name = 'EUROPE'
-      GROUP BY l.l_partkey),
-    tot AS (SELECT sum(v) AS s, count(*) AS n FROM val)
+      GROUP BY l.l_partkey"""
+
+  private val q83BodySql =
+    """WITH tot AS (SELECT sum(v) AS s, count(*) AS n FROM val)
     SELECT partkey, CAST(v AS DOUBLE) AS value
     FROM val
     WHERE 2 * v * (SELECT n FROM tot) > 3 * (SELECT s FROM tot)
     ORDER BY value DESC, partkey"""
+
+  private val q83Sql =
+    s"WITH val AS (\n$q83ValSql),\n${q83BodySql.stripPrefix("WITH ")}"
 
   val q83 = QueryDef(
     "q83_important_stock",
@@ -1985,7 +1999,12 @@ object Relational {
     Tables.supplier(s, d).createOrReplaceTempView("supplier")
     Tables.nation(s, d).createOrReplaceTempView("nation")
     Tables.region(s, d).createOrReplaceTempView("region")
-    s.sql(q83Sql)
+    // Materialize the shared `val` subtree ONCE (the q80 rationale):
+    // the text references it from the output scan AND the global
+    // `tot` aggregate (twice, as two scalar subqueries) — inlined,
+    // that was three 4-table join+agg pipelines over the fact table.
+    s.sql(q83ValSql).cache().createOrReplaceTempView("val")
+    s.sql(q83BodySql)
   }
 
   /** q84: the TPC-H Q12 composition — SHIPPING-CLASS PRIORITY MIX:

@@ -355,8 +355,7 @@ object TextAnalysis {
       WHERE i::DOUBLE / c.n >= 0.5
       ORDER BY eval_id, train_id""")) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
-    // documentsSpread: the 5-gram shingle kernel is the CPU (guide §2.5)
-    val g = Tables.documentsSpread(s, d)
+    val g = Tables.documents(s, d)
       .select(col("doc_id"), explode(expr("shingle_hashes(text, 5)")).as("g"))
       .cache()
     val ev = g.where(col("doc_id") % 50 === 0)
