@@ -758,11 +758,17 @@ object EventWindows {
     ORDER BY m.user_id, start_ts_us""")) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val byRn = Window.partitionBy("user_id").orderBy("rn")
+    // cache the row-numbered base: it feeds BOTH the match chain and
+    // the join-back to the window start, and uncached the per-user
+    // sort + row_number window ran twice (r8 interleaved A/B: 1.25 s
+    // cached vs 2.05 s recomputed at sf0.1). Lifetime: Bench/Verify
+    // clearCache between entries owns release (the e27/e28 pattern).
     val o = Tables.events(s, d)
       .select(col("user_id"), col("event_id"), col("ts_us"),
         col("event_type").as("t"),
         row_number().over(
           Window.partitionBy("user_id").orderBy("ts_us", "event_id")).as("rn"))
+      .cache()
     val v = o.withColumn("vrun",
       col("rn") - coalesce(
         max(when(col("t") =!= "view", col("rn")))

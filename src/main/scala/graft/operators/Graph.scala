@@ -179,7 +179,7 @@ object Graph {
     // saved small-task scheduling. d06's edge set is dozens of rows;
     // g01's is fact-shaped — the trick only pays when the looped data
     // is tiny relative to task overhead.
-    var r = deg.select(col("id"), lit(MassUnit).as("r")).localCheckpoint()
+    var r = deg.select(col("id"), lit(MassUnit).as("r")).localCheckpoint(false)
     for (i <- 1 to Iters) {
       r = ued.join(r, ued("src") === r("id"))
         .groupBy(col("dst"))
@@ -191,8 +191,15 @@ object Graph {
       // rate): a 2-round-deep plan analyzes fine, and each eager
       // localCheckpoint is a scheduled job — with fixed small rounds
       // the per-round job floor IS the operator's cost, so halving
-      // the materialization count halves it (measured round 6)
-      if (i % 2 == 0 || i == Iters) r = r.localCheckpoint()
+      // the materialization count halves it (measured round 6).
+      // LAZY (eager=false, r8): the plan still truncates to a
+      // LogicalRDD immediately, but the persist happens inside the
+      // NEXT round's join job instead of a dedicated materialization
+      // job — one fewer scheduled job per truncation point across the
+      // whole family (interleaved A/B on this loop: 1.90 s vs 2.16 s
+      // min-of-5). Loops that COUNT their state each round (q46, d16)
+      // keep eager semantics — there the count is the materializer.
+      if (i % 2 == 0 || i == Iters) r = r.localCheckpoint(false)
     }
     r
   }
@@ -251,7 +258,7 @@ object Graph {
     val seedCase = when(
       col("dst") >= SuppBase && (col("dst") - SuppBase) % 5 === 0, lit(t))
       .otherwise(lit(0L))
-    var r = deg.select(col("id"), lit(MassUnit).as("r")).localCheckpoint()
+    var r = deg.select(col("id"), lit(MassUnit).as("r")).localCheckpoint(false)
     for (i <- 1 to Iters) {
       r = ued.join(r, ued("src") === r("id"))
         .groupBy(col("dst"))
@@ -259,7 +266,7 @@ object Graph {
         .select(col("dst").as("id"),
           (seedCase.alias("tpv") + col("flow")).as("r"))
       // truncate every second round (the g01 half-rate discipline)
-      if (i % 2 == 0 || i == Iters) r = r.localCheckpoint()
+      if (i % 2 == 0 || i == Iters) r = r.localCheckpoint(false)
     }
     r.select(col("id").as("node_id"),
         when(col("id") >= SuppBase, lit("supplier"))
@@ -598,14 +605,14 @@ object Graph {
     var dist = deg
       .filter(col("id") >= SuppBase && (col("id") - SuppBase) % 5 === 0)
       .select(col("id"), lit(0L).as("dist"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     for (i <- 1 to BfsRounds) {
       val prop = ued.join(dist, ued("src") === dist("id"))
         .select(ued("dst").as("id"), (col("dist") + 1L).as("dist"))
       dist = dist.unionByName(prop)
         .groupBy("id").agg(min("dist").as("dist"))
       // truncate every second round (the g01 half-rate discipline)
-      if (i % 2 == 0 || i == BfsRounds) dist = dist.localCheckpoint()
+      if (i % 2 == 0 || i == BfsRounds) dist = dist.localCheckpoint(false)
     }
     dist.select(col("id").as("node_id"),
         when(col("id") >= SuppBase, lit("supplier"))
@@ -719,14 +726,14 @@ object Graph {
       .map(d => s"WHEN $d THEN ${harmonicInvNano(d)}").mkString(" ") + " END"
     var h = pivots
       .select(col("id"), col("id").as("pivot"), lit(0L).as("dist"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     for (i <- 1 to rounds) {
       val prop = ue.join(h, ue("src") === h("id"))
         .select(ue("dst").as("id"), col("pivot"), (col("dist") + 1L).as("dist"))
       h = h.unionByName(prop)
         .groupBy("id", "pivot").agg(min("dist").as("dist"))
       // truncate every second round (the g01 half-rate discipline)
-      if (i % 2 == 0 || i == rounds) h = h.localCheckpoint()
+      if (i % 2 == 0 || i == rounds) h = h.localCheckpoint(false)
     }
     h.where(col("dist") >= 1)
       .groupBy("id")
@@ -789,14 +796,14 @@ object Graph {
       .filter(col("src") >= SuppBase && (col("src") - SuppBase) % 5 === 0)
       .select(col("src").as("id")).distinct()
       .select(col("id"), lit(0L).as("dist"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     for (i <- 1 to SsspRounds) {
       val relaxed = ue.join(dist, ue("src") === dist("id"))
         .select(ue("dst").as("id"), (col("dist") + col("w")).as("dist"))
       dist = dist.unionByName(relaxed)
         .groupBy("id").agg(min("dist").as("dist"))
       // truncate every second round (the g01 half-rate discipline)
-      if (i % 2 == 0 || i == SsspRounds) dist = dist.localCheckpoint()
+      if (i % 2 == 0 || i == SsspRounds) dist = dist.localCheckpoint(false)
     }
     dist.select(col("id").as("node_id"),
         when(col("id") >= SuppBase, lit("supplier"))
@@ -931,13 +938,13 @@ object Graph {
       e.select(col("da").as("id"))
         .unionByName(e.select(col("db").as("id")))
         .groupBy("id").agg(count(lit(1)).as("c"))
-    var e = e0.localCheckpoint()
+    var e = e0.localCheckpoint(false)
     for (i <- 1 to rounds) {
       val keep = degrees(e).filter(col("c") >= k).select("id")
       e = e.join(keep, e("da") === keep("id"), "left_semi")
         .join(keep, e("db") === keep("id"), "left_semi")
       // truncate every second round (the g01 half-rate discipline)
-      if (i % 2 == 0 || i == rounds) e = e.localCheckpoint()
+      if (i % 2 == 0 || i == rounds) e = e.localCheckpoint(false)
     }
     degrees(e).select(col("id").as("doc_id"), col("c").cast("long").as("core_degree"))
   }
@@ -1107,7 +1114,7 @@ object Graph {
     val ue = pairs.unionByName(
       pairs.select(col("dst").as("src"), col("src").as("dst"))).persist()
     var lbl = ue.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl")).localCheckpoint()
+      .select(col("id"), col("id").as("lbl")).localCheckpoint(false)
     for (i <- 1 to rounds) {
       // neighbor-label counts (partial+final), then argmax by
       // (cnt desc, lbl asc) as max_by over (cnt, -lbl) — two hash
@@ -1118,7 +1125,7 @@ object Graph {
         .groupBy(col("nid").as("id"))
         .agg(max_by(col("lbl"), struct(col("cnt"), -col("lbl"))).as("lbl"))
       // truncate every second round (the g01 half-rate discipline)
-      if (i % 2 == 0 || i == rounds) lbl = lbl.localCheckpoint()
+      if (i % 2 == 0 || i == rounds) lbl = lbl.localCheckpoint(false)
     }
     lbl
   }
