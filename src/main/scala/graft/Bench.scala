@@ -108,7 +108,25 @@ object Bench {
         spark.sharedState.cacheManager.clearCache()
         name -> timeOnce(name)(body())
       }.toMap
+    // Contention sentinel (round 9, additive field): a fixed synthetic
+    // probe timed immediately before each pass. Its three values land
+    // in the JSON line as "sentinel":[s1,s2,s3]; on a quiet box they
+    // sit near a constant (~0.1 s at 32 cores), under host contention
+    // they inflate with it — so a driver run whose totals read 2× the
+    // committed snapshot can be arbitrated as contended/clean from its
+    // own artifact instead of requiring a re-run. The probe is pure
+    // deterministic compute (no I/O, no caches), identical every
+    // round, and is NOT part of any entry's time.
+    def sentinelOnce(): Double = {
+      val t0 = System.nanoTime()
+      // xxhash64 per row gives the probe real CPU weight; the modulo
+      // keeps the 64 M-row sum far below 2^63 (ANSI mode overflow)
+      spark.range(64000000L).selectExpr("sum(xxhash64(id) % 1000)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sentinel1 = sentinelOnce()
     val pass1 = onePass(entries)
+    val sentinel2 = sentinelOnce()
     val pass2 = onePass(entries)
     // Third pass ONLY for entries still suspect after two passes:
     // the two pass-values disagree >1.5× on a non-trivial entry (a
@@ -127,7 +145,9 @@ object Bench {
         case _ => false
       }
     }
+    val sentinel3 = sentinelOnce()
     val pass3 = onePass(suspect)
+    val sentinels = Seq(sentinel1, sentinel2, sentinel3)
     // A query failing in pass 1 or 2 reports -1 — a breakage can never
     // read as a speedup (a deterministic failure fails both). The
     // ARBITRATION pass is different: an entry only reaches pass 3 with
@@ -163,7 +183,9 @@ object Bench {
       }.mkString("{", ",", "}")
       val t = "%.3f".formatLocal(java.util.Locale.ROOT, total)
       val omit = if (omitted > 0) s""","omitted_fast":$omitted""" else ""
-      s"""{"metric":"total","value":$t,"unit":"sec","n_queries":${results.size},"queries":$qs$omit,"sf":"$sfDir"}"""
+      val sent = sentinels.map(s =>
+        "%.2f".formatLocal(java.util.Locale.ROOT, s)).mkString("[", ",", "]")
+      s"""{"metric":"total","value":$t,"unit":"sec","n_queries":${results.size},"queries":$qs$omit,"sentinel":$sent,"sf":"$sfDir"}"""
     }
     def render(perQuery: Double => String, key: String => String): String =
       renderOf(results.toSeq, 0)(perQuery, key)

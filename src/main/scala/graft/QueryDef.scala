@@ -6,6 +6,21 @@ import org.apache.spark.sql.types.DecimalType
 
 /** One named operator/query exposed through [[SparkEntry]].
   *
+  * Cache-lifetime contract (r9, VERDICT item 7): an entry's `fn` MAY
+  * `cache()` intermediates its plan consumes more than once (q83's
+  * `val` view, e17's row-numbered base, e27/x25's multi-consumer
+  * frames, d03's shingle table, c07's pair table). Release is owned
+  * by the CALLER's session hygiene: Bench and Verify clear all Spark
+  * caches before every entry (Bench.scala/Verify.scala `clearCache()`
+  * per entry), so no entry's timing or memory ever includes another's
+  * cached frames. A library user composing several operators in one
+  * session owns the same hygiene —
+  * `spark.sharedState.cacheManager.clearCache()` between operators,
+  * or unpersist of frames it holds. All entry-level caches are
+  * Spark-default MEMORY_AND_DISK, so accumulation under the LRU
+  * degrades SPEED, never correctness. CacheScopeSpec pins that one
+  * clearCache releases everything an entry cached.
+  *
   * @param fn     builds the result from (session, testdata dir)
   * @param oracle equivalent ANSI SQL the driver runs in DuckDB over the
   *               same parquet tables; None → driver falls back to a

@@ -57,6 +57,19 @@ object Tables {
       .withColumn("ts", timestamp_micros(col("ts_us")))
   }
 
+  /** Total on-disk bytes of a source table — the cheap scale signal
+    * SF-adaptive plan choices key on (one filesystem metadata call,
+    * no Spark job): e.g. q80 materializes its twice-referenced CTE
+    * only when the fact table is large enough that a second full
+    * aggregate costs more than caching the first (guide §3.3). 0 for
+    * a missing table.
+    */
+  def inputBytes(s: SparkSession, dir: String, name: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
+
   /** Adaptive compute-spread for CPU-dense narrow stages over tiny
     * scans (optimization guide §2.5 "input skew" / §2.6 stragglers).
     * `documents.parquet` is ONE parquet row group at every test SF,

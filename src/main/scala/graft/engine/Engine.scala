@@ -210,10 +210,35 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
       // the destination filesystem, so an unwritable destination is an
       // upload error (chiv parity) — formatter errors carry their own
       // stage from the task, see above.
+      //
+      // OVERLAPPED since r9 (guide §2.6 "overlap independent work"):
+      // instead of a collect() barrier followed by the full concat, the
+      // job is submitted with a per-partition result handler, and the
+      // concat loop copies part i the moment task i has committed it
+      // (the task-side rename happens before the task result is
+      // produced, so a delivered result means the part file is
+      // complete). Driver concat I/O thus runs WHILE later partitions
+      // are still formatting; byte order is unchanged — the loop
+      // appends strictly in partition order.
       stage("upload") {
-        val parts = stagedRdd.collect()
         val target = new Path(dest)
         val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val n = stagedRdd.getNumPartitions
+        val results = new Array[(Int, Boolean)](n)
+        val ready = new Array[Boolean](n)
+        val lock = new Object
+        @volatile var failure: Option[Throwable] = None
+        val fut = spark.sparkContext.submitJob[(Int, Boolean), (Int, Boolean), Unit](
+          stagedRdd, it => it.next(), 0 until n,
+          (idx, res) => lock.synchronized {
+            results(idx) = res; ready(idx) = true; lock.notifyAll()
+          },
+          ())
+        fut.onComplete {
+          case scala.util.Failure(e) =>
+            lock.synchronized { failure = Some(e); lock.notifyAll() }
+          case _ => ()
+        }(scala.concurrent.ExecutionContext.global)
         // concatenate into a temp object INSIDE staging, then commit
         // with one rename: a failure mid-copy can never leave a
         // truncated-but-plausible object at the exact key (the catch
@@ -223,15 +248,22 @@ final class Engine(spark: SparkSession, base: ArchiveConfig = ArchiveConfig()) {
         try {
           out.write(fmt.open(schema).getBytes(StandardCharsets.UTF_8))
           var first = true
-          parts.sortBy(_._1).foreach { case (idx, any) =>
+          var i = 0
+          while (i < n) {
+            lock.synchronized {
+              while (!ready(i) && failure.isEmpty) lock.wait()
+            }
+            failure.foreach(throw _) // stage() unwraps the task's ArchiveException
+            val any = results(i)._2
             if (any) {
               if (!first && fmt.separator.nonEmpty)
                 out.write(fmt.separator.getBytes(StandardCharsets.UTF_8))
-              val in = fs.open(new Path(f"$staging/part-$idx%05d"))
+              val in = fs.open(new Path(f"$staging/part-$i%05d"))
               try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 1 << 20, false)
               finally in.close()
               first = false
             }
+            i += 1
           }
           out.write(fmt.close.getBytes(StandardCharsets.UTF_8))
         } finally out.close()

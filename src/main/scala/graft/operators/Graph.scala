@@ -53,6 +53,46 @@ object Graph {
 
   private val Iters = 6
 
+  /** Lineage-truncation point shared by every fixpoint loop in this
+    * family: EAGER localCheckpoint, reverted from r8's lazy variant
+    * by the r9 verdict-ordered A/B. Two independent interleaved
+    * toggle-only probes at local[32]/sf0.1 (5 reps each, entries
+    * g01/g02/g05/g07/g08/g12): lazy never reproducibly wins its min,
+    * and its distribution is wider and right-shifted on the loops
+    * whose round body references the state TWICE (the union-shaped
+    * BFS/SSSP/harmonic rounds: g05 lazy median 5.0 s vs eager 3.9 s;
+    * g07 5.0 vs 4.1) — a lazily-checkpointed frame there hands an
+    * UNPERSISTED RDD to two AQE query stages that materialize
+    * concurrently, so both recompute it ("Block rdd_N_0 already
+    * exists" warnings, and the suspected driver-box g01 25.5 s
+    * pathology of round 8). Eager costs one extra scheduled job per
+    * truncation (g01: 17 vs 13 jobs) and still measures flat-to-
+    * better; stability wins.
+    */
+  private[operators] def truncate(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.localCheckpoint(true)
+
+  /** Truncation cadence: checkpoint at the FINAL round, and at every
+    * 3rd round when at least two more rounds follow. Shipped from the
+    * r9 interleaved cadence A/B (2 vs 3 vs budget, 5 reps, local[32],
+    * sf0.1): each eager materialization is a scheduled job on
+    * node-sized state, so fewer truncations win wherever plan depth
+    * allows — every-3rd beat the r8 every-2nd on the 6-round loops
+    * (g01 min 2.84 s vs 3.31, g02 3.79 vs 4.43), final-only won the
+    * 4-round loops (g07 3.59 vs 3.79; g05 tie 3.26 vs 3.34) and g12
+    * (2.52 vs 3.02) — while a multiple-of-3 truncation ADJACENT to
+    * the final one (rounds = 4 under plain every-3rd: truncate at 3
+    * AND 4) measured WORST (g05 3.66), hence the ≥2-rounds-remaining
+    * guard. Depth between truncations stays ≤ 4 for ANY round
+    * budget, bounding the plan-copy blowup of union-shaped rounds
+    * (state referenced 2–3× per round duplicates the untruncated
+    * subtree per reference; exchanges are reused at execution, but
+    * analysis cost is per-copy).
+    */
+  private[operators] def shouldTruncate(i: Int, rounds: Int): Boolean =
+    i == rounds || (i % 3 == 0 && rounds - i >= 2)
+
   /** g01: fixed-point PageRank over the customer↔supplier fulfilment
     * graph (edge ⇔ supplier shipped a line of the customer's order,
     * deduplicated; undirected so there are no dangling sinks and the
@@ -179,7 +219,7 @@ object Graph {
     // saved small-task scheduling. d06's edge set is dozens of rows;
     // g01's is fact-shaped — the trick only pays when the looped data
     // is tiny relative to task overhead.
-    var r = deg.select(col("id"), lit(MassUnit).as("r")).localCheckpoint(false)
+    var r = truncate(deg.select(col("id"), lit(MassUnit).as("r")))
     for (i <- 1 to Iters) {
       r = ued.join(r, ued("src") === r("id"))
         .groupBy(col("dst"))
@@ -187,19 +227,16 @@ object Graph {
           s"CAST(${MassUnit * 15 / 100} AS BIGINT) + (CAST(85 AS BIGINT) * sum(r div d)) div 100")
           .as("r"))
         .withColumnRenamed("dst", "id")
-      // lineage truncated every SECOND round (q46/x14 lesson at half
-      // rate): a 2-round-deep plan analyzes fine, and each eager
-      // localCheckpoint is a scheduled job — with fixed small rounds
-      // the per-round job floor IS the operator's cost, so halving
-      // the materialization count halves it (measured round 6).
-      // LAZY (eager=false, r8): the plan still truncates to a
-      // LogicalRDD immediately, but the persist happens inside the
-      // NEXT round's join job instead of a dedicated materialization
-      // job — one fewer scheduled job per truncation point across the
-      // whole family (interleaved A/B on this loop: 1.90 s vs 2.16 s
-      // min-of-5). Loops that COUNT their state each round (q46, d16)
-      // keep eager semantics — there the count is the materializer.
-      if (i % 2 == 0 || i == Iters) r = r.localCheckpoint(false)
+      // lineage truncation (q46/x14 lesson): each eager checkpoint is
+      // a scheduled job on node-sized state, so the cadence is chosen
+      // to minimize materialization count within a bounded plan depth
+      // — [[shouldTruncate]] has the r9 cadence A/B; [[truncate]] has
+      // the r9 eager-vs-lazy A/B (lazy reverted: unpersisted
+      // checkpoint RDDs recompute under concurrent AQE stages). Loops
+      // that COUNT their state each round (q46, d16) keep their own
+      // eager per-round semantics — there the count is the
+      // materializer.
+      if (shouldTruncate(i, Iters)) r = truncate(r)
     }
     r
   }
@@ -258,15 +295,15 @@ object Graph {
     val seedCase = when(
       col("dst") >= SuppBase && (col("dst") - SuppBase) % 5 === 0, lit(t))
       .otherwise(lit(0L))
-    var r = deg.select(col("id"), lit(MassUnit).as("r")).localCheckpoint(false)
+    var r = truncate(deg.select(col("id"), lit(MassUnit).as("r")))
     for (i <- 1 to Iters) {
       r = ued.join(r, ued("src") === r("id"))
         .groupBy(col("dst"))
         .agg(expr("(CAST(85 AS BIGINT) * sum(r div d)) div 100").as("flow"))
         .select(col("dst").as("id"),
           (seedCase.alias("tpv") + col("flow")).as("r"))
-      // truncate every second round (the g01 half-rate discipline)
-      if (i % 2 == 0 || i == Iters) r = r.localCheckpoint(false)
+      // truncation cadence: see shouldTruncate (r9 measured policy)
+      if (shouldTruncate(i, Iters)) r = truncate(r)
     }
     r.select(col("id").as("node_id"),
         when(col("id") >= SuppBase, lit("supplier"))
@@ -602,17 +639,16 @@ object Graph {
       dist
     FROM h$BfsRounds ORDER BY dist, node_id""")) { (s, d) =>
     val (ued, deg) = fulfilmentGraph(s, d)
-    var dist = deg
+    var dist = truncate(deg
       .filter(col("id") >= SuppBase && (col("id") - SuppBase) % 5 === 0)
-      .select(col("id"), lit(0L).as("dist"))
-      .localCheckpoint(false)
+      .select(col("id"), lit(0L).as("dist")))
     for (i <- 1 to BfsRounds) {
       val prop = ued.join(dist, ued("src") === dist("id"))
         .select(ued("dst").as("id"), (col("dist") + 1L).as("dist"))
       dist = dist.unionByName(prop)
         .groupBy("id").agg(min("dist").as("dist"))
-      // truncate every second round (the g01 half-rate discipline)
-      if (i % 2 == 0 || i == BfsRounds) dist = dist.localCheckpoint(false)
+      // truncation cadence: see shouldTruncate (r9 measured policy)
+      if (shouldTruncate(i, BfsRounds)) dist = truncate(dist)
     }
     dist.select(col("id").as("node_id"),
         when(col("id") >= SuppBase, lit("supplier"))
@@ -724,16 +760,15 @@ object Graph {
       rounds: Int): org.apache.spark.sql.DataFrame = {
     val caseExpr = "CASE dist " + (1 to rounds)
       .map(d => s"WHEN $d THEN ${harmonicInvNano(d)}").mkString(" ") + " END"
-    var h = pivots
-      .select(col("id"), col("id").as("pivot"), lit(0L).as("dist"))
-      .localCheckpoint(false)
+    var h = truncate(pivots
+      .select(col("id"), col("id").as("pivot"), lit(0L).as("dist")))
     for (i <- 1 to rounds) {
       val prop = ue.join(h, ue("src") === h("id"))
         .select(ue("dst").as("id"), col("pivot"), (col("dist") + 1L).as("dist"))
       h = h.unionByName(prop)
         .groupBy("id", "pivot").agg(min("dist").as("dist"))
-      // truncate every second round (the g01 half-rate discipline)
-      if (i % 2 == 0 || i == rounds) h = h.localCheckpoint(false)
+      // truncation cadence: see shouldTruncate (r9 measured policy)
+      if (shouldTruncate(i, rounds)) h = truncate(h)
     }
     h.where(col("dist") >= 1)
       .groupBy("id")
@@ -792,18 +827,17 @@ object Graph {
       e.unionByName(
         e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
     }
-    var dist = ue
+    var dist = truncate(ue
       .filter(col("src") >= SuppBase && (col("src") - SuppBase) % 5 === 0)
       .select(col("src").as("id")).distinct()
-      .select(col("id"), lit(0L).as("dist"))
-      .localCheckpoint(false)
+      .select(col("id"), lit(0L).as("dist")))
     for (i <- 1 to SsspRounds) {
       val relaxed = ue.join(dist, ue("src") === dist("id"))
         .select(ue("dst").as("id"), (col("dist") + col("w")).as("dist"))
       dist = dist.unionByName(relaxed)
         .groupBy("id").agg(min("dist").as("dist"))
-      // truncate every second round (the g01 half-rate discipline)
-      if (i % 2 == 0 || i == SsspRounds) dist = dist.localCheckpoint(false)
+      // truncation cadence: see shouldTruncate (r9 measured policy)
+      if (shouldTruncate(i, SsspRounds)) dist = truncate(dist)
     }
     dist.select(col("id").as("node_id"),
         when(col("id") >= SuppBase, lit("supplier"))
@@ -938,13 +972,13 @@ object Graph {
       e.select(col("da").as("id"))
         .unionByName(e.select(col("db").as("id")))
         .groupBy("id").agg(count(lit(1)).as("c"))
-    var e = e0.localCheckpoint(false)
+    var e = truncate(e0)
     for (i <- 1 to rounds) {
       val keep = degrees(e).filter(col("c") >= k).select("id")
       e = e.join(keep, e("da") === keep("id"), "left_semi")
         .join(keep, e("db") === keep("id"), "left_semi")
-      // truncate every second round (the g01 half-rate discipline)
-      if (i % 2 == 0 || i == rounds) e = e.localCheckpoint(false)
+      // truncation cadence: see shouldTruncate (r9 measured policy)
+      if (shouldTruncate(i, rounds)) e = truncate(e)
     }
     degrees(e).select(col("id").as("doc_id"), col("c").cast("long").as("core_degree"))
   }
@@ -1113,8 +1147,8 @@ object Graph {
       : org.apache.spark.sql.DataFrame = {
     val ue = pairs.unionByName(
       pairs.select(col("dst").as("src"), col("src").as("dst"))).persist()
-    var lbl = ue.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl")).localCheckpoint(false)
+    var lbl = truncate(ue.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")))
     for (i <- 1 to rounds) {
       // neighbor-label counts (partial+final), then argmax by
       // (cnt desc, lbl asc) as max_by over (cnt, -lbl) — two hash
@@ -1124,8 +1158,8 @@ object Graph {
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("nid").as("id"))
         .agg(max_by(col("lbl"), struct(col("cnt"), -col("lbl"))).as("lbl"))
-      // truncate every second round (the g01 half-rate discipline)
-      if (i % 2 == 0 || i == rounds) lbl = lbl.localCheckpoint(false)
+      // truncation cadence: see shouldTruncate (r9 measured policy)
+      if (shouldTruncate(i, rounds)) lbl = truncate(lbl)
     }
     lbl
   }

@@ -127,6 +127,12 @@ object Pipeline {
     // here is slim (no text carried) and TwoPhase's range sampling
     // pays for the extra exchange; contrast c07, where the SAME feed
     // carries text into a text-keyed aggregate and the spread wins.
+    // Also NOT the d13 slim-spread shape (r9, VERDICT item 6): spread
+    // the 8-byte doc ids to 32 partitions and broadcast-join the text
+    // back before scoring — interleaved A/B min 3.80 s vs 3.17 s
+    // unspread (med 4.56 vs 3.36): the broadcast of the text column
+    // costs more than the parallel scoring saves on this slim
+    // attribute frame, the same verdict as r8's full-frame spread.
     val perDoc = TextAnalysis.qualityScored(Tables.documents(s, d))
       .withColumn("m", TextAnalysis.splitFingerprint)
       .select(col("doc_id"), col("quality"), col("m"), col("n_tokens"))
@@ -773,20 +779,39 @@ object Pipeline {
       TextAnalysis.qualityScored(Tables.documentsSpread(s, d)))
       .select(col("doc_id"), col("text"), col("pred_lang"), col("quality"),
         col("n_tokens"), col("n_chars"))
-      .cache()
-    val keep1 = scored.groupBy("text").agg(min("doc_id").as("keep_id"))
-    val own = scored.join(keep1, Seq("text"))
-      .where(col("doc_id") === col("keep_id"))
+    // d01 keeper fused into ONE text-keyed aggregate (r9, guide §2.4
+    // "two operations keyed the same way share one exchange"): the
+    // former groupBy(text){min(doc_id)} + join-back-on-text shuffled
+    // the text column twice; min_by over the attribute struct keeps
+    // exactly the min-doc_id row per distinct text in a single
+    // partial+final aggregation (doc_id is unique, so the selected
+    // row is unambiguous). This also leaves `scored` with one
+    // consumer, so the text-carrying cache is gone.
+    // (the row_number-over-text + TopKRewrite formulation was also
+    // A/B'd — min 4.42/med 5.10 vs min_by's 4.03/5.60, a wash — the
+    // struct-buffer SortAggregate here is NOT the x25 situation: it
+    // replaces an agg + join-back, not a TopKPerKey plan)
+    val own = scored
+      .groupBy("text")
+      .agg(min_by(struct(col("doc_id"), col("pred_lang"), col("quality"),
+        col("n_tokens"), col("n_chars")), col("doc_id")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.pred_lang").as("pred_lang"),
+        col("r.quality").as("quality"), col("r.n_tokens").as("n_tokens"),
+        col("r.n_chars").as("n_chars"))
     val shadows = Dedup.minhashCandidates(s, d)
       .where(col("est_jaccard") >= 0.5)
       .select(col("db").as("doc_id")).distinct()
     val txt = own.join(shadows, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("pred_lang"), col("quality"),
-        col("n_tokens"), col("n_chars"))
+    // the pair table is the small, twice-consumed end of the chain
+    // (landing probe + rollup) — cache IT, not the fact-sized text
+    // frame: before r9 the un-cached pair chain re-executed end to
+    // end for the isEmpty probe and again for the rollup. Lifetime:
+    // Bench/Verify clearCache between entries owns release.
     val pairs = curated.join(txt, curated("asset_id") === txt("doc_id"))
       .select(col("asset_id").as("pair_id"), col("codec"), col("width"),
         col("height"), col("members"), col("n_px"), col("pred_lang"),
         col("quality"), col("n_tokens"), col("n_chars"))
+      .cache()
     if (!pairs.isEmpty) ensurePairsLanded(s, d, pairs)
     pairs.groupBy("pred_lang", "codec")
       .agg(count(lit(1)).as("n_pairs"),

@@ -1817,12 +1817,19 @@ object Relational {
     * supply rows; the final TopK is q70's TakeOrdered — no global
     * sort materializes.
     */
-  private val q80Sql =
-    """WITH supply AS (
-      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+  /** q80's `supply` relation — ONE fragment composed into the shared
+    * oracle text AND (above the size gate) registered as a cached
+    * Spark view, the q83 discipline. Stored WITHOUT the WITH wrapper
+    * and composed at use (the ADVICE r8 note on q83's stripPrefix:
+    * composition can't silently break on a reformat).
+    */
+  private val q80SupplySql =
+    """SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
         min(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_supplycost
-      FROM lineitem GROUP BY 1, 2)
-    SELECT s.s_acctbal, s.s_name, n.n_name,
+      FROM lineitem GROUP BY 1, 2"""
+
+  private val q80BodySql =
+    """SELECT s.s_acctbal, s.s_name, n.n_name,
       p.p_partkey, p.p_type,
       CAST(ps.ps_supplycost AS DOUBLE) AS supplycost
     FROM part p
@@ -1842,6 +1849,26 @@ object Relational {
     ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
     LIMIT 100"""
 
+  private val q80Sql =
+    s"WITH supply AS (\n$q80SupplySql)\n$q80BodySql"
+
+  /** Fact-table size (bytes) above which a multiply-referenced CTE is
+    * materialized as a cached temp view instead of inlined per
+    * reference. The decision is SCALE-DEPENDENT, not per-query (r8
+    * measured both sides at sf0.1: q80's 2-reference `supply` loses
+    * materialized — 1.53 s cached vs 1.13 s inline, cache encode +
+    * pipeline break > the saved second aggregate on a 10 MB fact —
+    * while at 100 TB two full fact passes always lose to one spilled
+    * MEMORY_AND_DISK materialization). Overridable via
+    * `spark.graft.cteMaterializeMinBytes` for cluster tuning; the
+    * default keeps every local test SF (≤ ~11 MB) on its measured
+    * winner while any production-sized fact (≥ 256 MiB) takes the
+    * one-scan path.
+    */
+  private def cteMaterializeMinBytes(s: org.apache.spark.sql.SparkSession): Long =
+    s.conf.getOption("spark.graft.cteMaterializeMinBytes")
+      .map(_.toLong).getOrElse(256L << 20)
+
   val q80 = QueryDef(
     "q80_min_cost_supplier",
     Some(q80Sql)) { (s, d) =>
@@ -1850,13 +1877,17 @@ object Relational {
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
     Tables.nation(s, d).createOrReplaceTempView("nation")
     Tables.region(s, d).createOrReplaceTempView("region")
-    // Kept as ONE inlined text although `supply` is referenced twice:
-    // materializing it through a cached view was A/B-measured SLOWER
-    // at sf0.1 (interleaved min 1.13 s inline vs 1.53 s cached — the
-    // cache encode + pipeline break costs more than the second
-    // fact-aggregate here). Contrast q83, where THREE references make
-    // the same materialization win and it ships.
-    s.sql(q80Sql)
+    // `supply` is referenced twice (outer join chain + decorrelated
+    // scalar MIN). Whether to materialize it is gated on fact size
+    // (see [[cteMaterializeMinBytes]]): below the gate, ONE inlined
+    // text — A/B-measured faster at sf0.1 (interleaved min 1.13 s
+    // inline vs 1.53 s cached); above it, the q83 cached-view path,
+    // one lineitem scan instead of two. Both paths compute the
+    // identical relation (Q80Spec pins row-for-row equality).
+    if (Tables.inputBytes(s, d, "lineitem") >= cteMaterializeMinBytes(s)) {
+      s.sql(q80SupplySql).cache().createOrReplaceTempView("supply")
+      s.sql(q80BodySql)
+    } else s.sql(q80Sql)
   }
 
   /** q81: the TPC-H Q4 composition — ORDER-PRIORITY CHECKING: per
@@ -1982,15 +2013,21 @@ object Relational {
       WHERE r.r_name = 'EUROPE'
       GROUP BY l.l_partkey"""
 
-  private val q83BodySql =
-    """WITH tot AS (SELECT sum(v) AS s, count(*) AS n FROM val)
+  /** q83's body, stored WITHOUT the WITH keyword and composed at use
+    * (ADVICE r8: the previous stripPrefix("WITH ") rebuild broke
+    * silently on any reformat of the literal).
+    */
+  private val q83BodyCtes =
+    """tot AS (SELECT sum(v) AS s, count(*) AS n FROM val)
     SELECT partkey, CAST(v AS DOUBLE) AS value
     FROM val
     WHERE 2 * v * (SELECT n FROM tot) > 3 * (SELECT s FROM tot)
     ORDER BY value DESC, partkey"""
 
+  private val q83BodySql = s"WITH $q83BodyCtes"
+
   private val q83Sql =
-    s"WITH val AS (\n$q83ValSql),\n${q83BodySql.stripPrefix("WITH ")}"
+    s"WITH val AS (\n$q83ValSql),\n$q83BodyCtes"
 
   val q83 = QueryDef(
     "q83_important_stock",

@@ -1768,14 +1768,23 @@ object TextAnalysis {
     val dt = docs
       .select(col("doc_id"), col("source"),
         explode(array_distinct(col("ts"))).as("tok"))
-      .cache() // three consumers (vocab ranking, per-source df, doc scoring)
-    val vocab = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+      .cache() // two consumers (the (source, tok) df pass, doc scoring)
+    // ONE multi-aggregate pass over the cached frame (r9, guide §1.2
+    // "fewer passes"): per-(source, tok) document frequencies serve
+    // BOTH the vocabulary ranking (summed over sources — identical to
+    // the former global groupBy(tok) count, since (doc_id, tok) rows
+    // are unique) AND the per-source df table, so the cached dt is
+    // read twice instead of three times. The (source, tok) frame is
+    // sources × |vocabulary| — small — and is itself cached for its
+    // two readers.
+    val st = dt.groupBy("source", "tok").agg(count(lit(1)).as("df")).cache()
+    val vocab = st.groupBy("tok").agg(sum("df").as("df"))
       .orderBy(col("df").desc, col("tok").asc).limit(64) // TakeOrdered, no global sort
       .select("tok")
     val nd = docs.groupBy("source").agg(count(lit(1)).as("nd"))
       .withColumn("ndc", least(col("nd"), lit(2046L)))
-    val dfs = dt.join(broadcast(vocab), Seq("tok"))
-      .groupBy("source", "tok").agg(count(lit(1)).as("df"))
+    val dfs = st.join(broadcast(vocab), Seq("tok"))
+      .select("source", "tok", "df")
     val wts = nd.crossJoin(broadcast(vocab)) // domains × 64 — the model grid
       .join(dfs, Seq("source", "tok"), "left")
       .withColumn("dfc", least(coalesce(col("df"), lit(0L)), col("ndc")))
@@ -1794,6 +1803,16 @@ object TextAnalysis {
       .join(dsum, Seq("doc_id", "m_src"), "left")
       .select(col("doc_id"), col("source"), col("m_src"),
         (col("base") + coalesce(col("dsum"), lit(0L))).as("score"))
+    // argmax stays the row_number window ON PURPOSE (r9): TopKRewrite
+    // turns it into the bounded-heap TopKPerKey plan (no sort, single
+    // exchange — docs/MICROBENCH.md), while the tempting
+    // min_by(m_src, struct(-score, m_src)) formulation carries a
+    // struct-typed aggregation buffer, which falls out of
+    // HashAggregate into SortAggregate AND loses the rewrite —
+    // measured no better (4-combo interleaved A/B, two sessions:
+    // window mins 3.78/3.47 vs min_by 4.99/3.42, window more
+    // consistent), plan strictly worse (+4 Exchange, +2 SortAggregate
+    // in the drift fingerprint).
     val pred = scores
       .withColumn("rn", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("score").desc, col("m_src").asc)))

@@ -32,6 +32,40 @@ class ClassicPlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "q80 LIMIT must be TopK")
   }
 
+  test("q80: the SF-gated materialized-CTE path computes the identical relation, one lineitem scan") {
+    // Below the size gate (every local SF) q80 inlines `supply`; above
+    // it, the supply CTE is cached and scanned from memory. Force the
+    // gate open and pin (a) row-for-row equality (total order ⇒ stable
+    // collect), (b) the body reading `supply` via InMemoryTableScan
+    // with NO direct lineitem file scan left in the body plan.
+    spark.sharedState.cacheManager.clearCache()
+    val inline = graft.Registry.byName("q80_min_cost_supplier").fn(spark, dir).collect()
+    spark.sharedState.cacheManager.clearCache()
+    spark.conf.set("spark.graft.cteMaterializeMinBytes", "0")
+    try {
+      val df = graft.Registry.byName("q80_min_cost_supplier").fn(spark, dir)
+      assert(df.collect().sameElements(inline),
+        "materialized and inline q80 paths must agree row for row")
+      // structural check on the OPTIMIZED LOGICAL plan, where
+      // InMemoryRelation is a leaf (its cached build plan is not a
+      // child): both supply references must resolve to the cache, and
+      // no lineitem relation may remain in the body itself — i.e. one
+      // lineitem materialization total, inside the cached build.
+      val lp = df.queryExecution.optimizedPlan
+      val cached = lp.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+      }
+      assert(cached.size >= 2,
+        s"both supply references must read the cached view (found ${cached.size})")
+      val direct = lp.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if l.relation.toString.contains("lineitem") => l
+      }
+      assert(direct.isEmpty,
+        s"gated body must not scan lineitem directly (found ${direct.size})")
+    } finally spark.conf.unset("spark.graft.cteMaterializeMinBytes")
+  }
+
   test("q81 (Q4): EXISTS rewrites to a left SEMI join") {
     val p = planOf("q81_order_priority")
     assert(p.contains("LeftSemi"), "q81 EXISTS must plan as a semi join")
